@@ -1,0 +1,351 @@
+"""Named batch queries generalizing the reference's operator classes.
+
+The reference exercises exactly: JSON decode (F1), nested projection
+(P3-P6), SQL-string filter (P5), broadcast stream-static equi-join
+(J1), tumbling event-time window + collect_set (A1/A2/W2), date-part
+extraction (F6-F9) and JSON encode (F2/F3) — see SURVEY.md §2. Each
+query here re-expresses one of those classes (or its natural
+generalization) over the driver's TPC-H-ish tables so a DuckDB oracle
+can hash-check it, and each is written plan-first for 100 TB:
+
+- filters/projections stay in the scan (PushedFilters / ReadSchema),
+- small dims are pinned ``F.broadcast`` (nation=25, region=5 rows —
+  exactly the reference's 56-row states dim pattern),
+- aggregates use built-in JVM functions only (whole-stage codegen; no
+  Python in the hot path),
+- float aggregates are ROUNDed identically on both sides because
+  parallel summation order is nondeterministic in *any* engine.
+
+Every builder takes ``(spark, sf_dir)`` and returns a DataFrame whose
+column names match the oracle SQL exactly (driver hash-compares by
+sorted column name).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..sources.batch import load_table
+
+# ---------------------------------------------------------------------------
+# Reference-shaped queries (Q1/Q2/Q3 re-expressed on the events table)
+# ---------------------------------------------------------------------------
+
+
+def q1_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1 class: predicate filter + projection + JSON field decode.
+
+    Mirrors ``srapk_structure_streaming.py:59-64`` (from_json → flatten
+    → where) with events.props standing in for the RSVP payload. The
+    filter and the 4-column projection must push into the parquet scan.
+    """
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.where((F.col("event_type") == "click") & (F.col("value") > 100.0))
+        .select(
+            "event_id",
+            "user_id",
+            F.round("value", 2).alias("value"),
+            F.from_json("props", "k INT").getField("k").alias("k"),
+        )
+    )
+
+
+def q2_join_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 class: fact × small-dim broadcast inner equi-join chain.
+
+    The reference joins a 56-row states dim to swap abbreviations for
+    full names (``srapk_structure_streaming.py:139-141``); here the
+    same name-lookup pattern runs customer→nation→region. Both dims are
+    pinned broadcast: no shuffle of the fact side, ever.
+    """
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        customer.join(
+            F.broadcast(nation),
+            customer.c_nationkey == nation.n_nationkey,
+            "inner",
+        )
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey, "inner")
+        .select(
+            "c_custkey",
+            "c_name",
+            F.round("c_acctbal", 2).alias("c_acctbal"),
+            F.col("n_name").alias("nation_name"),
+            F.col("r_name").alias("region_name"),
+        )
+    )
+
+
+def q3_window_collect_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3 class: tumbling 1-minute window → collect_set → date parts.
+
+    Batch re-expression of ``srapk_structure_streaming.py:150-165``
+    (same lineage the streaming module runs with a watermark). The
+    set is sorted at the comparison boundary because collect_set order
+    is nondeterministic (SURVEY.md §7.5).
+    """
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "1 minute").alias("w"))
+        .agg(F.array_sort(F.collect_set("event_type")).alias("event_types"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.month("w.start").alias("month"),
+            F.dayofmonth("w.start").alias("day_of_the_month"),
+            F.hour("w.start").alias("hour"),
+            F.minute("w.start").alias("minute"),
+            "event_types",
+        )
+    )
+
+
+def json_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2/F3 class: struct assembly + JSON serialization (the Q2/Q3
+    payload pattern, ``srapk_structure_streaming.py:140-143,165``)."""
+    events = load_table(spark, sf_dir, "events")
+    return events.select(
+        "event_id",
+        F.to_json(F.struct("event_id", "event_type", "user_id")).alias("payload"),
+    )
+
+
+def date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6-F9 class: calendar decomposition of event time, grouped."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.select(
+            F.year("ts").alias("year"),
+            F.month("ts").alias("month"),
+            F.dayofmonth("ts").alias("day_of_the_month"),
+            F.hour("ts").alias("hour"),
+        )
+        .groupBy("year", "month", "day_of_the_month", "hour")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Generalized aggregation / join / sort / set-op surface
+# ---------------------------------------------------------------------------
+
+
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped aggregation at volume (TPC-H Q1 pattern on lineitem).
+
+    Map-side partial aggregation + AQE-coalesced exchange; all
+    aggregates are built-in (whole-stage codegen), grouping keys are
+    low-cardinality so the shuffle is tiny regardless of input size.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("2001-09-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-join star aggregation (TPC-H Q5 pattern).
+
+    lineitem⋈orders is the only big-big join (shuffle on orderkey, AQE
+    handles skew); customer/nation/region ride broadcast.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation_name"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+def top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sort + limit (top-k). Physical plan is TakeOrderedAndProject —
+    per-partition top-k then a k-row merge on the driver; never a full
+    sort of the fact table."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    revenue = orders.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("total_spent")
+    )
+    return (
+        revenue.join(F.broadcast(customer), revenue.o_custkey == customer.c_custkey)
+        .select("c_custkey", "c_name", "total_spent")
+        .orderBy(F.col("total_spent").desc(), F.col("c_custkey"))
+        .limit(10)
+    )
+
+
+def order_priority_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join with a correlated predicate (TPC-H Q4 pattern):
+    orders having at least one line shipped after the order date."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    qualified = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey) & (li.l_shipdate > orders.o_orderdate),
+        "leftsemi",
+    )
+    return qualified.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count")
+    )
+
+
+def parts_never_in_bulk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join with a pushed-down predicate on the probe side:
+    parts that never appear on a max-quantity line. The dual of the
+    semi-join filter effect the reference's inner join has (§2.3)."""
+    part = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem")
+    bulk = li.where(F.col("l_quantity") >= 50.0)
+    return part.join(bulk, part.p_partkey == bulk.l_partkey, "leftanti").select(
+        "p_partkey", "p_name", "p_brand"
+    )
+
+
+def clickers_not_purchasers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operation: EXCEPT over distinct (user, day) activity sets —
+    user-days with a click but no purchase."""
+    events = load_table(spark, sf_dir, "events")
+
+    def days(event_type: str) -> DataFrame:
+        return (
+            events.where(F.col("event_type") == event_type)
+            .select("user_id", F.date_trunc("day", "ts").alias("day"))
+            .distinct()
+        )
+
+    return days("click").exceptAll(days("purchase")).distinct()
+
+
+def event_type_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operation: UNION (distinct) of two filtered projections."""
+    events = load_table(spark, sf_dir, "events")
+    a = events.where(F.col("event_type") == "click").select("user_id", "event_type")
+    b = events.where(F.col("event_type") == "error").select("user_id", "event_type")
+    return a.union(b).distinct()
+
+
+def distinct_users_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct aggregation (expand + two-phase agg physically)."""
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+def rollup_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets (generalizes plain groupBy; one Expand node,
+    still a single shuffle)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Analytic (row) window functions — absent from the reference (§2.5) but
+# part of any complete engine surface
+# ---------------------------------------------------------------------------
+
+
+def top3_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """row_number over (partition, order) — per-group top-k without a
+    global sort; one shuffle on the partition key."""
+    customer = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    return (
+        customer.withColumn("rank_in_segment", F.row_number().over(w))
+        .where(F.col("rank_in_segment") <= 3)
+        .select(
+            "c_mktsegment",
+            "c_custkey",
+            F.round("c_acctbal", 2).alias("c_acctbal"),
+            "rank_in_segment",
+        )
+    )
+
+
+def user_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag() over event time per user → mean inter-event gap."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = events.withColumn(
+        "gap_sec",
+        (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))) / F.lit(1000000.0),
+    )
+    return gaps.groupBy("user_id").agg(
+        F.round(F.avg("gap_sec"), 4).alias("avg_gap_sec"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Time windows beyond the reference's single tumbling case
+# ---------------------------------------------------------------------------
+
+
+def sliding_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-minute window sliding every 5 — each event lands in w/s = 2
+    windows. Spark's F.window expands rows then aggregates; state cost
+    scales with (w/s)·|windows|, bounded by the watermark when run
+    streaming."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+QUERIES: dict[str, object] = {
+    "q1_filter": q1_filter,
+    "q2_join_enrich": q2_join_enrich,
+    "q3_window_collect_set": q3_window_collect_set,
+    "json_encode": json_encode,
+    "date_parts": date_parts,
+    "pricing_summary": pricing_summary,
+    "revenue_by_nation": revenue_by_nation,
+    "top_customers": top_customers,
+    "order_priority_semijoin": order_priority_semijoin,
+    "parts_never_in_bulk_orders": parts_never_in_bulk_orders,
+    "clickers_not_purchasers": clickers_not_purchasers,
+    "event_type_union": event_type_union,
+    "distinct_users_per_type": distinct_users_per_type,
+    "rollup_order_status": rollup_order_status,
+    "top3_per_segment": top3_per_segment,
+    "user_event_gaps": user_event_gaps,
+    "sliding_window_stats": sliding_window_stats,
+}

@@ -1,0 +1,186 @@
+"""DuckDB oracle SQL for every query in plans.analytics (and beyond).
+
+Each statement is semantically equivalent ANSI SQL over the same
+parquet tables (pre-registered as views by the driver). Parity rules
+discovered empirically and relied on throughout:
+
+- DuckDB reads parquet TIMESTAMP(NANOS) truncating to µs — identical
+  to our loader's floor-division (sources/batch.py).
+- DuckDB ``month()``/``row_number()``/etc. return BIGINT where Spark
+  returns INT → explicit CASTs on the DuckDB side.
+- DuckDB ``SUM(BIGINT)`` returns HUGEINT → CAST to BIGINT.
+- Float aggregates are ROUNDed on BOTH sides (parallel sum order is
+  nondeterministic in both engines).
+- Set-valued results are sorted on both sides (list_sort / array_sort).
+- ``to_json(struct_pack(...))`` prints identically to Spark's
+  ``to_json(struct(...))`` (no whitespace, insertion order) for
+  non-null scalar fields.
+"""
+
+from __future__ import annotations
+
+ORACLES: dict[str, str] = {
+    "q1_filter": """
+        SELECT event_id,
+               user_id,
+               ROUND(value, 2) AS value,
+               CAST(json_extract(props, '$.k') AS INTEGER) AS k
+        FROM events
+        WHERE event_type = 'click' AND value > 100.0
+    """,
+    "q2_join_enrich": """
+        SELECT c_custkey,
+               c_name,
+               ROUND(c_acctbal, 2) AS c_acctbal,
+               n_name AS nation_name,
+               r_name AS region_name
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+    """,
+    "q3_window_collect_set": """
+        SELECT window_start,
+               CAST(month(window_start) AS INTEGER) AS month,
+               CAST(dayofmonth(window_start) AS INTEGER) AS day_of_the_month,
+               CAST(hour(window_start) AS INTEGER) AS hour,
+               CAST(minute(window_start) AS INTEGER) AS minute,
+               list_sort(list(DISTINCT event_type)) AS event_types
+        FROM (SELECT date_trunc('minute', ts) AS window_start, event_type FROM events)
+        GROUP BY window_start
+    """,
+    "json_encode": """
+        SELECT event_id,
+               to_json(struct_pack(event_id := event_id,
+                                   event_type := event_type,
+                                   user_id := user_id)) AS payload
+        FROM events
+    """,
+    "date_parts": """
+        SELECT CAST(year(ts) AS INTEGER) AS year,
+               CAST(month(ts) AS INTEGER) AS month,
+               CAST(dayofmonth(ts) AS INTEGER) AS day_of_the_month,
+               CAST(hour(ts) AS INTEGER) AS hour,
+               COUNT(*) AS n_events
+        FROM events
+        GROUP BY 1, 2, 3, 4
+    """,
+    "pricing_summary": """
+        SELECT l_returnflag,
+               l_linestatus,
+               ROUND(SUM(l_quantity), 2) AS sum_qty,
+               ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               ROUND(AVG(l_quantity), 6) AS avg_qty,
+               ROUND(AVG(l_discount), 6) AS avg_disc,
+               COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '2001-09-01 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "revenue_by_nation": """
+        SELECT n_name AS nation_name,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        GROUP BY n_name
+    """,
+    "top_customers": """
+        SELECT c_custkey, c_name, total_spent
+        FROM (
+            SELECT o_custkey, ROUND(SUM(o_totalprice), 2) AS total_spent
+            FROM orders GROUP BY o_custkey
+        )
+        JOIN customer ON o_custkey = c_custkey
+        ORDER BY total_spent DESC, c_custkey
+        LIMIT 10
+    """,
+    "order_priority_semijoin": """
+        SELECT o_orderpriority, COUNT(*) AS order_count
+        FROM orders
+        WHERE EXISTS (
+            SELECT 1 FROM lineitem
+            WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+        )
+        GROUP BY o_orderpriority
+    """,
+    "parts_never_in_bulk_orders": """
+        SELECT p_partkey, p_name, p_brand
+        FROM part
+        WHERE NOT EXISTS (
+            SELECT 1 FROM lineitem
+            WHERE l_partkey = p_partkey AND l_quantity >= 50.0
+        )
+    """,
+    "clickers_not_purchasers": """
+        SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
+        FROM events WHERE event_type = 'click'
+        EXCEPT
+        SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
+        FROM events WHERE event_type = 'purchase'
+    """,
+    "event_type_union": """
+        SELECT user_id, event_type FROM events WHERE event_type = 'click'
+        UNION
+        SELECT user_id, event_type FROM events WHERE event_type = 'error'
+    """,
+    "distinct_users_per_type": """
+        SELECT event_type,
+               COUNT(DISTINCT user_id) AS n_users,
+               COUNT(*) AS n_events
+        FROM events
+        GROUP BY event_type
+    """,
+    "rollup_order_status": """
+        SELECT o_orderstatus,
+               o_orderpriority,
+               COUNT(*) AS n_orders,
+               ROUND(SUM(o_totalprice), 2) AS total_price
+        FROM orders
+        GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+    "top3_per_segment": """
+        SELECT c_mktsegment,
+               c_custkey,
+               ROUND(c_acctbal, 2) AS c_acctbal,
+               CAST(rank_in_segment AS INTEGER) AS rank_in_segment
+        FROM (
+            SELECT c_mktsegment, c_custkey, c_acctbal,
+                   row_number() OVER (
+                       PARTITION BY c_mktsegment
+                       ORDER BY c_acctbal DESC, c_custkey
+                   ) AS rank_in_segment
+            FROM customer
+        )
+        WHERE rank_in_segment <= 3
+    """,
+    "user_event_gaps": """
+        SELECT user_id,
+               ROUND(AVG(gap_sec), 4) AS avg_gap_sec,
+               COUNT(*) AS n_events
+        FROM (
+            SELECT user_id,
+                   epoch(ts - lag(ts) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   )) AS gap_sec
+            FROM events
+        )
+        GROUP BY user_id
+    """,
+}
+
+# 10-minute window sliding by 5: every event belongs to exactly two
+# windows (offsets j=0,1 from the 5-minute grid), reproducing Spark's
+# epoch-aligned F.window(ts, '10 minutes', '5 minutes') expansion.
+ORACLES["sliding_window_stats"] = """
+    SELECT make_timestamp(CAST(start_s * 1000000 AS BIGINT)) AS window_start,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM (
+        SELECT floor(epoch(ts) / 300) * 300 - j * 300 AS start_s, value
+        FROM events
+        CROSS JOIN (VALUES (0), (1)) offsets(j)
+    )
+    GROUP BY start_s
+"""

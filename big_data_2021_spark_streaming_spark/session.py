@@ -1,0 +1,78 @@
+"""SparkSession factory with scale-aware defaults.
+
+The reference bootstraps a bare session with only a Kafka package pin
+(``srapk_structure_streaming.py:9-11``) and inherits Spark 3.1 defaults
+(200 shuffle partitions for a 1-partition topic — see SURVEY.md §6).
+We instead pin the configs that matter at 100 TB:
+
+- AQE on (runtime coalescing / skew-join splitting for batch plans).
+- ``spark.sql.shuffle.partitions`` sized from the local core budget;
+  on a real cluster AQE coalesces the excess, so oversizing is safe.
+- UTC session timezone so event-time semantics are deployment-invariant
+  (and match the DuckDB oracle, which reads parquet timestamps naively).
+- ``spark.sql.legacy.parquet.nanosAsLong=true``: the test tables carry
+  parquet TIMESTAMP(NANOS) which Spark refuses natively; we read the
+  raw int64 and floor-divide to micros in the catalog layer
+  (sources/batch.py) — identical truncation to DuckDB's ns→µs read.
+- Arrow enabled for the pandas-UDF paths (similarity / multimodal).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_session(
+    app_name: str = "big-data-2021-spark-streaming-spark",
+    master: str | None = None,
+    cpus: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with the engine's defaults."""
+    cpus = cpus or DEFAULT_CPUS
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.shuffle.spill.compress", "true")
+        .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+        .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.ui.enabled", "false")
+        .config(
+            "spark.sql.streaming.stateStore.providerClass",
+            # RocksDB state store: bounded memory for large streaming state
+            # (the reference used HDFSBackedStateStoreProvider, which keeps
+            # all state on-heap — fine for 135 records, fatal at 100 TB).
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        )
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def configure_existing(spark: SparkSession) -> SparkSession:
+    """Apply the engine's runtime-settable defaults to a session we did
+    not create (the driver hands us one in ``__spark_entry__``)."""
+    runtime = {
+        "spark.sql.session.timeZone": "UTC",
+        "spark.sql.legacy.parquet.nanosAsLong": "true",
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+    }
+    for k, v in runtime.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # static conf on a live session — keep going
+    return spark
