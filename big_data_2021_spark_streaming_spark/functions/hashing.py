@@ -1,0 +1,42 @@
+"""Cross-engine deterministic hashing.
+
+Sketch operators (MinHash, SimHash, LSH) need a hash family that
+produces IDENTICAL values in Spark and in the DuckDB oracle. Neither
+engine's native 64-bit hash matches the other (xxhash64 vs DuckDB's
+murmur-derived ``hash()``), so we standardize on:
+
+    h60(s) = first 15 hex chars of md5(s), read as a base-16 integer
+
+- 60 bits → always positive, exact in int64 and in a double's 53-bit
+  mantissa is NOT required (we never go through floats).
+- Independent family members come from domain separation:
+  ``h60(j || ':' || s)`` for permutation/hyperplane index j.
+
+Both sides are plain built-in SQL functions — JVM-side codegen in
+Spark (no Python in the hot path), vectorized in DuckDB.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+H60_BITS = 60
+
+
+def h60(col: F.Column) -> F.Column:
+    """60-bit md5-derived hash of a string column (Spark side)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
+def h60_seeded(seed: int, col: F.Column) -> F.Column:
+    """Domain-separated family member: h60(f"{seed}:{s}")."""
+    return h60(F.concat(F.lit(f"{seed}:"), col))
+
+
+def h60_sql(expr: str) -> str:
+    """DuckDB-side equivalent of :func:`h60` over a SQL expression."""
+    return f"CAST('0x' || substr(md5({expr}), 1, 15) AS BIGINT)"
+
+
+def h60_seeded_sql(seed: int, expr: str) -> str:
+    return h60_sql(f"'{seed}:' || {expr}")

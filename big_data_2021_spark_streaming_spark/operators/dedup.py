@@ -1,0 +1,380 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, Jaccard
+verification, and embedding-cosine nearest-neighbor.
+
+The reference has no dedup at all (its closest relative is
+``collect_set``'s within-window distinct, ``srapk_structure_streaming
+.py:154``); these are the standard large-corpus training-data ops.
+
+Scale design (the part that matters at 100 TB):
+
+- Everything is expressed as DataFrame lineage — explode → min-agg →
+  band-group → self-equi-join. Catalyst plans the LSH bucket join as a
+  shuffle on (block, band, signature); no driver-side state, no UDFs.
+- Candidate generation is blocked by ``source`` (the corpus shard
+  key). Banded LSH *within* a block keeps every shuffle key bounded;
+  at 100 TB you'd keep the same plan and let AQE split skewed buckets.
+- MinHash signatures use the cross-engine h60 family
+  (functions/hashing.py), so the DuckDB oracle reproduces every
+  signature, band, candidate pair and estimate bit-for-bit.
+- 16 permutations / 4 bands × 4 rows: P(candidate) = 1-(1-j^4)^4,
+  ~0.9 at j=0.8 — tuned for the 0.8 near-dup threshold used here.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..functions.hashing import h60, h60_seeded, h60_seeded_sql, h60_sql
+from ..sources.batch import load_table
+
+NUM_PERM = 16
+BANDS = 4
+ROWS_PER_BAND = NUM_PERM // BANDS
+EST_THRESHOLD = 0.8
+SIMHASH_BITS = 32
+
+
+def _token_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        "source",
+        F.array_distinct(F.split(F.trim("text"), r"\s+")).alias("tok"),
+    )
+
+
+def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via normalized-content fingerprint: one shuffle on
+    the 128-bit key; the canonical row is the min doc_id per group."""
+    docs = load_table(spark, sf_dir, "documents")
+    normalized = F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
+    with_fp = docs.select("doc_id", F.md5(normalized).alias("fingerprint"))
+    canon = with_fp.groupBy("fingerprint").agg(F.min("doc_id").alias("canonical_id"))
+    return (
+        with_fp.join(canon, "fingerprint")
+        .select(
+            "doc_id",
+            "fingerprint",
+            "canonical_id",
+            (F.col("doc_id") == F.col("canonical_id")).alias("is_canonical"),
+        )
+    )
+
+
+def _minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_id, source, mh0..mh{NUM_PERM-1} via explode → min-agg.
+
+    Map-side partial min means the shuffle carries one row per
+    (doc, partition), not per token — the explode never hits the wire.
+    """
+    exploded = _token_sets(spark, sf_dir).select(
+        "doc_id", "source", F.explode("tok").alias("sh")
+    )
+    aggs = [
+        F.min(h60_seeded(j, F.col("sh"))).alias(f"mh{j}") for j in range(NUM_PERM)
+    ]
+    return exploded.groupBy("doc_id", "source").agg(*aggs)
+
+
+def _band_rows(mh: DataFrame) -> DataFrame:
+    """One row per (doc, band): signature = md5 of the band's minhashes."""
+    bands = F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.col(f"mh{b * ROWS_PER_BAND + r}").cast("string")
+                        for r in range(ROWS_PER_BAND)
+                    ],
+                )
+            )
+            for b in range(BANDS)
+        ]
+    )
+    return mh.select(
+        "doc_id", "source", F.posexplode(bands).alias("band", "sig")
+    )
+
+
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs: banded-LSH candidates within a source
+    block, kept when the MinHash Jaccard estimate ≥ 0.8.
+
+    est_jaccard = (#matching minhashes)/16 — an exact rational, so it
+    hash-compares across engines with no rounding concerns.
+    """
+    mh = _minhash_signatures(spark, sf_dir)
+    bands = _band_rows(mh)
+    left, right = bands.alias("l"), bands.alias("r")
+    cand = (
+        left.join(
+            right,
+            (F.col("l.source") == F.col("r.source"))
+            & (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.sig") == F.col("r.sig"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("doc_id_a"),
+            F.col("r.doc_id").alias("doc_id_b"),
+        )
+        .distinct()
+    )
+    a = mh.select(
+        F.col("doc_id").alias("doc_id_a"),
+        *[F.col(f"mh{j}").alias(f"a{j}") for j in range(NUM_PERM)],
+    )
+    b = mh.select(
+        F.col("doc_id").alias("doc_id_b"),
+        *[F.col(f"mh{j}").alias(f"b{j}") for j in range(NUM_PERM)],
+    )
+    matches = sum(
+        (F.col(f"a{j}") == F.col(f"b{j}")).cast("int") for j in range(NUM_PERM)
+    )
+    return (
+        cand.join(a, "doc_id_a")
+        .join(b, "doc_id_b")
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            (matches / F.lit(float(NUM_PERM))).alias("est_jaccard"),
+        )
+        .where(F.col("est_jaccard") >= EST_THRESHOLD)
+    )
+
+
+def jaccard_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-set Jaccard for the LSH candidate pairs — the
+    verify stage of the standard two-phase near-dup pipeline (LSH
+    recall, exact precision)."""
+    pairs = minhash_lsh_pairs(spark, sf_dir).select("doc_id_a", "doc_id_b")
+    tok = _token_sets(spark, sf_dir).select("doc_id", "tok")
+    a = tok.select(F.col("doc_id").alias("doc_id_a"), F.col("tok").alias("tok_a"))
+    b = tok.select(F.col("doc_id").alias("doc_id_b"), F.col("tok").alias("tok_b"))
+    inter = F.size(F.array_intersect("tok_a", "tok_b"))
+    union = F.size(F.array_union("tok_a", "tok_b"))
+    return (
+        pairs.join(a, "doc_id_a")
+        .join(b, "doc_id_b")
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            F.round(inter / union, 6).alias("jaccard"),
+        )
+    )
+
+
+def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash per document (Charikar): bit i is the sign of
+    Σ_tokens (±1 by bit i of h60(token)). Explode → 32 conditional
+    sums → bit assembly, all in one hash aggregate."""
+    exploded = _token_sets(spark, sf_dir).select(
+        "doc_id", F.explode("tok").alias("t")
+    )
+    h = h60(F.col("t"))
+    sums = [
+        F.sum(
+            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"s{i}")
+        for i in range(SIMHASH_BITS)
+    ]
+    per_doc = exploded.groupBy("doc_id").agg(*sums)
+    sig = sum(
+        F.when(F.col(f"s{i}") >= 0, F.lit(2**i).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        for i in range(SIMHASH_BITS)
+    )
+    return per_doc.select("doc_id", sig.alias("simhash"))
+
+
+def embedding_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup: each vector's nearest neighbor within
+    its label block (block-local brute force; blocks bound the N² the
+    same way IVF cells would at scale). Pure JVM array arithmetic."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    a = emb.select(
+        F.col("vec_id").alias("vec_id"),
+        F.col("label").alias("label"),
+        F.col("v").alias("va"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("nn_id"),
+        F.col("label").alias("label"),
+        F.col("v").alias("vb"),
+    )
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    pairs = (
+        a.join(b, "label")
+        .where(F.col("vec_id") != F.col("nn_id"))
+        .select(
+            "vec_id",
+            "nn_id",
+            (dot / (norm(F.col("va")) * norm(F.col("vb")))).alias("cos"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), F.col("nn_id"))
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "nn_id", F.round("cos", 6).alias("cos_sim"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles (assembled from the same constants)
+# ---------------------------------------------------------------------------
+
+_TOK_SQL = "list_distinct(regexp_split_to_array(trim(text), '\\s+'))"
+
+_MH_COLS = ",\n               ".join(
+    f"min({h60_seeded_sql(j, 'sh')}) AS mh{j}" for j in range(NUM_PERM)
+)
+
+_MH_CTE = f"""
+    toks AS (
+        SELECT doc_id, source, unnest({_TOK_SQL}) AS sh FROM documents
+    ),
+    mh AS (
+        SELECT doc_id, source,
+               {_MH_COLS}
+        FROM toks GROUP BY doc_id, source
+    )
+"""
+
+
+def _band_sig_sql(b: int) -> str:
+    parts = " || ',' || ".join(
+        f"CAST(mh{b * ROWS_PER_BAND + r} AS VARCHAR)" for r in range(ROWS_PER_BAND)
+    )
+    return f"md5({parts})"
+
+
+_BANDS_CTE = f"""
+    bands AS (
+        SELECT doc_id, source, band,
+               CASE band {" ".join(f"WHEN {b} THEN {_band_sig_sql(b)}" for b in range(BANDS))} END AS sig
+        FROM mh CROSS JOIN (VALUES {", ".join(f"({b})" for b in range(BANDS))}) AS bb(band)
+    ),
+    cand AS (
+        SELECT DISTINCT l.doc_id AS doc_id_a, r.doc_id AS doc_id_b
+        FROM bands l JOIN bands r
+          ON l.source = r.source AND l.band = r.band AND l.sig = r.sig
+         AND l.doc_id < r.doc_id
+    )
+"""
+
+_MATCHES = " + ".join(
+    f"CAST(a.mh{j} = b.mh{j} AS INTEGER)" for j in range(NUM_PERM)
+)
+
+_LSH_PAIRS_SQL = f"""
+    WITH {_MH_CTE},
+    {_BANDS_CTE}
+    SELECT cand.doc_id_a, cand.doc_id_b,
+           ({_MATCHES}) / {float(NUM_PERM)} AS est_jaccard
+    FROM cand
+    JOIN mh a ON a.doc_id = cand.doc_id_a
+    JOIN mh b ON b.doc_id = cand.doc_id_b
+    WHERE ({_MATCHES}) / {float(NUM_PERM)} >= {EST_THRESHOLD}
+"""
+
+_SIMHASH_SUMS = ",\n               ".join(
+    f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS s{i}"
+    for i in range(SIMHASH_BITS)
+)
+_SIMHASH_SIG = " + ".join(
+    f"CASE WHEN s{i} >= 0 THEN CAST({2**i} AS BIGINT) ELSE 0 END"
+    for i in range(SIMHASH_BITS)
+)
+
+ORACLES: dict[str, str] = {
+    "dedup_exact": """
+        WITH fp AS (
+            SELECT doc_id,
+                   md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+                       AS fingerprint
+            FROM documents
+        ),
+        canon AS (
+            SELECT fingerprint, min(doc_id) AS canonical_id
+            FROM fp GROUP BY fingerprint
+        )
+        SELECT fp.doc_id, fp.fingerprint, canon.canonical_id,
+               fp.doc_id = canon.canonical_id AS is_canonical
+        FROM fp JOIN canon USING (fingerprint)
+    """,
+    "dedup_minhash_lsh": _LSH_PAIRS_SQL,
+    "dedup_jaccard_verify": f"""
+        WITH {_MH_CTE},
+        {_BANDS_CTE},
+        pairs AS (
+            SELECT cand.doc_id_a, cand.doc_id_b
+            FROM cand
+            JOIN mh a ON a.doc_id = cand.doc_id_a
+            JOIN mh b ON b.doc_id = cand.doc_id_b
+            WHERE ({_MATCHES}) / {float(NUM_PERM)} >= {EST_THRESHOLD}
+        ),
+        ts AS (SELECT doc_id, {_TOK_SQL} AS tok FROM documents)
+        SELECT p.doc_id_a, p.doc_id_b,
+               ROUND(CAST(len(list_intersect(ta.tok, tb.tok)) AS INTEGER)
+                     / CAST(len(list_distinct(list_concat(ta.tok, tb.tok)))
+                            AS INTEGER), 6) AS jaccard
+        FROM pairs p
+        JOIN ts ta ON ta.doc_id = p.doc_id_a
+        JOIN ts tb ON tb.doc_id = p.doc_id_b
+    """,
+    "dedup_simhash": f"""
+        WITH exploded AS (
+            SELECT doc_id, {h60_sql('sh')} AS h
+            FROM (SELECT doc_id, unnest({_TOK_SQL}) AS sh FROM documents)
+        ),
+        sums AS (
+            SELECT doc_id,
+               {_SIMHASH_SUMS}
+            FROM exploded GROUP BY doc_id
+        )
+        SELECT doc_id, {_SIMHASH_SIG} AS simhash FROM sums
+    """,
+    "dedup_embedding_nn": """
+        WITH pairs AS (
+            SELECT a.vec_id,
+                   b.vec_id AS nn_id,
+                   list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                          CAST(b.embedding AS DOUBLE[])) AS cos,
+                   row_number() OVER (
+                       PARTITION BY a.vec_id
+                       ORDER BY list_cosine_similarity(
+                           CAST(a.embedding AS DOUBLE[]),
+                           CAST(b.embedding AS DOUBLE[])) DESC,
+                                b.vec_id
+                   ) AS rn
+            FROM embeddings a
+            JOIN embeddings b
+              ON a.label = b.label AND a.vec_id <> b.vec_id
+        )
+        SELECT vec_id, nn_id, ROUND(cos, 6) AS cos_sim
+        FROM pairs WHERE rn = 1
+    """,
+}
+
+QUERIES = {
+    "dedup_exact": exact_dedup,
+    "dedup_minhash_lsh": minhash_lsh_pairs,
+    "dedup_jaccard_verify": jaccard_verify,
+    "dedup_simhash": simhash,
+    "dedup_embedding_nn": embedding_nn,
+}

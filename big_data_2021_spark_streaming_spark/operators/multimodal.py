@@ -1,0 +1,135 @@
+"""Multimodal (binary) column plumbing: schema, Arrow batching, and
+decode/feature-extract stubs.
+
+Real pipelines carry images/audio/video as opaque ``binary`` columns
+with typed metadata structs, decoded inside ``mapInPandas`` so bytes
+stream through Arrow record batches and never materialize on the
+driver. The decode libraries (PIL/ffmpeg/etc.) are not in this
+container, so the decode kernel is split:
+
+- ``decode_asset_bytes``: the real-library path — raises
+  NotImplementedError with a clear message (STUB, by design).
+- ``fake_decode``: deterministic byte-level "decode" (length, first
+  byte, md5) used by tests and the oracle-checked query so the
+  Spark-side plumbing — binary encoding, Arrow batch shapes, UDF
+  signature, schema — is exercised for real.
+
+``multimodal_decode`` builds the binary column from documents.text
+(utf-8 bytes standing in for image bytes), runs it through
+mapInPandas, and is oracle-checked against DuckDB computing the same
+features from the text — end-to-end proof the Arrow path preserves
+bytes exactly.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..sources.batch import load_table
+
+ASSET_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("payload", BinaryType()),
+        StructField("meta_width", IntegerType()),
+        StructField("meta_height", IntegerType()),
+    ]
+)
+
+DECODED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_bytes", IntegerType()),
+        StructField("head_byte", IntegerType()),
+        StructField("content_md5", StringType()),
+    ]
+)
+
+
+def decode_asset_bytes(payload: bytes, media_type: str):
+    """Real decode path — requires image/audio libs absent here.
+
+    STUB by design: wire PIL/torchaudio/PyAV here when deploying; the
+    Spark-side batching/schema contract stays identical.
+    """
+    raise NotImplementedError(
+        f"no decoder for media_type={media_type!r} in this environment; "
+        "use fake_decode for the deterministic test kernel"
+    )
+
+
+def fake_decode(payload: bytes) -> tuple[int, int, str]:
+    """Deterministic byte-level stand-in for a media decoder."""
+    return len(payload), payload[0] if payload else -1, hashlib.md5(payload).hexdigest()
+
+
+def assets_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents.text → opaque binary assets with metadata struct —
+    the loading pattern for a multimodal lake (binary + typed meta)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.lit("text/plain").alias("media_type"),
+        F.encode("text", "utf-8").alias("payload"),
+        (F.length("text") % 1024).cast("int").alias("meta_width"),
+        (F.length("text") % 768).cast("int").alias("meta_height"),
+    )
+
+
+def decode_assets(assets: DataFrame) -> DataFrame:
+    """mapInPandas decode: Arrow-batched, schema-stable, zero driver
+    involvement. At 100 TB this is the shape for any per-asset kernel:
+    batch in, batch out, columnar both directions."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            decoded = [fake_decode(bytes(p)) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": pd.Series(
+                        [d[0] for d in decoded], dtype="int32"
+                    ),
+                    "head_byte": pd.Series(
+                        [d[1] for d in decoded], dtype="int32"
+                    ),
+                    "content_md5": [d[2] for d in decoded],
+                }
+            )
+
+    return assets.mapInPandas(kernel, DECODED_SCHEMA)
+
+
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return decode_assets(assets_from_documents(spark, sf_dir))
+
+
+ORACLES: dict[str, str] = {
+    # the documents text is plain ASCII in the fixtures, so utf-8 byte
+    # features are computable from the text itself
+    "multimodal_decode": """
+        SELECT doc_id,
+               CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+               CAST(ascii(substr(text, 1, 1)) AS INTEGER) AS head_byte,
+               md5(text) AS content_md5
+        FROM documents
+    """,
+}
+
+QUERIES = {
+    "multimodal_decode": multimodal_decode,
+}

@@ -1,0 +1,207 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+Beyond the reference's surface (its only text handling is JSON decode,
+``srapk_structure_streaming.py:59``): tokenization, BPE-ish token
+counting, quality scoring, language ID, and document fingerprinting
+over the ``documents`` table.
+
+All of it is built-in-function-only (JVM codegen; zero Python UDFs in
+the hot path), embarrassingly parallel per document — no shuffle at
+all except where a groupBy is the point. At 100 TB these run at scan
+speed with filters/pruning pushed into parquet.
+
+Every query has an exact DuckDB oracle; the shared tokenizer contract
+is: tokens = regexp-split of trim(text) on whitespace runs.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..sources.batch import load_table
+
+# BPE-ish pre-tokenizer: letter runs | digits | any other non-space char.
+BPE_RE = "[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\\s]"
+
+STOPWORDS = ("the", "a", "and", "of", "to", "in", "is")
+
+# disjoint marker words per language for the n-gram/stopword heuristic
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "is", "and"),
+    "es": ("el", "los", "que"),
+    "fr": ("le", "et", "une"),
+    "de": ("der", "und", "nicht"),
+}
+
+
+def tokens_col(text: F.Column) -> F.Column:
+    return F.split(F.trim(text), r"\s+")
+
+
+def _in_set(words: tuple[str, ...]):
+    # returns a single-arg lambda: F.filter treats extra (even defaulted)
+    # params as a request for the element index
+    return lambda token: token.isin(*words)
+
+
+def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish token counting and length stats per doc."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_col(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.length("text").alias("n_chars"),
+        F.size(F.regexp_extract_all("text", F.lit(BPE_RE), 0)).alias("n_bpe_tokens"),
+        F.round(
+            F.aggregate(
+                toks, F.lit(0).cast("bigint"), lambda acc, t: acc + F.length(t)
+            )
+            / F.size(toks),
+            6,
+        ).alias("avg_token_len"),
+    )
+
+
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic linear quality heuristic: token volume, stopword
+    ratio, mean token length — the classic cheap pre-filter before
+    expensive model-based scoring."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_col(F.col("text"))
+    n_tokens = F.size(toks)
+    n_stop = F.size(F.filter(toks, _in_set(STOPWORDS)))
+    total_len = F.aggregate(
+        toks, F.lit(0).cast("bigint"), lambda acc, t: acc + F.length(t)
+    )
+    stop_ratio = n_stop / n_tokens
+    mean_len = total_len / n_tokens
+    score = (
+        F.least(n_tokens / F.lit(100.0), F.lit(1.0)) * 0.5
+        + stop_ratio * 0.3
+        + F.least(mean_len / F.lit(10.0), F.lit(1.0)) * 0.2
+    )
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(mean_len, 6).alias("mean_token_len"),
+        F.round(score, 6).alias("quality"),
+    )
+
+
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language ID (deterministic argmax with fixed
+    tie-break order en > es > fr > de > und)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_col(F.col("text"))
+    counts = {
+        lang: F.size(F.filter(toks, _in_set(words)))
+        for lang, words in LANG_MARKERS.items()
+    }
+    c = {lang: F.col(f"c_{lang}") for lang in LANG_MARKERS}
+    best = F.greatest(*c.values())
+    pred = (
+        F.when(best == 0, "und")
+        .when(c["en"] == best, "en")
+        .when(c["es"] == best, "es")
+        .when(c["fr"] == best, "fr")
+        .otherwise("de")
+    )
+    return docs.select(
+        "doc_id", *[counts[lang].alias(f"c_{lang}") for lang in LANG_MARKERS]
+    ).select("doc_id", "c_en", "c_es", "c_fr", "c_de", pred.alias("pred_lang"))
+
+
+def fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace-normalized md5 content fingerprint — the cheap exact
+    dedup key (dedup.exact_dedup groups on it)."""
+    docs = load_table(spark, sf_dir, "documents")
+    normalized = F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
+    return docs.select("doc_id", F.md5(normalized).alias("fingerprint"))
+
+
+def _oracle_tokens(expr: str = "text") -> str:
+    return f"regexp_split_to_array(trim({expr}), '\\s+')"
+
+
+def _oracle_marker_count(words: tuple[str, ...]) -> str:
+    inlist = ", ".join(f"'{w}'" for w in words)
+    return (
+        f"CAST(len(list_filter({_oracle_tokens()}, t -> t IN ({inlist}))) AS INTEGER)"
+    )
+
+
+ORACLES: dict[str, str] = {
+    "text_token_stats": f"""
+        SELECT doc_id,
+               CAST(len({_oracle_tokens()}) AS INTEGER) AS n_tokens,
+               CAST(length(text) AS INTEGER) AS n_chars,
+               CAST(len(regexp_extract_all(text, '{BPE_RE}')) AS INTEGER)
+                   AS n_bpe_tokens,
+               ROUND(CAST(list_sum(list_transform({_oracle_tokens()},
+                                                  t -> length(t))) AS BIGINT)
+                     / CAST(len({_oracle_tokens()}) AS INTEGER), 6)
+                   AS avg_token_len
+        FROM documents
+    """,
+    # text_quality_score / text_lang_id are assembled below from the
+    # same constants the Spark builders use
+    "text_fingerprint": """
+        SELECT doc_id,
+               md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+                   AS fingerprint
+        FROM documents
+    """,
+}
+
+_STOP_LIST = ", ".join(f"'{w}'" for w in STOPWORDS)
+ORACLES["text_quality_score"] = f"""
+    WITH t AS (
+        SELECT doc_id,
+               CAST(len({_oracle_tokens()}) AS INTEGER) AS n_tokens,
+               CAST(len(list_filter({_oracle_tokens()},
+                                    t -> t IN ({_STOP_LIST}))) AS INTEGER)
+                   AS n_stop,
+               CAST(list_sum(list_transform({_oracle_tokens()},
+                                            t -> length(t))) AS BIGINT)
+                   AS total_len
+        FROM documents
+    )
+    SELECT doc_id,
+           n_tokens,
+           ROUND(n_stop / n_tokens, 6) AS stopword_ratio,
+           ROUND(total_len / n_tokens, 6) AS mean_token_len,
+           ROUND(least(n_tokens / 100.0, 1.0) * 0.5
+                 + (n_stop / n_tokens) * 0.3
+                 + least((total_len / n_tokens) / 10.0, 1.0) * 0.2,
+                 6) AS quality
+    FROM t
+"""
+
+_MARKER_COLS = ",\n               ".join(
+    f"{_oracle_marker_count(words)} AS c_{lang}"
+    for lang, words in LANG_MARKERS.items()
+)
+ORACLES["text_lang_id"] = f"""
+    WITH t AS (
+        SELECT doc_id,
+               {_MARKER_COLS}
+        FROM documents
+    )
+    SELECT doc_id, c_en, c_es, c_fr, c_de,
+           CASE WHEN greatest(c_en, c_es, c_fr, c_de) = 0 THEN 'und'
+                WHEN c_en = greatest(c_en, c_es, c_fr, c_de) THEN 'en'
+                WHEN c_es = greatest(c_en, c_es, c_fr, c_de) THEN 'es'
+                WHEN c_fr = greatest(c_en, c_es, c_fr, c_de) THEN 'fr'
+                ELSE 'de' END AS pred_lang
+    FROM t
+"""
+
+QUERIES = {
+    "text_token_stats": token_stats,
+    "text_quality_score": quality_score,
+    "text_lang_id": lang_id,
+    "text_fingerprint": fingerprint,
+}

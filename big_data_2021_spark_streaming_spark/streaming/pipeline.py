@@ -1,0 +1,220 @@
+"""Structured Streaming surface: sources, sinks, and the streaming
+forms of the engine's operators.
+
+The reference's runtime shape (SURVEY.md §3) is Kafka source →
+lineage → Kafka sink with checkpointing, one blocking query per
+process (``srapk_structure_streaming.py:12-16,181-187``). This module
+keeps that shape but factors source/sink out of the lineages
+(plans/reference_queries.py builders run unchanged over batch or
+streaming frames — the Structured Streaming contract).
+
+Sources:
+- ``rsvp_file_stream``: replayable JSONL directory source — the test
+  surrogate for the Kafka topic (1 file ≈ 1 micro-batch;
+  ``maxFilesPerTrigger=1``). Schema matches the Kafka envelope after
+  the reference's cast: (value STRING, timestamp STRING).
+- ``kafka_reader_options``: the exact option set for the production
+  Kafka source, kept as data so deployments don't re-derive it.
+
+Sinks:
+- ``to_memory_sink``: bounded test sink (named in-memory table).
+- ``to_kafka_sink``: production path (value column → topic) with
+  mandatory checkpointing, mirroring
+  ``srapk_structure_streaming.py:181-186``.
+
+Scale posture: RocksDB state store (session.py), watermark on every
+stateful query (unbounded state is a deploy-blocker at 100 TB),
+``dropDuplicatesWithinWatermark`` for ingest dedup, and
+``applyInPandasWithState`` for custom state machines (sessionization).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+ENVELOPE_SCHEMA = StructType(
+    [
+        StructField("value", StringType()),
+        StructField("timestamp", StringType()),
+    ]
+)
+
+
+def rsvp_file_stream(
+    spark: SparkSession, fixture_dir: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """JSONL directory → streaming (value, timestamp) envelope frames,
+    one file per micro-batch — a replayable surrogate for the Kafka
+    source at ``srapk_structure_streaming.py:12-16``."""
+    return (
+        spark.readStream.schema(ENVELOPE_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .json(fixture_dir)
+    )
+
+
+def kafka_reader_options(bootstrap_servers: str, topic: str) -> dict[str, str]:
+    """Production Kafka source options (the reference's, as data)."""
+    return {
+        "kafka.bootstrap.servers": bootstrap_servers,
+        "subscribe": topic,
+        "startingOffsets": "earliest",
+        "failOnDataLoss": "false",
+    }
+
+
+def read_kafka_stream(
+    spark: SparkSession, bootstrap_servers: str, topic: str
+) -> DataFrame:
+    """Kafka source → cast envelope, exactly the reference's first two
+    operators (``srapk_structure_streaming.py:12-16``). Requires the
+    spark-sql-kafka package on the classpath; not exercised in tests
+    (no broker in this environment)."""
+    reader = spark.readStream.format("kafka")
+    for k, v in kafka_reader_options(bootstrap_servers, topic).items():
+        reader = reader.option(k, v)
+    return reader.load().selectExpr(
+        "CAST(value AS STRING)", "CAST(timestamp AS STRING)"
+    )
+
+
+def to_memory_sink(
+    df: DataFrame, name: str, output_mode: str = "append"
+):
+    """Test sink: named in-memory table, processAllAvailable-friendly."""
+    return (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .start()
+    )
+
+
+def to_kafka_sink(
+    df: DataFrame,
+    bootstrap_servers: str,
+    topic: str,
+    checkpoint_dir: str,
+    output_mode: str = "append",
+):
+    """Production sink (``srapk_structure_streaming.py:181-186``):
+    exactly-once via checkpointed offsets + idempotent-ish topic write."""
+    return (
+        df.writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("topic", topic)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode(output_mode)
+        .start()
+    )
+
+
+def stream_dedup(
+    events: DataFrame, keys: list[str], watermark_col: str, delay: str
+) -> DataFrame:
+    """Streaming exact dedup with bounded state: duplicates arriving
+    within the watermark horizon are dropped; state older than the
+    horizon is evicted. The streaming form of dedup.exact_dedup."""
+    return events.withWatermark(watermark_col, delay).dropDuplicatesWithinWatermark(
+        keys
+    )
+
+
+SESSION_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_start", TimestampType()),
+        StructField("session_end", TimestampType()),
+        StructField("n_events", IntegerType()),
+        StructField("total_value", DoubleType()),
+    ]
+)
+
+_STATE_SCHEMA = StructType(
+    [
+        StructField("start_us", LongType()),
+        StructField("end_us", LongType()),
+        StructField("n", IntegerType()),
+        StructField("total", DoubleType()),
+    ]
+)
+
+
+def sessionize(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark_delay: str = "10 minutes",
+) -> DataFrame:
+    """Custom stateful operator: event-time sessionization with a
+    configurable inactivity gap, via applyInPandasWithState.
+
+    Sessions close when the event-time timeout fires (watermark passed
+    last_event + gap). State per user is O(1) — four scalars — so
+    total state is bounded by |active users|, the 100 TB-safe shape.
+    """
+    import pandas as pd
+
+    gap_us = _duration_to_us(gap)
+
+    def update(key, pdfs, state: GroupState):
+        (user_id,) = key
+        if state.hasTimedOut:
+            start_us, end_us, n, total = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "session_start": [pd.Timestamp(start_us, unit="us")],
+                    "session_end": [pd.Timestamp(end_us, unit="us")],
+                    "n_events": [n],
+                    "total_value": [total],
+                }
+            )
+            return
+        rows = pd.concat(list(pdfs))
+        ts_us = rows["ts"].astype("int64") // 1000  # ns → µs
+        lo, hi = int(ts_us.min()), int(ts_us.max())
+        n_new, total_new = len(rows), float(rows["value"].sum())
+        if state.exists:
+            start_us, end_us, n, total = state.get
+            state.update((min(lo, start_us), max(hi, end_us), n + n_new, total + total_new))
+        else:
+            state.update((lo, hi, n_new, total_new))
+        state.setTimeoutTimestamp(state.get[1] // 1000 + gap_us // 1000)
+        return iter(())
+
+    return (
+        events.withWatermark("ts", watermark_delay)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=SESSION_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def _duration_to_us(text: str) -> int:
+    amount, unit = text.split()
+    scale = {
+        "second": 1_000_000,
+        "seconds": 1_000_000,
+        "minute": 60_000_000,
+        "minutes": 60_000_000,
+        "hour": 3_600_000_000,
+        "hours": 3_600_000_000,
+    }[unit]
+    return int(amount) * scale

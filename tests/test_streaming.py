@@ -1,0 +1,259 @@
+"""Streaming semantics tests: file-source replay of the reference
+lineages, watermark late-data drop, batch≡stream equivalence,
+bounded-state dedup, stateful sessionization, checkpoint recovery.
+
+Strategy per SURVEY.md §5: fixtures replayed one-file-per-microbatch
+through a JSON file source, collected via memory sink; append-mode
+windows are finalized by pushing a sentinel event past the watermark.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from datetime import datetime, timedelta
+
+import pytest
+
+from big_data_2021_spark_streaming_spark.plans.reference_queries import (
+    q1_us_meetups,
+    q2_us_meetups_enriched,
+    q3_cities_per_minute,
+)
+from big_data_2021_spark_streaming_spark.schemas import states_dimension
+from big_data_2021_spark_streaming_spark.streaming.pipeline import (
+    rsvp_file_stream,
+    sessionize,
+    stream_dedup,
+    to_memory_sink,
+)
+
+
+def rsvp_json(country, city, state=None):
+    return json.dumps(
+        {
+            "response": "yes",
+            "guests": 0,
+            "rsvp_id": 7,
+            "event": {"event_name": "e", "event_id": "id1", "event_url": "u"},
+            "group": {
+                "group_city": city,
+                "group_country": country,
+                "group_id": 1,
+                "group_name": "g",
+                "group_state": state,
+            },
+        }
+    )
+
+
+def write_batch(dirpath, name, rows):
+    (dirpath / name).write_text(
+        "\n".join(json.dumps({"value": v, "timestamp": t}) for v, t in rows)
+    )
+
+
+def drain(query):
+    query.processAllAvailable()
+    query.stop()
+
+
+@pytest.fixture
+def fixture_dir(tmp_path):
+    d = tmp_path / "stream"
+    d.mkdir()
+    return d
+
+
+def test_q1_q2_streaming_replay(spark, fixture_dir):
+    write_batch(
+        fixture_dir,
+        "b0.json",
+        [
+            (rsvp_json("us", "Bend", "OR"), "2021-06-09 00:00:07"),
+            (rsvp_json("gb", "London"), "2021-06-09 00:00:09"),
+        ],
+    )
+    write_batch(
+        fixture_dir,
+        "b1.json",
+        [(rsvp_json("us", "Austin", "TX"), "2021-06-09 00:01:07")],
+    )
+    raw = rsvp_file_stream(spark, str(fixture_dir))
+    assert raw.isStreaming
+    q1 = to_memory_sink(
+        q1_us_meetups(raw).select("group.group_city"), "q1_sink"
+    )
+    drain(q1)
+    cities = {r.group_city for r in spark.table("q1_sink").collect()}
+    assert cities == {"Bend", "Austin"}
+
+    q2 = to_memory_sink(
+        q2_us_meetups_enriched(raw, states_dimension(spark)), "q2_sink"
+    )
+    drain(q2)
+    payloads = [json.loads(r.value) for r in spark.table("q2_sink").collect()]
+    assert {p["group_state"] for p in payloads} == {"OREGON", "TEXAS"}
+
+
+def test_q3_append_mode_emits_closed_windows_and_drops_late(spark, fixture_dir):
+    # batch 0: two events in minute 0; batch 1 advances watermark past
+    # minute 0 (event at 00:05); batch 2 is a late straggler for minute 0
+    write_batch(
+        fixture_dir,
+        "b0.json",
+        [
+            (rsvp_json("us", "Bend", "OR"), "2021-06-09 00:00:07"),
+            (rsvp_json("us", "Portland", "OR"), "2021-06-09 00:00:30"),
+        ],
+    )
+    write_batch(
+        fixture_dir,
+        "b1.json",
+        [(rsvp_json("us", "Austin", "TX"), "2021-06-09 00:05:00")],
+    )
+    write_batch(
+        fixture_dir,
+        "b2.json",
+        [(rsvp_json("us", "LateCity", "CA"), "2021-06-09 00:00:45")],
+    )
+    raw = rsvp_file_stream(spark, str(fixture_dir))
+    q = to_memory_sink(
+        q3_cities_per_minute(raw, as_json=False), "q3_sink", output_mode="append"
+    )
+    drain(q)
+    rows = {r.minute: sorted(r.cities) for r in spark.table("q3_sink").collect()}
+    # minute-0 window was finalized when the watermark passed its end —
+    # and the late 'LateCity' arrival was dropped, not re-emitted
+    assert rows.get(0) == ["Bend", "Portland"]
+    assert not any("LateCity" in cities for cities in rows.values())
+
+
+def test_batch_stream_equivalence(spark, fixture_dir):
+    rows = [
+        (rsvp_json("us", "Bend", "OR"), "2021-06-09 00:00:07"),
+        (rsvp_json("us", "Austin", "TX"), "2021-06-09 00:01:07"),
+        (rsvp_json("fr", "Paris"), "2021-06-09 00:01:30"),
+        (rsvp_json("us", "Nome", "AK"), "2021-06-09 00:09:00"),
+    ]
+    write_batch(fixture_dir, "b0.json", rows)
+    # batch run of the SAME lineage
+    batch_raw = spark.createDataFrame(rows, ["value", "timestamp"])
+    batch = {
+        (r.minute, tuple(r.cities))
+        for r in q3_cities_per_minute(batch_raw, as_json=False).collect()
+    }
+    # streaming run, complete mode (all windows, finalized or not)
+    stream_raw = rsvp_file_stream(spark, str(fixture_dir))
+    q = to_memory_sink(
+        q3_cities_per_minute(stream_raw, as_json=False, watermark=None),
+        "equiv_sink",
+        output_mode="complete",
+    )
+    drain(q)
+    stream = {
+        (r.minute, tuple(r.cities)) for r in spark.table("equiv_sink").collect()
+    }
+    assert batch == stream
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    d = tmp_path / "dedup"
+    d.mkdir()
+    evs = [
+        {"event_id": 1, "ts": "2024-01-01 00:00:01", "user_id": 10},
+        {"event_id": 1, "ts": "2024-01-01 00:00:02", "user_id": 10},  # dup id
+        {"event_id": 2, "ts": "2024-01-01 00:00:03", "user_id": 11},
+    ]
+    (d / "b0.json").write_text("\n".join(json.dumps(e) for e in evs))
+    schema = "event_id LONG, ts STRING, user_id LONG"
+    stream = (
+        spark.readStream.schema(schema)
+        .json(str(d))
+        .selectExpr("event_id", "CAST(ts AS TIMESTAMP) AS ts", "user_id")
+    )
+    deduped = stream_dedup(stream, ["event_id"], "ts", "1 minute")
+    q = to_memory_sink(deduped, "dedup_sink")
+    drain(q)
+    out = spark.table("dedup_sink").collect()
+    assert sorted(r.event_id for r in out) == [1, 2]
+
+
+def test_sessionize_closes_on_gap(spark, tmp_path):
+    d = tmp_path / "sess"
+    d.mkdir()
+    t0 = datetime(2024, 1, 1, 0, 0, 0)
+
+    def ev(i, minutes, value, user=1):
+        return {
+            "event_id": i,
+            "ts": (t0 + timedelta(minutes=minutes)).strftime("%Y-%m-%d %H:%M:%S"),
+            "user_id": user,
+            "value": value,
+        }
+
+    # session A: 3 events within gap; then silence; a much later event
+    # advances the watermark far past A's gap so A is emitted
+    (d / "b0.json").write_text(
+        "\n".join(json.dumps(e) for e in [ev(1, 0, 1.0), ev(2, 5, 2.0), ev(3, 10, 3.0)])
+    )
+    (d / "b1.json").write_text(json.dumps(ev(4, 300, 9.0)))
+    schema = "event_id LONG, ts STRING, user_id LONG, value DOUBLE"
+    stream = (
+        spark.readStream.schema(schema)
+        .json(str(d))
+        .selectExpr(
+            "event_id", "CAST(ts AS TIMESTAMP) AS ts", "user_id", "value"
+        )
+    )
+    sessions = sessionize(stream, gap="30 minutes", watermark_delay="1 minute")
+    q = to_memory_sink(sessions, "sess_sink")
+    drain(q)
+    out = spark.table("sess_sink").collect()
+    assert len(out) == 1
+    s = out[0]
+    assert s.user_id == 1 and s.n_events == 3 and s.total_value == 6.0
+    assert s.session_start == t0 and s.session_end == t0 + timedelta(minutes=10)
+
+
+def test_checkpoint_recovery(spark, tmp_path):
+    """Kill a checkpointed query, append new data, restart from the same
+    checkpoint: no reprocessing of old batches, new data picked up —
+    the reference's recovery contract (checkpoint/ artifacts, §W5)."""
+    src = tmp_path / "src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    (src / "b0.json").write_text(
+        json.dumps({"value": rsvp_json("us", "Bend", "OR"), "timestamp": "2021-06-09 00:00:07"})
+    )
+    raw = rsvp_file_stream(spark, str(src))
+    lineage = q1_us_meetups(raw).select("group.group_city")
+    q = (
+        lineage.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    (src / "b1.json").write_text(
+        json.dumps({"value": rsvp_json("us", "Austin", "TX"), "timestamp": "2021-06-09 00:01:07"})
+    )
+    raw2 = rsvp_file_stream(spark, str(src))
+    q2 = (
+        q1_us_meetups(raw2)
+        .select("group.group_city")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .start()
+    )
+    q2.processAllAvailable()
+    q2.stop()
+    cities = sorted(
+        r.group_city for r in spark.read.parquet(out).collect()
+    )
+    assert cities == ["Austin", "Bend"]  # exactly once each
