@@ -86,12 +86,17 @@ def q3_window_collect_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     Batch re-expression of ``srapk_structure_streaming.py:150-165``
     (same lineage the streaming module runs with a watermark). The
     set is sorted at the comparison boundary because collect_set order
-    is nondeterministic (SURVEY.md §7.5).
+    is nondeterministic (SURVEY.md §7.5), and serialized to a string
+    because the driver's hash gate cannot canonicalize array cells.
     """
     events = load_table(spark, sf_dir, "events")
     return (
         events.groupBy(F.window("ts", "1 minute").alias("w"))
-        .agg(F.array_sort(F.collect_set("event_type")).alias("event_types"))
+        .agg(
+            F.array_join(F.array_sort(F.collect_set("event_type")), ",").alias(
+                "event_types"
+            )
+        )
         .select(
             F.col("w.start").alias("window_start"),
             F.month("w.start").alias("month"),

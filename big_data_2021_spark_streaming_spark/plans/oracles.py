@@ -44,7 +44,8 @@ ORACLES: dict[str, str] = {
                CAST(dayofmonth(window_start) AS INTEGER) AS day_of_the_month,
                CAST(hour(window_start) AS INTEGER) AS hour,
                CAST(minute(window_start) AS INTEGER) AS minute,
-               list_sort(list(DISTINCT event_type)) AS event_types
+               array_to_string(list_sort(list(DISTINCT event_type)), ',')
+                   AS event_types
         FROM (SELECT date_trunc('minute', ts) AS window_start, event_type FROM events)
         GROUP BY window_start
     """,

@@ -159,40 +159,66 @@ def sessionize(
     """Custom stateful operator: event-time sessionization with a
     configurable inactivity gap, via applyInPandasWithState.
 
-    Sessions close when the event-time timeout fires (watermark passed
-    last_event + gap). State per user is O(1) — four scalars — so
-    total state is bounded by |active users|, the 100 TB-safe shape.
+    A session closes two ways:
+
+    - **gap**: a new event for the same user lands more than ``gap``
+      past the open session's end — the old session is emitted in that
+      same micro-batch and a new one opens (events are walked in
+      event-time order, so this also splits sessions *within* a batch);
+    - **silence**: no further event ever arrives — the event-time
+      timeout fires once the watermark passes ``session_end + gap``.
+      Spark evaluates timeouts against the watermark computed at batch
+      *start*, so the emitting batch is the first one *after* the
+      watermark-advancing batch (tests must push a sentinel trigger;
+      ``processAllAvailable`` with no new data won't flush a pending
+      timeout).
+
+    State per user is O(1) — four scalars — so total state is bounded
+    by |active users|, the 100 TB-safe shape.
     """
     import pandas as pd
 
     gap_us = _duration_to_us(gap)
 
+    def emit(user_id, sessions):
+        return pd.DataFrame(
+            {
+                "user_id": [user_id] * len(sessions),
+                "session_start": [pd.Timestamp(s[0], unit="us") for s in sessions],
+                "session_end": [pd.Timestamp(s[1], unit="us") for s in sessions],
+                "n_events": [s[2] for s in sessions],
+                "total_value": [s[3] for s in sessions],
+            }
+        )
+
     def update(key, pdfs, state: GroupState):
         (user_id,) = key
         if state.hasTimedOut:
-            start_us, end_us, n, total = state.get
+            closed = tuple(state.get)
             state.remove()
-            yield pd.DataFrame(
-                {
-                    "user_id": [user_id],
-                    "session_start": [pd.Timestamp(start_us, unit="us")],
-                    "session_end": [pd.Timestamp(end_us, unit="us")],
-                    "n_events": [n],
-                    "total_value": [total],
-                }
-            )
+            yield emit(user_id, [closed])
             return
-        rows = pd.concat(list(pdfs))
-        ts_us = rows["ts"].astype("int64") // 1000  # ns → µs
-        lo, hi = int(ts_us.min()), int(ts_us.max())
-        n_new, total_new = len(rows), float(rows["value"].sum())
-        if state.exists:
-            start_us, end_us, n, total = state.get
-            state.update((min(lo, start_us), max(hi, end_us), n + n_new, total + total_new))
-        else:
-            state.update((lo, hi, n_new, total_new))
-        state.setTimeoutTimestamp(state.get[1] // 1000 + gap_us // 1000)
-        return iter(())
+        rows = pd.concat(list(pdfs)).sort_values("ts")
+        ts_us = (rows["ts"].astype("int64") // 1000).tolist()  # ns → µs
+        vals = rows["value"].astype(float).tolist()
+        closed: list[tuple] = []
+        cur = list(state.get) if state.exists else None
+        for t, v in zip(ts_us, vals):
+            t = int(t)
+            if cur is None:
+                cur = [t, t, 1, v]
+            elif t > cur[1] + gap_us:
+                closed.append(tuple(cur))
+                cur = [t, t, 1, v]
+            else:
+                cur[0] = min(cur[0], t)
+                cur[1] = max(cur[1], t)
+                cur[2] += 1
+                cur[3] += v
+        state.update(tuple(cur))
+        state.setTimeoutTimestamp(cur[1] // 1000 + gap_us // 1000)
+        if closed:
+            yield emit(user_id, closed)
 
     return (
         events.withWatermark("ts", watermark_delay)

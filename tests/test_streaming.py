@@ -97,8 +97,9 @@ def test_q1_q2_streaming_replay(spark, fixture_dir):
 
 
 def test_q3_append_mode_emits_closed_windows_and_drops_late(spark, fixture_dir):
-    # batch 0: two events in minute 0; batch 1 advances watermark past
-    # minute 0 (event at 00:05); batch 2 is a late straggler for minute 0
+    # The file source orders files by mtime, so three files written in
+    # the same tick can coalesce/reorder. Write each file only after the
+    # previous micro-batch fully drained: batch order is deterministic.
     write_batch(
         fixture_dir,
         "b0.json",
@@ -107,19 +108,23 @@ def test_q3_append_mode_emits_closed_windows_and_drops_late(spark, fixture_dir):
             (rsvp_json("us", "Portland", "OR"), "2021-06-09 00:00:30"),
         ],
     )
+    raw = rsvp_file_stream(spark, str(fixture_dir))
+    q = to_memory_sink(
+        q3_cities_per_minute(raw, as_json=False), "q3_sink", output_mode="append"
+    )
+    q.processAllAvailable()
+    # batch 1 advances the watermark past minute 0 (event at 00:05)
     write_batch(
         fixture_dir,
         "b1.json",
         [(rsvp_json("us", "Austin", "TX"), "2021-06-09 00:05:00")],
     )
+    q.processAllAvailable()
+    # batch 2 is a late straggler for the already-finalized minute 0
     write_batch(
         fixture_dir,
         "b2.json",
         [(rsvp_json("us", "LateCity", "CA"), "2021-06-09 00:00:45")],
-    )
-    raw = rsvp_file_stream(spark, str(fixture_dir))
-    q = to_memory_sink(
-        q3_cities_per_minute(raw, as_json=False), "q3_sink", output_mode="append"
     )
     drain(q)
     rows = {r.minute: sorted(r.cities) for r in spark.table("q3_sink").collect()}
@@ -179,7 +184,7 @@ def test_stream_dedup_within_watermark(spark, tmp_path):
     assert sorted(r.event_id for r in out) == [1, 2]
 
 
-def test_sessionize_closes_on_gap(spark, tmp_path):
+def test_sessionize_closes_on_gap_and_timeout(spark, tmp_path):
     d = tmp_path / "sess"
     d.mkdir()
     t0 = datetime(2024, 1, 1, 0, 0, 0)
@@ -192,12 +197,11 @@ def test_sessionize_closes_on_gap(spark, tmp_path):
             "value": value,
         }
 
-    # session A: 3 events within gap; then silence; a much later event
-    # advances the watermark far past A's gap so A is emitted
-    (d / "b0.json").write_text(
-        "\n".join(json.dumps(e) for e in [ev(1, 0, 1.0), ev(2, 5, 2.0), ev(3, 10, 3.0)])
-    )
-    (d / "b1.json").write_text(json.dumps(ev(4, 300, 9.0)))
+    def write(name, events):
+        (d / name).write_text("\n".join(json.dumps(e) for e in events))
+
+    # batch 0 opens session A for user 1 (3 events within the gap)
+    write("b0.json", [ev(1, 0, 1.0), ev(2, 5, 2.0), ev(3, 10, 3.0)])
     schema = "event_id LONG, ts STRING, user_id LONG, value DOUBLE"
     stream = (
         spark.readStream.schema(schema)
@@ -208,11 +212,60 @@ def test_sessionize_closes_on_gap(spark, tmp_path):
     )
     sessions = sessionize(stream, gap="30 minutes", watermark_delay="1 minute")
     q = to_memory_sink(sessions, "sess_sink")
-    drain(q)
+    q.processAllAvailable()
+    assert spark.table("sess_sink").count() == 0  # A still open
+
+    # gap closure: a user-1 event 300 min later closes A in-batch and
+    # opens session B (end 300 min, timeout 330 min)
+    write("b1.json", [ev(4, 300, 9.0)])
+    q.processAllAvailable()
     out = spark.table("sess_sink").collect()
     assert len(out) == 1
     s = out[0]
     assert s.user_id == 1 and s.n_events == 3 and s.total_value == 6.0
+    assert s.session_start == t0 and s.session_end == t0 + timedelta(minutes=10)
+
+    # timeout closure: batch 2 (other user) advances the watermark to
+    # 599 min > B's timeout, and batch 3 is the post-watermark trigger
+    # in which the timeout actually fires (timeouts are evaluated
+    # against the watermark computed at batch start)
+    write("b2.json", [ev(5, 600, 4.0, user=2)])
+    q.processAllAvailable()
+    write("b3.json", [ev(6, 900, 5.0, user=3)])
+    drain(q)
+    out = {(r.user_id, r.n_events, r.total_value) for r in spark.table("sess_sink").collect()}
+    assert (1, 1, 9.0) in out  # session B emitted by the event-time timeout
+    assert (1, 3, 6.0) in out  # session A still there (gap closure)
+
+
+def test_sessionize_splits_within_one_batch(spark, tmp_path):
+    """Two gap-separated bursts arriving in a single micro-batch must
+    still become two sessions (the in-batch walk splits them)."""
+    d = tmp_path / "sess2"
+    d.mkdir()
+    t0 = datetime(2024, 1, 1, 0, 0, 0)
+    evs = [
+        {"event_id": 1, "ts": "2024-01-01 00:00:00", "user_id": 7, "value": 1.0},
+        {"event_id": 2, "ts": "2024-01-01 00:10:00", "user_id": 7, "value": 2.0},
+        # 90-minute silence > 30-minute gap
+        {"event_id": 3, "ts": "2024-01-01 01:40:00", "user_id": 7, "value": 4.0},
+    ]
+    (d / "b0.json").write_text("\n".join(json.dumps(e) for e in evs))
+    schema = "event_id LONG, ts STRING, user_id LONG, value DOUBLE"
+    stream = (
+        spark.readStream.schema(schema)
+        .json(str(d))
+        .selectExpr(
+            "event_id", "CAST(ts AS TIMESTAMP) AS ts", "user_id", "value"
+        )
+    )
+    sessions = sessionize(stream, gap="30 minutes", watermark_delay="1 minute")
+    q = to_memory_sink(sessions, "sess2_sink")
+    drain(q)
+    out = spark.table("sess2_sink").collect()
+    assert len(out) == 1  # first burst closed by the in-batch gap split
+    s = out[0]
+    assert s.n_events == 2 and s.total_value == 3.0
     assert s.session_start == t0 and s.session_end == t0 + timedelta(minutes=10)
 
 
