@@ -36,6 +36,8 @@ SIMHASH_BITS = 32
 
 
 def _token_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # NOT persisted: token arrays are corpus-scale, so caching them is
+    # wrong at 100 TB — only the tiny signature frame is cached below
     docs = load_table(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
@@ -67,6 +69,13 @@ def _minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Map-side partial min means the shuffle carries one row per
     (doc, partition), not per token — the explode never hits the wire.
+
+    The frame is persisted (memory+disk): the LSH band self-join and
+    the estimate join reuse it 4×, and the Jaccard verify stage builds
+    the same lineage again — Spark's CacheManager matches canonicalized
+    plans, so every consumer shares ONE materialization instead of
+    re-tokenizing and re-hashing the corpus per use. At 100 TB the
+    signature frame is ~1e-3 of corpus size; caching it is the plan.
     """
     exploded = _token_sets(spark, sf_dir).select(
         "doc_id", "source", F.explode("tok").alias("sh")
@@ -74,7 +83,7 @@ def _minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggs = [
         F.min(h60_seeded(j, F.col("sh"))).alias(f"mh{j}") for j in range(NUM_PERM)
     ]
-    return exploded.groupBy("doc_id", "source").agg(*aggs)
+    return exploded.groupBy("doc_id", "source").agg(*aggs).persist()
 
 
 def _band_rows(mh: DataFrame) -> DataFrame:
@@ -191,21 +200,31 @@ def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def embedding_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup: each vector's nearest neighbor within
-    its label block (block-local brute force; blocks bound the N² the
-    same way IVF cells would at scale). Pure JVM array arithmetic."""
+    """Embedding-cosine near-dup: each vector's (approximate) nearest
+    neighbor within its ``(label, hyperplane-LSH signature)`` bucket.
+
+    Blocking on label alone is O(N²/|labels|) and skew-prone — a
+    scale-killer when label cardinality is low. Adding the 8-bit
+    random-hyperplane signature (shared with operators.similarity, so
+    the DuckDB oracle reproduces every bucket bit-for-bit) bounds each
+    block to near-identical vectors: the join output is linear-ish in N
+    at any corpus size. Vectors alone in their bucket emit no row —
+    the standard ANN-recall trade, with similarity.topk_bruteforce as
+    the exact recall oracle. Pure JVM array arithmetic throughout.
+    """
+    from .similarity import _signature
+
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
     )
-    a = emb.select(
-        F.col("vec_id").alias("vec_id"),
-        F.col("label").alias("label"),
-        F.col("v").alias("va"),
+    signed = emb.select(
+        "vec_id", "label", "v", _signature(F.col("v")).alias("sig")
     )
-    b = emb.select(
-        F.col("vec_id").alias("nn_id"),
-        F.col("label").alias("label"),
-        F.col("v").alias("vb"),
+    a = signed.select(
+        "vec_id", "label", "sig", F.col("v").alias("va")
+    )
+    b = signed.select(
+        F.col("vec_id").alias("nn_id"), "label", "sig", F.col("v").alias("vb")
     )
     dot = F.aggregate(
         F.zip_with("va", "vb", lambda x, y: x * y),
@@ -216,7 +235,7 @@ def embedding_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x)
     )
     pairs = (
-        a.join(b, "label")
+        a.join(b, ["label", "sig"])
         .where(F.col("vec_id") != F.col("nn_id"))
         .select(
             "vec_id",
@@ -349,27 +368,38 @@ ORACLES: dict[str, str] = {
         )
         SELECT doc_id, {_SIMHASH_SIG} AS simhash FROM sums
     """,
-    "dedup_embedding_nn": """
-        WITH pairs AS (
+    "dedup_embedding_nn": None,  # assembled below (needs similarity hyperplanes)
+}
+
+
+def _embedding_nn_sql() -> str:
+    from .similarity import signature_sql
+
+    return f"""
+        WITH signed AS (
+            SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+                   {signature_sql()} AS sig
+            FROM embeddings
+        ),
+        pairs AS (
             SELECT a.vec_id,
                    b.vec_id AS nn_id,
-                   list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                          CAST(b.embedding AS DOUBLE[])) AS cos,
+                   list_cosine_similarity(a.v, b.v) AS cos,
                    row_number() OVER (
                        PARTITION BY a.vec_id
-                       ORDER BY list_cosine_similarity(
-                           CAST(a.embedding AS DOUBLE[]),
-                           CAST(b.embedding AS DOUBLE[])) DESC,
+                       ORDER BY list_cosine_similarity(a.v, b.v) DESC,
                                 b.vec_id
                    ) AS rn
-            FROM embeddings a
-            JOIN embeddings b
-              ON a.label = b.label AND a.vec_id <> b.vec_id
+            FROM signed a
+            JOIN signed b
+              ON a.label = b.label AND a.sig = b.sig AND a.vec_id <> b.vec_id
         )
         SELECT vec_id, nn_id, ROUND(cos, 6) AS cos_sim
         FROM pairs WHERE rn = 1
-    """,
-}
+    """
+
+
+ORACLES["dedup_embedding_nn"] = _embedding_nn_sql()
 
 QUERIES = {
     "dedup_exact": exact_dedup,

@@ -150,11 +150,18 @@ def lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SIG_SQL = " + ".join(
-    f"CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), {_plane_literal_sql(j)}) >= 0 "
-    f"THEN CAST({2**j} AS BIGINT) ELSE 0 END"
-    for j in range(N_PLANES)
-)
+def signature_sql(col_expr: str = "CAST(embedding AS DOUBLE[])") -> str:
+    """DuckDB twin of ``_signature`` for an arbitrary DOUBLE[] expression
+    (same inlined hyperplanes → bit-identical bucket ids). Shared with
+    operators.dedup, which blocks its NN self-join on this signature."""
+    return " + ".join(
+        f"CASE WHEN list_dot_product({col_expr}, {_plane_literal_sql(j)}) >= 0 "
+        f"THEN CAST({2**j} AS BIGINT) ELSE 0 END"
+        for j in range(N_PLANES)
+    )
+
+
+_SIG_SQL = signature_sql()
 
 ORACLES: dict[str, str] = {
     "similarity_topk": f"""
