@@ -9,6 +9,8 @@ weaker rows-only check).
 
 from __future__ import annotations
 
+import importlib
+import warnings
 from collections.abc import Callable
 from dataclasses import dataclass
 
@@ -35,28 +37,22 @@ def all_queries() -> dict[str, QuerySpec]:
 
     add(analytics.QUERIES, ORACLES)
 
-    try:
-        from ..operators import dedup
-
-        add(dedup.QUERIES, dedup.ORACLES)
-    except ImportError:
-        pass
-    try:
-        from ..operators import similarity
-
-        add(similarity.QUERIES, similarity.ORACLES)
-    except ImportError:
-        pass
-    try:
-        from ..operators import text
-
-        add(text.QUERIES, text.ORACLES)
-    except ImportError:
-        pass
-    try:
-        from ..operators import multimodal
-
-        add(multimodal.QUERIES, multimodal.ORACLES)
-    except ImportError:
-        pass
+    # Only a genuinely missing OPTIONAL third-party package may drop a
+    # query family (with a warning); a typo'd import inside an operator
+    # module must fail loudly, not silently shrink the correctness gate.
+    _OPTIONAL = {"pandas", "pyarrow", "duckdb", "numpy"}
+    for modname in ("dedup", "similarity", "text", "multimodal"):
+        try:
+            mod = importlib.import_module(f"..operators.{modname}", __package__)
+        except ModuleNotFoundError as e:
+            missing = (e.name or "").split(".")[0]
+            if missing in _OPTIONAL:
+                warnings.warn(
+                    f"operators.{modname} skipped: optional dependency "
+                    f"{missing!r} not installed",
+                    stacklevel=2,
+                )
+                continue
+            raise
+        add(mod.QUERIES, mod.ORACLES)
     return registry

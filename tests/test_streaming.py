@@ -10,7 +10,6 @@ windows are finalized by pushing a sentinel event past the watermark.
 from __future__ import annotations
 
 import json
-import time
 from datetime import datetime, timedelta
 
 import pytest
@@ -26,6 +25,10 @@ from big_data_2021_spark_streaming_spark.streaming.pipeline import (
     sessionize,
     stream_dedup,
     to_memory_sink,
+)
+from big_data_2021_spark_streaming_spark.streaming.replay import (
+    FileEnvelopeProducer,
+    iter_jsonl_records,
 )
 
 
@@ -47,12 +50,6 @@ def rsvp_json(country, city, state=None):
     )
 
 
-def write_batch(dirpath, name, rows):
-    (dirpath / name).write_text(
-        "\n".join(json.dumps({"value": v, "timestamp": t}) for v, t in rows)
-    )
-
-
 def drain(query):
     query.processAllAvailable()
     query.stop()
@@ -65,19 +62,20 @@ def fixture_dir(tmp_path):
     return d
 
 
-def test_q1_q2_streaming_replay(spark, fixture_dir):
-    write_batch(
-        fixture_dir,
-        "b0.json",
+@pytest.fixture
+def producer(fixture_dir):
+    return FileEnvelopeProducer(fixture_dir)
+
+
+def test_q1_q2_streaming_replay(spark, fixture_dir, producer):
+    producer.send_batch(
         [
             (rsvp_json("us", "Bend", "OR"), "2021-06-09 00:00:07"),
             (rsvp_json("gb", "London"), "2021-06-09 00:00:09"),
-        ],
+        ]
     )
-    write_batch(
-        fixture_dir,
-        "b1.json",
-        [(rsvp_json("us", "Austin", "TX"), "2021-06-09 00:01:07")],
+    producer.send_batch(
+        [(rsvp_json("us", "Austin", "TX"), "2021-06-09 00:01:07")]
     )
     raw = rsvp_file_stream(spark, str(fixture_dir))
     assert raw.isStreaming
@@ -96,17 +94,17 @@ def test_q1_q2_streaming_replay(spark, fixture_dir):
     assert {p["group_state"] for p in payloads} == {"OREGON", "TEXAS"}
 
 
-def test_q3_append_mode_emits_closed_windows_and_drops_late(spark, fixture_dir):
+def test_q3_append_mode_emits_closed_windows_and_drops_late(
+    spark, fixture_dir, producer
+):
     # The file source orders files by mtime, so three files written in
     # the same tick can coalesce/reorder. Write each file only after the
     # previous micro-batch fully drained: batch order is deterministic.
-    write_batch(
-        fixture_dir,
-        "b0.json",
+    producer.send_batch(
         [
             (rsvp_json("us", "Bend", "OR"), "2021-06-09 00:00:07"),
             (rsvp_json("us", "Portland", "OR"), "2021-06-09 00:00:30"),
-        ],
+        ]
     )
     raw = rsvp_file_stream(spark, str(fixture_dir))
     q = to_memory_sink(
@@ -114,17 +112,13 @@ def test_q3_append_mode_emits_closed_windows_and_drops_late(spark, fixture_dir):
     )
     q.processAllAvailable()
     # batch 1 advances the watermark past minute 0 (event at 00:05)
-    write_batch(
-        fixture_dir,
-        "b1.json",
-        [(rsvp_json("us", "Austin", "TX"), "2021-06-09 00:05:00")],
+    producer.send_batch(
+        [(rsvp_json("us", "Austin", "TX"), "2021-06-09 00:05:00")]
     )
     q.processAllAvailable()
     # batch 2 is a late straggler for the already-finalized minute 0
-    write_batch(
-        fixture_dir,
-        "b2.json",
-        [(rsvp_json("us", "LateCity", "CA"), "2021-06-09 00:00:45")],
+    producer.send_batch(
+        [(rsvp_json("us", "LateCity", "CA"), "2021-06-09 00:00:45")]
     )
     drain(q)
     rows = {r.minute: sorted(r.cities) for r in spark.table("q3_sink").collect()}
@@ -134,14 +128,14 @@ def test_q3_append_mode_emits_closed_windows_and_drops_late(spark, fixture_dir):
     assert not any("LateCity" in cities for cities in rows.values())
 
 
-def test_batch_stream_equivalence(spark, fixture_dir):
+def test_batch_stream_equivalence(spark, fixture_dir, producer):
     rows = [
         (rsvp_json("us", "Bend", "OR"), "2021-06-09 00:00:07"),
         (rsvp_json("us", "Austin", "TX"), "2021-06-09 00:01:07"),
         (rsvp_json("fr", "Paris"), "2021-06-09 00:01:30"),
         (rsvp_json("us", "Nome", "AK"), "2021-06-09 00:09:00"),
     ]
-    write_batch(fixture_dir, "b0.json", rows)
+    producer.send_batch(rows)
     # batch run of the SAME lineage
     batch_raw = spark.createDataFrame(rows, ["value", "timestamp"])
     batch = {
@@ -277,9 +271,8 @@ def test_checkpoint_recovery(spark, tmp_path):
     src.mkdir()
     ckpt = str(tmp_path / "ckpt")
     out = str(tmp_path / "out")
-    (src / "b0.json").write_text(
-        json.dumps({"value": rsvp_json("us", "Bend", "OR"), "timestamp": "2021-06-09 00:00:07"})
-    )
+    prod = FileEnvelopeProducer(src)
+    prod.send_batch([(rsvp_json("us", "Bend", "OR"), "2021-06-09 00:00:07")])
     raw = rsvp_file_stream(spark, str(src))
     lineage = q1_us_meetups(raw).select("group.group_city")
     q = (
@@ -291,9 +284,7 @@ def test_checkpoint_recovery(spark, tmp_path):
     )
     q.processAllAvailable()
     q.stop()
-    (src / "b1.json").write_text(
-        json.dumps({"value": rsvp_json("us", "Austin", "TX"), "timestamp": "2021-06-09 00:01:07"})
-    )
+    prod.send_batch([(rsvp_json("us", "Austin", "TX"), "2021-06-09 00:01:07")])
     raw2 = rsvp_file_stream(spark, str(src))
     q2 = (
         q1_us_meetups(raw2)
@@ -310,3 +301,28 @@ def test_checkpoint_recovery(spark, tmp_path):
         r.group_city for r in spark.read.parquet(out).collect()
     )
     assert cities == ["Austin", "Bend"]  # exactly once each
+
+
+def test_replay_producer_roundtrip(tmp_path):
+    """FileEnvelopeProducer writes the exact envelope contract and
+    iter_jsonl_records is its inverse (the reference's decode loop)."""
+    d = tmp_path / "replay"
+    prod = FileEnvelopeProducer(d)
+    p0 = prod.send_batch([({"a": 1}, "2021-06-09 00:00:07")])
+    p1 = prod.send_batch([(rsvp_json("us", "Bend", "OR"), "2021-06-09 00:00:09")])
+    assert p0.name < p1.name  # files sort in send order
+    recs = list(iter_jsonl_records(p0)) + list(iter_jsonl_records(p1))
+    assert recs[0] == {"value": '{"a": 1}', "timestamp": "2021-06-09 00:00:07"}
+    inner = json.loads(recs[1]["value"])
+    assert inner["group"]["group_city"] == "Bend"
+
+
+def test_replay_jsonl_chunks_batches(tmp_path):
+    fixture = tmp_path / "fixture.jsonl"
+    fixture.write_text("\n".join(json.dumps({"i": i}) for i in range(7)))
+    out = tmp_path / "out"
+    n = FileEnvelopeProducer(out).replay_jsonl(fixture, "2021-06-09 00:00:00", batch_size=3)
+    assert n == 7
+    files = sorted(out.iterdir())
+    assert len(files) == 3  # 3 + 3 + 1
+    assert sum(1 for f in files for _ in iter_jsonl_records(f)) == 7
