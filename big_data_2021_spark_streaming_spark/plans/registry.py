@@ -26,7 +26,7 @@ class QuerySpec:
 
 def all_queries() -> dict[str, QuerySpec]:
     # imports deferred so importing the package never needs a JVM
-    from . import analytics
+    from . import analytics, rsvp_fixture
     from .oracles import ORACLES
 
     registry: dict[str, QuerySpec] = {}
@@ -36,6 +36,7 @@ def all_queries() -> dict[str, QuerySpec]:
             registry[name] = QuerySpec(name, build, oracles.get(name))
 
     add(analytics.QUERIES, ORACLES)
+    add(rsvp_fixture.QUERIES, rsvp_fixture.ORACLES)
 
     # Only a genuinely missing OPTIONAL third-party package may drop a
     # query family (with a warning); a typo'd import inside an operator
