@@ -175,6 +175,45 @@ def jaccard_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+NGRAM_N = 3
+
+
+def _char_ngrams(text: F.Column) -> F.Column:
+    """Distinct character 3-grams of the whitespace-normalized text —
+    the shingle set for n-gram Jaccard."""
+    norm = F.lower(F.trim(F.regexp_replace(text, r"\s+", " ")))
+    idx = F.sequence(F.lit(1), F.length(norm) - (NGRAM_N - 1))
+    grams = F.transform(idx, lambda i: norm.substr(i, F.lit(NGRAM_N)))
+    return F.when(
+        F.length(norm) >= NGRAM_N, F.array_distinct(grams)
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-n-gram Jaccard for the LSH candidate pairs: the same
+    two-phase shape as jaccard_verify but with 3-gram shingles instead
+    of word tokens — robust to whitespace/tokenization noise. Candidate
+    generation stays LSH-bounded (never all-pairs), so the n-gram set
+    is only materialized for candidate rows."""
+    pairs = minhash_lsh_pairs(spark, sf_dir).select("doc_id_a", "doc_id_b")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", _char_ngrams(F.col("text")).alias("ng")
+    )
+    a = docs.select(F.col("doc_id").alias("doc_id_a"), F.col("ng").alias("ng_a"))
+    b = docs.select(F.col("doc_id").alias("doc_id_b"), F.col("ng").alias("ng_b"))
+    inter = F.size(F.array_intersect("ng_a", "ng_b"))
+    union = F.size(F.array_union("ng_a", "ng_b"))
+    return (
+        pairs.join(a, "doc_id_a")
+        .join(b, "doc_id_b")
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            F.round(inter / union, 6).alias("ngram_jaccard"),
+        )
+    )
+
+
 def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash per document (Charikar): bit i is the sign of
     Σ_tokens (±1 by bit i of h60(token)). Explode → 32 conditional
@@ -401,10 +440,39 @@ def _embedding_nn_sql() -> str:
 
 ORACLES["dedup_embedding_nn"] = _embedding_nn_sql()
 
+# char-3-gram shingle set of the whitespace-normalized text; DuckDB
+# range(a, b) is half-open so the last start index is length-2
+_NGRAMS_SQL = f"""list_distinct(list_transform(
+    range(1, greatest(length({{norm}}) - {NGRAM_N - 2}, 1)),
+    i -> substring({{norm}}, i, {NGRAM_N})))""".format(
+    norm="lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+)
+
+ORACLES["dedup_ngram_jaccard"] = f"""
+    WITH {_MH_CTE},
+    {_BANDS_CTE},
+    pairs AS (
+        SELECT cand.doc_id_a, cand.doc_id_b
+        FROM cand
+        JOIN mh a ON a.doc_id = cand.doc_id_a
+        JOIN mh b ON b.doc_id = cand.doc_id_b
+        WHERE ({_MATCHES}) / {float(NUM_PERM)} >= {EST_THRESHOLD}
+    ),
+    ng AS (SELECT doc_id, {_NGRAMS_SQL} AS ng FROM documents)
+    SELECT p.doc_id_a, p.doc_id_b,
+           ROUND(CAST(len(list_intersect(na.ng, nb.ng)) AS INTEGER)
+                 / CAST(len(list_distinct(list_concat(na.ng, nb.ng)))
+                        AS INTEGER), 6) AS ngram_jaccard
+    FROM pairs p
+    JOIN ng na ON na.doc_id = p.doc_id_a
+    JOIN ng nb ON nb.doc_id = p.doc_id_b
+"""
+
 QUERIES = {
     "dedup_exact": exact_dedup,
     "dedup_minhash_lsh": minhash_lsh_pairs,
     "dedup_jaccard_verify": jaccard_verify,
+    "dedup_ngram_jaccard": ngram_jaccard,
     "dedup_simhash": simhash,
     "dedup_embedding_nn": embedding_nn,
 }

@@ -102,6 +102,22 @@ def topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding diagnostics (count, L2-norm spread) — the
+    cheap sanity pass before any similarity work: collapsed or
+    zero-norm clusters show up here without a single pairwise op.
+    One narrow shuffle on label."""
+    vecs = _vectors(spark, sf_dir)
+    sq = F.aggregate("v", F.lit(0.0), lambda acc, x: acc + x * x)
+    with_norm = vecs.select("label", F.sqrt(sq).alias("norm"))
+    return with_norm.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(F.avg("norm"), 6).alias("avg_norm"),
+        F.round(F.min("norm"), 6).alias("min_norm"),
+        F.round(F.max("norm"), 6).alias("max_norm"),
+    )
+
+
 def _signature(v) -> F.Column:
     bits = [
         F.when(_dot(v, _plane_literal_spark(j)) >= 0, F.lit(2**j).cast("bigint"))
@@ -218,8 +234,25 @@ ORACLES: dict[str, str] = {
     """,
 }
 
+ORACLES["embedding_norm_stats"] = """
+    WITH norms AS (
+        SELECT label,
+               sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                                            x -> x * x))) AS norm
+        FROM embeddings
+    )
+    SELECT label,
+           COUNT(*) AS n_vecs,
+           ROUND(AVG(norm), 6) AS avg_norm,
+           ROUND(MIN(norm), 6) AS min_norm,
+           ROUND(MAX(norm), 6) AS max_norm
+    FROM norms
+    GROUP BY label
+"""
+
 QUERIES = {
     "similarity_topk": topk_bruteforce,
     "similarity_lsh_signature": lsh_signature,
     "similarity_lsh_topk": lsh_topk,
+    "embedding_norm_stats": embedding_norm_stats,
 }

@@ -230,18 +230,23 @@ def parts_never_in_bulk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def clickers_not_purchasers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Set operation: EXCEPT over distinct (user, day) activity sets —
-    user-days with a click but no purchase."""
+    """Anti-semi set difference: user-days with a click but no purchase.
+
+    Expressed as ONE conditional aggregation (groupBy user/day, two
+    boolean max's) instead of distinct→distinct→exceptAll — one shuffle
+    on (user_id, day) where the naive set-op plan shuffles three times.
+    The scan is also one pass with an IN filter instead of two."""
     events = load_table(spark, sf_dir, "events")
-
-    def days(event_type: str) -> DataFrame:
-        return (
-            events.where(F.col("event_type") == event_type)
-            .select("user_id", F.date_trunc("day", "ts").alias("day"))
-            .distinct()
+    return (
+        events.where(F.col("event_type").isin("click", "purchase"))
+        .groupBy("user_id", F.date_trunc("day", "ts").alias("day"))
+        .agg(
+            F.max(F.col("event_type") == "click").alias("clicked"),
+            F.max(F.col("event_type") == "purchase").alias("purchased"),
         )
-
-    return days("click").exceptAll(days("purchase")).distinct()
+        .where(F.col("clicked") & ~F.col("purchased"))
+        .select("user_id", "day")
+    )
 
 
 def event_type_union(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -268,6 +273,71 @@ def rollup_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orders.rollup("o_orderstatus", "o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_orders"),
         F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+
+
+def cube_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets over (event_type, hour-of-day): all four
+    grouping combinations from one Expand + one shuffle."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.select("event_type", F.hour("ts").alias("hour"), "value")
+        .cube("event_type", "hour")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+def pivot_user_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: per-user value totals as one column per event type. The
+    pivot values are pinned explicitly — at scale an implicit pivot
+    triggers a full distinct scan just to discover columns."""
+    events = load_table(spark, sf_dir, "events")
+    pivoted = (
+        events.groupBy("user_id")
+        .pivot("event_type", ["click", "view", "purchase", "error", "signup"])
+        .agg(F.round(F.sum("value"), 2))
+    )
+    return pivoted
+
+
+def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per event type (p50/p90/p99).
+    F.percentile is the exact (sort-based) form; at 100 TB swap to
+    approx_percentile and drop the oracle to rows-only — documented
+    trade, exact kept here because the driver gate hash-compares."""
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.9)), 6).alias("p90"),
+        F.round(F.percentile("value", F.lit(0.99)), 6).alias("p99"),
+    )
+
+
+def session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session windows (F.session_window, 30-minute gap): per
+    (user, session) bounds and aggregates. The built-in merging-window
+    counterpart of streaming.pipeline.sessionize — same semantics
+    (end = last event + gap), state merged by Spark instead of a custom
+    state machine. One shuffle on the session-window key."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), "user_id"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
     )
 
 
@@ -350,6 +420,10 @@ QUERIES: dict[str, object] = {
     "event_type_union": event_type_union,
     "distinct_users_per_type": distinct_users_per_type,
     "rollup_order_status": rollup_order_status,
+    "cube_event_stats": cube_event_stats,
+    "pivot_user_event_values": pivot_user_event_values,
+    "value_percentiles": value_percentiles,
+    "session_window_stats": session_window_stats,
     "top3_per_segment": top3_per_segment,
     "user_event_gaps": user_event_gaps,
     "sliding_window_stats": sliding_window_stats,

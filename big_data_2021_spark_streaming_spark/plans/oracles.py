@@ -115,11 +115,11 @@ ORACLES: dict[str, str] = {
         )
     """,
     "clickers_not_purchasers": """
-        SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
-        FROM events WHERE event_type = 'click'
-        EXCEPT
-        SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
-        FROM events WHERE event_type = 'purchase'
+        SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
+        FROM events
+        WHERE event_type IN ('click', 'purchase')
+        GROUP BY user_id, day
+        HAVING max(event_type = 'click') AND NOT max(event_type = 'purchase')
     """,
     "event_type_union": """
         SELECT user_id, event_type FROM events WHERE event_type = 'click'
@@ -140,6 +140,59 @@ ORACLES: dict[str, str] = {
                ROUND(SUM(o_totalprice), 2) AS total_price
         FROM orders
         GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+    "cube_event_stats": """
+        SELECT event_type,
+               CAST(hour(ts) AS INTEGER) AS hour,
+               COUNT(*) AS n_events,
+               ROUND(SUM(value), 2) AS sum_value
+        FROM events
+        GROUP BY CUBE (event_type, hour(ts))
+    """,
+    "pivot_user_event_values": """
+        SELECT user_id,
+               ROUND(SUM(value) FILTER (event_type = 'click'), 2) AS click,
+               ROUND(SUM(value) FILTER (event_type = 'view'), 2) AS view,
+               ROUND(SUM(value) FILTER (event_type = 'purchase'), 2) AS purchase,
+               ROUND(SUM(value) FILTER (event_type = 'error'), 2) AS error,
+               ROUND(SUM(value) FILTER (event_type = 'signup'), 2) AS signup
+        FROM events
+        GROUP BY user_id
+    """,
+    "value_percentiles": """
+        SELECT event_type,
+               ROUND(quantile_cont(value, 0.5), 6) AS p50,
+               ROUND(quantile_cont(value, 0.9), 6) AS p90,
+               ROUND(quantile_cont(value, 0.99), 6) AS p99
+        FROM events
+        GROUP BY event_type
+    """,
+    # session windows via gaps-and-islands: new session when the gap
+    # from the previous event reaches 30 min; end = last event + gap
+    "session_window_stats": """
+        WITH flagged AS (
+            SELECT user_id, ts, value,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                        THEN 1 ELSE 0 END AS new_sess
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        numbered AS (
+            SELECT user_id, ts, value,
+                   SUM(new_sess) OVER (
+                       PARTITION BY user_id ORDER BY ts
+                       ROWS UNBOUNDED PRECEDING
+                   ) AS sess_id
+            FROM flagged
+        )
+        SELECT user_id,
+               MIN(ts) AS session_start,
+               MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+               COUNT(*) AS n_events,
+               ROUND(SUM(value), 2) AS sum_value
+        FROM numbered
+        GROUP BY user_id, sess_id
     """,
     "top3_per_segment": """
         SELECT c_mktsegment,

@@ -40,8 +40,10 @@ TABLES: dict[str, tuple[str, ...]] = {
 
 
 def _nanos_to_ts(col: str) -> F.Column:
-    # floor-div keeps exact integer µs; matches DuckDB's truncating read
-    return F.timestamp_micros(F.floor(F.col(col) / F.lit(1000)).cast("long"))
+    # integer `div`, NOT `/`: float division of ~1e18 ns loses µs-level
+    # precision (53-bit mantissa) and can round up, diverging from
+    # DuckDB's truncating read by 1 µs on some rows
+    return F.timestamp_micros(F.expr(f"`{col}` div 1000"))
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

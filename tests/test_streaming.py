@@ -326,3 +326,57 @@ def test_replay_jsonl_chunks_batches(tmp_path):
     files = sorted(out.iterdir())
     assert len(files) == 3  # 3 + 3 + 1
     assert sum(1 for f in files for _ in iter_jsonl_records(f)) == 7
+
+
+def test_native_session_window_streaming(spark, tmp_path):
+    """F.session_window in streaming append mode: a session is emitted
+    once the watermark passes its end (last event + gap) — the built-in
+    counterpart of the custom sessionize operator."""
+    import pyspark.sql.functions as F
+
+    d = tmp_path / "natsess"
+    d.mkdir()
+    t0 = datetime(2024, 1, 1, 0, 0, 0)
+
+    def ev(i, minutes, user, value):
+        return {
+            "event_id": i,
+            "ts": (t0 + timedelta(minutes=minutes)).strftime("%Y-%m-%d %H:%M:%S"),
+            "user_id": user,
+            "value": value,
+        }
+
+    def write(name, events):
+        (d / name).write_text("\n".join(json.dumps(e) for e in events))
+
+    write("b0.json", [ev(1, 0, 1, 1.0), ev(2, 10, 1, 2.0)])
+    schema = "event_id LONG, ts STRING, user_id LONG, value DOUBLE"
+    stream = (
+        spark.readStream.schema(schema)
+        .json(str(d))
+        .selectExpr("CAST(ts AS TIMESTAMP) AS ts", "user_id", "value")
+    )
+    sessions = (
+        stream.withWatermark("ts", "1 minute")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "total",
+        )
+    )
+    q = to_memory_sink(sessions, "natsess_sink", output_mode="append")
+    q.processAllAvailable()
+    # advance the watermark far past session end (10 + 30 = 40 min)
+    write("b1.json", [ev(3, 300, 2, 9.0)])
+    q.processAllAvailable()
+    write("b2.json", [ev(4, 600, 3, 9.0)])
+    drain(q)
+    rows = {r.user_id: r for r in spark.table("natsess_sink").collect()}
+    s = rows[1]
+    assert s.n_events == 2 and s.total == 3.0
+    assert s.session_start == t0
+    assert s.session_end == t0 + timedelta(minutes=40)  # last event + gap
