@@ -118,6 +118,57 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_assets(assets_from_documents(spark, sf_dir))
 
 
+N_FRAMES = 4
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("frame_bytes", IntegerType()),
+        StructField("frame_md5", StringType()),
+    ]
+)
+
+
+def sample_frames(assets: DataFrame, n_frames: int = N_FRAMES) -> DataFrame:
+    """Frame sampling plumbing: each asset yields up to ``n_frames``
+    evenly-spaced contiguous byte chunks ("frames"), one output row per
+    frame — the 1→N batch shape every video kernel needs. Chunk i
+    covers bytes [i·L/n, (i+1)·L/n); empty chunks (L < n) are skipped.
+    A real deployment swaps the chunk-md5 body for a container-aware
+    frame decoder (PyAV etc.); the Arrow batching, exploded-row output
+    schema, and partitioning stay identical."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            doc_ids, idxs, sizes, md5s = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                length = len(b)
+                for i in range(n_frames):
+                    s, e = i * length // n_frames, (i + 1) * length // n_frames
+                    if e == s:
+                        continue
+                    doc_ids.append(doc_id)
+                    idxs.append(i)
+                    sizes.append(e - s)
+                    md5s.append(hashlib.md5(b[s:e]).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(doc_ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame_bytes": pd.Series(sizes, dtype="int32"),
+                    "frame_md5": pd.Series(md5s, dtype="object"),
+                }
+            )
+
+    return assets.mapInPandas(kernel, FRAME_SCHEMA)
+
+
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sample_frames(assets_from_documents(spark, sf_dir))
+
+
 ORACLES: dict[str, str] = {
     # the documents text is plain ASCII in the fixtures, so utf-8 byte
     # features are computable from the text itself
@@ -128,8 +179,29 @@ ORACLES: dict[str, str] = {
                md5(text) AS content_md5
         FROM documents
     """,
+    # same chunk arithmetic as sample_frames (ASCII text: bytes == chars);
+    # chunk i is [i*L//n, (i+1)*L//n), 1-based substring start = s + 1
+    "multimodal_frame_sample": f"""
+        WITH frames AS (
+            SELECT doc_id,
+                   CAST(i AS INTEGER) AS frame_idx,
+                   (length(text) * i) // {N_FRAMES} AS s,
+                   (length(text) * (i + 1)) // {N_FRAMES} AS e,
+                   text
+            FROM documents
+            CROSS JOIN (SELECT unnest(range({N_FRAMES})) AS i)
+        )
+        SELECT doc_id,
+               frame_idx,
+               CAST(e - s AS INTEGER) AS frame_bytes,
+               md5(substring(text, CAST(s + 1 AS INTEGER),
+                             CAST(e - s AS INTEGER))) AS frame_md5
+        FROM frames
+        WHERE e > s
+    """,
 }
 
 QUERIES = {
     "multimodal_decode": multimodal_decode,
+    "multimodal_frame_sample": multimodal_frame_sample,
 }

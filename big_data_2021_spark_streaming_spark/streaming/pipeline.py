@@ -101,6 +101,19 @@ def to_memory_sink(
     )
 
 
+def to_console_sink(
+    df: DataFrame, output_mode: str = "append", truncate: bool = True
+):
+    """Debug sink (``srapk_structure_streaming.py:167-171``): print each
+    micro-batch to stdout. Dev affordance only — never a deploy path."""
+    return (
+        df.writeStream.format("console")
+        .option("truncate", str(truncate).lower())
+        .outputMode(output_mode)
+        .start()
+    )
+
+
 def to_kafka_sink(
     df: DataFrame,
     bootstrap_servers: str,

@@ -1,0 +1,104 @@
+"""Physical-plan shape tests: the 100 TB posture, pinned.
+
+Correctness says the answer is right; these say the PLAN is the one
+that survives a 1000-executor cluster: filters pushed into the parquet
+scan, column pruning in ReadSchema, small dims broadcast (never a
+shuffle of the fact side), top-k as TakeOrderedAndProject (never a full
+sort), anti/semi joins planned as joins (never per-row subqueries), and
+no accidental cartesian products outside the one documented broadcast
+baseline. A regression here is a scale bug even while tests stay green.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from big_data_2021_spark_streaming_spark.plans.registry import all_queries
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan(spark, name: str, mode: str = "formatted") -> str:
+    df = all_queries()[name].build(spark, SF)
+    jvm = spark._jvm
+    return jvm.org.apache.spark.sql.api.python.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), mode
+    )
+
+
+def test_q1_filter_pushes_predicate_and_prunes_columns(spark):
+    p = plan(spark, "q1_filter")
+    assert "PushedFilters" in p
+    assert "IsNotNull(event_type)" in p or "EqualTo(event_type,click)" in p
+    # projection pruning: the scan must not read ts/props-unrelated cols
+    read_schema = next(line for line in p.splitlines() if "ReadSchema" in line)
+    assert "ts:" not in read_schema  # unused column pruned from the scan
+    assert "[codegen id" in p  # whole-stage codegen covers the hot path
+
+
+def test_q2_join_enrich_broadcasts_both_dims(spark):
+    p = plan(spark, "q2_join_enrich")
+    assert p.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in p
+    # fact side never shuffles: no hash-partitioned exchange anywhere
+    assert "Arguments: hashpartitioning" not in p
+
+
+def test_top_customers_is_take_ordered_not_full_sort(spark):
+    p = plan(spark, "top_customers")
+    assert "TakeOrderedAndProject" in p
+    assert "GlobalSort" not in p
+
+
+def test_pricing_summary_partial_aggregation_and_pushdown(spark):
+    p = plan(spark, "pricing_summary")
+    assert p.count("HashAggregate") >= 2  # map-side partial + final
+    assert "PushedFilters" in p
+    assert "LessThanOrEqual(l_shipdate" in p
+
+
+def test_anti_semi_joins_planned_as_joins(spark):
+    anti = plan(spark, "parts_never_in_bulk_orders")
+    assert "LeftAnti" in anti
+    semi = plan(spark, "order_priority_semijoin")
+    assert "LeftSemi" in semi
+
+
+def test_embedding_nn_has_no_cartesian_paths(spark):
+    p = plan(spark, "dedup_embedding_nn")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_similarity_topk_cross_join_is_broadcast(spark):
+    # the documented exact baseline: cross join IS intended, but must
+    # broadcast the 20-row query side, never shuffle-nested-loop
+    p = plan(spark, "similarity_topk")
+    assert "BroadcastNestedLoopJoin" in p
+
+
+def test_lsh_topk_is_equi_join_not_cross(spark):
+    p = plan(spark, "similarity_lsh_topk")
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_clickers_single_shuffle(spark):
+    p = plan(spark, "clickers_not_purchasers")
+    # one conditional aggregation: exactly one exchange, no set-op trio
+    assert p.count("Arguments: hashpartitioning") == 1
+
+
+def test_session_window_single_shuffle(spark):
+    p = plan(spark, "session_window_stats")
+    assert "MergingSessions" in p
+    assert p.count("Arguments: hashpartitioning") == 1
+
+
+@pytest.mark.parametrize(
+    "name", ["q1_filter", "pricing_summary", "revenue_by_nation"]
+)
+def test_no_python_udfs_in_hot_paths(spark, name):
+    p = plan(spark, name)
+    assert "BatchEvalPython" not in p
+    assert "ArrowEvalPython" not in p

@@ -380,3 +380,16 @@ def test_native_session_window_streaming(spark, tmp_path):
     assert s.n_events == 2 and s.total == 3.0
     assert s.session_start == t0
     assert s.session_end == t0 + timedelta(minutes=40)  # last event + gap
+
+
+def test_console_sink_runs(spark, fixture_dir, producer):
+    """S6 debug sink: starts, drains a micro-batch, stops cleanly."""
+    from big_data_2021_spark_streaming_spark.streaming.pipeline import (
+        to_console_sink,
+    )
+
+    producer.send_batch([(rsvp_json("us", "Bend", "OR"), "2021-06-09 00:00:07")])
+    raw = rsvp_file_stream(spark, str(fixture_dir))
+    q = to_console_sink(q1_us_meetups(raw).select("group.group_city"))
+    drain(q)
+    assert q.lastProgress is not None
