@@ -122,6 +122,69 @@ def fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", F.md5(normalized).alias("fingerprint"))
 
 
+WINNOW_K = 5  # k-gram length for the per-position hash
+WINNOW_W = 4  # winnowing window: one fingerprint kept per w positions
+
+
+def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken):
+    hash every char k-gram, keep the minimum hash of each sliding
+    window of w consecutive positions, emit the distinct selected
+    prints — the standard local fingerprinting scheme whose guarantee
+    is that any match of length ≥ w+k-1 shares a fingerprint.
+
+    Plan shape: pure array expressions per document (transform →
+    slice-min → distinct → explode); embarrassingly parallel, no
+    shuffle, no Python. The k-gram hash is the cross-engine h60 family,
+    so DuckDB reproduces every selected fingerprint bit-for-bit.
+    """
+    from pyspark.sql import Window
+
+    from ..functions.hashing import h60
+
+    docs = load_table(spark, sf_dir, "documents")
+    # Relational formulation, NOT nested array lambdas: Catalyst's
+    # CollapseProject re-inlines outer expressions into transform()
+    # lambdas, so an array-of-window-mins plan recomputes the k-gram
+    # hash array per window — quadratic per document. Exploding to one
+    # row per position hashes each k-gram exactly once and gets the
+    # sliding min from an analytic window (ROWS CURRENT..w-1 FOLLOWING);
+    # one shuffle on doc_id, linear work, the shape that scales.
+    d = docs.select(
+        "doc_id",
+        F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))).alias("norm"),
+    )
+    n_grams = F.length("norm") - (WINNOW_K - 1)
+    positions = d.select(
+        "doc_id",
+        "norm",
+        n_grams.alias("n_grams"),
+        F.explode(
+            F.when(n_grams >= 1, F.sequence(F.lit(1), n_grams)).otherwise(
+                F.array().cast("array<int>")
+            )
+        ).alias("pos"),
+    )
+    hashed = positions.select(
+        "doc_id",
+        "n_grams",
+        "pos",
+        h60(F.col("norm").substr(F.col("pos"), F.lit(WINNOW_K))).alias("h"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, WINNOW_W - 1)
+    return (
+        hashed.withColumn("winmin", F.min("h").over(w))
+        # windows that would run past the end collapse to the final
+        # partial window at pos = n_grams - w + 1; a doc shorter than
+        # one window keeps its single global-min fingerprint (pos 1)
+        .where(
+            F.col("pos") <= F.greatest(F.col("n_grams") - (WINNOW_W - 1), F.lit(1))
+        )
+        .select("doc_id", F.col("winmin").alias("fingerprint"))
+        .distinct()
+    )
+
+
 def _oracle_tokens(expr: str = "text") -> str:
     return f"regexp_split_to_array(trim({expr}), '\\s+')"
 
@@ -199,9 +262,47 @@ ORACLES["text_lang_id"] = f"""
     FROM t
 """
 
+# Winnowing oracle: same norm / k-gram hash / window-min / distinct
+# pipeline in DuckDB list functions. range(a, b) is half-open, so the
+# last k-gram start is length-k+1 and the last window start n_grams-w+1.
+def _winnow_sql() -> str:
+    from ..functions.hashing import h60_sql
+
+    norm = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+    gram_hash = h60_sql(f"substring(norm, CAST(i AS INTEGER), {WINNOW_K})")
+    return f"""
+        WITH d AS (
+            SELECT doc_id, {norm} AS norm FROM documents
+        ),
+        g AS (
+            SELECT doc_id,
+                   list_transform(
+                       range(1, greatest(length(norm) - {WINNOW_K - 2}, 1)),
+                       i -> {gram_hash}) AS grams
+            FROM d
+        ),
+        m AS (
+            SELECT doc_id,
+                   CASE
+                     WHEN len(grams) >= {WINNOW_W} THEN list_distinct(
+                       list_transform(
+                           range(1, len(grams) - {WINNOW_W - 2}),
+                           i -> list_min(grams[CAST(i AS INTEGER):CAST(i + {WINNOW_W - 1} AS INTEGER)])))
+                     WHEN len(grams) >= 1 THEN [list_min(grams)]
+                     ELSE []
+                   END AS prints
+            FROM g
+        )
+        SELECT doc_id, unnest(prints) AS fingerprint FROM m
+    """
+
+
+ORACLES["text_winnow_fingerprints"] = _winnow_sql()
+
 QUERIES = {
     "text_token_stats": token_stats,
     "text_quality_score": quality_score,
     "text_lang_id": lang_id,
     "text_fingerprint": fingerprint,
+    "text_winnow_fingerprints": winnow_fingerprints,
 }

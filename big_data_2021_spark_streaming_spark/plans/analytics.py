@@ -405,6 +405,116 @@ def sliding_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Scale-pattern operators: as-of join, range join, salted aggregation —
+# the time-series/skew techniques Spark lacks as primitives, expressed
+# in their scalable (single-shuffle / bucketed) formulations
+# ---------------------------------------------------------------------------
+
+
+def asof_last_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (self, backward): for every event, the most recent
+    STRICTLY PRIOR signup by the same user. The naive formulation is an
+    inequality join (quadratic per user); the scalable one is a single
+    window pass — last(signup_ts) ignoring nulls over preceding rows —
+    one shuffle on user_id, linear in events."""
+    events = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    signup_ts = F.when(F.col("event_type") == "signup", F.col("ts"))
+    return events.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.last(signup_ts, ignorenulls=True).over(w).alias("last_signup_ts"),
+    )
+
+
+RANGE_JOIN_WINDOW_SEC = 3600
+
+
+def range_join_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join: purchase within 1 hour after a click by
+    the same user. A plain theta join on the interval predicate plans
+    as a per-user nested loop; bucketing both sides by hour and
+    equi-joining on (user, bucket) ∪ (user, bucket+1) bounds each
+    join partition — the standard interval-bucketing rewrite. The
+    interval filter then runs on the tiny candidate set."""
+    events = load_table(spark, sf_dir, "events")
+    bucket = lambda c: F.floor(F.unix_seconds(c) / RANGE_JOIN_WINDOW_SEC)  # noqa: E731
+    clicks = events.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_event_id"),
+        "user_id",
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_event_id"),
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("purchase_ts"),
+        bucket(F.col("ts")).alias("p_bucket"),
+    )
+    expanded = clicks.select(
+        "*",
+        F.explode(
+            F.array(bucket(F.col("click_ts")), bucket(F.col("click_ts")) + 1)
+        ).alias("jb"),
+    )
+    return (
+        expanded.join(
+            purchases,
+            (expanded.user_id == purchases.p_user_id)
+            & (expanded.jb == purchases.p_bucket),
+        )
+        .where(
+            (F.col("purchase_ts") >= F.col("click_ts"))
+            & (
+                F.unix_micros("purchase_ts") - F.unix_micros("click_ts")
+                <= RANGE_JOIN_WINDOW_SEC * 1_000_000
+            )
+        )
+        .select(
+            "click_event_id",
+            "purchase_event_id",
+            "user_id",
+            F.round(
+                (F.unix_micros("purchase_ts") - F.unix_micros("click_ts"))
+                / 1_000_000.0,
+                6,
+            ).alias("secs_between"),
+        )
+    )
+
+
+SALT_BUCKETS = 16
+
+
+def salted_type_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted two-phase aggregation for skewed group keys: event_type
+    has ~5 values over the whole corpus, so a direct groupBy funnels
+    each key through one reducer. Phase 1 aggregates on
+    (key, salt = pmod(event_id, 16)) spreading every hot key over 16
+    reducers; phase 2 re-aggregates the 16 partials per key. Counts are
+    exact; the double sum is rounded at the boundary like every float
+    aggregate here. AQE splits skewed JOIN partitions but not skewed
+    aggregations — salting is the aggregation-side answer."""
+    events = load_table(spark, sf_dir, "events")
+    phase1 = (
+        events.withColumn("salt", F.pmod("event_id", F.lit(SALT_BUCKETS)))
+        .groupBy("event_type", "salt")
+        .agg(
+            F.count(F.lit(1)).alias("partial_n"),
+            F.sum("value").alias("partial_sum"),
+        )
+    )
+    return phase1.groupBy("event_type").agg(
+        F.sum("partial_n").alias("n_events"),
+        F.round(F.sum("partial_sum"), 2).alias("total_value"),
+    )
+
+
 QUERIES: dict[str, object] = {
     "q1_filter": q1_filter,
     "q2_join_enrich": q2_join_enrich,
@@ -427,4 +537,7 @@ QUERIES: dict[str, object] = {
     "top3_per_segment": top3_per_segment,
     "user_event_gaps": user_event_gaps,
     "sliding_window_stats": sliding_window_stats,
+    "asof_last_signup": asof_last_signup,
+    "range_join_click_purchase": range_join_click_purchase,
+    "salted_type_totals": salted_type_totals,
 }

@@ -224,6 +224,40 @@ ORACLES: dict[str, str] = {
     """,
 }
 
+ORACLES["asof_last_signup"] = """
+    SELECT event_id,
+           user_id,
+           ts,
+           last_value(CASE WHEN event_type = 'signup' THEN ts END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS last_signup_ts
+    FROM events
+"""
+
+# the oracle uses the naive interval join — correct at oracle scale,
+# and exactly what the bucketed rewrite must reproduce
+ORACLES["range_join_click_purchase"] = """
+    SELECT c.event_id AS click_event_id,
+           p.event_id AS purchase_event_id,
+           c.user_id,
+           ROUND(epoch(p.ts - c.ts), 6) AS secs_between
+    FROM events c
+    JOIN events p
+      ON c.user_id = p.user_id
+     AND p.ts >= c.ts
+     AND p.ts <= c.ts + INTERVAL 1 HOUR
+    WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+"""
+
+ORACLES["salted_type_totals"] = """
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS total_value
+    FROM events
+    GROUP BY event_type
+"""
+
 # 10-minute window sliding by 5: every event belongs to exactly two
 # windows (offsets j=0,1 from the 5-minute grid), reproducing Spark's
 # epoch-aligned F.window(ts, '10 minutes', '5 minutes') expansion.
