@@ -178,38 +178,69 @@ def jaccard_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
 NGRAM_N = 3
 
 
-def _char_ngrams(text: F.Column) -> F.Column:
-    """Distinct character 3-grams of the whitespace-normalized text —
-    the shingle set for n-gram Jaccard."""
-    norm = F.lower(F.trim(F.regexp_replace(text, r"\s+", " ")))
-    idx = F.sequence(F.lit(1), F.length(norm) - (NGRAM_N - 1))
-    grams = F.transform(idx, lambda i: norm.substr(i, F.lit(NGRAM_N)))
-    return F.when(
-        F.length(norm) >= NGRAM_N, F.array_distinct(grams)
-    ).otherwise(F.array().cast("array<string>"))
+def _char_gram_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (doc_id, 3-gram) rows of the whitespace-normalized text.
+
+    Relational explode, NOT a transform() lambda over a gram array:
+    Catalyst's CollapseProject inlines the normalization expression into
+    the lambda, recomputing the whole-document regexp per element —
+    quadratic per document (measured 30 s at sf0.1 vs ~3 s for this
+    shape). One row per position hashes each position once.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))).alias("norm"),
+    )
+    n_grams = F.length("norm") - (NGRAM_N - 1)
+    positions = docs.select(
+        "doc_id",
+        "norm",
+        F.explode(
+            F.when(n_grams >= 1, F.sequence(F.lit(1), n_grams)).otherwise(
+                F.array().cast("array<int>")
+            )
+        ).alias("pos"),
+    )
+    return positions.select(
+        "doc_id", F.col("norm").substr(F.col("pos"), F.lit(NGRAM_N)).alias("g")
+    ).distinct()
 
 
 def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character-n-gram Jaccard for the LSH candidate pairs: the same
     two-phase shape as jaccard_verify but with 3-gram shingles instead
-    of word tokens — robust to whitespace/tokenization noise. Candidate
-    generation stays LSH-bounded (never all-pairs), so the n-gram set
-    is only materialized for candidate rows."""
+    of word tokens — robust to whitespace/tokenization noise.
+
+    Set arithmetic is relational: |A∩B| is a pair⋈grams⋈grams join
+    count, |A∪B| = |A|+|B|−|A∩B|. No per-row arrays, no lambdas — every
+    stage is an equi-join or aggregation the planner can partition,
+    and candidate generation stays LSH-bounded (never all-pairs).
+    """
     pairs = minhash_lsh_pairs(spark, sf_dir).select("doc_id_a", "doc_id_b")
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", _char_ngrams(F.col("text")).alias("ng")
+    grams = _char_gram_rows(spark, sf_dir)
+    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    ga = grams.select(F.col("doc_id").alias("doc_id_a"), "g")
+    gb = grams.select(F.col("doc_id").alias("doc_id_b"), "g")
+    inter = (
+        pairs.join(ga, "doc_id_a")
+        .join(gb, ["doc_id_b", "g"])
+        .groupBy("doc_id_a", "doc_id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
     )
-    a = docs.select(F.col("doc_id").alias("doc_id_a"), F.col("ng").alias("ng_a"))
-    b = docs.select(F.col("doc_id").alias("doc_id_b"), F.col("ng").alias("ng_b"))
-    inter = F.size(F.array_intersect("ng_a", "ng_b"))
-    union = F.size(F.array_union("ng_a", "ng_b"))
+    sa = sizes.select(F.col("doc_id").alias("doc_id_a"), F.col("n_grams").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_id_b"), F.col("n_grams").alias("n_b"))
     return (
-        pairs.join(a, "doc_id_a")
-        .join(b, "doc_id_b")
+        pairs.join(inter, ["doc_id_a", "doc_id_b"], "left")
+        .withColumn("n_inter", F.coalesce("n_inter", F.lit(0)))
+        .join(sa, "doc_id_a")
+        .join(sb, "doc_id_b")
         .select(
             "doc_id_a",
             "doc_id_b",
-            F.round(inter / union, 6).alias("ngram_jaccard"),
+            F.round(
+                F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+                6,
+            ).alias("ngram_jaccard"),
         )
     )
 
