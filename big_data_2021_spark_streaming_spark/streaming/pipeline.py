@@ -133,6 +133,41 @@ def to_kafka_sink(
     )
 
 
+def to_foreach_batch_sink(
+    df: DataFrame,
+    batch_fn,
+    checkpoint_dir: str,
+    output_mode: str = "append",
+    available_now: bool = False,
+):
+    """foreachBatch sink: arbitrary per-micro-batch batch logic (merge,
+    multi-sink fan-out, JDBC upsert) with the engine's delivery
+    contract — Spark may REPLAY a batch_id after failure, so batch_fn
+    must be idempotent per batch_id. ``available_now=True`` drains all
+    available input then stops (the batch-over-stream trigger for
+    backfills)."""
+    writer = (
+        df.writeStream.foreachBatch(batch_fn)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode(output_mode)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def idempotent_parquet_batch_writer(out_dir: str):
+    """batch_fn for to_foreach_batch_sink: each micro-batch lands in
+    ``out_dir/batch_id=N`` with overwrite, so a replayed batch
+    overwrites its own output instead of duplicating — exactly-once
+    effect on top of at-least-once delivery."""
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch_id}")
+
+    return write
+
+
 def stream_dedup(
     events: DataFrame, keys: list[str], watermark_col: str, delay: str
 ) -> DataFrame:
@@ -214,21 +249,11 @@ def sessionize(
         rows = pd.concat(list(pdfs)).sort_values("ts")
         ts_us = (rows["ts"].astype("int64") // 1000).tolist()  # ns → µs
         vals = rows["value"].astype(float).tolist()
-        closed: list[tuple] = []
-        cur = list(state.get) if state.exists else None
-        for t, v in zip(ts_us, vals):
-            t = int(t)
-            if cur is None:
-                cur = [t, t, 1, v]
-            elif t > cur[1] + gap_us:
-                closed.append(tuple(cur))
-                cur = [t, t, 1, v]
-            else:
-                cur[0] = min(cur[0], t)
-                cur[1] = max(cur[1], t)
-                cur[2] += 1
-                cur[3] += v
-        state.update(tuple(cur))
+        open_session = tuple(state.get) if state.exists else None
+        closed, cur = merge_session_events(
+            open_session, zip(ts_us, vals), gap_us
+        )
+        state.update(cur)
         state.setTimeoutTimestamp(cur[1] // 1000 + gap_us // 1000)
         if closed:
             yield emit(user_id, closed)
@@ -244,6 +269,34 @@ def sessionize(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def merge_session_events(
+    open_session: tuple | None, events, gap_us: int
+) -> tuple[list[tuple], tuple]:
+    """Pure session walk (unit-testable core of :func:`sessionize`).
+
+    ``open_session`` is ``(start_us, end_us, n, total)`` or None;
+    ``events`` yields ``(ts_us, value)`` in event-time order. Returns
+    ``(closed_sessions, open_session)``: an event more than ``gap_us``
+    past the open session's end closes it and opens a new one;
+    anything else merges (min/max bounds, running count/sum).
+    """
+    closed: list[tuple] = []
+    cur = list(open_session) if open_session else None
+    for t, v in events:
+        t = int(t)
+        if cur is None:
+            cur = [t, t, 1, v]
+        elif t > cur[1] + gap_us:
+            closed.append(tuple(cur))
+            cur = [t, t, 1, v]
+        else:
+            cur[0] = min(cur[0], t)
+            cur[1] = max(cur[1], t)
+            cur[2] += 1
+            cur[3] += v
+    return closed, (tuple(cur) if cur is not None else None)
 
 
 def _duration_to_us(text: str) -> int:

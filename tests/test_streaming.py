@@ -393,3 +393,36 @@ def test_console_sink_runs(spark, fixture_dir, producer):
     q = to_console_sink(q1_us_meetups(raw).select("group.group_city"))
     drain(q)
     assert q.lastProgress is not None
+
+
+def test_foreach_batch_available_now_exactly_once(spark, tmp_path):
+    """foreachBatch + availableNow: drain-all-then-stop trigger, with
+    per-batch_id overwrite making replays idempotent. A restart from
+    the same checkpoint must not rewrite old batches."""
+    from big_data_2021_spark_streaming_spark.streaming.pipeline import (
+        idempotent_parquet_batch_writer,
+        to_foreach_batch_sink,
+    )
+
+    src = tmp_path / "fb_src"
+    src.mkdir()
+    ckpt = str(tmp_path / "fb_ckpt")
+    out = str(tmp_path / "fb_out")
+    prod = FileEnvelopeProducer(src)
+    prod.send_batch([(rsvp_json("us", "Bend", "OR"), "2021-06-09 00:00:07")])
+
+    def run():
+        raw = rsvp_file_stream(spark, str(src))
+        q = to_foreach_batch_sink(
+            q1_us_meetups(raw).select("group.group_city"),
+            idempotent_parquet_batch_writer(out),
+            ckpt,
+            available_now=True,
+        )
+        q.awaitTermination()  # availableNow stops by itself when drained
+
+    run()
+    prod.send_batch([(rsvp_json("us", "Austin", "TX"), "2021-06-09 00:01:07")])
+    run()
+    cities = sorted(r.group_city for r in spark.read.parquet(out).collect())
+    assert cities == ["Austin", "Bend"]  # each batch written exactly once
