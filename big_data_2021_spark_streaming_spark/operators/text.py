@@ -64,11 +64,10 @@ def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic linear quality heuristic: token volume, stopword
-    ratio, mean token length — the classic cheap pre-filter before
-    expensive model-based scoring."""
-    docs = load_table(spark, sf_dir, "documents")
+def quality_lineage(docs: DataFrame) -> DataFrame:
+    """Quality-score lineage over any (doc_id, text) frame — batch or
+    streaming (stateless: identical semantics either way, the
+    batch≡stream property tests rely on this)."""
     toks = tokens_col(F.col("text"))
     n_tokens = F.size(toks)
     n_stop = F.size(F.filter(toks, _in_set(STOPWORDS)))
@@ -89,6 +88,13 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(mean_len, 6).alias("mean_token_len"),
         F.round(score, 6).alias("quality"),
     )
+
+
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic linear quality heuristic: token volume, stopword
+    ratio, mean token length — the classic cheap pre-filter before
+    expensive model-based scoring."""
+    return quality_lineage(load_table(spark, sf_dir, "documents"))
 
 
 def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:

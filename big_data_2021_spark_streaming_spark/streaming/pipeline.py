@@ -179,6 +179,34 @@ def stream_dedup(
     )
 
 
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_ts: str,
+    right_ts: str,
+    join_keys_expr: str,
+    window: str = "1 hour",
+    watermark_delay: str = "10 minutes",
+) -> DataFrame:
+    """Stream–stream inner interval join (beyond the reference, which
+    only joins stream×static): right-side rows within ``window`` AFTER
+    the matching left row. Both sides carry watermarks and the join
+    condition bounds event time in both directions, so Spark can evict
+    join state once the watermark passes — without the time bounds the
+    state grows forever, the stream–stream deploy-blocker at scale.
+
+    ``join_keys_expr`` is the equality part (e.g. ``"user_id = p_user_id"``);
+    column names on the two sides must not collide.
+    """
+    lw = left.withWatermark(left_ts, watermark_delay)
+    rw = right.withWatermark(right_ts, watermark_delay)
+    cond = F.expr(
+        f"{join_keys_expr} AND {right_ts} >= {left_ts} "
+        f"AND {right_ts} <= {left_ts} + interval {window}"
+    )
+    return lw.join(rw, cond, "inner")
+
+
 SESSION_SCHEMA = StructType(
     [
         StructField("user_id", LongType()),

@@ -426,3 +426,79 @@ def test_foreach_batch_available_now_exactly_once(spark, tmp_path):
     run()
     cities = sorted(r.group_city for r in spark.read.parquet(out).collect())
     assert cities == ["Austin", "Bend"]  # each batch written exactly once
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Stream–stream interval join with watermarks on both sides:
+    purchases within 1 hour after a click by the same user match."""
+    from big_data_2021_spark_streaming_spark.streaming.pipeline import (
+        stream_interval_join,
+    )
+
+    cdir, pdir = tmp_path / "clicks", tmp_path / "purch"
+    cdir.mkdir()
+    pdir.mkdir()
+    (cdir / "b0.json").write_text(
+        "\n".join(
+            json.dumps(e)
+            for e in [
+                {"click_id": 1, "click_ts": "2024-01-01 10:00:00", "user_id": 1},
+                {"click_id": 2, "click_ts": "2024-01-01 10:05:00", "user_id": 2},
+            ]
+        )
+    )
+    (pdir / "b0.json").write_text(
+        "\n".join(
+            json.dumps(e)
+            for e in [
+                # 30 min after user 1's click -> match
+                {"p_id": 10, "p_ts": "2024-01-01 10:30:00", "p_user_id": 1},
+                # 2 h after user 2's click -> outside window, no match
+                {"p_id": 11, "p_ts": "2024-01-01 12:05:00", "p_user_id": 2},
+            ]
+        )
+    )
+    clicks = (
+        spark.readStream.schema("click_id LONG, click_ts STRING, user_id LONG")
+        .json(str(cdir))
+        .selectExpr("click_id", "CAST(click_ts AS TIMESTAMP) AS click_ts", "user_id")
+    )
+    purchases = (
+        spark.readStream.schema("p_id LONG, p_ts STRING, p_user_id LONG")
+        .json(str(pdir))
+        .selectExpr("p_id", "CAST(p_ts AS TIMESTAMP) AS p_ts", "p_user_id")
+    )
+    joined = stream_interval_join(
+        clicks, purchases, "click_ts", "p_ts", "user_id = p_user_id", "1 hour"
+    ).select("click_id", "p_id")
+    q = to_memory_sink(joined, "ssj_sink")
+    drain(q)
+    pairs = {(r.click_id, r.p_id) for r in spark.table("ssj_sink").collect()}
+    assert pairs == {(1, 10)}
+
+
+def test_text_quality_batch_stream_equivalence(spark, tmp_path):
+    """The text-quality lineage is stateless: running it over a
+    documents stream must equal the batch run on the same rows."""
+    from big_data_2021_spark_streaming_spark.operators.text import quality_lineage
+
+    d = tmp_path / "docs"
+    d.mkdir()
+    rows = [
+        {"doc_id": 1, "text": "the quick brown fox jumps over the lazy dog"},
+        {"doc_id": 2, "text": "a   b"},
+        {"doc_id": 3, "text": "word " * 150},
+    ]
+    (d / "b0.json").write_text("\n".join(json.dumps(r) for r in rows))
+    schema = "doc_id LONG, text STRING"
+    stream = spark.readStream.schema(schema).json(str(d))
+    q = to_memory_sink(quality_lineage(stream), "tq_sink")
+    drain(q)
+    streamed = {tuple(r) for r in spark.table("tq_sink").collect()}
+    batch = {
+        tuple(r)
+        for r in quality_lineage(
+            spark.createDataFrame([(r["doc_id"], r["text"]) for r in rows], schema)
+        ).collect()
+    }
+    assert streamed == batch
