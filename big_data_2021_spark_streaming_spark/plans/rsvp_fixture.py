@@ -132,6 +132,36 @@ def rsvp_q2_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def rsvp_decode_failures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERMISSIVE-decode audit: total rows vs rows whose JSON failed to
+    parse (from_json → NULL struct) — the corrupt-rate metric an ingest
+    pipeline monitors before trusting a feed."""
+    from ..schemas import rsvp_schema
+
+    env = _envelope_df(spark)
+    parsed = env.select(F.from_json("value", rsvp_schema("faithful")).alias("data"))
+    # modern from_json yields an ALL-NULL struct for corrupt input, not
+    # a NULL struct — detect via fields that are never all-null together
+    # on a valid record
+    corrupt = (
+        F.col("data.rsvp_id").isNull()
+        & F.col("data.group").isNull()
+        & F.col("data.event").isNull()
+    )
+    return parsed.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(corrupt.cast("bigint")).alias("n_corrupt"),
+    )
+
+
+def _decode_failures_sql() -> str:
+    return f"""
+        SELECT COUNT(*) AS n_rows,
+               SUM(CAST(NOT json_valid(value) AS BIGINT)) AS n_corrupt
+        FROM (VALUES {_envelope_values_sql()}) AS envelope(value, ts)
+    """
+
+
 def _faithful_filter_sql() -> str:
     mt = "CAST(value -> '$.mtime' AS BIGINT)"
     return f"""
@@ -180,9 +210,11 @@ def _q2_payload_sql() -> str:
 QUERIES = {
     "rsvp_faithful_filter": rsvp_faithful_filter,
     "rsvp_q2_payload": rsvp_q2_payload,
+    "rsvp_decode_failures": rsvp_decode_failures,
 }
 
 ORACLES: dict[str, str] = {
     "rsvp_faithful_filter": _faithful_filter_sql(),
     "rsvp_q2_payload": _q2_payload_sql(),
+    "rsvp_decode_failures": _decode_failures_sql(),
 }
