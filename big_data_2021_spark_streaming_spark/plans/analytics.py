@@ -405,6 +405,59 @@ def sliding_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional-aggregate ratio (TPC-H Q14 pattern): promo revenue
+    share per month — two sums from one scan, no second pass."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(
+            F.year("l_shipdate").alias("year"),
+            F.month("l_shipdate").alias("month"),
+        )
+        .agg(
+            F.round(F.sum(promo) * 100.0 / F.sum(rev), 4).alias("promo_pct"),
+            F.round(F.sum(rev), 2).alias("total_revenue"),
+        )
+    )
+
+
+def returnflag_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional counts by category (TPC-H Q12 pattern, re-based on
+    the synthetic schema's return flag): per flag, how many high- vs
+    low-priority order lines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(high.cast("bigint")).alias("high_priority"),
+            F.sum((~high).cast("bigint")).alias("low_priority"),
+        )
+    )
+
+
+def supplier_balance_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier-side dim join (completes table coverage): account
+    balance rollup per nation with a having-style filter."""
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        supplier.join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation_name"))
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.round(F.sum("s_acctbal"), 2).alias("total_balance"),
+        )
+        .where(F.col("n_suppliers") > 0)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Scale-pattern operators: as-of join, range join, salted aggregation —
 # the time-series/skew techniques Spark lacks as primitives, expressed
@@ -540,4 +593,7 @@ QUERIES: dict[str, object] = {
     "asof_last_signup": asof_last_signup,
     "range_join_click_purchase": range_join_click_purchase,
     "salted_type_totals": salted_type_totals,
+    "promo_revenue_ratio": promo_revenue_ratio,
+    "returnflag_priority_counts": returnflag_priority_counts,
+    "supplier_balance_by_nation": supplier_balance_by_nation,
 }

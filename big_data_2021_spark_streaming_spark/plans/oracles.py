@@ -224,6 +224,37 @@ ORACLES: dict[str, str] = {
     """,
 }
 
+ORACLES["promo_revenue_ratio"] = """
+    SELECT CAST(year(l_shipdate) AS INTEGER) AS year,
+           CAST(month(l_shipdate) AS INTEGER) AS month,
+           ROUND(SUM(CASE WHEN p_type LIKE 'PROMO%'
+                          THEN l_extendedprice * (1 - l_discount)
+                          ELSE 0.0 END) * 100.0
+                 / SUM(l_extendedprice * (1 - l_discount)), 4) AS promo_pct,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY 1, 2
+"""
+
+ORACLES["returnflag_priority_counts"] = """
+    SELECT l_returnflag,
+           SUM(CAST(o_orderpriority IN ('1-URGENT', '2-HIGH') AS BIGINT))
+               AS high_priority,
+           SUM(CAST(o_orderpriority NOT IN ('1-URGENT', '2-HIGH') AS BIGINT))
+               AS low_priority
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY l_returnflag
+"""
+
+ORACLES["supplier_balance_by_nation"] = """
+    SELECT n_name AS nation_name,
+           COUNT(*) AS n_suppliers,
+           ROUND(SUM(s_acctbal), 2) AS total_balance
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY n_name
+    HAVING COUNT(*) > 0
+"""
+
 ORACLES["asof_last_signup"] = """
     SELECT event_id,
            user_id,

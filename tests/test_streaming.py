@@ -502,3 +502,28 @@ def test_text_quality_batch_stream_equivalence(spark, tmp_path):
         ).collect()
     }
     assert streamed == batch
+
+
+def test_update_output_mode_re_emits_changed_windows(spark, fixture_dir, producer):
+    """Update mode: a window re-emits each batch it changes (vs append,
+    which emits exactly once after finalization)."""
+    import pyspark.sql.functions as F
+
+    producer.send_batch(
+        [(rsvp_json("us", "Bend", "OR"), "2021-06-09 00:00:07")]
+    )
+    raw = rsvp_file_stream(spark, str(fixture_dir))
+    counts = (
+        q1_us_meetups(raw)
+        .groupBy(F.col("group.group_state").alias("state"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    q = to_memory_sink(counts, "upd_sink", output_mode="update")
+    q.processAllAvailable()
+    producer.send_batch(
+        [(rsvp_json("us", "Portland", "OR"), "2021-06-09 00:00:30")]
+    )
+    drain(q)
+    # OR emitted twice: n=1 after batch 0, n=2 after batch 1
+    emissions = [r.n for r in spark.table("upd_sink").collect() if r.state == "OR"]
+    assert sorted(emissions) == [1, 2]
