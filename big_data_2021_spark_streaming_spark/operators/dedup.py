@@ -25,7 +25,14 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from ..functions.hashing import h60, h60_seeded, h60_seeded_sql, h60_sql
+from ..functions.hashing import (
+    h60,
+    h60_packed_md5,
+    h60_packed_md5_sql,
+    h60_packed_member,
+    h60_packed_member_sql,
+    h60_sql,
+)
 from ..sources.batch import load_table
 
 NUM_PERM = 16
@@ -76,14 +83,31 @@ def _minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     plans, so every consumer shares ONE materialization instead of
     re-tokenizing and re-hashing the corpus per use. At 100 TB the
     signature frame is ~1e-3 of corpus size; caching it is the plan.
+
+    Hash family: each seeded md5 digest is packed into TWO independent
+    60-bit members (functions/hashing.py), so NUM_PERM members cost
+    NUM_PERM/2 md5s per token occurrence — half the hot-loop hashing
+    with identical statistical quality. Digests are projected to named
+    columns once per row before member extraction (inlining would
+    re-hash per member).
     """
-    exploded = _token_sets(spark, sf_dir).select(
-        "doc_id", "source", F.explode("tok").alias("sh")
+    hashed = (
+        _token_sets(spark, sf_dir)
+        .select("doc_id", "source", F.explode("tok").alias("sh"))
+        .select(
+            "doc_id",
+            "source",
+            *[
+                h60_packed_md5(s, F.col("sh")).alias(f"d{s}")
+                for s in range(NUM_PERM // 2)
+            ],
+        )
     )
     aggs = [
-        F.min(h60_seeded(j, F.col("sh"))).alias(f"mh{j}") for j in range(NUM_PERM)
+        F.min(h60_packed_member(F.col(f"d{j // 2}"), j % 2)).alias(f"mh{j}")
+        for j in range(NUM_PERM)
     ]
-    return exploded.groupBy("doc_id", "source").agg(*aggs).persist()
+    return hashed.groupBy("doc_id", "source").agg(*aggs).persist()
 
 
 def _band_rows(mh: DataFrame) -> DataFrame:
@@ -330,17 +354,25 @@ def embedding_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TOK_SQL = "list_distinct(regexp_split_to_array(trim(text), '\\s+'))"
 
 _MH_COLS = ",\n               ".join(
-    f"min({h60_seeded_sql(j, 'sh')}) AS mh{j}" for j in range(NUM_PERM)
+    f"min({h60_packed_member_sql(f'd{j // 2}', j % 2)}) AS mh{j}"
+    for j in range(NUM_PERM)
+)
+
+_DIGEST_COLS = ", ".join(
+    f"{h60_packed_md5_sql(s, 'sh')} AS d{s}" for s in range(NUM_PERM // 2)
 )
 
 _MH_CTE = f"""
     toks AS (
         SELECT doc_id, source, unnest({_TOK_SQL}) AS sh FROM documents
     ),
+    hashed AS (
+        SELECT doc_id, source, {_DIGEST_COLS} FROM toks
+    ),
     mh AS (
         SELECT doc_id, source,
                {_MH_COLS}
-        FROM toks GROUP BY doc_id, source
+        FROM hashed GROUP BY doc_id, source
     )
 """
 
