@@ -568,6 +568,197 @@ def salted_type_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Correlated-subquery classes (TPC-H Q15/Q17/Q18/Q22 patterns), written as
+# SQL so Catalyst's subquery decorrelation performs the rewrite — the
+# engine-completeness surface the reference never touches (its only
+# "subquery" is the implicit semi-join effect of J1, SURVEY.md §2.3)
+# ---------------------------------------------------------------------------
+
+
+def _sql_over(spark: SparkSession, sf_dir: str, tables: list[str], sql: str) -> DataFrame:
+    """Register the named tables as temp views and analyze ``sql``.
+
+    ``spark.sql`` resolves the plan eagerly, so a later view replacement
+    (another sf_dir in the same session) cannot retarget a DataFrame
+    already built here.
+    """
+    for t in tables:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(sql)
+
+
+def small_qty_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (TPC-H Q17 pattern): revenue from
+    lines ordering less than half the part's own average quantity.
+
+    Catalyst decorrelates the per-part average into an aggregate +
+    join — one extra reduce over lineitem, never a per-row re-scan.
+    Float-safe across engines because l_quantity is integral, so the
+    correlated AVG is exact in double regardless of summation order.
+    """
+    return _sql_over(
+        spark,
+        sf_dir,
+        ["lineitem", "part"],
+        """
+        SELECT p.p_brand,
+               ROUND(SUM(l.l_extendedprice), 2) AS low_qty_revenue,
+               COUNT(*) AS n_lines
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE l.l_quantity < (
+            SELECT 0.5 * AVG(l2.l_quantity)
+            FROM lineitem l2 WHERE l2.l_partkey = p.p_partkey
+        )
+        GROUP BY p.p_brand
+        """,
+    )
+
+
+BIG_ORDER_QTY = 150
+
+
+def big_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-subquery with HAVING (TPC-H Q18 pattern): customers whose
+    orders exceed a total-quantity threshold. The IN rewrites to a
+    left-semi join on orderkey; the outer aggregation then regroups
+    the surviving lines — two shuffles on the same key, which AQE can
+    plan back-to-back without a third exchange."""
+    return _sql_over(
+        spark,
+        sf_dir,
+        ["customer", "orders", "lineitem"],
+        f"""
+        SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate,
+               ROUND(o.o_totalprice, 2) AS o_totalprice,
+               ROUND(SUM(l.l_quantity), 2) AS total_qty
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        WHERE o.o_orderkey IN (
+            SELECT l_orderkey FROM lineitem
+            GROUP BY l_orderkey HAVING SUM(l_quantity) > {BIG_ORDER_QTY}
+        )
+        GROUP BY c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice
+        """,
+    )
+
+
+INACTIVE_CUTOFF = "2001-01-01 00:00:00"
+
+
+def inactive_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery + NOT EXISTS anti-join (TPC-H Q22 pattern):
+    above-average-balance customers with no order since the cutoff,
+    rolled up by nation. The NOT EXISTS plans as a left-anti hash join
+    against the date-filtered orders (filter pushed to the scan); the
+    scalar average is a one-row broadcast."""
+    return _sql_over(
+        spark,
+        sf_dir,
+        ["customer", "orders"],
+        f"""
+        SELECT c.c_nationkey,
+               COUNT(*) AS n_customers,
+               ROUND(SUM(c.c_acctbal), 2) AS total_balance
+        FROM customer c
+        WHERE c.c_acctbal > (
+            SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0.0
+        )
+        AND NOT EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey
+              AND o.o_orderdate >= TIMESTAMP '{INACTIVE_CUTOFF}'
+        )
+        GROUP BY c.c_nationkey
+        """,
+    )
+
+
+def top_supplier_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate-then-argmax via scalar subquery over a CTE (TPC-H Q15
+    pattern): the supplier(s) whose lineitem revenue equals the global
+    maximum. The revenue CTE is computed per consumer (Spark inlines
+    CTEs); both are one reduce of lineitem — the scalar MAX side is a
+    one-row broadcast, never a sort."""
+    return _sql_over(
+        spark,
+        sf_dir,
+        ["supplier", "lineitem"],
+        """
+        WITH rev AS (
+            SELECT l_suppkey,
+                   SUM(l_extendedprice * (1 - l_discount)) AS total_rev
+            FROM lineitem GROUP BY l_suppkey
+        )
+        SELECT s.s_suppkey, s.s_name, ROUND(rev.total_rev, 2) AS total_revenue
+        FROM supplier s JOIN rev ON s.s_suppkey = rev.l_suppkey
+        WHERE rev.total_rev = (SELECT MAX(total_rev) FROM rev)
+        """,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Analytic window frames (running / sliding row frames) — completes the
+# window-function surface beyond row_number/lag (§2.5: absent in reference)
+# ---------------------------------------------------------------------------
+
+
+def running_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative sum + 3-row moving average per user over event time.
+
+    Sums run on DECIMAL(18,6): window engines disagree on float
+    summation order (Spark accumulates sequentially, DuckDB uses a
+    segment tree), so double sums drift in the last ulp and can flip a
+    rounding boundary — decimal accumulation is exact in both engines.
+    One shuffle on user_id; frames are O(1) running state per row.
+    """
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    dec = F.col("value").cast("decimal(18,6)")
+    cum = F.sum(dec).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    mov_sum = F.sum(dec).over(w.rowsBetween(-2, 0))
+    mov_n = F.count("value").over(w.rowsBetween(-2, 0))
+    return events.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round(cum.cast("double"), 4).alias("cum_value"),
+        F.round(mov_sum.cast("double") / mov_n, 4).alias("moving_avg3"),
+    )
+
+
+def event_rank_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile + percent_rank over a total per-type order (value ties
+    broken by event_id so both engines rank identically). percent_rank
+    is the exact rational (rank−1)/(n−1) — deterministic cross-engine."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return events.select(
+        "event_id",
+        "event_type",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+    )
+
+
+def sketch_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch aggregates — the 100 TB path for distinct counts and
+    quantiles: HyperLogLog++ (approx_count_distinct) and the
+    approximate-percentile sketch, both mergeable map-side partials, no
+    expand and no sort. No DuckDB oracle: its HLL/quantile sketches are
+    different estimators, so the driver records a rows-only check —
+    value_percentiles / distinct_users_per_type are the exact-twin
+    queries that DO hash-match."""
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+        F.round(F.percentile_approx("value", F.lit(0.5), F.lit(10000)), 4).alias(
+            "approx_p50"
+        ),
+    )
+
+
 QUERIES: dict[str, object] = {
     "q1_filter": q1_filter,
     "q2_join_enrich": q2_join_enrich,
@@ -596,4 +787,11 @@ QUERIES: dict[str, object] = {
     "promo_revenue_ratio": promo_revenue_ratio,
     "returnflag_priority_counts": returnflag_priority_counts,
     "supplier_balance_by_nation": supplier_balance_by_nation,
+    "small_qty_part_revenue": small_qty_part_revenue,
+    "big_order_customers": big_order_customers,
+    "inactive_rich_customers": inactive_rich_customers,
+    "top_supplier_by_revenue": top_supplier_by_revenue,
+    "running_user_value": running_user_value,
+    "event_rank_stats": event_rank_stats,
+    "sketch_event_stats": sketch_event_stats,
 }

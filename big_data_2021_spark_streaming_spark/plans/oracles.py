@@ -289,6 +289,84 @@ ORACLES["salted_type_totals"] = """
     GROUP BY event_type
 """
 
+ORACLES["small_qty_part_revenue"] = """
+    SELECT p.p_brand,
+           ROUND(SUM(l.l_extendedprice), 2) AS low_qty_revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_quantity < (
+        SELECT 0.5 * AVG(l2.l_quantity)
+        FROM lineitem l2 WHERE l2.l_partkey = p.p_partkey
+    )
+    GROUP BY p.p_brand
+"""
+
+ORACLES["big_order_customers"] = """
+    SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate,
+           ROUND(o.o_totalprice, 2) AS o_totalprice,
+           ROUND(SUM(l.l_quantity), 2) AS total_qty
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey HAVING SUM(l_quantity) > 150
+    )
+    GROUP BY c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice
+"""
+
+ORACLES["inactive_rich_customers"] = """
+    SELECT c.c_nationkey,
+           COUNT(*) AS n_customers,
+           ROUND(SUM(c.c_acctbal), 2) AS total_balance
+    FROM customer c
+    WHERE c.c_acctbal > (
+        SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0.0
+    )
+    AND NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND o.o_orderdate >= TIMESTAMP '2001-01-01 00:00:00'
+    )
+    GROUP BY c.c_nationkey
+"""
+
+ORACLES["top_supplier_by_revenue"] = """
+    WITH rev AS (
+        SELECT l_suppkey,
+               SUM(l_extendedprice * (1 - l_discount)) AS total_rev
+        FROM lineitem GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, ROUND(rev.total_rev, 2) AS total_revenue
+    FROM supplier s JOIN rev ON s.s_suppkey = rev.l_suppkey
+    WHERE rev.total_rev = (SELECT MAX(total_rev) FROM rev)
+"""
+
+# DECIMAL accumulation on both sides: window SUM order differs between
+# engines (sequential vs segment tree), so double sums drift in the
+# last ulp — decimal is exact, then one cast + round at the boundary
+ORACLES["running_user_value"] = """
+    SELECT event_id, user_id, ts,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS DOUBLE), 4) AS cum_value,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+               / COUNT(value) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS moving_avg3
+    FROM events
+"""
+
+ORACLES["event_rank_stats"] = """
+    SELECT event_id, event_type,
+           CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+           ROUND(percent_rank() OVER w, 6) AS pct_rank
+    FROM events
+    WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+"""
+
 # 10-minute window sliding by 5: every event belongs to exactly two
 # windows (offsets j=0,1 from the 5-minute grid), reproducing Spark's
 # epoch-aligned F.window(ts, '10 minutes', '5 minutes') expansion.
