@@ -269,6 +269,78 @@ def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CC_MAX_ITERS = 25
+
+
+def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the LSH near-dup pair graph: every
+    document gets a cluster_id (the min doc_id in its component) and a
+    canonical flag — the keep/drop decision a dedup pipeline actually
+    ships, completing pairs → clusters → one-survivor-per-cluster.
+
+    Pregel-style min-label propagation as pure DataFrame lineage: each
+    round joins the label frame to the (tiny, pairs-only) edge list and
+    takes the min over self ∪ neighbors. Rounds needed = component
+    diameter — near-dup components are band-join quasi-cliques, so this
+    converges in a handful of rounds; for adversarial long-chain graphs
+    swap the round body for large-star/small-star (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond"), which is O(log² n)
+    rounds on the same edge-frame representation.
+
+    The fixpoint test reads ONE aggregate row per round (labels only
+    ever decrease, so an unchanged sum is convergence) — no data is
+    ever driver-side. Label state is one row per node *touched by a
+    pair*, orders of magnitude smaller than the corpus; untouched
+    documents join back in at the end as their own singleton cluster.
+
+    Each round is ``localCheckpoint``-ed: iterative self-referencing
+    lineage doubles the logical plan per round (2^k copies of the LSH
+    plan by round k — the driver OOMs just *stringifying* it), so the
+    plan must be truncated at the materialization point, exactly as
+    iterative graph engines on Spark do.
+    """
+    pairs = minhash_lsh_pairs(spark, sf_dir).select("doc_id_a", "doc_id_b")
+    edges = (
+        pairs.union(pairs.select("doc_id_b", "doc_id_a"))
+        .toDF("src", "dst")
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .select("doc_id", F.col("doc_id").alias("label"))
+        .localCheckpoint()
+    )
+    prev_sum = labels.agg(F.sum("label")).first()[0]
+    for _ in range(CC_MAX_ITERS):
+        neighbor = edges.join(
+            labels.withColumnRenamed("doc_id", "src"), "src"
+        ).select(F.col("dst").alias("doc_id"), "label")
+        labels = (
+            labels.union(neighbor)
+            .groupBy("doc_id")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+        new_sum = labels.agg(F.sum("label")).first()[0]
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+    else:
+        raise RuntimeError(
+            f"near_dup_clusters did not converge in {CC_MAX_ITERS} rounds"
+        )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    clustered = labels.withColumnRenamed("label", "cluster_id")
+    return docs.join(clustered, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
+        (F.col("doc_id") == F.coalesce("cluster_id", "doc_id")).alias(
+            "is_canonical"
+        ),
+    )
+
+
 def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash per document (Charikar): bit i is the sign of
     Σ_tokens (±1 by bit i of h60(token)). Explode → 32 conditional
@@ -531,8 +603,41 @@ ORACLES["dedup_ngram_jaccard"] = f"""
     JOIN ng nb ON nb.doc_id = p.doc_id_b
 """
 
+# transitive closure by recursive CTE: label = min doc_id reachable in
+# the undirected pair graph; documents outside every pair are their own
+# singleton cluster via the left join
+ORACLES["dedup_clusters"] = f"""
+    WITH RECURSIVE {_MH_CTE},
+    {_BANDS_CTE},
+    pairs AS (
+        SELECT cand.doc_id_a, cand.doc_id_b
+        FROM cand
+        JOIN mh a ON a.doc_id = cand.doc_id_a
+        JOIN mh b ON b.doc_id = cand.doc_id_b
+        WHERE ({_MATCHES}) / {float(NUM_PERM)} >= {EST_THRESHOLD}
+    ),
+    edges AS (
+        SELECT doc_id_a AS src, doc_id_b AS dst FROM pairs
+        UNION ALL
+        SELECT doc_id_b, doc_id_a FROM pairs
+    ),
+    reach(doc_id, label) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.src, r.label FROM edges e JOIN reach r ON r.doc_id = e.dst
+    ),
+    comp AS (
+        SELECT doc_id, MIN(label) AS cluster_id FROM reach GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+           d.doc_id = COALESCE(c.cluster_id, d.doc_id) AS is_canonical
+    FROM documents d LEFT JOIN comp c USING (doc_id)
+"""
+
 QUERIES = {
     "dedup_exact": exact_dedup,
+    "dedup_clusters": near_dup_clusters,
     "dedup_minhash_lsh": minhash_lsh_pairs,
     "dedup_jaccard_verify": jaccard_verify,
     "dedup_ngram_jaccard": ngram_jaccard,
