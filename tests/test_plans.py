@@ -95,6 +95,40 @@ def test_session_window_single_shuffle(spark):
     assert p.count("Arguments: hashpartitioning") == 1
 
 
+def test_correlated_avg_is_decorrelated_to_aggregate_join(spark):
+    # the per-part AVG subquery must rewrite to ONE aggregate joined
+    # back — never a per-row re-scan of lineitem
+    p = plan(spark, "small_qty_part_revenue")
+    assert "avg(l_quantity" in p
+    assert "Subquery" not in p  # fully decorrelated, no scalar subquery left
+    assert "CartesianProduct" not in p
+
+
+def test_inactive_rich_customers_anti_join_with_pushed_cutoff(spark):
+    p = plan(spark, "inactive_rich_customers")
+    assert "LeftAnti" in p
+    # the date cutoff reaches the orders scan, not a post-scan filter
+    assert "GreaterThanOrEqual(o_orderdate" in p
+
+
+def test_big_order_customers_in_subquery_is_semi_join(spark):
+    p = plan(spark, "big_order_customers")
+    assert "LeftSemi" in p
+
+
+def test_running_user_value_single_exchange(spark):
+    # both frames share one Window over one shuffle on user_id
+    p = plan(spark, "running_user_value")
+    assert p.count("Arguments: hashpartitioning") == 1
+    assert "Window" in p
+
+
+def test_sketch_aggregates_are_partial_mergeable(spark):
+    # HLL++/quantile sketches must combine map-side like any aggregate
+    p = plan(spark, "sketch_event_stats")
+    assert "partial_approx_count_distinct" in p or "ObjectHashAggregate" in p
+
+
 @pytest.mark.parametrize(
     "name", ["q1_filter", "pricing_summary", "revenue_by_nation"]
 )
