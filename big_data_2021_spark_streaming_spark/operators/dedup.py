@@ -166,6 +166,10 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     matches = sum(
         (F.col(f"a{j}") == F.col(f"b{j}")).cast("int") for j in range(NUM_PERM)
     )
+    # persisted: the pair frame is tiny (near-dup pairs only) and three
+    # downstream consumers (jaccard/ngram verify, clustering) each
+    # rebuild this exact plan — CacheManager's canonical-plan matching
+    # turns those rebuilds into cache hits instead of band re-joins
     return (
         cand.join(a, "doc_id_a")
         .join(b, "doc_id_b")
@@ -175,15 +179,36 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             (matches / F.lit(float(NUM_PERM))).alias("est_jaccard"),
         )
         .where(F.col("est_jaccard") >= EST_THRESHOLD)
+        .persist()
+    )
+
+
+def _candidate_docs(pairs: DataFrame) -> DataFrame:
+    """Distinct doc_ids appearing in any candidate pair — the only
+    documents whose tokens/grams a verify stage needs. Semi-joining the
+    corpus-scale feature frame down to this set BEFORE persisting is
+    what makes caching it legal at 100 TB: the cached frame is bounded
+    by near-dup docs, not by the corpus."""
+    return (
+        pairs.select(F.col("doc_id_a").alias("doc_id"))
+        .union(pairs.select(F.col("doc_id_b").alias("doc_id")))
+        .distinct()
     )
 
 
 def jaccard_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact token-set Jaccard for the LSH candidate pairs — the
     verify stage of the standard two-phase near-dup pipeline (LSH
-    recall, exact precision)."""
+    recall, exact precision). Token arrays are materialized once, for
+    candidate docs only (see _candidate_docs), then probed from cache
+    by both sides of the pair join."""
     pairs = minhash_lsh_pairs(spark, sf_dir).select("doc_id_a", "doc_id_b")
-    tok = _token_sets(spark, sf_dir).select("doc_id", "tok")
+    tok = (
+        _token_sets(spark, sf_dir)
+        .join(_candidate_docs(pairs), "doc_id", "leftsemi")
+        .select("doc_id", "tok")
+        .persist()
+    )
     a = tok.select(F.col("doc_id").alias("doc_id_a"), F.col("tok").alias("tok_a"))
     b = tok.select(F.col("doc_id").alias("doc_id_b"), F.col("tok").alias("tok_b"))
     inter = F.size(F.array_intersect("tok_a", "tok_b"))
@@ -241,7 +266,14 @@ def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     and candidate generation stays LSH-bounded (never all-pairs).
     """
     pairs = minhash_lsh_pairs(spark, sf_dir).select("doc_id_a", "doc_id_b")
-    grams = _char_gram_rows(spark, sf_dir)
+    # gram rows for candidate docs only, computed once (three consumers:
+    # sizes + both sides of the intersection join) — the full-corpus
+    # gram frame would be ~|text| rows and was being rebuilt per use
+    grams = (
+        _char_gram_rows(spark, sf_dir)
+        .join(_candidate_docs(pairs), "doc_id", "leftsemi")
+        .persist()
+    )
     sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
     ga = grams.select(F.col("doc_id").alias("doc_id_a"), "g")
     gb = grams.select(F.col("doc_id").alias("doc_id_b"), "g")
@@ -305,22 +337,24 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .toDF("src", "dst")
         .localCheckpoint()
     )
+    # round 0 folded into init: label = min(self, direct neighbors)
     labels = (
-        edges.select(F.col("src").alias("doc_id"))
-        .distinct()
-        .select("doc_id", F.col("doc_id").alias("label"))
-        .localCheckpoint()
+        edges.groupBy(F.col("src").alias("doc_id"))
+        .agg(F.least(F.min("dst"), F.first("src")).alias("label"))
+        .localCheckpoint(eager=False)
     )
     prev_sum = labels.agg(F.sum("label")).first()[0]
     for _ in range(CC_MAX_ITERS):
         neighbor = edges.join(
             labels.withColumnRenamed("doc_id", "src"), "src"
         ).select(F.col("dst").alias("doc_id"), "label")
+        # lazy checkpoint: the sum action below materializes it, so each
+        # round is ONE job (an eager checkpoint would run a second)
         labels = (
             labels.union(neighbor)
             .groupBy("doc_id")
             .agg(F.min("label").alias("label"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         new_sum = labels.agg(F.sum("label")).first()[0]
         if new_sum == prev_sum:
