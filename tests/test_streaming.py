@@ -527,3 +527,60 @@ def test_update_output_mode_re_emits_changed_windows(spark, fixture_dir, produce
     # OR emitted twice: n=1 after batch 0, n=2 after batch 1
     emissions = [r.n for r in spark.table("upd_sink").collect() if r.state == "OR"]
     assert sorted(emissions) == [1, 2]
+
+
+def _has_protobuf() -> bool:
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    not _has_protobuf(),
+    reason="transformWithState's Python worker needs the protobuf package",
+)
+def test_streaming_topk_updates_across_batches(spark, tmp_path):
+    """transformWithStateInPandas running top-k: each batch merges into
+    O(k) ListState per key and re-emits the key's current top-k.
+    The pure merge is property-tested in test_topk_merge.py; this wires
+    it through the real state server where the runtime allows."""
+    from big_data_2021_spark_streaming_spark.streaming.pipeline import (
+        streaming_topk,
+    )
+
+    d = tmp_path / "topk"
+    d.mkdir()
+
+    def write(name, events):
+        (d / name).write_text("\n".join(json.dumps(e) for e in events))
+
+    write(
+        "b0.json",
+        [
+            {"event_id": 1, "event_type": "click", "value": 5.0},
+            {"event_id": 2, "event_type": "click", "value": 9.0},
+            {"event_id": 3, "event_type": "view", "value": 1.0},
+        ],
+    )
+    schema = "event_id LONG, event_type STRING, value DOUBLE"
+    stream = spark.readStream.schema(schema).json(str(d))
+    q = to_memory_sink(streaming_topk(stream, k=2), "topk_sink", "update")
+    q.processAllAvailable()
+    first = {
+        (r.event_type, r.rank, r.event_id)
+        for r in spark.table("topk_sink").collect()
+    }
+    assert ("click", 1, 2) in first and ("click", 2, 1) in first
+    assert ("view", 1, 3) in first
+
+    # batch 1: a new click value displaces event 1 from the top-2
+    write("b1.json", [{"event_id": 4, "event_type": "click", "value": 7.0}])
+    drain(q)
+    latest = {}
+    for r in spark.table("topk_sink").collect():
+        latest.setdefault((r.event_type, r.rank), []).append(r.event_id)
+    assert latest[("click", 1)][-1] == 2  # 9.0 still first
+    assert latest[("click", 2)][-1] == 4  # 7.0 displaces 5.0
