@@ -166,6 +166,76 @@ def lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+NLIST = 16  # IVF cells (deterministic seed centroids)
+NPROBE = 2  # cells searched per query
+
+
+def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) approximate top-k — the other standard ANN
+    architecture beside hyperplane LSH: coarse-quantize the corpus into
+    NLIST cells (nearest-centroid assignment), then search each query
+    against only its NPROBE nearest cells.
+
+    Centroids are a deterministic seed sample (vec_id ∈ [N_QUERIES,
+    N_QUERIES+NLIST)) standing in for the k-means training step, so the
+    DuckDB oracle reproduces every cell bit-for-bit; production swaps
+    in trained centroids without touching the plan. Plan shape: the
+    assignment pass is one corpus scan against a broadcast centroid
+    list (NLIST stays broadcast-sized even at thousands of cells), and
+    the probe is an equi-join on cell_id — candidate work is bounded by
+    cell occupancy, never the corpus.
+    """
+    vecs = _vectors(spark, sf_dir)
+    cents = vecs.where(
+        (F.col("vec_id") >= N_QUERIES) & (F.col("vec_id") < N_QUERIES + NLIST)
+    ).select(F.col("vec_id").alias("cell_id"), F.col("v").alias("c"))
+
+    def nearest_cells(side: DataFrame, id_col: str, v_col: str, n: int) -> DataFrame:
+        w = Window.partitionBy(id_col).orderBy(
+            F.col("cell_cos").desc(), F.col("cell_id")
+        )
+        return (
+            side.crossJoin(F.broadcast(cents))
+            .select(
+                id_col,
+                v_col,
+                "cell_id",
+                _cos(F.col(v_col), F.col("c")).alias("cell_cos"),
+            )
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= n)
+            .select(id_col, v_col, "cell_id")
+        )
+
+    assigned = nearest_cells(vecs, "vec_id", "v", 1)
+    queries = vecs.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("q")
+    )
+    probes = nearest_cells(queries, "query_id", "q", NPROBE)
+    scored = (
+        assigned.join(probes, "cell_id")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            _cos(F.col("q"), F.col("v")).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOPK)
+        .select(
+            "query_id",
+            "rank",
+            "neighbor_id",
+            F.round("cos", 6).alias("cos_sim"),
+        )
+    )
+
+
 def signature_sql(col_expr: str = "CAST(embedding AS DOUBLE[])") -> str:
     """DuckDB twin of ``_signature`` for an arbitrary DOUBLE[] expression
     (same inlined hyperplanes → bit-identical bucket ids). Shared with
@@ -250,8 +320,54 @@ ORACLES["embedding_norm_stats"] = """
     GROUP BY label
 """
 
+ORACLES["similarity_ivf_topk"] = f"""
+    WITH v AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    cents AS (
+        SELECT vec_id AS cell_id, v AS c FROM v
+        WHERE vec_id >= {N_QUERIES} AND vec_id < {N_QUERIES + NLIST}
+    ),
+    assigned AS (
+        SELECT vec_id, v, cell_id FROM (
+            SELECT v.vec_id, v.v, c.cell_id,
+                   row_number() OVER (
+                       PARTITION BY v.vec_id
+                       ORDER BY list_cosine_similarity(v.v, c.c) DESC,
+                                c.cell_id
+                   ) AS rn
+            FROM v CROSS JOIN cents c
+        ) WHERE rn = 1
+    ),
+    probes AS (
+        SELECT query_id, q, cell_id FROM (
+            SELECT v.vec_id AS query_id, v.v AS q, c.cell_id,
+                   row_number() OVER (
+                       PARTITION BY v.vec_id
+                       ORDER BY list_cosine_similarity(v.v, c.c) DESC,
+                                c.cell_id
+                   ) AS rn
+            FROM v CROSS JOIN cents c WHERE v.vec_id < {N_QUERIES}
+        ) WHERE rn <= {NPROBE}
+    ),
+    scored AS (
+        SELECT p.query_id, a.vec_id AS neighbor_id,
+               list_cosine_similarity(p.q, a.v) AS cos,
+               row_number() OVER (
+                   PARTITION BY p.query_id
+                   ORDER BY list_cosine_similarity(p.q, a.v) DESC, a.vec_id
+               ) AS rank
+        FROM assigned a JOIN probes p USING (cell_id)
+        WHERE a.vec_id <> p.query_id
+    )
+    SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id,
+           ROUND(cos, 6) AS cos_sim
+    FROM scored WHERE rank <= {TOPK}
+"""
+
 QUERIES = {
     "similarity_topk": topk_bruteforce,
+    "similarity_ivf_topk": ivf_topk,
     "similarity_lsh_signature": lsh_signature,
     "similarity_lsh_topk": lsh_topk,
     "embedding_norm_stats": embedding_norm_stats,

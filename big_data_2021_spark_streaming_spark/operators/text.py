@@ -305,7 +305,79 @@ def _winnow_sql() -> str:
 
 ORACLES["text_winnow_fingerprints"] = _winnow_sql()
 
+TFIDF_TOP = 3
+
+
+def tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 distinctive terms by TF-IDF — the corpus-
+    statistics pipeline shape (local stat ⋈ global stat): term
+    frequencies per doc, document frequencies across the corpus, one
+    scalar (corpus size) broadcast into the score.
+
+    Two shuffles total — (doc, term) then (term) — both on bounded
+    keys; the per-doc top-k is a window over the doc partition, never a
+    global sort. Ranking uses the ROUNDED score so a last-ulp ln()
+    difference between engines cannot reorder near-ties; residual ties
+    break on the term itself.
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(tokens_col(F.col("text"))).alias("tok")
+    ).where(F.col("tok") != "")
+    tf = tok.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "tok")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "tok",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("tok"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TFIDF_TOP)
+        .select("doc_id", "rank", "tok", "tfidf")
+    )
+
+
+ORACLES["text_tfidf_topterms"] = f"""
+    WITH tok AS (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, tok, COUNT(*) AS tf
+        FROM tok WHERE tok <> '' GROUP BY doc_id, tok
+    ),
+    dfreq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+    scored AS (
+        SELECT tf.doc_id, tf.tok,
+               ROUND(tf.tf * ln((SELECT COUNT(*) FROM documents) / dfreq.df),
+                     6) AS tfidf
+        FROM tf JOIN dfreq USING (tok)
+    ),
+    ranked AS (
+        SELECT doc_id, tok, tfidf,
+               row_number() OVER (
+                   PARTITION BY doc_id ORDER BY tfidf DESC, tok
+               ) AS rank
+        FROM scored
+    )
+    SELECT doc_id, CAST(rank AS INTEGER) AS rank, tok, tfidf
+    FROM ranked WHERE rank <= {TFIDF_TOP}
+"""
+
 QUERIES = {
+    "text_tfidf_topterms": tfidf_topterms,
     "text_token_stats": token_stats,
     "text_quality_score": quality_score,
     "text_lang_id": lang_id,
