@@ -1,0 +1,249 @@
+"""Corpus-curation operators: the composition layer of a training-data
+pipeline.
+
+The individual signals (quality score, language, near-dup clusters,
+n-gram fingerprints) each exist as their own operator; what a real
+pipeline ships is their COMPOSITION — one declarative plan per corpus
+pass that decides keep/drop with a reason, and one that flags
+benchmark contamination. Both stay pure DataFrame lineage, so Catalyst
+fuses the signal computations into the minimum number of corpus scans.
+
+The reference has nothing in this territory (its whole pipeline is
+decode→filter→join→window, ``srapk_structure_streaming.py``); these
+are the north-star extensions of SURVEY.md §7.4.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..sources.batch import load_table
+from ..operators.text import quality_lineage
+from ..operators import dedup as _dedup
+
+QUALITY_MIN = 0.5
+KEEP_LANGS = ("en", "es", "fr", "de")
+
+
+def curation_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation funnel as one plan: keep a document iff it is the
+    canonical member of its near-dup cluster AND its quality score
+    clears the bar AND its language is in the keep set. ``reason``
+    records the FIRST failing gate (dup → quality → lang), the order a
+    production funnel applies them (cheap structural drops before
+    model-ish scoring).
+
+    Plan shape: quality is a stateless per-row pass, language is a
+    column read, and the cluster flag joins in from the (tiny,
+    pair-graph-sized) label frame — one corpus scan plus one bounded
+    join; the decision itself is pure expression logic.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    quality = quality_lineage(docs).select("doc_id", "quality")
+    clusters = _dedup.near_dup_clusters(spark, sf_dir).select(
+        "doc_id", "cluster_id", "is_canonical"
+    )
+    lang_ok = F.col("lang").isin(*KEEP_LANGS)
+    quality_ok = F.col("quality") >= QUALITY_MIN
+    reason = (
+        F.when(~F.col("is_canonical"), F.lit("near_dup"))
+        .when(~quality_ok, F.lit("low_quality"))
+        .when(~lang_ok, F.lit("lang"))
+        .otherwise(F.lit("ok"))
+    )
+    return (
+        docs.select("doc_id", "lang")
+        .join(quality, "doc_id")
+        .join(clusters, "doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            "quality",
+            "cluster_id",
+            (F.col("is_canonical") & quality_ok & lang_ok).alias("keep"),
+            reason.alias("reason"),
+        )
+    )
+
+
+# word-n-gram width and flag threshold. Real decontamination uses 8-13
+# word grams; the synthetic corpus's vocabulary is tiny, so 3-grams are
+# used here to produce a non-degenerate overlap distribution while
+# exercising the identical plan.
+DECON_NGRAM = 3
+DECON_MIN_SHARED = 5
+EVAL_SOURCE = "src0"
+
+
+def _word_grams(docs: DataFrame) -> DataFrame:
+    """Distinct (doc_id, source, gram) word n-grams via posexplode +
+    lead() — one window pass, linear per token. The array-lambda
+    formulation (transform over sequence) is avoided deliberately:
+    Catalyst inlines the token array into the lambda and re-splits the
+    document per element (the quadratic CollapseProject trap)."""
+    toks = F.split(F.trim("text"), r"\s+")
+    pos = docs.select(
+        "doc_id", "source", F.posexplode(toks).alias("pos", "tok")
+    ).where(F.col("tok") != "")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    parts = [F.col("tok")] + [
+        F.lead("tok", i).over(w) for i in range(1, DECON_NGRAM)
+    ]
+    return (
+        pos.select(
+            "doc_id",
+            "source",
+            F.concat_ws(" ", *parts).alias("gram"),
+            F.lead("tok", DECON_NGRAM - 1).over(w).alias("_last"),
+        )
+        .where(F.col("_last").isNotNull())
+        .select("doc_id", "source", "gram")
+        .distinct()
+    )
+
+
+def decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing ≥
+    DECON_MIN_SHARED distinct word n-grams with the eval split
+    (``source = 'src0'`` stands in for the held-out benchmark).
+
+    Plan shape: both sides reduce to distinct gram sets first (map-side
+    combine), then one equi-join on the gram — candidate work is
+    bounded by true overlaps, never |corpus| × |eval|. At 100 TB the
+    eval side is small enough to broadcast; here Catalyst chooses.
+    """
+    grams = _word_grams(
+        load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    )
+    eval_grams = (
+        grams.where(F.col("source") == EVAL_SOURCE).select("gram").distinct()
+    )
+    corpus = grams.where(F.col("source") != EVAL_SOURCE)
+    shared = (
+        corpus.join(eval_grams, "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_grams"))
+    )
+    corpus_docs = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("source") != EVAL_SOURCE)
+        .select("doc_id")
+    )
+    return corpus_docs.join(shared, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_shared_grams", F.lit(0)).alias("n_shared_grams"),
+        (F.coalesce("n_shared_grams", F.lit(0)) >= DECON_MIN_SHARED).alias(
+            "contaminated"
+        ),
+    )
+
+
+_QUALITY_CTE = """
+    q AS (
+        SELECT doc_id,
+               ROUND(
+                   least(len(toks) / 100.0, 1.0) * 0.5
+                   + len(list_filter(toks,
+                         t -> t IN ('the','a','and','of','to','in','is')))
+                     / CAST(len(toks) AS DOUBLE) * 0.3
+                   + least(list_sum(list_transform(toks, t -> length(t)))
+                           / CAST(len(toks) AS DOUBLE) / 10.0, 1.0) * 0.2,
+               6) AS quality
+        FROM (
+            SELECT doc_id,
+                   regexp_split_to_array(trim(text), '\\s+') AS toks
+            FROM documents
+        )
+    )
+"""
+
+ORACLES: dict[str, str] = {}
+
+ORACLES["curation_keep_list"] = f"""
+    WITH RECURSIVE {_dedup._MH_CTE},
+    {_dedup._BANDS_CTE},
+    pairs AS (
+        SELECT cand.doc_id_a, cand.doc_id_b
+        FROM cand
+        JOIN mh a ON a.doc_id = cand.doc_id_a
+        JOIN mh b ON b.doc_id = cand.doc_id_b
+        WHERE ({_dedup._MATCHES}) / {float(_dedup.NUM_PERM)}
+              >= {_dedup.EST_THRESHOLD}
+    ),
+    edges AS (
+        SELECT doc_id_a AS src, doc_id_b AS dst FROM pairs
+        UNION ALL
+        SELECT doc_id_b, doc_id_a FROM pairs
+    ),
+    reach(doc_id, label) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.src, r.label FROM edges e JOIN reach r ON r.doc_id = e.dst
+    ),
+    comp AS (
+        SELECT doc_id, MIN(label) AS cluster_id FROM reach GROUP BY doc_id
+    ),
+    {_QUALITY_CTE}
+    SELECT d.doc_id,
+           d.lang,
+           q.quality,
+           COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+           (d.doc_id = COALESCE(c.cluster_id, d.doc_id)
+            AND q.quality >= {QUALITY_MIN}
+            AND d.lang IN {KEEP_LANGS}) AS keep,
+           CASE
+               WHEN d.doc_id <> COALESCE(c.cluster_id, d.doc_id)
+                   THEN 'near_dup'
+               WHEN q.quality < {QUALITY_MIN} THEN 'low_quality'
+               WHEN d.lang NOT IN {KEEP_LANGS} THEN 'lang'
+               ELSE 'ok'
+           END AS reason
+    FROM documents d
+    JOIN q USING (doc_id)
+    LEFT JOIN comp c USING (doc_id)
+"""
+
+ORACLES["decontaminate_overlap"] = f"""
+    WITH pos AS (
+        SELECT doc_id, source,
+               generate_subscripts(toks, 1) AS pos,
+               unnest(toks) AS tok
+        FROM (
+            SELECT doc_id, source,
+                   regexp_split_to_array(trim(text), '\\s+') AS toks
+            FROM documents
+        )
+    ),
+    grams AS (
+        SELECT DISTINCT doc_id, source, gram FROM (
+            SELECT doc_id, source,
+                   concat_ws(' ', tok,
+                             {", ".join(f"lead(tok, {i}) OVER w" for i in range(1, DECON_NGRAM))}) AS gram,
+                   lead(tok, {DECON_NGRAM - 1}) OVER w AS _last
+            FROM pos WHERE tok <> ''
+            WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        ) WHERE _last IS NOT NULL
+    ),
+    eval_grams AS (
+        SELECT DISTINCT gram FROM grams WHERE source = '{EVAL_SOURCE}'
+    ),
+    shared AS (
+        SELECT doc_id, COUNT(*) AS n_shared_grams
+        FROM grams JOIN eval_grams USING (gram)
+        WHERE source <> '{EVAL_SOURCE}'
+        GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(s.n_shared_grams, 0) AS n_shared_grams,
+           COALESCE(s.n_shared_grams, 0) >= {DECON_MIN_SHARED}
+               AS contaminated
+    FROM documents d
+    LEFT JOIN shared s USING (doc_id)
+    WHERE d.source <> '{EVAL_SOURCE}'
+"""
+
+QUERIES = {
+    "curation_keep_list": curation_keep_list,
+    "decontaminate_overlap": decontaminate_overlap,
+}

@@ -742,6 +742,41 @@ def event_rank_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (signup → click → purchase) as ONE conditional
+    aggregation: per user, the first timestamp of each stage, then the
+    stage test is pure expression logic — one shuffle on user_id, no
+    joins, no re-scans per stage (the naive per-stage self-join plan is
+    k scans and k-1 joins)."""
+    events = load_table(spark, sf_dir, "events")
+    first_ts = lambda t: F.min(  # noqa: E731
+        F.when(F.col("event_type") == t, F.col("ts"))
+    )
+    per_user = events.groupBy("user_id").agg(
+        first_ts("signup").alias("signup_ts"),
+        first_ts("click").alias("click_ts"),
+        first_ts("purchase").alias("purchase_ts"),
+    )
+    stage = (
+        F.when(F.col("signup_ts").isNull(), "0_none")
+        .when(
+            F.col("click_ts").isNull() | (F.col("click_ts") < F.col("signup_ts")),
+            "1_signup",
+        )
+        .when(
+            F.col("purchase_ts").isNull()
+            | (F.col("purchase_ts") < F.col("click_ts")),
+            "2_clicked",
+        )
+        .otherwise("3_converted")
+    )
+    return (
+        per_user.select(stage.alias("funnel_stage"))
+        .groupBy("funnel_stage")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
 def sketch_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch aggregates — the 100 TB path for distinct counts and
     quantiles: HyperLogLog++ (approx_count_distinct) and the
@@ -791,6 +826,7 @@ QUERIES: dict[str, object] = {
     "big_order_customers": big_order_customers,
     "inactive_rich_customers": inactive_rich_customers,
     "top_supplier_by_revenue": top_supplier_by_revenue,
+    "funnel_conversion": funnel_conversion,
     "running_user_value": running_user_value,
     "event_rank_stats": event_rank_stats,
     "sketch_event_stats": sketch_event_stats,

@@ -289,6 +289,27 @@ ORACLES["salted_type_totals"] = """
     GROUP BY event_type
 """
 
+ORACLES["funnel_conversion"] = """
+    WITH per_user AS (
+        SELECT user_id,
+               MIN(CASE WHEN event_type = 'signup' THEN ts END) AS signup_ts,
+               MIN(CASE WHEN event_type = 'click' THEN ts END) AS click_ts,
+               MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS purchase_ts
+        FROM events GROUP BY user_id
+    )
+    SELECT funnel_stage, COUNT(*) AS n_users FROM (
+        SELECT CASE
+            WHEN signup_ts IS NULL THEN '0_none'
+            WHEN click_ts IS NULL OR click_ts < signup_ts THEN '1_signup'
+            WHEN purchase_ts IS NULL OR purchase_ts < click_ts
+                THEN '2_clicked'
+            ELSE '3_converted'
+        END AS funnel_stage
+        FROM per_user
+    )
+    GROUP BY funnel_stage
+"""
+
 ORACLES["small_qty_part_revenue"] = """
     SELECT p.p_brand,
            ROUND(SUM(l.l_extendedprice), 2) AS low_qty_revenue,

@@ -42,7 +42,7 @@ def all_queries() -> dict[str, QuerySpec]:
     # query family (with a warning); a typo'd import inside an operator
     # module must fail loudly, not silently shrink the correctness gate.
     _OPTIONAL = {"pandas", "pyarrow", "duckdb", "numpy"}
-    for modname in ("dedup", "similarity", "text", "multimodal"):
+    for modname in ("dedup", "similarity", "text", "multimodal", "curation"):
         try:
             mod = importlib.import_module(f"..operators.{modname}", __package__)
         except ModuleNotFoundError as e:
