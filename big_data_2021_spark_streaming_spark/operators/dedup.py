@@ -303,6 +303,13 @@ def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 CC_MAX_ITERS = 25
 
+# converged label frames are localCheckpoint-backed (plan truncated), so
+# unlike the persist()-ed frames above they can't be deduplicated by
+# CacheManager plan matching — memoize per (application, sf_dir) instead
+# so the clustering and every composition over it (operators.curation)
+# run the propagation once per session
+_LABELS_MEMO: dict[tuple[str, str], DataFrame] = {}
+
 
 def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over the LSH near-dup pair graph: every
@@ -331,6 +338,9 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan must be truncated at the materialization point, exactly as
     iterative graph engines on Spark do.
     """
+    memo_key = (spark.sparkContext.applicationId, sf_dir)
+    if memo_key in _LABELS_MEMO:
+        return _clusters_output(spark, sf_dir, _LABELS_MEMO[memo_key])
     pairs = minhash_lsh_pairs(spark, sf_dir).select("doc_id_a", "doc_id_b")
     edges = (
         pairs.union(pairs.select("doc_id_b", "doc_id_a"))
@@ -364,6 +374,13 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise RuntimeError(
             f"near_dup_clusters did not converge in {CC_MAX_ITERS} rounds"
         )
+    _LABELS_MEMO[memo_key] = labels
+    return _clusters_output(spark, sf_dir, labels)
+
+
+def _clusters_output(
+    spark: SparkSession, sf_dir: str, labels: DataFrame
+) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     clustered = labels.withColumnRenamed("label", "cluster_id")
     return docs.join(clustered, "doc_id", "left").select(

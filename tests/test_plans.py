@@ -129,6 +129,27 @@ def test_sketch_aggregates_are_partial_mergeable(spark):
     assert "partial_approx_count_distinct" in p or "ObjectHashAggregate" in p
 
 
+def test_funnel_single_shuffle_no_joins(spark):
+    p = plan(spark, "funnel_conversion")
+    assert "Join" not in p  # stages from conditional agg, not self-joins
+    # user_id shuffle + tiny stage rollup are the only exchanges
+    assert p.count("Arguments: hashpartitioning") == 2
+
+
+def test_decontaminate_no_cartesian(spark):
+    p = plan(spark, "decontaminate_overlap")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_ivf_probe_is_equi_join(spark):
+    # the only nested-loop is the documented broadcast-centroid
+    # assignment scan; the probe itself joins on cell_id
+    p = plan(spark, "similarity_ivf_topk")
+    assert "CartesianProduct" not in p
+    assert "[cell_id" in p or "cell_id#" in p
+
+
 @pytest.mark.parametrize(
     "name", ["q1_filter", "pricing_summary", "revenue_by_nation"]
 )
