@@ -243,7 +243,55 @@ ORACLES["decontaminate_overlap"] = f"""
     WHERE d.source <> '{EVAL_SOURCE}'
 """
 
+# per-language sampling rates (percent) — the data-mixing knob: a
+# training mix typically downsamples over-represented languages/sources
+MIX_RATES: dict[str, int] = {"en": 30, "zh": 60}
+MIX_DEFAULT_RATE = 80
+
+
+def corpus_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling for corpus mixing: keep a
+    per-language fraction of documents, selected by a salted content-
+    independent hash of the doc_id — reproducible across runs, engines
+    and cluster sizes (no RNG state, no per-partition seed drift, the
+    property sampleBy cannot give across engines). One stateless scan:
+    the filter is pure expression logic and pushes into the plan like
+    any predicate; sampling 100 TB costs one read, no shuffle.
+    """
+    from ..functions.hashing import h60
+
+    docs = load_table(spark, sf_dir, "documents")
+    rate = F.lit(MIX_DEFAULT_RATE)
+    for lang, r in sorted(MIX_RATES.items()):
+        rate = F.when(F.col("lang") == lang, F.lit(r)).otherwise(rate)
+    bucket = h60(F.concat(F.lit("sample:"), F.col("doc_id").cast("string"))) % 100
+    return (
+        docs.where(bucket < rate)
+        .select("doc_id", "lang", "source", F.col("n_chars").alias("n_chars"))
+    )
+
+
+def _h60_sample_sql() -> str:
+    from ..functions.hashing import h60_sql
+
+    return h60_sql("'sample:' || CAST(doc_id AS VARCHAR)")
+
+
+def _rate_case_sql() -> str:
+    whens = " ".join(
+        f"WHEN lang = '{lang}' THEN {r}" for lang, r in sorted(MIX_RATES.items())
+    )
+    return f"CASE {whens} ELSE {MIX_DEFAULT_RATE} END"
+
+
+ORACLES["corpus_stratified_sample"] = f"""
+    SELECT doc_id, lang, source, n_chars
+    FROM documents
+    WHERE {_h60_sample_sql()} % 100 < {_rate_case_sql()}
+"""
+
 QUERIES = {
     "curation_keep_list": curation_keep_list,
     "decontaminate_overlap": decontaminate_overlap,
+    "corpus_stratified_sample": corpus_stratified_sample,
 }

@@ -742,6 +742,29 @@ def event_rank_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-snapshot per key (the SCD/compaction pattern): each
+    user's most recent event, via row_number over (ts desc, event_id
+    desc) — one shuffle on the key, per-partition top-1 under AQE,
+    never a global sort. The batch form of what a streaming upsert
+    sink maintains incrementally."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        events.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_id",
+            "ts",
+            "event_type",
+            F.round("value", 2).alias("value"),
+        )
+    )
+
+
 def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered funnel (signup → click → purchase) as ONE conditional
     aggregation: per user, the first timestamp of each stage, then the
@@ -826,6 +849,7 @@ QUERIES: dict[str, object] = {
     "big_order_customers": big_order_customers,
     "inactive_rich_customers": inactive_rich_customers,
     "top_supplier_by_revenue": top_supplier_by_revenue,
+    "latest_event_per_user": latest_event_per_user,
     "funnel_conversion": funnel_conversion,
     "running_user_value": running_user_value,
     "event_rank_stats": event_rank_stats,

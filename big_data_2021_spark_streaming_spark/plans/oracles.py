@@ -289,6 +289,18 @@ ORACLES["salted_type_totals"] = """
     GROUP BY event_type
 """
 
+ORACLES["latest_event_per_user"] = """
+    SELECT user_id, event_id, ts, event_type, ROUND(value, 2) AS value
+    FROM (
+        SELECT user_id, event_id, ts, event_type, value,
+               row_number() OVER (
+                   PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+               ) AS rn
+        FROM events
+    )
+    WHERE rn = 1
+"""
+
 ORACLES["funnel_conversion"] = """
     WITH per_user AS (
         SELECT user_id,
