@@ -742,6 +742,39 @@ def event_rank_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def daily_click_purchase_recon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-outer reconciliation: daily click vs purchase totals with
+    neither side allowed to drop days the other has — the standard
+    two-ledger comparison shape. Both sides aggregate BEFORE the join
+    (map-side combine; the join touches day-cardinality rows, not
+    events), then FullOuter + coalesce."""
+    events = load_table(spark, sf_dir, "events")
+
+    def daily(event_type: str, alias: str) -> DataFrame:
+        return (
+            events.where(F.col("event_type") == event_type)
+            .groupBy(F.date_trunc("day", "ts").alias("day"))
+            .agg(F.round(F.sum("value"), 2).alias(alias))
+        )
+
+    clicks, purchases = daily("click", "click_total"), daily("purchase", "purchase_total")
+    return clicks.join(purchases, "day", "full_outer").select(
+        "day",
+        F.coalesce("click_total", F.lit(0.0)).alias("click_total"),
+        F.coalesce("purchase_total", F.lit(0.0)).alias("purchase_total"),
+    )
+
+
+def click_and_error_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT set op: users present in both the click and the error
+    populations. Plans as a left-semi over two distinct-aggregated
+    sides — no row explosion."""
+    events = load_table(spark, sf_dir, "events")
+    clicks = events.where(F.col("event_type") == "click").select("user_id")
+    errors = events.where(F.col("event_type") == "error").select("user_id")
+    return clicks.intersect(errors)
+
+
 def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Latest-snapshot per key (the SCD/compaction pattern): each
     user's most recent event, via row_number over (ts desc, event_id
@@ -849,6 +882,8 @@ QUERIES: dict[str, object] = {
     "big_order_customers": big_order_customers,
     "inactive_rich_customers": inactive_rich_customers,
     "top_supplier_by_revenue": top_supplier_by_revenue,
+    "daily_click_purchase_recon": daily_click_purchase_recon,
+    "click_and_error_users": click_and_error_users,
     "latest_event_per_user": latest_event_per_user,
     "funnel_conversion": funnel_conversion,
     "running_user_value": running_user_value,

@@ -289,6 +289,29 @@ ORACLES["salted_type_totals"] = """
     GROUP BY event_type
 """
 
+ORACLES["daily_click_purchase_recon"] = """
+    WITH clicks AS (
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+               ROUND(SUM(value), 2) AS click_total
+        FROM events WHERE event_type = 'click' GROUP BY 1
+    ),
+    purchases AS (
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+               ROUND(SUM(value), 2) AS purchase_total
+        FROM events WHERE event_type = 'purchase' GROUP BY 1
+    )
+    SELECT COALESCE(c.day, p.day) AS day,
+           COALESCE(click_total, 0.0) AS click_total,
+           COALESCE(purchase_total, 0.0) AS purchase_total
+    FROM clicks c FULL OUTER JOIN purchases p ON c.day = p.day
+"""
+
+ORACLES["click_and_error_users"] = """
+    SELECT user_id FROM events WHERE event_type = 'click'
+    INTERSECT
+    SELECT user_id FROM events WHERE event_type = 'error'
+"""
+
 ORACLES["latest_event_per_user"] = """
     SELECT user_id, event_id, ts, event_type, ROUND(value, 2) AS value
     FROM (
