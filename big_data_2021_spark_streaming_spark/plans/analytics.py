@@ -620,27 +620,35 @@ BIG_ORDER_QTY = 150
 
 def big_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IN-subquery with HAVING (TPC-H Q18 pattern): customers whose
-    orders exceed a total-quantity threshold. The IN rewrites to a
-    left-semi join on orderkey; the outer aggregation then regroups
-    the surviving lines — two shuffles on the same key, which AQE can
-    plan back-to-back without a third exchange."""
-    return _sql_over(
-        spark,
-        sf_dir,
-        ["customer", "orders", "lineitem"],
-        f"""
-        SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate,
-               ROUND(o.o_totalprice, 2) AS o_totalprice,
-               ROUND(SUM(l.l_quantity), 2) AS total_qty
-        FROM customer c
-        JOIN orders o ON c.c_custkey = o.o_custkey
-        JOIN lineitem l ON o.o_orderkey = l.l_orderkey
-        WHERE o.o_orderkey IN (
-            SELECT l_orderkey FROM lineitem
-            GROUP BY l_orderkey HAVING SUM(l_quantity) > {BIG_ORDER_QTY}
+    orders exceed a total-quantity threshold.
+
+    The textbook plan scans lineitem twice (once for the HAVING
+    aggregate feeding the semi-join, once to regroup the surviving
+    lines) — but the HAVING aggregate IS the outer sum, so this plan
+    aggregates lineitem once, filters, and joins orders + customer:
+    one fact scan, one fact shuffle. The filtered aggregate is tiny
+    (only orders over the threshold survive), so AQE broadcasts it
+    into the orders join at runtime.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    big = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .where(F.col("total_qty") > BIG_ORDER_QTY)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            "total_qty",
         )
-        GROUP BY c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice
-        """,
     )
 
 
@@ -695,6 +703,220 @@ def top_supplier_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM supplier s JOIN rev ON s.s_suppkey = rev.l_suppkey
         WHERE rev.total_rev = (SELECT MAX(total_rev) FROM rev)
         """,
+    )
+
+
+def shipping_priority_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-aggregate top-k (TPC-H Q3 pattern): highest-revenue
+    unshipped orders for one market segment.
+
+    The segment filter prunes customer before the join; date filters
+    push into both parquet scans. The final top-10 plans as
+    TakeOrderedAndProject (per-partition heap + driver merge of 10
+    rows), never a global sort. Revenue is rounded *before* ranking
+    with an orderkey tiebreak so the cut is identical across engines
+    despite float-sum ordering differences.
+    """
+    cutoff = "1998-06-01 00:00:00"
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return (
+        lineitem.where(F.col("l_shipdate") > cutoff)
+        .join(orders.where(F.col("o_orderdate") < cutoff), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            customer.where(F.col("c_mktsegment") == "BUILDING").select("c_custkey"),
+            F.col("o_custkey") == F.col("c_custkey"),
+            "left_semi",
+        )
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.desc("revenue"), "o_orderkey")
+        .limit(10)
+    )
+
+
+def nation_pair_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bi-directional two-nation trade volume (TPC-H Q7 pattern):
+    revenue between a supplier nation and a customer nation, either
+    direction, by ship year.
+
+    Two independent broadcast joins of the 25-row nation dim (one per
+    role); the disjunctive pair filter runs after both enrichments on
+    already-small columns. The fact table shuffles only for the final
+    aggregate on (nation, nation, year) — low cardinality, no skew.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nkey"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nkey"))
+        .where(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+def market_share_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional-share ratio (TPC-H Q8 pattern): one supplier
+    nation's share of PROMO-part revenue sold into one region, per
+    order year. The share is a single conditional aggregate over the
+    enriched fact — no self-join of the numerator against the
+    denominator. Rounded to 6 places: the ratio of two float sums is
+    stable well past that boundary.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    part = load_table(spark, sf_dir, "part")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    cust_nations = (
+        nation.join(
+            F.broadcast(region.where(F.col("r_name") == "ASIA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+            "left_semi",
+        )
+        .select(F.col("n_nationkey").alias("c_nkey"))
+    )
+    supp_nation = nation.select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        lineitem.join(
+            F.broadcast(part.where(F.col("p_type") == "PROMO").select("p_partkey")),
+            F.col("l_partkey") == F.col("p_partkey"),
+            "left_semi",
+        )
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(cust_nations), F.col("c_nationkey") == F.col("c_nkey"), "left_semi")
+        .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(supp_nation), F.col("s_nationkey") == F.col("s_nkey"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_2", vol).otherwise(0.0))
+                / F.sum(vol),
+                6,
+            ).alias("mkt_share")
+        )
+    )
+
+
+def part_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-dim profit rollup (TPC-H Q9 pattern, minus the partsupp
+    cost leg absent from this schema): revenue on name-matched parts
+    grouped by supplier nation and order year. The LIKE filter prunes
+    part before its broadcast; nation is broadcast; lineitem shuffles
+    once for the (nation, year) aggregate.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supplier = load_table(spark, sf_dir, "supplier")
+    part = load_table(spark, sf_dir, "part")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        lineitem.join(
+            F.broadcast(part.where(F.col("p_name").like("%red%")).select("p_partkey")),
+            F.col("l_partkey") == F.col("p_partkey"),
+            "left_semi",
+        )
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "profit"
+            )
+        )
+    )
+
+
+def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outer-join count histogram (TPC-H Q13 pattern): how many
+    customers placed exactly N qualifying orders — zero included,
+    which is the point of the LEFT OUTER join (an inner join would
+    silently drop the no-order customers). COUNT(o_orderkey) counts
+    only matched rows; the second aggregate is over customer
+    cardinality, already small.
+    """
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        customer.join(
+            orders.where(F.col("o_orderpriority") != "5-LOW"),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left_outer",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+def disjunctive_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Disjunctive multi-clause predicate (TPC-H Q19 pattern): revenue
+    over three OR-ed (brand, size, quantity) clauses. The common
+    `l_partkey = p_partkey` stays an equi-join (no nested-loop
+    fallback); the per-clause part predicates are OR-able into the
+    broadcast side's scan, the quantity bounds into lineitem's.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    qty = F.col("l_quantity")
+    clause = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & qty.between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 10)
+            & qty.between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(1, 15)
+            & qty.between(20, 30)
+        )
+    )
+    return (
+        lineitem.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .where(clause)
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            F.count("*").alias("n_lines"),
+        )
     )
 
 
@@ -882,6 +1104,12 @@ QUERIES: dict[str, object] = {
     "big_order_customers": big_order_customers,
     "inactive_rich_customers": inactive_rich_customers,
     "top_supplier_by_revenue": top_supplier_by_revenue,
+    "shipping_priority_topk": shipping_priority_topk,
+    "nation_pair_volume": nation_pair_volume,
+    "market_share_by_year": market_share_by_year,
+    "part_profit_by_nation_year": part_profit_by_nation_year,
+    "customer_order_distribution": customer_order_distribution,
+    "disjunctive_part_revenue": disjunctive_part_revenue,
     "daily_click_purchase_recon": daily_click_purchase_recon,
     "click_and_error_users": click_and_error_users,
     "latest_event_per_user": latest_event_per_user,
