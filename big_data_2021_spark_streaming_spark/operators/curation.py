@@ -290,8 +290,82 @@ ORACLES["corpus_stratified_sample"] = f"""
     WHERE {_h60_sample_sql()} % 100 < {_rate_case_sql()}
 """
 
+def corpus_mixture_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mixture dashboard behind the sampling knob above: per
+    (lang, source) document counts, char volume, mean quality, and
+    corpus share. One scan + one tiny groupBy; the share denominator
+    is a window over the aggregated frame (strata-cardinality rows),
+    never a second corpus pass.
+
+    Mean quality is computed in EXACT integer micro-units: the per-doc
+    score is already a 6-decimal value, so ``round(quality * 1e6)`` is
+    an exact bigint, the sum is order-independent, and the half-up
+    mean is pure integer arithmetic ``(2s + n) div 2n`` — a sum of
+    6-decimal values divided by a small count lands exactly on a
+    half-rounding boundary about half the time (n=2 strata hit it for
+    any odd sum digit), where double rounding diverges between
+    engines; integers cannot.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    q = quality_lineage(docs, keep=("lang", "source", "n_chars"))
+    agg = q.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum(F.round(F.col("quality") * 1e6).cast("bigint")).alias("q_micro"),
+    )
+    return agg.select(
+        "lang",
+        "source",
+        "n_docs",
+        "total_chars",
+        (
+            F.expr("(2 * q_micro + n_docs) div (2 * n_docs)") / F.lit(1e6)
+        ).alias("avg_quality"),
+        F.round(
+            F.col("n_docs") / F.sum("n_docs").over(Window.partitionBy()), 6
+        ).alias("share"),
+    )
+
+
+def _mixture_sql() -> str:
+    from ..operators.text import STOPWORDS, _oracle_tokens
+
+    stop_list = ", ".join(f"'{w}'" for w in STOPWORDS)
+    return f"""
+        WITH t AS (
+            SELECT lang, source, n_chars,
+                   CAST(len({_oracle_tokens()}) AS INTEGER) AS n_tokens,
+                   CAST(len(list_filter({_oracle_tokens()},
+                                        t -> t IN ({stop_list}))) AS INTEGER)
+                       AS n_stop,
+                   CAST(list_sum(list_transform({_oracle_tokens()},
+                                                t -> length(t))) AS BIGINT)
+                       AS total_len
+            FROM documents
+        ),
+        q AS (
+            SELECT lang, source, n_chars,
+                   ROUND(least(n_tokens / 100.0, 1.0) * 0.5
+                         + (n_stop / n_tokens) * 0.3
+                         + least((total_len / n_tokens) / 10.0, 1.0) * 0.2,
+                         6) AS quality
+            FROM t
+        )
+        SELECT lang, source, COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+               ((2 * CAST(SUM(CAST(round(quality * 1e6) AS BIGINT)) AS BIGINT)
+                 + COUNT(*)) // (2 * COUNT(*))) / 1e6 AS avg_quality,
+               ROUND(COUNT(*) / CAST(SUM(COUNT(*)) OVER () AS DOUBLE), 6)
+                   AS share
+        FROM q GROUP BY lang, source
+    """
+
+
+ORACLES["corpus_mixture_report"] = _mixture_sql()
+
 QUERIES = {
     "curation_keep_list": curation_keep_list,
     "decontaminate_overlap": decontaminate_overlap,
     "corpus_stratified_sample": corpus_stratified_sample,
+    "corpus_mixture_report": corpus_mixture_report,
 }

@@ -236,6 +236,212 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+KM_K = 8  # clusters (deterministic seeds: vec_id < KM_K)
+KM_ITERS = 3  # Lloyd update rounds
+
+
+def _sq_dist(v, c) -> F.Column:
+    """Squared L2 as a sequential left fold — the same evaluation order
+    as the oracle's unrolled 64-term sum, so distances are bit-identical
+    across engines given identical inputs."""
+    return F.aggregate(
+        F.zip_with(v, c, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd k-means over the embedding corpus: KM_ITERS assignment /
+    update rounds from deterministic seeds (vec_id < KM_K), then the
+    final cell assignment — the training step the IVF index above
+    stubs out with seed centroids.
+
+    Scale shape (the same one MLlib's KMeans uses): centroids live on
+    the driver — they are K×DIM aggregate values, not data — and are
+    inlined as literal arrays into the assignment expression, so each
+    round is ONE corpus scan with a map-side-combined groupBy(cluster)
+    whose shuffle is K rows of (count, 64 sums). No crossJoin, no
+    window, no per-row Python. The per-round ``collect()`` moves ~K×DIM
+    numbers, which is the legitimate driver-side use: collecting an
+    aggregate, not the corpus.
+
+    Cross-engine exactness: component sums accumulate on
+    DECIMAL(27,12) — exact and order-independent, immune to Spark's
+    nondeterministic partial-agg order — and the mean is taken in
+    double precision identically on both sides, so assignments (and
+    the DuckDB oracle's unrolled replica) match bit-for-bit.
+    """
+    vecs = _vectors(spark, sf_dir)
+    cents: dict[int, list[float]] = {
+        int(r["vec_id"]): [float(x) for x in r["v"]]
+        for r in vecs.where(F.col("vec_id") < KM_K).select("vec_id", "v").collect()
+    }
+
+    def assign_expr() -> F.Column:
+        candidates = [
+            F.struct(
+                _sq_dist(F.col("v"), F.array(*[F.lit(x) for x in c])).alias("d"),
+                F.lit(cid).alias("cid"),
+            )
+            for cid, c in sorted(cents.items())
+        ]
+        # array_min on struct<d, cid> is lexicographic: argmin distance
+        # with a deterministic cluster-id tiebreak
+        return F.array_min(F.array(*candidates))
+
+    for _ in range(KM_ITERS):
+        assigned = vecs.withColumn("cluster_id", assign_expr().getField("cid"))
+        sums = assigned.groupBy("cluster_id").agg(
+            F.count(F.lit(1)).alias("n"),
+            *[
+                F.sum(F.element_at("v", i + 1).cast("decimal(27,12)")).alias(f"s{i}")
+                for i in range(DIM)
+            ],
+        )
+        for r in sums.collect():  # K rows — aggregate, not data
+            n = int(r["n"])
+            cents[int(r["cluster_id"])] = [
+                float(r[f"s{i}"]) / n for i in range(DIM)
+            ]
+        # clusters that captured no vectors keep their previous centroid
+
+    best = assign_expr()
+    return vecs.select(
+        "vec_id",
+        best.getField("cid").alias("cluster_id"),
+        F.round(best.getField("d"), 6).alias("dist_sq"),
+    )
+
+
+OUTLIER_TOP = 5  # farthest-from-centroid vectors reported per label
+
+
+def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding quality control: the OUTLIER_TOP vectors farthest from
+    their own label's centroid — mislabeled or corrupted embeddings
+    surface here before any expensive similarity work.
+
+    Fully relational (no driver loop — one centroid pass, unlike
+    k-means there is no iteration): label centroids come from one
+    map-side-combined groupBy on DECIMAL sums (exact, order-
+    independent), the centroid array is assembled AFTER the aggregation
+    exchange so it is materialized once per label (never re-inlined
+    per element), and the 10-row centroid table broadcasts back onto
+    the corpus for one distance scan + per-label top-k window.
+    """
+    vecs = _vectors(spark, sf_dir)
+    cents = (
+        vecs.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            *[
+                F.sum(F.element_at("v", i + 1).cast("decimal(27,12)")).alias(f"s{i}")
+                for i in range(DIM)
+            ],
+        )
+        .select(
+            "label",
+            F.array(
+                *[
+                    (F.col(f"s{i}").cast("double") / F.col("n")).alias(f"c{i}")
+                    for i in range(DIM)
+                ]
+            ).alias("c"),
+        )
+    )
+    scored = vecs.join(F.broadcast(cents), "label").select(
+        "label", "vec_id", _sq_dist(F.col("v"), F.col("c")).alias("d")
+    )
+    w = Window.partitionBy("label").orderBy(F.col("d").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= OUTLIER_TOP)
+        .select("label", "rank", "vec_id", F.round("d", 6).alias("dist_sq"))
+    )
+
+
+def _outliers_sql() -> str:
+    dist = " + ".join(
+        f"((v.v[{j}] - c.c[{j}]) * (v.v[{j}] - c.c[{j}]))"
+        for j in range(1, DIM + 1)
+    )
+    mean_list = ", ".join(
+        f"CAST(SUM(CAST(v[{j}] AS DECIMAL(27,12))) AS DOUBLE) / COUNT(*)"
+        for j in range(1, DIM + 1)
+    )
+    return f"""
+        WITH v AS (
+            SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings
+        ),
+        c AS (
+            SELECT label, [{mean_list}] AS c FROM v GROUP BY label
+        )
+        SELECT label, CAST(rank AS INTEGER) AS rank, vec_id,
+               ROUND(d, 6) AS dist_sq
+        FROM (
+            SELECT v.label, v.vec_id, {dist} AS d,
+                   row_number() OVER (
+                       PARTITION BY v.label
+                       ORDER BY {dist} DESC, v.vec_id) AS rank
+            FROM v JOIN c ON v.label = c.label
+        ) WHERE rank <= {OUTLIER_TOP}
+    """
+
+
+def _kmeans_sql() -> str:
+    """Unrolled Lloyd replica: c0 = seeds, then KM_ITERS×(assign CTE +
+    update CTE with empty-cluster COALESCE), then the final assignment.
+    The distance is an explicit left-associated 64-term sum matching
+    the Spark fold's evaluation order."""
+
+    def dist(v: str, c: str) -> str:
+        return " + ".join(
+            f"(({v}[{j}] - {c}[{j}]) * ({v}[{j}] - {c}[{j}]))"
+            for j in range(1, DIM + 1)
+        )
+
+    mean_list = ", ".join(
+        f"CAST(SUM(CAST(v[{j}] AS DECIMAL(27,12))) AS DOUBLE) / COUNT(*)"
+        for j in range(1, DIM + 1)
+    )
+    parts = [
+        "WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v"
+        " FROM embeddings)",
+        f"c0 AS (SELECT vec_id AS cluster_id, v AS c FROM v"
+        f" WHERE vec_id < {KM_K})",
+    ]
+    for i in range(1, KM_ITERS + 1):
+        parts.append(
+            f"""a{i} AS (
+            SELECT vec_id, v, cluster_id FROM (
+                SELECT v.vec_id, v.v, c.cluster_id,
+                       row_number() OVER (
+                           PARTITION BY v.vec_id
+                           ORDER BY {dist('v.v', 'c.c')}, c.cluster_id) AS rn
+                FROM v CROSS JOIN c{i - 1} c) WHERE rn = 1)"""
+        )
+        parts.append(
+            f"""c{i} AS (
+            SELECT p.cluster_id, COALESCE(n.c, p.c) AS c
+            FROM c{i - 1} p LEFT JOIN (
+                SELECT cluster_id, [{mean_list}] AS c
+                FROM a{i} GROUP BY cluster_id) n USING (cluster_id))"""
+        )
+    return (
+        ",\n".join(parts)
+        + f"""
+        SELECT vec_id, cluster_id, ROUND(d, 6) AS dist_sq FROM (
+            SELECT v.vec_id, c.cluster_id, {dist('v.v', 'c.c')} AS d,
+                   row_number() OVER (
+                       PARTITION BY v.vec_id
+                       ORDER BY {dist('v.v', 'c.c')}, c.cluster_id) AS rn
+            FROM v CROSS JOIN c{KM_ITERS} c) WHERE rn = 1
+    """
+    )
+
+
 def signature_sql(col_expr: str = "CAST(embedding AS DOUBLE[])") -> str:
     """DuckDB twin of ``_signature`` for an arbitrary DOUBLE[] expression
     (same inlined hyperplanes → bit-identical bucket ids). Shared with
@@ -365,10 +571,15 @@ ORACLES["similarity_ivf_topk"] = f"""
     FROM scored WHERE rank <= {TOPK}
 """
 
+ORACLES["kmeans_clusters"] = _kmeans_sql()
+ORACLES["embedding_outliers"] = _outliers_sql()
+
 QUERIES = {
     "similarity_topk": topk_bruteforce,
     "similarity_ivf_topk": ivf_topk,
     "similarity_lsh_signature": lsh_signature,
     "similarity_lsh_topk": lsh_topk,
     "embedding_norm_stats": embedding_norm_stats,
+    "kmeans_clusters": kmeans_clusters,
+    "embedding_outliers": embedding_outliers,
 }

@@ -64,10 +64,11 @@ def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def quality_lineage(docs: DataFrame) -> DataFrame:
+def quality_lineage(docs: DataFrame, keep: tuple[str, ...] = ()) -> DataFrame:
     """Quality-score lineage over any (doc_id, text) frame — batch or
     streaming (stateless: identical semantics either way, the
-    batch≡stream property tests rely on this)."""
+    batch≡stream property tests rely on this). ``keep`` passes extra
+    input columns through unchanged (for downstream group-bys)."""
     toks = tokens_col(F.col("text"))
     n_tokens = F.size(toks)
     n_stop = F.size(F.filter(toks, _in_set(STOPWORDS)))
@@ -83,6 +84,7 @@ def quality_lineage(docs: DataFrame) -> DataFrame:
     )
     return docs.select(
         "doc_id",
+        *keep,
         n_tokens.alias("n_tokens"),
         F.round(stop_ratio, 6).alias("stopword_ratio"),
         F.round(mean_len, 6).alias("mean_token_len"),
@@ -305,6 +307,127 @@ def _winnow_sql() -> str:
 
 ORACLES["text_winnow_fingerprints"] = _winnow_sql()
 
+def repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition diagnostics per document: top-word
+    fraction, type-token ratio, duplicate-bigram fraction, and the
+    longest same-word run — the cheap signals that catch boilerplate
+    and degenerate (repeated-phrase) documents before training.
+
+    Relational formulation throughout: tokens explode to one row per
+    position, bigrams come from a lead() window (never an array lambda
+    over a computed array — that re-inlines per element and goes
+    quadratic), and the longest run is gaps-and-islands: pos minus
+    row_number within (doc, token) is constant exactly along a
+    consecutive run. Shuffles only on doc_id-rooted keys; linear work
+    per token at any corpus size.
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = (
+        docs.select(
+            "doc_id", F.posexplode(tokens_col(F.col("text"))).alias("pos", "tok")
+        )
+        .where(F.col("tok") != "")
+    )
+    counts = tok.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    word_stats = counts.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.max("c").alias("top_count"),
+        F.count(F.lit(1)).alias("n_distinct"),
+    )
+    order = Window.partitionBy("doc_id").orderBy("pos")
+    bigram_stats = (
+        tok.withColumn("nxt", F.lead("tok").over(order))
+        .where(F.col("nxt").isNotNull())
+        .select("doc_id", F.concat_ws(" ", "tok", "nxt").alias("bigram"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.count_distinct("bigram").alias("n_distinct_bigrams"),
+        )
+    )
+    island = Window.partitionBy("doc_id", "tok").orderBy("pos")
+    run_stats = (
+        tok.withColumn("island", F.col("pos") - F.row_number().over(island))
+        .groupBy("doc_id", "tok", "island")
+        .agg(F.count(F.lit(1)).alias("run_len"))
+        .groupBy("doc_id")
+        .agg(F.max("run_len").alias("max_run_len"))
+    )
+    return (
+        word_stats.join(bigram_stats, "doc_id", "left_outer")
+        .join(run_stats, "doc_id")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(F.col("top_count") / F.col("n_tokens"), 6).alias("top_word_frac"),
+            F.round(F.col("n_distinct") / F.col("n_tokens"), 6).alias(
+                "type_token_ratio"
+            ),
+            F.round(
+                1 - F.col("n_distinct_bigrams") / F.col("n_bigrams"), 6
+            ).alias("dup_bigram_frac"),
+            "max_run_len",
+        )
+    )
+
+
+ORACLES["text_repetition_signals"] = f"""
+    WITH base AS (
+        SELECT doc_id, {_oracle_tokens()} AS toks FROM documents
+    ),
+    tok0 AS (
+        -- parallel unnests of equal length zip positionally in DuckDB
+        SELECT doc_id,
+               CAST(unnest(range(1, len(toks) + 1)) AS BIGINT) AS pos,
+               unnest(toks) AS tok
+        FROM base
+    ),
+    tok AS (SELECT * FROM tok0 WHERE tok <> ''),
+    counts AS (
+        SELECT doc_id, tok, COUNT(*) AS c FROM tok GROUP BY doc_id, tok
+    ),
+    word_stats AS (
+        SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens, MAX(c) AS top_count,
+               COUNT(*) AS n_distinct
+        FROM counts GROUP BY doc_id
+    ),
+    bigrams AS (
+        SELECT doc_id,
+               tok || ' ' || lead(tok) OVER (
+                   PARTITION BY doc_id ORDER BY pos) AS bigram
+        FROM tok
+    ),
+    bigram_stats AS (
+        SELECT doc_id, COUNT(*) AS n_bigrams,
+               COUNT(DISTINCT bigram) AS n_distinct_bigrams
+        FROM bigrams WHERE bigram IS NOT NULL GROUP BY doc_id
+    ),
+    runs AS (
+        SELECT doc_id, tok,
+               pos - row_number() OVER (
+                   PARTITION BY doc_id, tok ORDER BY pos) AS island
+        FROM tok
+    ),
+    run_stats AS (
+        SELECT doc_id, MAX(run_len) AS max_run_len FROM (
+            SELECT doc_id, COUNT(*) AS run_len
+            FROM runs GROUP BY doc_id, tok, island
+        ) GROUP BY doc_id
+    )
+    SELECT w.doc_id,
+           w.n_tokens,
+           ROUND(w.top_count / w.n_tokens, 6) AS top_word_frac,
+           ROUND(w.n_distinct / w.n_tokens, 6) AS type_token_ratio,
+           ROUND(1 - b.n_distinct_bigrams / CAST(b.n_bigrams AS DOUBLE), 6)
+               AS dup_bigram_frac,
+           r.max_run_len
+    FROM word_stats w
+    LEFT OUTER JOIN bigram_stats b ON w.doc_id = b.doc_id
+    JOIN run_stats r ON w.doc_id = r.doc_id
+"""
+
 TFIDF_TOP = 3
 
 
@@ -377,6 +500,7 @@ ORACLES["text_tfidf_topterms"] = f"""
 """
 
 QUERIES = {
+    "text_repetition_signals": repetition_signals,
     "text_tfidf_topterms": tfidf_topterms,
     "text_token_stats": token_stats,
     "text_quality_score": quality_score,

@@ -26,6 +26,14 @@ def plan(spark, name: str, mode: str = "formatted") -> str:
     )
 
 
+def nscans(p: str) -> int:
+    # formatted mode prints every node twice (tree + detail section);
+    # count the detail headers only
+    import re
+
+    return len(re.findall(r"^\(\d+\) Scan parquet", p, re.M))
+
+
 def test_q1_filter_pushes_predicate_and_prunes_columns(spark):
     p = plan(spark, "q1_filter")
     assert "PushedFilters" in p
@@ -111,9 +119,71 @@ def test_inactive_rich_customers_anti_join_with_pushed_cutoff(spark):
     assert "GreaterThanOrEqual(o_orderdate" in p
 
 
-def test_big_order_customers_in_subquery_is_semi_join(spark):
+def test_big_order_customers_single_fact_scan(spark):
+    # the HAVING aggregate doubles as the outer sum: lineitem must be
+    # scanned exactly once (3 scans total: lineitem, orders, customer)
     p = plan(spark, "big_order_customers")
+    assert nscans(p) == 3
+
+
+def test_shipping_priority_topk_take_ordered_with_pushed_dates(spark):
+    p = plan(spark, "shipping_priority_topk")
+    assert "TakeOrderedAndProject" in p
+    assert "GreaterThan(l_shipdate" in p  # date filter reaches the scan
+    assert "LessThan(o_orderdate" in p
+
+
+def test_nation_pair_volume_broadcasts_both_nation_roles(spark):
+    p = plan(spark, "nation_pair_volume")
+    assert p.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in p
+
+
+def test_market_share_semi_joins_prune_before_facts(spark):
+    p = plan(spark, "market_share_by_year")
     assert "LeftSemi" in p
+    assert "CartesianProduct" not in p
+
+
+def test_customer_order_distribution_keeps_outer_join(spark):
+    # zero-order customers are the point: the outer join must survive
+    # optimization (an inner rewrite would silently drop them)
+    p = plan(spark, "customer_order_distribution")
+    assert "LeftOuter" in p or "RightOuter" in p
+
+
+def test_disjunctive_part_revenue_stays_equi_join(spark):
+    # the OR-clauses share the partkey equi-condition; the join must
+    # not degrade to a nested loop
+    p = plan(spark, "disjunctive_part_revenue")
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_kmeans_assignment_is_scan_local(spark):
+    # literal-centroid argmin: the output plan is one scan + project —
+    # no join, no shuffle, no Python
+    p = plan(spark, "kmeans_clusters")
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p
+    assert p.count("Arguments: hashpartitioning") == 0
+
+
+def test_embedding_outliers_broadcasts_centroids(spark):
+    p = plan(spark, "embedding_outliers")
+    assert "BroadcastHashJoin" in p
+    assert p.count("HashAggregate") >= 2  # decimal sums combine map-side
+
+
+def test_mixture_report_is_single_corpus_scan(spark):
+    p = plan(spark, "corpus_mixture_report")
+    assert nscans(p) == 1
+
+
+def test_repetition_signals_no_cartesian(spark):
+    p = plan(spark, "text_repetition_signals")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
 
 
 def test_running_user_value_single_exchange(spark):
