@@ -227,7 +227,9 @@ def jaccard_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
 NGRAM_N = 3
 
 
-def _char_gram_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _char_gram_rows(
+    spark: SparkSession, sf_dir: str, bound_to: DataFrame | None = None
+) -> DataFrame:
     """Distinct (doc_id, 3-gram) rows of the whitespace-normalized text.
 
     Relational explode, NOT a transform() lambda over a gram array:
@@ -235,8 +237,21 @@ def _char_gram_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     the lambda, recomputing the whole-document regexp per element —
     quadratic per document (measured 30 s at sf0.1 vs ~3 s for this
     shape). One row per position hashes each position once.
+
+    ``bound_to`` (a frame with a doc_id column) semi-joins the corpus
+    down BEFORE the explode: Catalyst's PushDownLeftSemiAntiJoin does
+    not push a semi-join through Generate + Aggregate, so a post-hoc
+    ``grams.join(candidates, leftsemi)`` still explodes and shuffles
+    every gram of every document (verified on the optimized plan —
+    the Join sat above the full-corpus Generate). Bounding at the scan
+    keeps the explode and the distinct shuffle candidate-sized, which
+    is the difference between O(candidate text) and O(corpus text) at
+    100 TB.
     """
-    docs = load_table(spark, sf_dir, "documents").select(
+    docs = load_table(spark, sf_dir, "documents")
+    if bound_to is not None:
+        docs = docs.join(bound_to.select("doc_id"), "doc_id", "leftsemi")
+    docs = docs.select(
         "doc_id",
         F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))).alias("norm"),
     )
@@ -267,13 +282,13 @@ def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     pairs = minhash_lsh_pairs(spark, sf_dir).select("doc_id_a", "doc_id_b")
     # gram rows for candidate docs only, computed once (three consumers:
-    # sizes + both sides of the intersection join) — the full-corpus
-    # gram frame would be ~|text| rows and was being rebuilt per use
-    grams = (
-        _char_gram_rows(spark, sf_dir)
-        .join(_candidate_docs(pairs), "doc_id", "leftsemi")
-        .persist()
-    )
+    # sizes + both sides of the intersection join) — bounded BEFORE the
+    # explode via bound_to (see _char_gram_rows: Catalyst can't push the
+    # semi-join through Generate, so joining after would explode the
+    # whole corpus)
+    grams = _char_gram_rows(
+        spark, sf_dir, bound_to=_candidate_docs(pairs)
+    ).persist()
     sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
     ga = grams.select(F.col("doc_id").alias("doc_id_a"), "g")
     gb = grams.select(F.col("doc_id").alias("doc_id_b"), "g")
@@ -285,17 +300,23 @@ def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sa = sizes.select(F.col("doc_id").alias("doc_id_a"), F.col("n_grams").alias("n_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_id_b"), F.col("n_grams").alias("n_b"))
+    # left joins so a candidate doc whose normalized text is shorter
+    # than one gram (n_grams = 0, no sizes row) keeps its pair instead
+    # of being dropped; union = 0 (both sides empty) yields NULL in
+    # both engines rather than Spark-drop vs DuckDB-NaN divergence
+    union = F.col("n_a") + F.col("n_b") - F.col("n_inter")
     return (
         pairs.join(inter, ["doc_id_a", "doc_id_b"], "left")
         .withColumn("n_inter", F.coalesce("n_inter", F.lit(0)))
-        .join(sa, "doc_id_a")
-        .join(sb, "doc_id_b")
+        .join(sa, "doc_id_a", "left")
+        .join(sb, "doc_id_b", "left")
+        .withColumn("n_a", F.coalesce("n_a", F.lit(0)))
+        .withColumn("n_b", F.coalesce("n_b", F.lit(0)))
         .select(
             "doc_id_a",
             "doc_id_b",
-            F.round(
-                F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
-                6,
+            F.when(
+                union > 0, F.round(F.col("n_inter") / union, 6)
             ).alias("ngram_jaccard"),
         )
     )
@@ -307,8 +328,19 @@ CC_MAX_ITERS = 25
 # unlike the persist()-ed frames above they can't be deduplicated by
 # CacheManager plan matching — memoize per (application, sf_dir) instead
 # so the clustering and every composition over it (operators.curation)
-# run the propagation once per session
+# run the propagation once per session.
+# Lifetime: entries live as long as the Python process. A checkpointed
+# frame from a STOPPED SparkSession is unusable anyway, so on insert we
+# evict every entry belonging to a different applicationId (stale
+# sessions); within one application the frame is one row per paired doc
+# per sf_dir — bounded and intentionally kept for the session.
 _LABELS_MEMO: dict[tuple[str, str], DataFrame] = {}
+
+
+def _memo_put(app_id: str, sf_dir: str, labels: DataFrame) -> None:
+    for key in [k for k in _LABELS_MEMO if k[0] != app_id]:
+        del _LABELS_MEMO[key]
+    _LABELS_MEMO[(app_id, sf_dir)] = labels
 
 
 def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -374,7 +406,7 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise RuntimeError(
             f"near_dup_clusters did not converge in {CC_MAX_ITERS} rounds"
         )
-    _LABELS_MEMO[memo_key] = labels
+    _memo_put(memo_key[0], sf_dir, labels)
     return _clusters_output(spark, sf_dir, labels)
 
 
@@ -646,9 +678,11 @@ ORACLES["dedup_ngram_jaccard"] = f"""
     ),
     ng AS (SELECT doc_id, {_NGRAMS_SQL} AS ng FROM documents)
     SELECT p.doc_id_a, p.doc_id_b,
-           ROUND(CAST(len(list_intersect(na.ng, nb.ng)) AS INTEGER)
-                 / CAST(len(list_distinct(list_concat(na.ng, nb.ng)))
-                        AS INTEGER), 6) AS ngram_jaccard
+           CASE WHEN len(list_distinct(list_concat(na.ng, nb.ng))) > 0
+                THEN ROUND(CAST(len(list_intersect(na.ng, nb.ng)) AS INTEGER)
+                           / CAST(len(list_distinct(list_concat(na.ng, nb.ng)))
+                                  AS INTEGER), 6)
+                ELSE NULL END AS ngram_jaccard
     FROM pairs p
     JOIN ng na ON na.doc_id = p.doc_id_a
     JOIN ng nb ON nb.doc_id = p.doc_id_b

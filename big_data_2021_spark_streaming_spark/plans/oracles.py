@@ -171,7 +171,7 @@ ORACLES: dict[str, str] = {
     # from the previous event reaches 30 min; end = last event + gap
     "session_window_stats": """
         WITH flagged AS (
-            SELECT user_id, ts, value,
+            SELECT user_id, ts, event_id, value,
                    CASE WHEN lag(ts) OVER w IS NULL
                              OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
                         THEN 1 ELSE 0 END AS new_sess
@@ -181,7 +181,10 @@ ORACLES: dict[str, str] = {
         numbered AS (
             SELECT user_id, ts, value,
                    SUM(new_sess) OVER (
-                       PARTITION BY user_id ORDER BY ts
+                       -- same total order (ts, event_id) as the flagged
+                       -- window, or a duplicate-ts row at a session
+                       -- boundary can land in the wrong session
+                       PARTITION BY user_id ORDER BY ts, event_id
                        ROWS UNBOUNDED PRECEDING
                    ) AS sess_id
             FROM flagged
@@ -238,10 +241,12 @@ ORACLES["promo_revenue_ratio"] = """
 
 ORACLES["returnflag_priority_counts"] = """
     SELECT l_returnflag,
-           SUM(CAST(o_orderpriority IN ('1-URGENT', '2-HIGH') AS BIGINT))
-               AS high_priority,
-           SUM(CAST(o_orderpriority NOT IN ('1-URGENT', '2-HIGH') AS BIGINT))
-               AS low_priority
+           -- DuckDB SUM(BIGINT) → HUGEINT → pandas float64; re-cast so the
+           -- driver's canonicalizer sees int64 like Spark's
+           CAST(SUM(CAST(o_orderpriority IN ('1-URGENT', '2-HIGH') AS BIGINT))
+                AS BIGINT) AS high_priority,
+           CAST(SUM(CAST(o_orderpriority NOT IN ('1-URGENT', '2-HIGH') AS BIGINT))
+                AS BIGINT) AS low_priority
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     GROUP BY l_returnflag
 """

@@ -35,9 +35,11 @@ def all_queries() -> dict[str, QuerySpec]:
         for name, build in queries.items():
             registry[name] = QuerySpec(name, build, oracles.get(name))
 
-    add(analytics.QUERIES, ORACLES)
-    add(rsvp_fixture.QUERIES, rsvp_fixture.ORACLES)
-
+    # Registration order = the driver's grading order, and its gate has a
+    # budget (r02 stopped at 50/74, leaving the tail ungraded). Families
+    # least-recently hash-verified register FIRST: the r02-re-planned
+    # dedup plans and the similarity/text/multimodal/curation surface,
+    # then the rsvp fixtures, and the twice-proven analytics suite last.
     # Only a genuinely missing OPTIONAL third-party package may drop a
     # query family (with a warning); a typo'd import inside an operator
     # module must fail loudly, not silently shrink the correctness gate.
@@ -56,4 +58,6 @@ def all_queries() -> dict[str, QuerySpec]:
                 continue
             raise
         add(mod.QUERIES, mod.ORACLES)
+    add(rsvp_fixture.QUERIES, rsvp_fixture.ORACLES)
+    add(analytics.QUERIES, ORACLES)
     return registry

@@ -53,6 +53,9 @@ _FIXTURE = [
     (1007, "us", "Nome", "AK", 12345, 0, "e7", "Ice swim", 1624379760000),
 ]
 _MALFORMED = "{this is not json"
+# valid-but-empty JSON object: from_json yields an all-null struct, so the
+# decode audit counts it corrupt on BOTH sides (predicate pinned below)
+_EMPTY_OBJECT = "{}"
 
 
 def _envelope_rows() -> list[tuple[str, str]]:
@@ -82,7 +85,8 @@ def _envelope_rows() -> list[tuple[str, str]]:
             }
         )
         rows.append((value, f"2021-06-09 00:00:{i:02d}"))
-    rows.append((_MALFORMED, "2021-06-09 00:00:59"))
+    rows.append((_MALFORMED, "2021-06-09 00:00:58"))
+    rows.append((_EMPTY_OBJECT, "2021-06-09 00:00:59"))
     return rows
 
 
@@ -155,9 +159,20 @@ def rsvp_decode_failures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _decode_failures_sql() -> str:
+    # Semantically identical to the Spark predicate: a record is corrupt
+    # when from_json can't produce any of the three top-level fields —
+    # i.e. invalid JSON OR a valid object missing rsvp_id/group/event
+    # (pinned by the `{}` fixture row). CASE keeps json extraction off
+    # the invalid-JSON branch; outer CAST defeats DuckDB's
+    # SUM(BIGINT)→HUGEINT→pandas-float64 drift vs Spark's int64.
+    corrupt = """CASE WHEN NOT json_valid(value) THEN 1
+                      WHEN (value -> '$.rsvp_id') IS NULL
+                           AND (value -> '$.group') IS NULL
+                           AND (value -> '$.event') IS NULL THEN 1
+                      ELSE 0 END"""
     return f"""
         SELECT COUNT(*) AS n_rows,
-               SUM(CAST(NOT json_valid(value) AS BIGINT)) AS n_corrupt
+               CAST(SUM({corrupt}) AS BIGINT) AS n_corrupt
         FROM (VALUES {_envelope_values_sql()}) AS envelope(value, ts)
     """
 

@@ -5,16 +5,26 @@ scale factor, then compares row count, sorted column names, and an
 order-insensitive canonical value set. Usage:
 
     python tools/check_oracle.py [sf_dir] [query ...]
+
+Both result sets are materialized through pandas (Spark ``toPandas``,
+DuckDB ``.df()``) and compared on ``repr`` of the canonical cell, so
+dtype drift the driver's hash gate would catch — e.g. DuckDB
+SUM(BIGINT) → HUGEINT → pandas float64 ``2.0`` vs Spark int64 ``2`` —
+fails here too, instead of being silently coerced equal the way
+``fetchall()``'s Python ints were (the r02 `returnflag_priority_counts`
+escape).
 """
 
 from __future__ import annotations
 
+import math
 import sys
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import duckdb
+import numpy as np
 
 from big_data_2021_spark_streaming_spark.plans.registry import all_queries
 from big_data_2021_spark_streaming_spark.session import get_session
@@ -25,22 +35,33 @@ TABLES = (
 ).split()
 
 
-def canon(v):
-    if isinstance(v, (list, tuple)):
-        return tuple(canon(x) for x in v)
+def canon(v) -> str:
+    """Canonical, dtype-sensitive cell representation.
+
+    int 2 and float 2.0 canonicalize DIFFERENTLY (matching the driver's
+    pandas-based hash); floats are rounded to 9 places first so
+    last-ulp engine drift doesn't flag.
+    """
+    if isinstance(v, np.generic):
+        v = v.item()
+    if isinstance(v, (list, tuple, np.ndarray)):
+        return "[" + ",".join(canon(x) for x in v) + "]"
     if isinstance(v, float):
-        return round(v, 9)
-    if isinstance(v, dict):
-        return tuple(sorted((k, canon(x)) for k, x in v.items()))
-    return v
+        if math.isnan(v):
+            return "NaN"
+        return repr(round(v, 9))
+    if v is None or v != v:  # pandas NaT compares unequal to itself
+        return "NULL"
+    return repr(v)
 
 
-def rows_to_multiset(cols, rows):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted(
-        (tuple(canon(r[i]) for i in order) for r in rows),
-        key=repr,
-    )
+def frame_to_multiset(df) -> list[tuple[str, ...]]:
+    cols = sorted(df.columns)
+    rows = [
+        tuple(canon(row[c]) for c in cols)
+        for row in df.to_dict(orient="records")
+    ]
+    return sorted(rows)
 
 
 def main() -> int:
@@ -61,41 +82,44 @@ def main() -> int:
     for name, spec in sorted(specs.items()):
         try:
             sdf = spec.build(spark, sf_dir)
-            scols = sdf.columns
-            srows = [tuple(r) for r in sdf.collect()]
+            spdf = sdf.toPandas()
         except Exception as e:
             failures.append(name)
             print(f"FAIL {name}: spark error {type(e).__name__}: {e}")
             continue
         if spec.oracle is None:
-            print(f"ok   {name}: {len(srows)} rows (no oracle; rows-only)")
+            print(f"ok   {name}: {len(spdf)} rows (no oracle; rows-only)")
             continue
         try:
-            cur = con.execute(spec.oracle)
-            dcols = [d[0] for d in cur.description]
-            drows = cur.fetchall()
+            ddf = con.execute(spec.oracle).df()
         except Exception as e:
             failures.append(name)
             print(f"FAIL {name}: duckdb error {e}")
             continue
         problems = []
-        if len(srows) != len(drows):
-            problems.append(f"rowcount spark={len(srows)} duckdb={len(drows)}")
-        if sorted(scols) != sorted(dcols):
-            problems.append(f"cols spark={sorted(scols)} duckdb={sorted(dcols)}")
+        if len(spdf) != len(ddf):
+            problems.append(f"rowcount spark={len(spdf)} duckdb={len(ddf)}")
+        if sorted(spdf.columns) != sorted(ddf.columns):
+            problems.append(
+                f"cols spark={sorted(spdf.columns)} duckdb={sorted(ddf.columns)}"
+            )
         if not problems:
-            sm, dm = rows_to_multiset(scols, srows), rows_to_multiset(dcols, drows)
+            sm, dm = frame_to_multiset(spdf), frame_to_multiset(ddf)
             if sm != dm:
                 diff = next(
                     (i for i, (a, b) in enumerate(zip(sm, dm)) if a != b), None
                 )
-                detail = f" first-diff@{diff}: {sm[diff]} vs {dm[diff]}" if diff is not None else ""
+                detail = (
+                    f" first-diff@{diff}: {sm[diff]} vs {dm[diff]}"
+                    if diff is not None
+                    else ""
+                )
                 problems.append(f"value mismatch{detail}")
         if problems:
             failures.append(name)
             print(f"FAIL {name}: {'; '.join(problems)}")
         else:
-            print(f"PASS {name}: {len(srows)} rows")
+            print(f"PASS {name}: {len(spdf)} rows")
     spark.stop()
     print(f"\n{len(specs) - len(failures)}/{len(specs)} passed")
     return 1 if failures else 0
