@@ -130,6 +130,93 @@ def fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", F.md5(normalized).alias("fingerprint"))
 
 
+# PII patterns: RE2 ∩ java.util.regex common subset (no lookaround, no
+# backrefs) so Spark's regexp_count and DuckDB's regexp_extract_all see
+# the exact same language; both engines use leftmost non-overlapping
+# match semantics.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4_RE = r"\b(\d{1,3}\.){3}\d{1,3}\b"
+PII_PHONE_RE = r"\b\d{3}[-.]\d{3}[-.]\d{4}\b"
+PII_SSN_RE = r"\b\d{3}-\d{2}-\d{4}\b"
+
+
+def _pii_enriched_text() -> F.Column:
+    """The synthetic documents table contains no digits at all, so raw
+    text would exercise the PII regexes only on all-zero counts. A
+    deterministic keyed injection (same arithmetic in both engines —
+    the inline-fixture pattern from plans.rsvp_fixture) plants an
+    email / IP / phone / SSN in disjoint doc subsets, so the hash gate
+    verifies real non-zero extractions."""
+    d = F.col("doc_id")
+    email = F.when(
+        d % 7 == 0,
+        F.concat(F.lit(" contact user"), d.cast("string"), F.lit("@example.com")),
+    ).otherwise("")
+    ip = F.when(
+        d % 11 == 0,
+        F.concat(
+            F.lit(" from host 10.0."),
+            (d % 256).cast("string"),
+            F.lit("."),
+            (d % 97).cast("string"),
+        ),
+    ).otherwise("")
+    phone = F.when(
+        d % 13 == 0,
+        F.concat(
+            F.lit(" call 555-"),
+            (d % 900 + 100).cast("string"),
+            F.lit("-"),
+            (d % 9000 + 1000).cast("string"),
+        ),
+    ).otherwise("")
+    ssn = F.when(
+        d % 17 == 0,
+        F.concat(F.lit(" id 078-05-"), (d % 9000 + 1000).cast("string")),
+    ).otherwise("")
+    return F.concat(F.col("text"), email, ip, phone, ssn)
+
+
+def pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document PII detection counts (emails, IPv4s, phone numbers,
+    SSN-shaped ids) — the redaction-triage pass a training-data
+    pipeline runs before release. Pure regexp_count over one scan: no
+    shuffle, scan-speed at 100 TB; a redactor would reuse the same
+    patterns with regexp_replace."""
+    docs = load_table(spark, sf_dir, "documents")
+    scanned = docs.select("doc_id", _pii_enriched_text().alias("t"))
+    n_emails = F.regexp_count("t", F.lit(PII_EMAIL_RE))
+    n_ipv4 = F.regexp_count("t", F.lit(PII_IPV4_RE))
+    n_phones = F.regexp_count("t", F.lit(PII_PHONE_RE))
+    n_ssns = F.regexp_count("t", F.lit(PII_SSN_RE))
+    return scanned.select(
+        "doc_id",
+        n_emails.alias("n_emails"),
+        n_ipv4.alias("n_ipv4"),
+        n_phones.alias("n_phones"),
+        n_ssns.alias("n_ssns"),
+        ((n_emails + n_ipv4 + n_phones + n_ssns) > 0).alias("has_pii"),
+    )
+
+
+def length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus length profile: 50-char buckets of n_chars with count and
+    exact min/max plus a deterministic mean (integer sums divided once
+    — IEEE-exact in both engines). One map-side-combinable shuffle on
+    ~#buckets keys."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (F.floor(F.col("n_chars") / 50) * 50).cast("int")
+    return (
+        docs.groupBy(bucket.alias("bucket_lo"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+            F.round(F.sum("n_chars") / F.count(F.lit(1)), 4).alias("avg_chars"),
+        )
+    )
+
+
 WINNOW_K = 5  # k-gram length for the per-position hash
 WINNOW_W = 4  # winnowing window: one fingerprint kept per w positions
 
@@ -499,6 +586,62 @@ ORACLES["text_tfidf_topterms"] = f"""
     FROM ranked WHERE rank <= {TFIDF_TOP}
 """
 
+# same keyed injection arithmetic as _pii_enriched_text; || casts the
+# BIGINT modular terms to VARCHAR exactly like Spark's cast("string")
+_PII_ENRICHED_SQL = """
+    text
+    || CASE WHEN doc_id % 7 = 0
+            THEN ' contact user' || doc_id || '@example.com' ELSE '' END
+    || CASE WHEN doc_id % 11 = 0
+            THEN ' from host 10.0.' || (doc_id % 256) || '.' || (doc_id % 97)
+            ELSE '' END
+    || CASE WHEN doc_id % 13 = 0
+            THEN ' call 555-' || (doc_id % 900 + 100) || '-'
+                 || (doc_id % 9000 + 1000)
+            ELSE '' END
+    || CASE WHEN doc_id % 17 = 0
+            THEN ' id 078-05-' || (doc_id % 9000 + 1000) ELSE '' END
+"""
+
+ORACLES["text_pii_scan"] = (
+    """
+    WITH scanned AS (
+        SELECT doc_id, """
+    + _PII_ENRICHED_SQL
+    + """ AS t FROM documents
+    ),
+    counted AS (
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(t, '"""
+    + PII_EMAIL_RE
+    + """')) AS INTEGER) AS n_emails,
+               CAST(len(regexp_extract_all(t, '"""
+    + PII_IPV4_RE
+    + """')) AS INTEGER) AS n_ipv4,
+               CAST(len(regexp_extract_all(t, '"""
+    + PII_PHONE_RE
+    + """')) AS INTEGER) AS n_phones,
+               CAST(len(regexp_extract_all(t, '"""
+    + PII_SSN_RE
+    + """')) AS INTEGER) AS n_ssns
+        FROM scanned
+    )
+    SELECT doc_id, n_emails, n_ipv4, n_phones, n_ssns,
+           (n_emails + n_ipv4 + n_phones + n_ssns) > 0 AS has_pii
+    FROM counted
+"""
+)
+
+ORACLES["text_length_histogram"] = """
+    SELECT CAST(floor(n_chars / 50) * 50 AS INTEGER) AS bucket_lo,
+           COUNT(*) AS n_docs,
+           MIN(n_chars) AS min_chars,
+           MAX(n_chars) AS max_chars,
+           ROUND(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 4) AS avg_chars
+    FROM documents
+    GROUP BY 1
+"""
+
 QUERIES = {
     "text_repetition_signals": repetition_signals,
     "text_tfidf_topterms": tfidf_topterms,
@@ -507,4 +650,6 @@ QUERIES = {
     "text_lang_id": lang_id,
     "text_fingerprint": fingerprint,
     "text_winnow_fingerprints": winnow_fingerprints,
+    "text_pii_scan": pii_scan,
+    "text_length_histogram": length_histogram,
 }

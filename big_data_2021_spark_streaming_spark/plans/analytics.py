@@ -1072,7 +1072,217 @@ def sketch_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21's operator pattern — EXISTS + NOT EXISTS correlated to
+    the same table with an inequality on the correlation key — adapted
+    to this schema (no receipt/commit dates): a lineitem is "slow" when
+    it ships more than 60 days after the order date, and a supplier
+    "waits" on an order when it is the ONLY slow supplier among ≥2
+    suppliers on that order.
+
+    Spark-first rewrite: instead of two correlated self-joins over
+    lineitem (three scans + two shuffles of the fact table), ONE scan
+    computes per-order supplier counts (`countDistinct` + conditional
+    `countDistinct`), and the sole-slow supplier falls out of
+    ``max(when(slow, suppkey))`` — the Q18-style single-scan rewrite.
+    The DuckDB oracle keeps the classic EXISTS/NOT EXISTS form, so the
+    hash gate doubles as an equivalence proof of the rewrite."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    supplier = load_table(spark, sf_dir, "supplier")
+    li = lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+    slow = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    per_order = li.groupBy("o_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(slow, F.col("l_suppkey"))).alias("n_slow"),
+        F.max(F.when(slow, F.col("l_suppkey"))).alias("slow_supp"),
+    )
+    sole = per_order.where((F.col("n_supp") >= 2) & (F.col("n_slow") == 1))
+    return (
+        sole.join(
+            F.broadcast(supplier), sole.slow_supp == supplier.s_suppkey
+        )
+        .groupBy("s_name")
+        .agg(F.countDistinct("o_orderkey").alias("numwait"))
+    )
+
+
+def brand_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16's operator pattern — NOT IN subquery + COUNT(DISTINCT)
+    — adapted to this schema (no partsupp): how many distinct suppliers
+    shipped each (brand, size) of part, excluding suppliers in bad
+    standing (negative account balance), who are removed by an anti-join
+    against a broadcast-size exclusion list exactly where Q16's NOT IN
+    comment-filter subquery sits."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    bad = load_table(spark, sf_dir, "supplier").where(
+        F.col("s_acctbal") < 0
+    ).select(F.col("s_suppkey").alias("l_suppkey"))
+    return (
+        lineitem.join(F.broadcast(bad), "l_suppkey", "left_anti")
+        .join(part, lineitem.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+def value_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-QC anomaly flags: events whose value is > 3 sample standard
+    deviations from their event_type mean — the per-feature outlier
+    sweep a training-data pipeline runs before trusting a numeric
+    column.
+
+    Cross-engine determinism: mean/variance accumulate on DECIMAL
+    (exact, order-independent) over values pre-rounded to 6 places;
+    the float math (one subtraction, two divisions, sqrt) runs on those
+    exact sums with the SAME expression shape in both engines, so every
+    intermediate is an identically-rounded IEEE value — no
+    last-ulp-summation drift (the Window-SUM trap documented in
+    oracles.py)."""
+    events = load_table(spark, sf_dir, "events")
+    v6 = F.round("value", 6).cast("decimal(18,6)")
+    augmented = events.select("event_id", "event_type", "value", v6.alias("v6"))
+    stats = augmented.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v6").alias("s1"),
+        F.sum(F.col("v6") * F.col("v6")).alias("s2"),
+    )
+    s1d = F.col("s1").cast("double")
+    s2d = F.col("s2").cast("double")
+    nd = F.col("n").cast("double")
+    mean = s1d / nd
+    var = (s2d - s1d * s1d / nd) / (nd - F.lit(1.0))
+    z = (F.col("v6").cast("double") - mean) / F.sqrt(var)
+    return (
+        augmented.join(F.broadcast(stats), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            F.round("value", 2).alias("value"),
+            F.round(z, 4).alias("zscore"),
+        )
+        .where(F.abs(F.col("zscore")) > 3)
+    )
+
+
+def user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention triangle: users cohorted by the week of their
+    first event; n_users counts cohort members active k weeks later.
+    Two shuffles (per-user min, then per-cell distinct count) — both on
+    keys that scale with users, not events."""
+    events = load_table(spark, sf_dir, "events")
+    first = events.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = events.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("week")
+    ).distinct()
+    offset = (F.datediff("week", "cohort_week") / 7).cast("int")
+    return (
+        activity.join(first, "user_id")
+        .groupBy("cohort_week", offset.alias("week_offset"))
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+def event_hourly_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series regularization: per event_type, an hourly grid from
+    the corpus min to max hour with zero-filled count/sum — the
+    gap-fill a monitoring or feature pipeline needs before windowed
+    models (missing hours must exist as zeros).
+
+    The grid is time-bounded, not data-bounded: |hours| × |types| rows
+    regardless of corpus size (sequence explode over one aggregate
+    row), so at 100 TB the only data-sized work is the one hourly
+    pre-aggregation shuffle; the grid join is broadcast-sized."""
+    events = load_table(spark, sf_dir, "events")
+    bounds = events.agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    hours = bounds.select(
+        F.explode(
+            F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour")
+    )
+    types = events.select("event_type").distinct()
+    hourly = events.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("value").alias("sv"),
+    )
+    return (
+        hours.crossJoin(F.broadcast(types))
+        .join(hourly, ["hour", "event_type"], "left")
+        .select(
+            "hour",
+            "event_type",
+            F.coalesce("n", F.lit(0)).alias("n_events"),
+            F.round(F.coalesce("sv", F.lit(0.0)), 2).alias("sum_value"),
+        )
+    )
+
+
+def user_type_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 interval build: collapse each user's event stream into
+    validity intervals of constant event_type (gaps-and-islands), with
+    valid_to = next interval's start (NULL while current) — the
+    slowly-changing-dimension history table a warehouse derives from a
+    change feed. Two analytic passes over one shuffle on user_id; no
+    self-joins."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(
+            F.lag("event_type").over(w).isNull()
+            | (F.lag("event_type").over(w) != F.col("event_type")),
+            1,
+        )
+        .otherwise(0)
+        .alias("chg"),
+    )
+    runs = flagged.withColumn(
+        "run_id",
+        F.sum("chg").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    intervals = runs.groupBy("user_id", "run_id").agg(
+        # every row in a run shares one event_type by construction;
+        # max() keeps the aggregate order-insensitive
+        F.max("event_type").alias("event_type"),
+        F.min("ts").alias("valid_from"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    w2 = Window.partitionBy("user_id").orderBy("valid_from")
+    return intervals.select(
+        "user_id",
+        "event_type",
+        "valid_from",
+        F.lead("valid_from").over(w2).alias("valid_to"),
+        "n_events",
+    )
+
+
 QUERIES: dict[str, object] = {
+    # dict order = registry order = driver grading order (its gate has
+    # a budget; see plans/registry.py) — entries added or re-planned
+    # most recently go FIRST so they are graded before the suite that
+    # already has multiple green rounds on record.
+    "sole_late_supplier": sole_late_supplier,
+    "brand_supplier_variety": brand_supplier_variety,
+    "value_zscore_anomalies": value_zscore_anomalies,
+    "user_retention_cohorts": user_retention_cohorts,
+    "event_hourly_resample": event_hourly_resample,
+    "user_type_scd2": user_type_scd2,
     "q1_filter": q1_filter,
     "q2_join_enrich": q2_join_enrich,
     "q3_window_collect_set": q3_window_collect_set,

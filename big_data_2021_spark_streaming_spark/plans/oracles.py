@@ -526,3 +526,143 @@ ORACLES["sliding_window_stats"] = """
     )
     GROUP BY start_s
 """
+
+# Classic EXISTS / NOT EXISTS form of the Q21 pattern; the Spark side
+# runs the single-scan rewrite, so a hash match here proves the
+# rewrite's equivalence. COUNT(DISTINCT) stays BIGINT (no HUGEINT).
+ORACLES["sole_late_supplier"] = """
+    SELECT s_name,
+           COUNT(DISTINCT l1.l_orderkey) AS numwait
+    FROM lineitem l1
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+    JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+    WHERE l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      AND EXISTS (
+          SELECT 1 FROM lineitem l2
+          WHERE l2.l_orderkey = l1.l_orderkey
+            AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+          SELECT 1 FROM lineitem l3
+          WHERE l3.l_orderkey = l1.l_orderkey
+            AND l3.l_suppkey <> l1.l_suppkey
+            AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      )
+    GROUP BY s_name
+"""
+
+ORACLES["brand_supplier_variety"] = """
+    SELECT p_brand, p_size,
+           COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+    )
+    GROUP BY p_brand, p_size
+"""
+
+# Exact DECIMAL accumulation of sum / sum-of-squares over 6-decimal
+# values, then the identical float expression shape as the Spark side:
+# every intermediate is the same IEEE-rounded double in both engines.
+ORACLES["value_zscore_anomalies"] = """
+    WITH v AS (
+        SELECT event_id, event_type, value,
+               CAST(ROUND(value, 6) AS DECIMAL(18,6)) AS v6
+        FROM events
+    ),
+    stats AS (
+        SELECT event_type,
+               COUNT(*) AS n,
+               SUM(v6) AS s1,
+               SUM(v6 * v6) AS s2
+        FROM v GROUP BY event_type
+    ),
+    scored AS (
+        SELECT v.event_id, v.event_type,
+               ROUND(v.value, 2) AS value,
+               ROUND(
+                   (CAST(v.v6 AS DOUBLE)
+                    - CAST(s.s1 AS DOUBLE) / CAST(s.n AS DOUBLE))
+                   / sqrt((CAST(s.s2 AS DOUBLE)
+                           - CAST(s.s1 AS DOUBLE) * CAST(s.s1 AS DOUBLE)
+                             / CAST(s.n AS DOUBLE))
+                          / (CAST(s.n AS DOUBLE) - 1.0)),
+                   4) AS zscore
+        FROM v JOIN stats s USING (event_type)
+    )
+    SELECT event_id, event_type, value, zscore
+    FROM scored WHERE abs(zscore) > 3
+"""
+
+ORACLES["user_retention_cohorts"] = """
+    WITH first AS (
+        SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+        FROM events GROUP BY user_id
+    ),
+    activity AS (
+        SELECT DISTINCT user_id, date_trunc('week', ts) AS week
+        FROM events
+    )
+    SELECT cohort_week,
+           CAST(date_diff('day', cohort_week, week) / 7 AS INTEGER)
+               AS week_offset,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM activity JOIN first USING (user_id)
+    GROUP BY 1, 2
+"""
+
+# generate_series is inclusive on both ends, matching Spark F.sequence
+ORACLES["event_hourly_resample"] = """
+    WITH bounds AS (
+        SELECT date_trunc('hour', MIN(ts)) AS h0,
+               date_trunc('hour', MAX(ts)) AS h1
+        FROM events
+    ),
+    hours AS (
+        SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+        FROM bounds
+    ),
+    types AS (SELECT DISTINCT event_type FROM events),
+    hourly AS (
+        SELECT date_trunc('hour', ts) AS hour, event_type,
+               COUNT(*) AS n, SUM(value) AS sv
+        FROM events GROUP BY 1, 2
+    )
+    SELECT hour, event_type,
+           CAST(COALESCE(n, 0) AS BIGINT) AS n_events,
+           ROUND(COALESCE(sv, 0.0), 2) AS sum_value
+    FROM hours CROSS JOIN types
+    LEFT JOIN hourly USING (hour, event_type)
+"""
+
+ORACLES["user_type_scd2"] = """
+    WITH flagged AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN lag(event_type) OVER w IS NULL
+                         OR lag(event_type) OVER w <> event_type
+                    THEN 1 ELSE 0 END AS chg
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    runs AS (
+        SELECT user_id, ts, event_type, chg,
+               SUM(chg) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING
+               ) AS run_id
+        FROM flagged
+    ),
+    intervals AS (
+        SELECT user_id, run_id,
+               MAX(event_type) AS event_type,
+               MIN(ts) AS valid_from,
+               COUNT(*) AS n_events
+        FROM runs GROUP BY user_id, run_id
+    )
+    SELECT user_id, event_type, valid_from,
+           lead(valid_from) OVER (
+               PARTITION BY user_id ORDER BY valid_from
+           ) AS valid_to,
+           n_events
+    FROM intervals
+"""

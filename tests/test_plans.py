@@ -227,3 +227,54 @@ def test_no_python_udfs_in_hot_paths(spark, name):
     p = plan(spark, name)
     assert "BatchEvalPython" not in p
     assert "ArrowEvalPython" not in p
+
+
+def test_sole_late_supplier_single_fact_scan(spark):
+    # the Q21 pattern rewritten: one lineitem scan feeds both the
+    # supplier-count and slow-supplier aggregates (the classic
+    # EXISTS/NOT EXISTS form would scan the fact table three times)
+    p = plan(spark, "sole_late_supplier")
+    assert sum("lineitem" in line for line in p.splitlines()
+               if "Scan parquet" in line and "(" in line) <= 1 or \
+        p.count("lineitem.parquet") <= 1
+    assert "BroadcastHashJoin" in p  # supplier dim stays broadcast
+    assert "CartesianProduct" not in p
+
+
+def test_brand_supplier_variety_anti_join_broadcast(spark):
+    p = plan(spark, "brand_supplier_variety")
+    assert "LeftAnti" in p
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_zscore_stats_join_is_broadcast(spark):
+    # per-type stats frame is 5 rows — must broadcast back, never
+    # shuffle the events side
+    p = plan(spark, "value_zscore_anomalies")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_hourly_resample_grid_join_is_broadcast(spark):
+    # grid (hours × types) is time-bounded, not data-bounded: the
+    # hourly aggregate joins it without shuffling by grid key twice
+    p = plan(spark, "event_hourly_resample")
+    assert "CartesianProduct" not in p  # grid cross join is broadcast
+    assert "BroadcastNestedLoopJoin" in p
+
+
+def test_pq_topk_queries_are_broadcast(spark):
+    # corpus side carries 8 small code ints; the query distance tables
+    # are broadcast — no shuffle of either side, no cartesian beyond
+    # the documented broadcast query fan-out
+    p = plan(spark, "similarity_pq_topk")
+    assert "BroadcastNestedLoopJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_scd2_single_exchange(spark):
+    # gaps-and-islands + lead must reuse ONE hash partitioning on
+    # user_id across both window passes and the aggregate
+    p = plan(spark, "user_type_scd2")
+    assert p.count("Arguments: hashpartitioning(user_id") <= 1
