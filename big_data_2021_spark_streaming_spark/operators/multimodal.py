@@ -169,6 +169,37 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_frames(assets_from_documents(spark, sf_dir))
 
 
+def multimodal_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed-metadata analytics over the asset lake: per-media-type
+    storage volume and dimension stats — the capacity/profile report a
+    multimodal corpus needs before planning decode fleets. Media types
+    are a deterministic keyed assignment (the corpus is text-only), so
+    the group-by is exercised over a real multi-type frame. One
+    map-side-combinable shuffle on media_type; byte length comes from
+    the binary column itself (octet semantics, not char count)."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = (
+        F.when(F.col("doc_id") % 3 == 0, "image/jpeg")
+        .when(F.col("doc_id") % 3 == 1, "audio/wav")
+        .otherwise("text/plain")
+    )
+    assets = docs.select(
+        "doc_id",
+        media.alias("media_type"),
+        F.encode("text", "utf-8").alias("payload"),
+        (F.length("text") % 1024).cast("int").alias("meta_width"),
+        (F.length("text") % 768).cast("int").alias("meta_height"),
+    )
+    return assets.groupBy("media_type").agg(
+        F.count(F.lit(1)).alias("n_assets"),
+        F.sum(F.length("payload")).alias("total_bytes"),
+        F.round(
+            F.sum("meta_width") / F.count(F.lit(1)), 4
+        ).alias("avg_width"),
+        F.max("meta_height").alias("max_height"),
+    )
+
+
 ORACLES: dict[str, str] = {
     # the documents text is plain ASCII in the fixtures, so utf-8 byte
     # features are computable from the text itself
@@ -201,7 +232,28 @@ ORACLES: dict[str, str] = {
     """,
 }
 
+ORACLES["multimodal_type_stats"] = """
+    WITH assets AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 3 = 0 THEN 'image/jpeg'
+                    WHEN doc_id % 3 = 1 THEN 'audio/wav'
+                    ELSE 'text/plain' END AS media_type,
+               octet_length(encode(text)) AS n_bytes,
+               length(text) % 1024 AS meta_width,
+               length(text) % 768 AS meta_height
+        FROM documents
+    )
+    SELECT media_type,
+           COUNT(*) AS n_assets,
+           CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+           ROUND(CAST(SUM(meta_width) AS DOUBLE) / COUNT(*), 4) AS avg_width,
+           CAST(MAX(meta_height) AS INTEGER) AS max_height
+    FROM assets
+    GROUP BY media_type
+"""
+
 QUERIES = {
     "multimodal_decode": multimodal_decode,
     "multimodal_frame_sample": multimodal_frame_sample,
+    "multimodal_type_stats": multimodal_type_stats,
 }

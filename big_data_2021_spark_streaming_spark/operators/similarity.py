@@ -253,69 +253,110 @@ def pq_centroid(m: int, k: int) -> list[float]:
     ]
 
 
-def _pq_subdist_spark(v, m: int, k: int) -> F.Column:
-    """Squared L2 of subvector m to centroid (m, k): strict left-assoc
-    8-term sum — bit-identical to the oracle's unrolled SQL sum."""
-    c = pq_centroid(m, k)
-    expr = None
-    for d in range(PQ_SUBDIM):
-        x = F.element_at(v, m * PQ_SUBDIM + d + 1) - F.lit(c[d])
-        expr = x * x if expr is None else expr + (x * x)
-    return expr
+def _pq_centroid_rows() -> list[tuple[int, int, int, int]]:
+    """(global_dim, m, k, cq) for every codebook component, with cq in
+    integer MILLI-units (centroids are 3-decimal by construction, so
+    the quantization is exact)."""
+    return [
+        (m * PQ_SUBDIM + d, m, k, round(pq_centroid(m, k)[d] * 1000))
+        for m in range(PQ_M)
+        for k in range(PQ_K)
+        for d in range(PQ_SUBDIM)
+    ]
 
 
-def _pq_code_spark(v, m: int) -> F.Column:
-    dists = F.array(*[_pq_subdist_spark(v, m, k) for k in range(PQ_K)])
-    # first index of the min — pure float compares on identical doubles,
-    # so both engines pick the same code even on exact ties
-    return F.array_position(dists, F.array_min(dists)).cast("int")
+def _milli(x) -> F.Column:
+    # embedding components quantized to exact integer milli-units —
+    # the established cross-engine exact-integer pattern (see
+    # operators.curation): ROUND(x*1000)::BIGINT is identical in both
+    # engines, and every distance below is then EXACT integer math —
+    # no float summation order to pin, no codegen-hostile 1024-term
+    # expression trees (the first unrolled-expression version fell out
+    # of whole-stage codegen and ran 10× slower, interpreted)
+    return F.round(x * 1000).cast("bigint")
 
 
-def _pq_code_cols(v) -> list[F.Column]:
-    return [_pq_code_spark(v, m).alias(f"code_{m}") for m in range(PQ_M)]
+def _pq_codes_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, m, code): nearest codebook entry per subspace, fully
+    relational — posexplode components, broadcast-join the 1 024-row
+    codebook, one exact-integer aggregate, one argmin window. Every
+    stage is a codegen-friendly hash join/agg; distances are exact
+    BIGINTs so the aggregation is order-free."""
+    vecs = _vectors(spark, sf_dir)
+    comp = vecs.select(
+        "vec_id", F.posexplode("v").alias("gd", "x")
+    ).select("vec_id", "gd", _milli(F.col("x")).alias("xq"))
+    cents = spark.createDataFrame(
+        _pq_centroid_rows(), "gd INT, m INT, k INT, cq LONG"
+    )
+    diff = F.col("xq") - F.col("cq")
+    dists = (
+        comp.join(F.broadcast(cents), "gd")
+        .groupBy("vec_id", "m", "k")
+        .agg(F.sum(diff * diff).alias("dist"))
+    )
+    w = Window.partitionBy("vec_id", "m").orderBy("dist", "k")
+    return (
+        dists.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "m", (F.col("k") + 1).alias("code"))
+        # the compressed index: PQ_M ints per vector — persisting it is
+        # the point of PQ (the code table is what lives in memory at
+        # query time); pq_codes and pq_topk share one materialization
+        .persist()
+    )
 
 
 def pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization encoder: each vector compressed to PQ_M
-    4-bit codebook ids (64 dims ×4 B → 8 B) — the memory-side half of
-    IVF-PQ, the standard billion-scale ANN layout. One corpus scan,
-    constant 1 024-term codegen per row, no shuffle."""
-    vecs = _vectors(spark, sf_dir)
-    return vecs.select("vec_id", *_pq_code_cols(F.col("v")))
+    codebook ids (64 dims × 4 B → 8 nibbles) — the memory-side half of
+    IVF-PQ, the standard billion-scale ANN layout. Output is the wide
+    code table (one row per vector)."""
+    long = _pq_codes_long(spark, sf_dir)
+    return long.groupBy("vec_id").agg(
+        *[
+            F.max(F.when(F.col("m") == m, F.col("code")))
+            .cast("int")
+            .alias(f"code_{m}")
+            for m in range(PQ_M)
+        ]
+    )
 
 
 def pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric-distance (ADC) top-5 over PQ codes: each query builds
-    its PQ_M×PQ_K distance table against the codebooks (broadcast-sized
-    — 128 doubles/query); the corpus side is scanned as codes only, and
-    the approximate distance is 8 table lookups + 7 adds per candidate.
-    This is the compute shape that makes 100 TB ANN affordable: the
-    full-precision corpus is never touched at query time; production
-    composes it with the IVF cell probe (similarity_ivf_topk) to bound
-    candidates too."""
+    its PQ_M×PQ_K distance table against the codebooks (20×128 exact
+    integer entries — broadcast-sized); the corpus is touched only as
+    codes, and each candidate's approximate distance is 8 table lookups
+    summed exactly. This is the compute shape that makes 100 TB ANN
+    affordable — the full-precision corpus is never read at query time;
+    production composes it with the IVF cell probe
+    (similarity_ivf_topk) to bound candidates too."""
     vecs = _vectors(spark, sf_dir)
-    codes = vecs.select("vec_id", *_pq_code_cols(F.col("v")))
-    queries = vecs.where(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"),
-        *[
-            F.array(
-                *[_pq_subdist_spark(F.col("v"), m, k) for k in range(PQ_K)]
-            ).alias(f"table_{m}")
-            for m in range(PQ_M)
-        ],
-    )
-    adc = None
-    for m in range(PQ_M):
-        term = F.element_at(F.col(f"table_{m}"), F.col(f"code_{m}"))
-        adc = term if adc is None else adc + term
-    scored = (
-        codes.crossJoin(F.broadcast(queries))
-        .where(F.col("vec_id") != F.col("query_id"))
+    codes = _pq_codes_long(spark, sf_dir)
+    qcomp = (
+        vecs.where(F.col("vec_id") < N_QUERIES)
         .select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            adc.alias("adc"),
+            F.col("vec_id").alias("query_id"),
+            F.posexplode("v").alias("gd", "x"),
         )
+        .select("query_id", "gd", _milli(F.col("x")).alias("xq"))
+    )
+    cents = spark.createDataFrame(
+        _pq_centroid_rows(), "gd INT, m INT, k INT, cq LONG"
+    )
+    diff = F.col("xq") - F.col("cq")
+    qtab = (
+        qcomp.join(F.broadcast(cents), "gd")
+        .groupBy("query_id", "m", F.col("k").alias("code"))
+        .agg(F.sum(diff * diff).alias("qdist"))
+        .withColumn("code", F.col("code") + 1)
+    )
+    scored = (
+        codes.join(F.broadcast(qtab), ["m", "code"])
+        .where(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("qdist").alias("adc"))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("adc").asc(), F.col("neighbor_id")
@@ -327,8 +368,37 @@ def pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             "rank",
             "neighbor_id",
-            F.round("adc", 6).alias("approx_dist"),
+            # milli² units → distance² in micro-units; exact int / 1e6
+            F.round(F.col("adc") / F.lit(1_000_000.0), 6).alias(
+                "approx_dist"
+            ),
         )
+    )
+
+
+def dim_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(label, dimension) variance — the embedding-QC pass that
+    exposes collapsed or dead dimensions (a failure mode of bad
+    encoder checkpoints) before any ANN index is built on them.
+
+    Relational posexplode (one row per component), DECIMAL-exact
+    moment sums over 6-decimal-rounded components, variance as the
+    identical IEEE expression in both engines (the zscore pattern).
+    One shuffle on (label, dim) — 64×|labels| result rows."""
+    vecs = _vectors(spark, sf_dir)
+    exploded = vecs.select("label", F.posexplode("v").alias("dim", "x"))
+    v6 = F.round("x", 6).cast("decimal(18,6)")
+    agg = exploded.groupBy("label", "dim").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum(v6).alias("s1"),
+        F.sum(v6 * v6).alias("s2"),
+    )
+    s1d = F.col("s1").cast("double")
+    s2d = F.col("s2").cast("double")
+    nd = F.col("n_vecs").cast("double")
+    var = (s2d - s1d * s1d / nd) / (nd - F.lit(1.0))
+    return agg.select(
+        "label", "dim", "n_vecs", F.round(var, 6).alias("dim_var")
     )
 
 
@@ -671,71 +741,79 @@ ORACLES["kmeans_clusters"] = _kmeans_sql()
 ORACLES["embedding_outliers"] = _outliers_sql()
 
 
-def _pq_subdist_sql(vexpr: str, m: int, k: int) -> str:
-    """Unrolled left-assoc squared-L2 sum — SQL ``+`` associates left,
-    matching _pq_subdist_spark's fold term-for-term."""
-    terms = []
-    for d in range(PQ_SUBDIM):
-        idx = m * PQ_SUBDIM + d + 1
-        c = f"({pq_centroid(m, k)[d]:.3f})"
-        terms.append(f"(({vexpr}[{idx}] - {c}) * ({vexpr}[{idx}] - {c}))")
-    return " + ".join(terms)
-
-
-def _pq_dist_list_sql(vexpr: str, m: int) -> str:
-    return (
-        "["
-        + ", ".join(_pq_subdist_sql(vexpr, m, k) for k in range(PQ_K))
-        + "]"
+def _pq_cents_values_sql() -> str:
+    return ", ".join(
+        f"({gd}, {m}, {k}, {cq})" for gd, m, k, cq in _pq_centroid_rows()
     )
 
 
-def _pq_code_sql(vexpr: str, m: int) -> str:
-    lst = _pq_dist_list_sql(vexpr, m)
-    return (
-        f"CAST(list_position({lst}, list_aggregate({lst}, 'min')) AS INTEGER)"
-    )
+# shared CTE prefix: exact milli-unit components + the literal codebook
+# + per-(vec, subspace) argmin codes — integer math end to end, so both
+# engines agree bit-for-bit with no float-order pinning
+def _pq_codes_cte() -> str:
+    return f"""
+        comp0 AS (
+            SELECT vec_id,
+                   unnest(range(0, len(embedding))) AS gd,
+                   unnest(CAST(embedding AS DOUBLE[])) AS x
+            FROM embeddings
+        ),
+        comp AS (
+            SELECT vec_id, CAST(gd AS INTEGER) AS gd,
+                   CAST(ROUND(x * 1000) AS BIGINT) AS xq
+            FROM comp0
+        ),
+        cents(gd, m, k, cq) AS (VALUES {_pq_cents_values_sql()}),
+        dists AS (
+            SELECT vec_id, m, k,
+                   SUM((xq - cq) * (xq - cq)) AS dist
+            FROM comp JOIN cents USING (gd)
+            GROUP BY vec_id, m, k
+        ),
+        codes AS (
+            SELECT vec_id, m, k + 1 AS code
+            FROM (
+                SELECT vec_id, m, k,
+                       row_number() OVER (
+                           PARTITION BY vec_id, m ORDER BY dist, k
+                       ) AS rn
+                FROM dists
+            ) WHERE rn = 1
+        )
+    """
 
 
 def _pq_codes_sql() -> str:
-    cols = ",\n               ".join(
-        f"{_pq_code_sql('v', m)} AS code_{m}" for m in range(PQ_M)
+    wide = ",\n               ".join(
+        f"CAST(MAX(CASE WHEN m = {m} THEN code END) AS INTEGER) AS code_{m}"
+        for m in range(PQ_M)
     )
     return f"""
-        WITH ve AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-                    FROM embeddings)
+        WITH {_pq_codes_cte()}
         SELECT vec_id,
-               {cols}
-        FROM ve
+               {wide}
+        FROM codes
+        GROUP BY vec_id
     """
 
 
 def _pq_topk_sql() -> str:
-    code_cols = ",\n                   ".join(
-        f"{_pq_code_sql('v', m)} AS code_{m}" for m in range(PQ_M)
-    )
-    table_cols = ",\n                   ".join(
-        f"{_pq_dist_list_sql('v', m)} AS table_{m}" for m in range(PQ_M)
-    )
-    adc = " + ".join(f"q.table_{m}[c.code_{m}]" for m in range(PQ_M))
     return f"""
-        WITH ve AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-                    FROM embeddings),
-        codes AS (
-            SELECT vec_id,
-                   {code_cols}
-            FROM ve
-        ),
-        q AS (
-            SELECT vec_id AS query_id,
-                   {table_cols}
-            FROM ve WHERE vec_id < {N_QUERIES}
+        WITH {_pq_codes_cte()},
+        qtab AS (
+            SELECT comp.vec_id AS query_id, m, k + 1 AS code,
+                   SUM((xq - cq) * (xq - cq)) AS qdist
+            FROM comp JOIN cents USING (gd)
+            WHERE comp.vec_id < {N_QUERIES}
+            GROUP BY 1, 2, 3
         ),
         scored AS (
             SELECT q.query_id, c.vec_id AS neighbor_id,
-                   {adc} AS adc
-            FROM codes c CROSS JOIN q
+                   SUM(q.qdist) AS adc
+            FROM codes c
+            JOIN qtab q ON q.m = c.m AND q.code = c.code
             WHERE c.vec_id <> q.query_id
+            GROUP BY 1, 2
         ),
         ranked AS (
             SELECT query_id, neighbor_id, adc,
@@ -745,7 +823,7 @@ def _pq_topk_sql() -> str:
             FROM scored
         )
         SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id,
-               ROUND(adc, 6) AS approx_dist
+               ROUND(adc / 1000000.0, 6) AS approx_dist
         FROM ranked WHERE rank <= {TOPK}
     """
 
@@ -753,10 +831,36 @@ def _pq_topk_sql() -> str:
 ORACLES["similarity_pq_codes"] = _pq_codes_sql()
 ORACLES["similarity_pq_topk"] = _pq_topk_sql()
 
+# parallel unnests zip row-wise (the WITH-ORDINALITY substitute);
+# range() is half-open so dim is 0-based like posexplode
+ORACLES["embedding_dim_variance"] = """
+    WITH ex AS (
+        SELECT label,
+               unnest(range(0, len(embedding))) AS dim,
+               unnest(CAST(embedding AS DOUBLE[])) AS x
+        FROM embeddings
+    ),
+    moments AS (
+        SELECT label, CAST(dim AS INTEGER) AS dim,
+               COUNT(*) AS n_vecs,
+               SUM(CAST(ROUND(x, 6) AS DECIMAL(18,6))) AS s1,
+               SUM(CAST(ROUND(x, 6) AS DECIMAL(18,6))
+                   * CAST(ROUND(x, 6) AS DECIMAL(18,6))) AS s2
+        FROM ex GROUP BY 1, 2
+    )
+    SELECT label, dim, n_vecs,
+           ROUND((CAST(s2 AS DOUBLE)
+                  - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                    / CAST(n_vecs AS DOUBLE))
+                 / (CAST(n_vecs AS DOUBLE) - 1.0), 6) AS dim_var
+    FROM moments
+"""
+
 QUERIES = {
     # new-in-round-3 entries first: registry order = driver grading order
     "similarity_pq_codes": pq_codes,
     "similarity_pq_topk": pq_topk,
+    "embedding_dim_variance": dim_variance,
     "similarity_topk": topk_bruteforce,
     "similarity_ivf_topk": ivf_topk,
     "similarity_lsh_signature": lsh_signature,

@@ -1272,6 +1272,51 @@ def user_type_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def value_equidepth_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth histogram: ntile(10) splits each event_type's values
+    into ten equal-count buckets with exact bounds — the profile that
+    drives skew-aware partitioning and bucketed sampling choices. One
+    shuffle on event_type; the sort is per-partition within the window."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    binned = events.select(
+        "event_type",
+        "value",
+        F.ntile(10).over(w).alias("decile"),
+    )
+    return binned.groupBy("event_type", "decile").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.min("value"), 2).alias("lo"),
+        F.round(F.max("value"), 2).alias("hi"),
+    )
+
+
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS beyond rollup/cube (which only express the
+    power-set family): revenue by nation, by order priority, and the
+    grand total in ONE aggregate pass, with grouping_id disambiguating
+    the all-null rows. Expand + single shuffle — the same plan family
+    Spark gives rollup/cube."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("gs_orders")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("gs_customer")
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("gs_nation")
+    return spark.sql(
+        """
+        SELECT n_name AS nation_name,
+               o_orderpriority,
+               CAST(grouping_id(n_name, o_orderpriority) AS INT) AS gid,
+               COUNT(*) AS n_orders,
+               ROUND(SUM(o_totalprice), 2) AS revenue
+        FROM gs_orders
+        JOIN gs_customer ON o_custkey = c_custkey
+        JOIN gs_nation ON c_nationkey = n_nationkey
+        GROUP BY GROUPING SETS ((n_name), (o_orderpriority), ())
+        """
+    )
+
+
 QUERIES: dict[str, object] = {
     # dict order = registry order = driver grading order (its gate has
     # a budget; see plans/registry.py) — entries added or re-planned
@@ -1283,6 +1328,8 @@ QUERIES: dict[str, object] = {
     "user_retention_cohorts": user_retention_cohorts,
     "event_hourly_resample": event_hourly_resample,
     "user_type_scd2": user_type_scd2,
+    "value_equidepth_deciles": value_equidepth_deciles,
+    "grouping_sets_revenue": grouping_sets_revenue,
     "q1_filter": q1_filter,
     "q2_join_enrich": q2_join_enrich,
     "q3_window_collect_set": q3_window_collect_set,

@@ -666,3 +666,34 @@ ORACLES["user_type_scd2"] = """
            n_events
     FROM intervals
 """
+
+ORACLES["value_equidepth_deciles"] = """
+    WITH binned AS (
+        SELECT event_type, value,
+               ntile(10) OVER (
+                   PARTITION BY event_type ORDER BY value, event_id
+               ) AS decile
+        FROM events
+    )
+    SELECT event_type,
+           CAST(decile AS INTEGER) AS decile,
+           COUNT(*) AS n_events,
+           ROUND(MIN(value), 2) AS lo,
+           ROUND(MAX(value), 2) AS hi
+    FROM binned
+    GROUP BY event_type, decile
+"""
+
+# GROUPING(a, b) bitmask is MSB-first in both engines (Postgres
+# convention), matching Spark's grouping_id(n_name, o_orderpriority)
+ORACLES["grouping_sets_revenue"] = """
+    SELECT n_name AS nation_name,
+           o_orderpriority,
+           CAST(GROUPING(n_name, o_orderpriority) AS INTEGER) AS gid,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS revenue
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY GROUPING SETS ((n_name), (o_orderpriority), ())
+"""

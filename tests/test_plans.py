@@ -264,12 +264,14 @@ def test_hourly_resample_grid_join_is_broadcast(spark):
     assert "BroadcastNestedLoopJoin" in p
 
 
-def test_pq_topk_queries_are_broadcast(spark):
-    # corpus side carries 8 small code ints; the query distance tables
-    # are broadcast — no shuffle of either side, no cartesian beyond
-    # the documented broadcast query fan-out
+def test_pq_topk_is_all_broadcast_hash_joins(spark):
+    # fully relational ADC: codebook and query distance tables join as
+    # broadcast hash joins on (m, code)/(gd) — never a shuffle of the
+    # corpus side, never a cartesian, no giant expression trees (the
+    # unrolled-expression formulation fell out of whole-stage codegen)
     p = plan(spark, "similarity_pq_topk")
-    assert "BroadcastNestedLoopJoin" in p
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
     assert "SortMergeJoin" not in p
 
 
