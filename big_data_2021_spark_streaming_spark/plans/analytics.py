@@ -28,6 +28,21 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..sources.batch import load_table
 
+
+def _epoch_us(c) -> F.Column:
+    """Microseconds since epoch, NTZ-tolerant.
+
+    The driver's parquet tables carry tz-naive ``timestamp[us]`` (Spark
+    TIMESTAMP_NTZ), and ``unix_micros`` only accepts TIMESTAMP. The
+    session timezone is pinned UTC (session.py), so the NTZ→TIMESTAMP
+    cast is the identity on the wall-clock and matches DuckDB's
+    epoch-of-naive-timestamp semantics; on tz-aware inputs the cast is
+    a no-op.
+    """
+    col = F.col(c) if isinstance(c, str) else c
+    return F.unix_micros(col.cast("timestamp"))
+
+
 # ---------------------------------------------------------------------------
 # Reference-shaped queries (Q1/Q2/Q3 re-expressed on the events table)
 # ---------------------------------------------------------------------------
@@ -372,7 +387,7 @@ def user_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gaps = events.withColumn(
         "gap_sec",
-        (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))) / F.lit(1000000.0),
+        (_epoch_us("ts") - _epoch_us(F.lag("ts").over(w))) / F.lit(1000000.0),
     )
     return gaps.groupBy("user_id").agg(
         F.round(F.avg("gap_sec"), 4).alias("avg_gap_sec"),
@@ -497,7 +512,9 @@ def range_join_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     join partition — the standard interval-bucketing rewrite. The
     interval filter then runs on the tiny candidate set."""
     events = load_table(spark, sf_dir, "events")
-    bucket = lambda c: F.floor(F.unix_seconds(c) / RANGE_JOIN_WINDOW_SEC)  # noqa: E731
+    bucket = lambda c: F.floor(  # noqa: E731
+        _epoch_us(c) / (RANGE_JOIN_WINDOW_SEC * 1_000_000)
+    )
     clicks = events.where(F.col("event_type") == "click").select(
         F.col("event_id").alias("click_event_id"),
         "user_id",
@@ -524,7 +541,7 @@ def range_join_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(
             (F.col("purchase_ts") >= F.col("click_ts"))
             & (
-                F.unix_micros("purchase_ts") - F.unix_micros("click_ts")
+                _epoch_us("purchase_ts") - _epoch_us("click_ts")
                 <= RANGE_JOIN_WINDOW_SEC * 1_000_000
             )
         )
@@ -533,7 +550,7 @@ def range_join_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             "purchase_event_id",
             "user_id",
             F.round(
-                (F.unix_micros("purchase_ts") - F.unix_micros("click_ts"))
+                (_epoch_us("purchase_ts") - _epoch_us("click_ts"))
                 / 1_000_000.0,
                 6,
             ).alias("secs_between"),
