@@ -67,6 +67,52 @@ def curation_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# squared-distance gate for the embedding signal: at sf0.01 the
+# per-label centroid distances sit in [0.93, 1.10] with p80 ≈ 1.01, so
+# 1.02 flags a meaningful ~15-20% tail without degenerating to all/none
+EMBED_MAX_DIST_SQ = 1.02
+
+
+def multisignal_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal keep/drop: a document survives iff its TEXT quality
+    clears the bar AND its EMBEDDING is not an outlier vs its label
+    centroid — the two-signal gate a multimodal curation pipeline runs
+    (cheap text heuristics first, encoder-space QC second; documents
+    and embeddings are 1:1 on doc_id = vec_id).
+
+    Plan shape: quality is a stateless corpus scan; the embedding side
+    is one DECIMAL-exact centroid aggregation + a broadcast-back
+    distance scan (the embedding_outliers lineage, pre-top-k); the two
+    signals meet in ONE equi-join on the id. No all-pairs work
+    anywhere, so the plan scales linearly in both tables. The keep
+    decision compares the raw double distance (bit-identical across
+    engines — sequential fold ≡ unrolled left-associated sum); only
+    the REPORTED dist_sq is rounded."""
+    from ..operators.similarity import label_centroid_distances
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    quality = quality_lineage(docs).select("doc_id", "quality")
+    scored = label_centroid_distances(spark, sf_dir)
+    quality_ok = F.col("quality") >= QUALITY_MIN
+    embed_ok = F.col("d") <= EMBED_MAX_DIST_SQ
+    reason = (
+        F.when(~quality_ok, F.lit("low_quality"))
+        .when(~embed_ok, F.lit("embed_outlier"))
+        .otherwise(F.lit("ok"))
+    )
+    return (
+        quality.join(scored, quality.doc_id == scored.vec_id)
+        .select(
+            "doc_id",
+            "label",
+            "quality",
+            F.round("d", 6).alias("dist_sq"),
+            (quality_ok & embed_ok).alias("keep"),
+            reason.alias("reason"),
+        )
+    )
+
+
 # word-n-gram width and flag threshold. Real decontamination uses 8-13
 # word grams; the synthetic corpus's vocabulary is tiny, so 3-grams are
 # used here to produce a non-degenerate overlap distribution while
@@ -203,6 +249,29 @@ ORACLES["curation_keep_list"] = f"""
     JOIN q USING (doc_id)
     LEFT JOIN comp c USING (doc_id)
 """
+
+def _multisignal_sql() -> str:
+    from ..operators.similarity import centroid_scored_cte_sql
+
+    return f"""
+        WITH {_QUALITY_CTE},
+        {centroid_scored_cte_sql()}
+        SELECT q.doc_id,
+               s.label,
+               q.quality,
+               ROUND(s.d, 6) AS dist_sq,
+               (q.quality >= {QUALITY_MIN}
+                AND s.d <= {EMBED_MAX_DIST_SQ}) AS keep,
+               CASE
+                   WHEN q.quality < {QUALITY_MIN} THEN 'low_quality'
+                   WHEN s.d > {EMBED_MAX_DIST_SQ} THEN 'embed_outlier'
+                   ELSE 'ok'
+               END AS reason
+        FROM q JOIN scored s ON s.vec_id = q.doc_id
+    """
+
+
+ORACLES["curation_multisignal_gate"] = _multisignal_sql()
 
 ORACLES["decontaminate_overlap"] = f"""
     WITH pos AS (
@@ -364,6 +433,8 @@ def _mixture_sql() -> str:
 ORACLES["corpus_mixture_report"] = _mixture_sql()
 
 QUERIES = {
+    # new-in-round-3 entries first: registry order = driver grading order
+    "curation_multisignal_gate": multisignal_gate,
     "curation_keep_list": curation_keep_list,
     "decontaminate_overlap": decontaminate_overlap,
     "corpus_stratified_sample": corpus_stratified_sample,

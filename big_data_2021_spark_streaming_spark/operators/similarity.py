@@ -170,25 +170,19 @@ NLIST = 16  # IVF cells (deterministic seed centroids)
 NPROBE = 2  # cells searched per query
 
 
-def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF (inverted-file) approximate top-k — the other standard ANN
-    architecture beside hyperplane LSH: coarse-quantize the corpus into
-    NLIST cells (nearest-centroid assignment), then search each query
-    against only its NPROBE nearest cells.
-
-    Centroids are a deterministic seed sample (vec_id ∈ [N_QUERIES,
-    N_QUERIES+NLIST)) standing in for the k-means training step, so the
-    DuckDB oracle reproduces every cell bit-for-bit; production swaps
-    in trained centroids without touching the plan. Plan shape: the
-    assignment pass is one corpus scan against a broadcast centroid
-    list (NLIST stays broadcast-sized even at thousands of cells), and
-    the probe is an equi-join on cell_id — candidate work is bounded by
-    cell occupancy, never the corpus.
-    """
-    vecs = _vectors(spark, sf_dir)
-    cents = vecs.where(
+def _ivf_cells(vecs: DataFrame) -> DataFrame:
+    """Seed IVF centroids (vec_id ∈ [N_QUERIES, N_QUERIES+NLIST)) —
+    deterministic stand-in for the k-means training step, shared by
+    ivf_topk and ivf_pq_topk."""
+    return vecs.where(
         (F.col("vec_id") >= N_QUERIES) & (F.col("vec_id") < N_QUERIES + NLIST)
     ).select(F.col("vec_id").alias("cell_id"), F.col("v").alias("c"))
+
+
+def _nearest_cells_fn(cents: DataFrame):
+    """(side, id_col, v_col, n) -> n nearest cells per row: one scan of
+    the side against the broadcast centroid list + a per-row top-n
+    window. NLIST stays broadcast-sized at thousands of cells."""
 
     def nearest_cells(side: DataFrame, id_col: str, v_col: str, n: int) -> DataFrame:
         w = Window.partitionBy(id_col).orderBy(
@@ -207,13 +201,36 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(id_col, v_col, "cell_id")
         )
 
+    return nearest_cells
+
+
+def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) approximate top-k — the other standard ANN
+    architecture beside hyperplane LSH: coarse-quantize the corpus into
+    NLIST cells (nearest-centroid assignment), then search each query
+    against only its NPROBE nearest cells.
+
+    Centroids are a deterministic seed sample (vec_id ∈ [N_QUERIES,
+    N_QUERIES+NLIST)) standing in for the k-means training step, so the
+    DuckDB oracle reproduces every cell bit-for-bit; production swaps
+    in trained centroids without touching the plan. Plan shape: the
+    assignment pass is one corpus scan against a broadcast centroid
+    list (NLIST stays broadcast-sized even at thousands of cells), and
+    the probe is an equi-join on cell_id — candidate work is bounded by
+    cell occupancy, never the corpus.
+    """
+    vecs = _vectors(spark, sf_dir)
+    cents = _ivf_cells(vecs)
+    nearest_cells = _nearest_cells_fn(cents)
     assigned = nearest_cells(vecs, "vec_id", "v", 1)
     queries = vecs.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("q")
     )
     probes = nearest_cells(queries, "query_id", "q", NPROBE)
     scored = (
-        assigned.join(probes, "cell_id")
+        # N_QUERIES × NPROBE probe rows broadcast onto the corpus-sized
+        # assignment frame — never a two-sided shuffle on cell_id
+        assigned.join(F.broadcast(probes), "cell_id")
         .where(F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
@@ -325,17 +342,12 @@ def pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Asymmetric-distance (ADC) top-5 over PQ codes: each query builds
-    its PQ_M×PQ_K distance table against the codebooks (20×128 exact
-    integer entries — broadcast-sized); the corpus is touched only as
-    codes, and each candidate's approximate distance is 8 table lookups
-    summed exactly. This is the compute shape that makes 100 TB ANN
-    affordable — the full-precision corpus is never read at query time;
-    production composes it with the IVF cell probe
-    (similarity_ivf_topk) to bound candidates too."""
+def _pq_query_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query ADC lookup table (query_id, m, code, qdist): exact
+    integer squared distance from each query subvector to every codebook
+    entry — N_QUERIES × PQ_M × PQ_K rows, always broadcast-sized.
+    Shared by pq_topk and ivf_pq_topk."""
     vecs = _vectors(spark, sf_dir)
-    codes = _pq_codes_long(spark, sf_dir)
     qcomp = (
         vecs.where(F.col("vec_id") < N_QUERIES)
         .select(
@@ -348,12 +360,24 @@ def pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         _pq_centroid_rows(), "gd INT, m INT, k INT, cq LONG"
     )
     diff = F.col("xq") - F.col("cq")
-    qtab = (
+    return (
         qcomp.join(F.broadcast(cents), "gd")
         .groupBy("query_id", "m", F.col("k").alias("code"))
         .agg(F.sum(diff * diff).alias("qdist"))
         .withColumn("code", F.col("code") + 1)
     )
+
+
+def pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric-distance (ADC) top-5 over PQ codes: each query builds
+    its PQ_M×PQ_K distance table against the codebooks (20×128 exact
+    integer entries — broadcast-sized); the corpus is touched only as
+    codes, and each candidate's approximate distance is 8 table lookups
+    summed exactly. This is the compute shape that makes 100 TB ANN
+    affordable — the full-precision corpus is never read at query time;
+    production composes it with the IVF cell probe (see ivf_pq_topk)."""
+    codes = _pq_codes_long(spark, sf_dir)
+    qtab = _pq_query_table(spark, sf_dir)
     scored = (
         codes.join(F.broadcast(qtab), ["m", "code"])
         .where(F.col("vec_id") != F.col("query_id"))
@@ -374,6 +398,70 @@ def pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("adc") / F.lit(1_000_000.0), 6).alias(
                 "approx_dist"
             ),
+        )
+    )
+
+
+def ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ: the full billion-scale ANN layout — IVF cell probing
+    bounds WHICH vectors are scored, PQ codes bound WHAT is read per
+    vector. Composes the two gated registry pieces end to end:
+
+    1. coarse quantizer: corpus assigned to its nearest seed cell, each
+       query probes its NPROBE nearest cells (one broadcast-centroid
+       scan each — similarity_ivf_topk's shape);
+    2. candidate set = cell-equi-join of assignments × probes, so work
+       scales with cell occupancy, never the corpus;
+    3. scoring reads candidates ONLY as PQ codes: 8 broadcast-table
+       lookups summed exactly (similarity_pq_topk's ADC shape, exact
+       BIGINT milli²-units throughout).
+
+    At 100 TB this is the memory story that matters: the probe touches
+    ~corpus/NLIST·NPROBE code rows of 8 B each; the full-precision
+    vectors are never read at query time. The persisted code table and
+    the broadcast query table are both shared with the standalone PQ
+    entries via CacheManager plan matching."""
+    vecs = _vectors(spark, sf_dir)
+    nearest_cells = _nearest_cells_fn(_ivf_cells(vecs))
+    assigned = nearest_cells(vecs, "vec_id", "v", 1).select("vec_id", "cell_id")
+    queries = vecs.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("q")
+    )
+    probes = nearest_cells(queries, "query_id", "q", NPROBE).select(
+        "query_id", "cell_id"
+    )
+    candidates = (
+        # probes = N_QUERIES × NPROBE rows — broadcast onto the
+        # corpus-sized assignment frame (post-window stats are unknown,
+        # so Catalyst would otherwise shuffle BOTH sides on cell_id)
+        assigned.join(F.broadcast(probes), "cell_id")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+    )
+    codes = _pq_codes_long(spark, sf_dir)
+    qtab = _pq_query_table(spark, sf_dir)
+    scored = (
+        # candidates are bounded by N_QUERIES × NPROBE × cell occupancy
+        # — the sampled-query shape, always small next to the corpus
+        # code table; post-window stats are unknown at plan time, so
+        # hint it or Catalyst falls back to a sort-merge exchange of
+        # the code table
+        codes.join(F.broadcast(candidates), "vec_id")
+        .join(F.broadcast(qtab), ["query_id", "m", "code"])
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("qdist").alias("adc"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc").asc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOPK)
+        .select(
+            "query_id",
+            "rank",
+            "neighbor_id",
+            F.round(F.col("adc") / F.lit(1_000_000.0), 6).alias("approx_dist"),
         )
     )
 
@@ -538,19 +626,14 @@ def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 OUTLIER_TOP = 5  # farthest-from-centroid vectors reported per label
 
 
-def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding quality control: the OUTLIER_TOP vectors farthest from
-    their own label's centroid — mislabeled or corrupted embeddings
-    surface here before any expensive similarity work.
-
-    Fully relational (no driver loop — one centroid pass, unlike
-    k-means there is no iteration): label centroids come from one
-    map-side-combined groupBy on DECIMAL sums (exact, order-
-    independent), the centroid array is assembled AFTER the aggregation
-    exchange so it is materialized once per label (never re-inlined
-    per element), and the 10-row centroid table broadcasts back onto
-    the corpus for one distance scan + per-label top-k window.
-    """
+def label_centroid_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(label, vec_id, d): squared distance of every vector to its own
+    label's centroid. Label centroids come from one map-side-combined
+    groupBy on DECIMAL sums (exact, order-independent); the centroid
+    array is assembled AFTER the aggregation exchange so it is
+    materialized once per label, then the |labels|-row centroid table
+    broadcasts back onto the corpus for one distance scan. Shared by
+    embedding_outliers and curation's multisignal gate."""
     vecs = _vectors(spark, sf_dir)
     cents = (
         vecs.groupBy("label")
@@ -571,15 +654,60 @@ def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("c"),
         )
     )
-    scored = vecs.join(F.broadcast(cents), "label").select(
+    return vecs.join(F.broadcast(cents), "label").select(
         "label", "vec_id", _sq_dist(F.col("v"), F.col("c")).alias("d")
     )
+
+
+def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding quality control: the OUTLIER_TOP vectors farthest from
+    their own label's centroid — mislabeled or corrupted embeddings
+    surface here before any expensive similarity work.
+
+    Fully relational (no driver loop — one centroid pass, unlike
+    k-means there is no iteration): label centroids come from one
+    map-side-combined groupBy on DECIMAL sums (exact, order-
+    independent), the centroid array is assembled AFTER the aggregation
+    exchange so it is materialized once per label (never re-inlined
+    per element), and the 10-row centroid table broadcasts back onto
+    the corpus for one distance scan + per-label top-k window.
+    """
+    scored = label_centroid_distances(spark, sf_dir)
     w = Window.partitionBy("label").orderBy(F.col("d").desc(), F.col("vec_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= OUTLIER_TOP)
         .select("label", "rank", "vec_id", F.round("d", 6).alias("dist_sq"))
     )
+
+
+def centroid_scored_cte_sql() -> str:
+    """DuckDB twin of ``label_centroid_distances`` as a CTE chain
+    (`v` → `c` → `scored(vec_id, label, d)`): exact-DECIMAL centroid
+    means, unrolled left-associated distance sum matching the Spark
+    fold bit-for-bit. Shared with operators.curation's multisignal
+    gate oracle."""
+    dist = " + ".join(
+        f"((v.v[{j}] - c.c[{j}]) * (v.v[{j}] - c.c[{j}]))"
+        for j in range(1, DIM + 1)
+    )
+    mean_list = ", ".join(
+        f"CAST(SUM(CAST(v[{j}] AS DECIMAL(27,12))) AS DOUBLE) / COUNT(*)"
+        for j in range(1, DIM + 1)
+    )
+    return f"""
+        v AS (
+            SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings
+        ),
+        c AS (
+            SELECT label, [{mean_list}] AS c FROM v GROUP BY label
+        ),
+        scored AS (
+            SELECT v.vec_id, v.label, {dist} AS d
+            FROM v JOIN c ON v.label = c.label
+        )
+    """
 
 
 def _outliers_sql() -> str:
@@ -886,6 +1014,70 @@ def _pq_topk_sql() -> str:
 ORACLES["similarity_pq_codes"] = _pq_codes_sql()
 ORACLES["similarity_pq_topk"] = _pq_topk_sql()
 
+# IVF-PQ composition: the PQ code/query-table CTEs (exact integer ADC)
+# plus the IVF cell CTEs (full-precision coarse quantizer, identical to
+# similarity_ivf_topk's); `cells` avoids colliding with the codebook
+# CTE `cents` inside _pq_codes_cte
+ORACLES["similarity_ivf_pq_topk"] = f"""
+    WITH {_pq_codes_cte()},
+    qtab AS (
+        SELECT comp.vec_id AS query_id, m, k + 1 AS code,
+               SUM((xq - cq) * (xq - cq)) AS qdist
+        FROM comp JOIN cents USING (gd)
+        WHERE comp.vec_id < {N_QUERIES}
+        GROUP BY 1, 2, 3
+    ),
+    v AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    cells AS (
+        SELECT vec_id AS cell_id, v AS c FROM v
+        WHERE vec_id >= {N_QUERIES} AND vec_id < {N_QUERIES + NLIST}
+    ),
+    assigned AS (
+        SELECT vec_id, cell_id FROM (
+            SELECT v.vec_id, c.cell_id,
+                   row_number() OVER (
+                       PARTITION BY v.vec_id
+                       ORDER BY list_cosine_similarity(v.v, c.c) DESC,
+                                c.cell_id) AS rn
+            FROM v CROSS JOIN cells c
+        ) WHERE rn = 1
+    ),
+    probes AS (
+        SELECT query_id, cell_id FROM (
+            SELECT v.vec_id AS query_id, c.cell_id,
+                   row_number() OVER (
+                       PARTITION BY v.vec_id
+                       ORDER BY list_cosine_similarity(v.v, c.c) DESC,
+                                c.cell_id) AS rn
+            FROM v CROSS JOIN cells c WHERE v.vec_id < {N_QUERIES}
+        ) WHERE rn <= {NPROBE}
+    ),
+    cand AS (
+        SELECT p.query_id, a.vec_id
+        FROM assigned a JOIN probes p USING (cell_id)
+        WHERE a.vec_id <> p.query_id
+    ),
+    scored AS (
+        SELECT cand.query_id, c.vec_id AS neighbor_id, SUM(q.qdist) AS adc
+        FROM cand
+        JOIN codes c ON c.vec_id = cand.vec_id
+        JOIN qtab q ON q.query_id = cand.query_id
+                   AND q.m = c.m AND q.code = c.code
+        GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, adc,
+               row_number() OVER (
+                   PARTITION BY query_id ORDER BY adc, neighbor_id) AS rank
+        FROM scored
+    )
+    SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id,
+           ROUND(adc / 1000000.0, 6) AS approx_dist
+    FROM ranked WHERE rank <= {TOPK}
+"""
+
 # codes.dist is the chosen code's squared error in milli²-units; the
 # sum is exact BIGINT in both engines, doubles only at the boundary
 ORACLES["similarity_pq_reconstruction"] = f"""
@@ -944,6 +1136,7 @@ ORACLES["embedding_dim_variance"] = """
 
 QUERIES = {
     # new-in-round-3 entries first: registry order = driver grading order
+    "similarity_ivf_pq_topk": ivf_pq_topk,
     "similarity_pq_codes": pq_codes,
     "similarity_pq_topk": pq_topk,
     "similarity_pq_reconstruction": pq_reconstruction_error,

@@ -302,6 +302,29 @@ def test_pq_topk_is_all_broadcast_hash_joins(spark):
     assert "SortMergeJoin" not in p
 
 
+def test_ivf_pq_composition_keeps_both_postures(spark):
+    # IVF side: candidate generation is a cell_id equi-join (the only
+    # nested-loops are the documented broadcast-centroid scans); PQ
+    # side: code/query tables join as broadcast hash joins — the
+    # composition must not degrade either half to a shuffle join
+    p = plan(spark, "similarity_ivf_pq_topk")
+    assert "CartesianProduct" not in p
+    assert "SortMergeJoin" not in p
+    assert "BroadcastHashJoin" in p
+    assert "cell_id#" in p or "[cell_id" in p
+
+
+def test_multisignal_gate_broadcasts_centroids_single_id_join(spark):
+    # the cross-modal gate: centroid frame (|labels| rows) broadcasts
+    # back onto the embeddings scan, and text/embedding signals meet in
+    # one equi-join — never a cartesian, never a python UDF
+    p = plan(spark, "curation_multisignal_gate")
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p
+    assert "ArrowEvalPython" not in p
+
+
 def test_scd2_single_exchange(spark):
     # gaps-and-islands + lead must reuse ONE hash partitioning on
     # user_id across both window passes and the aggregate
