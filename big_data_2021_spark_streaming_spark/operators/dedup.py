@@ -464,6 +464,37 @@ def _clusters_output(
     )
 
 
+def dup_rate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus duplication dashboard: how much of each source
+    survives exact dedup (distinct normalized fingerprints) and
+    near-dup dedup (cluster canonicals) — the health report that
+    decides which sources need aggressive cleaning before mixing.
+
+    Marginal cost is one corpus scan (fingerprint is pure expression
+    logic) + one id join against the memoized cluster-label frame +
+    a |sources|-key aggregate; every expensive input (LSH pairs,
+    cluster labels) is shared with the other dedup entries. The rates
+    are exact-integer numerators over one double division at the
+    boundary."""
+    docs = load_table(spark, sf_dir, "documents")
+    normalized = F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
+    with_fp = docs.select(
+        "doc_id", "source", F.md5(normalized).alias("fingerprint")
+    )
+    clusters = near_dup_clusters(spark, sf_dir).select("doc_id", "is_canonical")
+    joined = with_fp.join(clusters, "doc_id")
+    n = F.count(F.lit(1))
+    n_unique = F.countDistinct("fingerprint")
+    n_canon = F.sum(F.col("is_canonical").cast("bigint"))
+    return joined.groupBy("source").agg(
+        n.alias("n_docs"),
+        n_unique.alias("n_unique_exact"),
+        n_canon.alias("n_canonical"),
+        F.round(F.lit(1) - n_unique / n, 6).alias("exact_dup_rate"),
+        F.round(F.lit(1) - n_canon / n, 6).alias("near_dup_rate"),
+    )
+
+
 def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash per document (Charikar): bit i is the sign of
     Σ_tokens (±1 by bit i of h60(token)). Explode → 32 conditional
@@ -795,7 +826,49 @@ ORACLES["dedup_clusters"] = f"""
     FROM documents d LEFT JOIN comp c USING (doc_id)
 """
 
+_FP_SQL = "md5(lower(trim(regexp_replace(d.text, '\\s+', ' ', 'g'))))"
+
+ORACLES["dedup_rate_report"] = f"""
+    WITH RECURSIVE {_MH_CTE},
+    {_BANDS_CTE},
+    pairs AS (
+        SELECT cand.doc_id_a, cand.doc_id_b
+        FROM cand
+        JOIN mh a ON a.doc_id = cand.doc_id_a
+        JOIN mh b ON b.doc_id = cand.doc_id_b
+        WHERE ({_MATCHES}) / {float(NUM_PERM)} >= {EST_THRESHOLD}
+    ),
+    edges AS (
+        SELECT doc_id_a AS src, doc_id_b AS dst FROM pairs
+        UNION ALL
+        SELECT doc_id_b, doc_id_a FROM pairs
+    ),
+    reach(doc_id, label) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.src, r.label FROM edges e JOIN reach r ON r.doc_id = e.dst
+    ),
+    comp AS (
+        SELECT doc_id, MIN(label) AS cluster_id FROM reach GROUP BY doc_id
+    )
+    SELECT d.source,
+           COUNT(*) AS n_docs,
+           COUNT(DISTINCT {_FP_SQL}) AS n_unique_exact,
+           CAST(SUM(CASE WHEN d.doc_id = COALESCE(c.cluster_id, d.doc_id)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_canonical,
+           ROUND(1 - COUNT(DISTINCT {_FP_SQL})
+                     / CAST(COUNT(*) AS DOUBLE), 6) AS exact_dup_rate,
+           ROUND(1 - CAST(SUM(CASE WHEN d.doc_id
+                                        = COALESCE(c.cluster_id, d.doc_id)
+                                   THEN 1 ELSE 0 END) AS BIGINT)
+                     / CAST(COUNT(*) AS DOUBLE), 6) AS near_dup_rate
+    FROM documents d LEFT JOIN comp c USING (doc_id)
+    GROUP BY d.source
+"""
+
 QUERIES = {
+    # new-in-round-3 entries first: registry order = driver grading order
+    "dedup_rate_report": dup_rate_report,
     "dedup_exact": exact_dedup,
     "dedup_clusters": near_dup_clusters,
     "dedup_minhash_lsh": minhash_lsh_pairs,

@@ -312,6 +312,41 @@ def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RARE_PCT = 1  # a token is "rare" when it is under 1% of all corpus tokens
+
+
+def token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-frequency rarity profile per document — the LM-free stand-
+    in for a perplexity filter: documents dominated by tokens the corpus
+    has barely seen are OOV-ish noise, documents of only ultra-common
+    tokens are boilerplate. Same local-stat ⋈ global-stat shape as
+    TF-IDF, but ALL integer arithmetic (counts, exact sums, one double
+    division at the boundary) — no ln()/log2(), whose last-ulp libm
+    differences are not IEEE-pinned across engines.
+
+    The rare flag is RELATIVE (token count × 100 < corpus total), so
+    the semantics are scale-invariant across sf. Plan: one token
+    explode, one groupBy(tok) for the frequency table (vocabulary-
+    sized — broadcast back; a 100 TB corpus would threshold it to a
+    top-K vocab exactly like production frequency tables), one
+    groupBy(doc_id)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(tokens_col(F.col("text"))).alias("tok")
+    ).where(F.col("tok") != "")
+    cf = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    total = cf.agg(F.sum("c").alias("total"))
+    scored = tok.join(F.broadcast(cf), "tok").crossJoin(F.broadcast(total))
+    n = F.count(F.lit(1))
+    rare = (F.col("c") * (100 // RARE_PCT) < F.col("total")).cast("bigint")
+    return scored.groupBy("doc_id").agg(
+        n.alias("n_tokens"),
+        F.min("c").alias("min_count"),
+        F.round(F.sum("c") / n, 4).alias("avg_count"),
+        F.round(F.sum(rare) / n, 6).alias("rare_ratio"),
+    )
+
+
 def _oracle_tokens(expr: str = "text") -> str:
     return f"regexp_split_to_array(trim({expr}), '\\s+')"
 
@@ -696,7 +731,30 @@ ORACLES["text_prefix_clusters"] = f"""
     HAVING COUNT(*) >= {PREFIX_MIN_DOCS}
 """
 
+ORACLES["text_token_rarity"] = f"""
+    WITH t AS (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+        FROM documents
+    ),
+    tok AS (SELECT doc_id, tok FROM t WHERE tok <> ''),
+    cf AS (SELECT tok, COUNT(*) AS c FROM tok GROUP BY tok),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS total FROM cf)
+    SELECT doc_id,
+           COUNT(*) AS n_tokens,
+           MIN(c) AS min_count,
+           ROUND(CAST(SUM(c) AS BIGINT) / CAST(COUNT(*) AS DOUBLE), 4)
+               AS avg_count,
+           ROUND(CAST(SUM(CASE WHEN c * {100 // RARE_PCT} < total
+                               THEN 1 ELSE 0 END) AS BIGINT)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS rare_ratio
+    FROM tok JOIN cf USING (tok) CROSS JOIN tot
+    GROUP BY doc_id
+"""
+
 QUERIES = {
+    # new-in-round-3 entries first: registry order = driver grading order
+    "text_token_rarity": token_rarity,
     "text_prefix_clusters": prefix_clusters,
     "text_repetition_signals": repetition_signals,
     "text_tfidf_topterms": tfidf_topterms,

@@ -325,6 +325,22 @@ def test_multisignal_gate_broadcasts_centroids_single_id_join(spark):
     assert "ArrowEvalPython" not in p
 
 
+def test_token_rarity_broadcasts_frequency_table(spark):
+    # corpus frequency table (vocabulary-sized) must broadcast back
+    # onto the token stream; the only nested-loop is the documented
+    # 1-row corpus-total broadcast
+    p = plan(spark, "text_token_rarity")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_dup_rate_report_no_python_no_cartesian(spark):
+    p = plan(spark, "dedup_rate_report")
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p
+
+
 def test_scd2_single_exchange(spark):
     # gaps-and-islands + lead must reuse ONE hash partitioning on
     # user_id across both window passes and the aggregate
