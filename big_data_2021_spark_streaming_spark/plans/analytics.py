@@ -876,6 +876,90 @@ def part_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full TPC-H Q5 pattern — what revenue_by_nation lacks: the
+    LOCAL-supplier condition (customer and line supplier share a
+    nation) plus region and order-year pruning. The nation table plays
+    two roles through one broadcast; the same-nation predicate rides
+    the supplier join, so no extra shuffle materializes — lineitem ⋈
+    orders stays the only big-big join, and the region/date filters
+    prune the broadcast/probe sides before it."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    )
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(supplier),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("s_nationkey") == F.col("c_nationkey")),
+        )
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(F.col("n_name").alias("nation_name"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+def returned_item_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 pattern: top-20 customers by revenue lost to returned
+    items in one quarter. Date + returnflag filters push into the two
+    fact scans; customer/nation broadcast onto the aggregate; the
+    top-20 plans as TakeOrderedAndProject (per-partition top-k, k-row
+    driver merge — never a global sort)."""
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01"))
+    )
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    # per-customer groups are small enough to land revenue on a .xx5
+    # rounding boundary, where Spark (BigDecimal shortest-repr HALF_UP)
+    # and DuckDB (raw-double) disagree — so the cent rounding itself
+    # must be integer math: exact micro-unit BIGINT sum (the per-row
+    # product is ONE IEEE op, identical both sides), half-up integer
+    # division to cents, one exact /100.0 at the boundary
+    rev_micro = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 1e6
+    ).cast("bigint")
+    revenue = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_custkey")
+        .agg(F.sum(rev_micro).alias("rev_micro"))
+        .select(
+            "o_custkey",
+            (F.expr("(rev_micro + 5000) div 10000") / F.lit(100.0)).alias(
+                "revenue"
+            ),
+        )
+    )
+    return (
+        revenue.join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select(
+            "c_custkey",
+            "c_name",
+            F.round("c_acctbal", 2).alias("c_acctbal"),
+            F.col("n_name").alias("nation_name"),
+            "revenue",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
 def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Outer-join count histogram (TPC-H Q13 pattern): how many
     customers placed exactly N qualifying orders — zero included,
@@ -1363,6 +1447,8 @@ QUERIES: dict[str, object] = {
     # a budget; see plans/registry.py) — entries added or re-planned
     # most recently go FIRST so they are graded before the suite that
     # already has multiple green rounds on record.
+    "local_supplier_volume": local_supplier_volume,
+    "returned_item_report": returned_item_report,
     "sole_late_supplier": sole_late_supplier,
     "brand_supplier_variety": brand_supplier_variety,
     "value_zscore_anomalies": value_zscore_anomalies,

@@ -87,6 +87,48 @@ ORACLES: dict[str, str] = {
         JOIN nation   ON c_nationkey = n_nationkey
         GROUP BY n_name
     """,
+    "local_supplier_volume": """
+        SELECT n_name AS nation_name,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+                     AND s_nationkey = c_nationkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate <  TIMESTAMP '1997-01-01'
+        GROUP BY n_name
+    """,
+    "returned_item_report": """
+        WITH revenue AS (
+            -- exact micro-unit sum + integer half-up division to cents:
+            -- double ROUND diverges between engines at .xx5 boundaries
+            -- (see the Spark builder's note)
+            SELECT o_custkey,
+                   ((CAST(SUM(CAST(round(
+                         l_extendedprice * (1 - l_discount) * 1e6)
+                     AS BIGINT)) AS BIGINT) + 5000) // 10000) / 100.0
+                       AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_returnflag = 'R'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate <  TIMESTAMP '1996-04-01'
+            GROUP BY o_custkey
+        )
+        SELECT c_custkey, c_name,
+               ROUND(c_acctbal, 2) AS c_acctbal,
+               n_name AS nation_name,
+               revenue
+        FROM revenue
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        ORDER BY revenue DESC, c_custkey
+        LIMIT 20
+    """,
     "top_customers": """
         SELECT c_custkey, c_name, total_spent
         FROM (

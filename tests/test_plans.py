@@ -325,6 +325,26 @@ def test_multisignal_gate_broadcasts_centroids_single_id_join(spark):
     assert "ArrowEvalPython" not in p
 
 
+def test_local_supplier_volume_single_big_join(spark):
+    # Q5 pattern: lineitem ⋈ orders is the only non-broadcast join;
+    # date bounds push into the orders scan
+    p = plan(spark, "local_supplier_volume")
+    assert "SortMergeJoin" not in p or p.count("SortMergeJoin") <= 1
+    assert p.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in p
+    assert "GreaterThanOrEqual(o_orderdate" in p
+
+
+def test_returned_item_report_topk_and_pushed_filters(spark):
+    # Q10 pattern: top-20 must plan as TakeOrderedAndProject; the
+    # returnflag and date filters reach their parquet scans
+    p = plan(spark, "returned_item_report")
+    assert "TakeOrderedAndProject" in p
+    assert "EqualTo(l_returnflag,R)" in p
+    assert "GreaterThanOrEqual(o_orderdate" in p
+    assert "CartesianProduct" not in p
+
+
 def test_token_rarity_broadcasts_frequency_table(spark):
     # corpus frequency table (vocabulary-sized) must broadcast back
     # onto the token stream; the only nested-loop is the documented
