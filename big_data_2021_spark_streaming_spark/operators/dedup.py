@@ -23,7 +23,7 @@ Scale design (the part that matters at 100 TB):
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..functions.hashing import (
     h60,
@@ -464,6 +464,83 @@ def _clusters_output(
     )
 
 
+INCR_SOURCE = "src19"  # stands in for the newly-arrived batch
+
+
+def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (new-batch vs corpus) near-dup dedup — the daily-
+    increment shape a production pipeline actually runs: the arriving
+    batch (source = INCR_SOURCE) is checked against the EXISTING corpus
+    only, never against itself, and every batch doc gets a verdict:
+    novel, or a duplicate of its best-matching prior document.
+
+    Scale shape — the whole point of the operator: the increment is
+    tiny next to the corpus, so its band signatures BROADCAST onto the
+    corpus band table (an equi-join on (band, sig) — candidate work is
+    bounded by true collisions), and the increment's full signatures
+    broadcast again for the estimate; the corpus is touched exactly
+    once, by its persisted signature frame shared with the other dedup
+    entries. No shuffle of corpus data at any stage. est_jaccard is
+    the exact rational matches/NUM_PERM, so it hash-compares with no
+    rounding concerns."""
+    mh = _minhash_signatures(spark, sf_dir)
+    bands = _band_rows(mh)
+    new_bands = bands.where(F.col("source") == INCR_SOURCE)
+    old_bands = bands.where(F.col("source") != INCR_SOURCE)
+    cand = (
+        old_bands.alias("o")
+        .join(
+            F.broadcast(new_bands.alias("n")),
+            (F.col("o.band") == F.col("n.band"))
+            & (F.col("o.sig") == F.col("n.sig")),
+        )
+        .select(
+            F.col("n.doc_id").alias("new_id"),
+            F.col("o.doc_id").alias("old_id"),
+        )
+        .distinct()
+    )
+    a = mh.where(F.col("source") == INCR_SOURCE).select(
+        F.col("doc_id").alias("new_id"),
+        *[F.col(f"mh{j}").alias(f"a{j}") for j in range(NUM_PERM)],
+    )
+    b = mh.select(
+        F.col("doc_id").alias("old_id"),
+        *[F.col(f"mh{j}").alias(f"b{j}") for j in range(NUM_PERM)],
+    )
+    matches = sum(
+        (F.col(f"a{j}") == F.col(f"b{j}")).cast("int") for j in range(NUM_PERM)
+    )
+    scored = (
+        b.join(F.broadcast(cand.join(a, "new_id")), "old_id")
+        .select(
+            "new_id",
+            "old_id",
+            (matches / F.lit(float(NUM_PERM))).alias("est_jaccard"),
+        )
+        .where(F.col("est_jaccard") >= EST_THRESHOLD)
+    )
+    w = Window.partitionBy("new_id").orderBy(
+        F.col("est_jaccard").desc(), F.col("old_id")
+    )
+    best = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("new_id", "old_id", "est_jaccard")
+    )
+    new_docs = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("source") == INCR_SOURCE)
+        .select(F.col("doc_id").alias("new_id"))
+    )
+    return new_docs.join(F.broadcast(best), "new_id", "left").select(
+        F.col("new_id").alias("doc_id"),
+        F.col("old_id").isNull().alias("is_novel"),
+        F.col("old_id").alias("dup_of"),
+        "est_jaccard",
+    )
+
+
 def dup_rate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source corpus duplication dashboard: how much of each source
     survives exact dedup (distinct normalized fingerprints) and
@@ -826,6 +903,40 @@ ORACLES["dedup_clusters"] = f"""
     FROM documents d LEFT JOIN comp c USING (doc_id)
 """
 
+ORACLES["dedup_incremental"] = f"""
+    WITH {_MH_CTE},
+    {_BANDS_CTE},
+    xcand AS (
+        SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id
+        FROM bands n JOIN bands o
+          ON n.band = o.band AND n.sig = o.sig
+         AND n.source = '{INCR_SOURCE}' AND o.source <> '{INCR_SOURCE}'
+    ),
+    scored AS (
+        SELECT xcand.new_id, xcand.old_id,
+               ({_MATCHES}) / {float(NUM_PERM)} AS est_jaccard
+        FROM xcand
+        JOIN mh a ON a.doc_id = xcand.new_id
+        JOIN mh b ON b.doc_id = xcand.old_id
+        WHERE ({_MATCHES}) / {float(NUM_PERM)} >= {EST_THRESHOLD}
+    ),
+    best AS (
+        SELECT new_id, old_id, est_jaccard FROM (
+            SELECT new_id, old_id, est_jaccard,
+                   row_number() OVER (
+                       PARTITION BY new_id
+                       ORDER BY est_jaccard DESC, old_id) AS rn
+            FROM scored
+        ) WHERE rn = 1
+    )
+    SELECT d.doc_id,
+           b.old_id IS NULL AS is_novel,
+           b.old_id AS dup_of,
+           b.est_jaccard AS est_jaccard
+    FROM documents d LEFT JOIN best b ON b.new_id = d.doc_id
+    WHERE d.source = '{INCR_SOURCE}'
+"""
+
 _FP_SQL = "md5(lower(trim(regexp_replace(d.text, '\\s+', ' ', 'g'))))"
 
 ORACLES["dedup_rate_report"] = f"""
@@ -868,6 +979,7 @@ ORACLES["dedup_rate_report"] = f"""
 
 QUERIES = {
     # new-in-round-3 entries first: registry order = driver grading order
+    "dedup_incremental": incremental_dedup,
     "dedup_rate_report": dup_rate_report,
     "dedup_exact": exact_dedup,
     "dedup_clusters": near_dup_clusters,

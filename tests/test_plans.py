@@ -355,6 +355,15 @@ def test_token_rarity_broadcasts_frequency_table(spark):
     assert "CartesianProduct" not in p
 
 
+def test_incremental_dedup_broadcasts_the_increment(spark):
+    # the new batch's band/signature frames must broadcast onto the
+    # corpus side — the corpus is never shuffled for an increment
+    p = plan(spark, "dedup_incremental")
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+    assert "SortMergeJoin" not in p
+
+
 def test_dup_rate_report_no_python_no_cartesian(spark):
     p = plan(spark, "dedup_rate_report")
     assert "CartesianProduct" not in p
