@@ -1,0 +1,63 @@
+"""Semantic invariants of the approximate-NN stack, independent of the
+DuckDB oracle: if both engines shared a bug, parity would still pass —
+these pin what top-k output must look like regardless of engine."""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+from big_data_2021_spark_streaming_spark.operators.similarity import (
+    TOPK,
+    ivf_pq_topk,
+    pq_topk,
+    topk_bruteforce,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _check_topk_frame(rows, dist_field: str, ascending: bool) -> None:
+    per_query = defaultdict(list)
+    for r in rows:
+        assert r.neighbor_id != r.query_id, "self-match leaked"
+        per_query[r.query_id].append(r)
+    assert per_query, "no queries produced results"
+    for q, rs in per_query.items():
+        rs.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rs] == list(range(1, len(rs) + 1)), (
+            f"query {q}: ranks not contiguous"
+        )
+        assert len(rs) <= TOPK
+        dists = [getattr(r, dist_field) for r in rs]
+        ordered = sorted(dists) if ascending else sorted(dists, reverse=True)
+        assert dists == ordered, f"query {q}: ranks disagree with {dist_field}"
+
+
+def test_bruteforce_topk_invariants(spark):
+    _check_topk_frame(
+        topk_bruteforce(spark, SF).collect(), "cos_sim", ascending=False
+    )
+
+
+def test_pq_topk_invariants(spark):
+    _check_topk_frame(
+        pq_topk(spark, SF).collect(), "approx_dist", ascending=True
+    )
+
+
+def test_ivf_pq_is_subset_of_pq_candidates(spark):
+    """IVF-PQ scores the same ADC metric as plain PQ but over a probe-
+    bounded candidate set, so any (query, neighbor) it returns must
+    carry the identical distance PQ computed for that pair."""
+    ivf = ivf_pq_topk(spark, SF).collect()
+    _check_topk_frame(ivf, "approx_dist", ascending=True)
+    full = {
+        (r.query_id, r.neighbor_id): r.approx_dist
+        for r in pq_topk(spark, SF).collect()
+    }
+    overlap = [
+        r for r in ivf if (r.query_id, r.neighbor_id) in full
+    ]
+    assert overlap, "IVF-PQ shares no pairs with PQ top-k on the fixture"
+    for r in overlap:
+        assert full[(r.query_id, r.neighbor_id)] == r.approx_dist

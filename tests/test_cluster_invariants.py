@@ -1,10 +1,16 @@
-"""Structural invariants of near-dup clustering, checked independently
-of the DuckDB oracle so a propagation bug fails with a diagnosable
-message instead of a hash mismatch."""
+"""Structural invariants of near-dup clustering (and the operators
+composed on top of it), checked independently of the DuckDB oracle so
+a propagation bug fails with a diagnosable message instead of a hash
+mismatch."""
 
 from __future__ import annotations
 
+import pyspark.sql.functions as F
+
 from big_data_2021_spark_streaming_spark.operators.dedup import (
+    EST_THRESHOLD,
+    INCR_SOURCE,
+    incremental_dedup,
     minhash_lsh_pairs,
     near_dup_clusters,
 )
@@ -32,3 +38,27 @@ def test_pairs_share_cluster_and_canonical_is_min(spark):
         assert clusters[cid][1] is True  # the min member is canonical
         for m in members:
             assert clusters[m][1] == (m == cid)
+
+
+def test_incremental_dedup_invariants(spark):
+    """Every batch doc gets exactly one verdict row; a dup's best match
+    is a PRIOR-corpus doc (never the batch itself) with an estimate at
+    or above the LSH threshold; novel rows carry no match fields."""
+    from big_data_2021_spark_streaming_spark.sources.batch import load_table
+
+    rows = incremental_dedup(spark, SF).collect()
+    batch_ids = {
+        r.doc_id
+        for r in load_table(spark, SF, "documents")
+        .where(F.col("source") == INCR_SOURCE)
+        .select("doc_id")
+        .collect()
+    }
+    assert {r.doc_id for r in rows} == batch_ids
+    assert len(rows) == len(batch_ids)
+    for r in rows:
+        if r.is_novel:
+            assert r.dup_of is None and r.est_jaccard is None
+        else:
+            assert r.dup_of is not None and r.dup_of not in batch_ids
+            assert r.est_jaccard >= EST_THRESHOLD
