@@ -185,24 +185,33 @@ def decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_QUALITY_CTE = """
-    q AS (
+def _quality_cte() -> str:
+    # exact micro-unit quality, shared with operators.text's oracle so
+    # every consumer of the score agrees bit-for-bit (the old double
+    # formulation hit the cross-engine ROUND boundary at sf0.1)
+    from ..operators.text import _ORACLE_Q_MICRO, _STOP_LIST
+
+    return f"""
+    qt AS (
         SELECT doc_id,
-               ROUND(
-                   least(len(toks) / 100.0, 1.0) * 0.5
-                   + len(list_filter(toks,
-                         t -> t IN ('the','a','and','of','to','in','is')))
-                     / CAST(len(toks) AS DOUBLE) * 0.3
-                   + least(list_sum(list_transform(toks, t -> length(t)))
-                           / CAST(len(toks) AS DOUBLE) / 10.0, 1.0) * 0.2,
-               6) AS quality
+               CAST(len(toks) AS BIGINT) AS n_tokens,
+               CAST(len(list_filter(toks,
+                        t -> t IN ({_STOP_LIST}))) AS BIGINT) AS n_stop,
+               CAST(list_sum(list_transform(toks, t -> length(t)))
+                    AS BIGINT) AS total_len
         FROM (
             SELECT doc_id,
                    regexp_split_to_array(trim(text), '\\s+') AS toks
             FROM documents
         )
+    ),
+    q AS (
+        SELECT doc_id, ({_ORACLE_Q_MICRO}) / 1e6 AS quality FROM qt
     )
 """
+
+
+_QUALITY_CTE = _quality_cte()
 
 ORACLES: dict[str, str] = {}
 
@@ -397,15 +406,14 @@ def corpus_mixture_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _mixture_sql() -> str:
-    from ..operators.text import STOPWORDS, _oracle_tokens
+    from ..operators.text import _ORACLE_Q_MICRO, _STOP_LIST, _oracle_tokens
 
-    stop_list = ", ".join(f"'{w}'" for w in STOPWORDS)
     return f"""
         WITH t AS (
             SELECT lang, source, n_chars,
-                   CAST(len({_oracle_tokens()}) AS INTEGER) AS n_tokens,
+                   CAST(len({_oracle_tokens()}) AS BIGINT) AS n_tokens,
                    CAST(len(list_filter({_oracle_tokens()},
-                                        t -> t IN ({stop_list}))) AS INTEGER)
+                                        t -> t IN ({_STOP_LIST}))) AS BIGINT)
                        AS n_stop,
                    CAST(list_sum(list_transform({_oracle_tokens()},
                                                 t -> length(t))) AS BIGINT)
@@ -414,10 +422,7 @@ def _mixture_sql() -> str:
         ),
         q AS (
             SELECT lang, source, n_chars,
-                   ROUND(least(n_tokens / 100.0, 1.0) * 0.5
-                         + (n_stop / n_tokens) * 0.3
-                         + least((total_len / n_tokens) / 10.0, 1.0) * 0.2,
-                         6) AS quality
+                   ({_ORACLE_Q_MICRO}) / 1e6 AS quality
             FROM t
         )
         SELECT lang, source, COUNT(*) AS n_docs,

@@ -68,27 +68,47 @@ def quality_lineage(docs: DataFrame, keep: tuple[str, ...] = ()) -> DataFrame:
     """Quality-score lineage over any (doc_id, text) frame — batch or
     streaming (stateless: identical semantics either way, the
     batch≡stream property tests rely on this). ``keep`` passes extra
-    input columns through unchanged (for downstream group-bys)."""
+    input columns through unchanged (for downstream group-bys).
+
+    All three reported ratios are EXACT-integer micro-unit rationals:
+    round_half_up(a/b · 1e6) computed as ``(2·a·1e6 + b) div (2·b)``.
+    The earlier double formulation hit the cross-engine ROUND-boundary
+    divergence at sf0.1 (Spark rounds BigDecimal's shortest decimal
+    repr, DuckDB the raw double; ~1 corpus row in 5000 flips the 6th
+    decimal of the weighted sum) — integer arithmetic cannot. The
+    score is term1 + (term2+term3 over the shared denominator
+    n_tokens): term1 = min(n_tokens/100,1)·0.5 is already an exact
+    micro integer, so rounding only the rational part is identical to
+    rounding the full sum."""
     toks = tokens_col(F.col("text"))
-    n_tokens = F.size(toks)
-    n_stop = F.size(F.filter(toks, _in_set(STOPWORDS)))
-    total_len = F.aggregate(
-        toks, F.lit(0).cast("bigint"), lambda acc, t: acc + F.length(t)
-    )
-    stop_ratio = n_stop / n_tokens
-    mean_len = total_len / n_tokens
-    score = (
-        F.least(n_tokens / F.lit(100.0), F.lit(1.0)) * 0.5
-        + stop_ratio * 0.3
-        + F.least(mean_len / F.lit(10.0), F.lit(1.0)) * 0.2
-    )
-    return docs.select(
+    staged = docs.select(
         "doc_id",
         *keep,
-        n_tokens.alias("n_tokens"),
-        F.round(stop_ratio, 6).alias("stopword_ratio"),
-        F.round(mean_len, 6).alias("mean_token_len"),
-        F.round(score, 6).alias("quality"),
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.size(F.filter(toks, _in_set(STOPWORDS)))
+        .cast("bigint")
+        .alias("n_stop"),
+        F.aggregate(
+            toks, F.lit(0).cast("bigint"), lambda acc, t: acc + F.length(t)
+        ).alias("total_len"),
+    )
+    stop_micro = F.expr("(2 * n_stop * 1000000 + n_tokens) div (2 * n_tokens)")
+    len_micro = F.expr(
+        "(2 * total_len * 1000000 + n_tokens) div (2 * n_tokens)"
+    )
+    q_micro = F.expr(
+        "least(n_tokens * 5000, 500000)"
+        " + (2 * (300000 * n_stop"
+        "         + least(20000 * total_len, 200000 * n_tokens))"
+        "    + n_tokens) div (2 * n_tokens)"
+    )
+    return staged.select(
+        "doc_id",
+        *keep,
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        (stop_micro / F.lit(1e6)).alias("stopword_ratio"),
+        (len_micro / F.lit(1e6)).alias("mean_token_len"),
+        (q_micro / F.lit(1e6)).alias("quality"),
     )
 
 
@@ -382,26 +402,43 @@ ORACLES: dict[str, str] = {
 }
 
 _STOP_LIST = ", ".join(f"'{w}'" for w in STOPWORDS)
+# exact micro-unit twins of quality_lineage's integer expressions
+# (BIGINT inputs; DuckDB // is floor division, identical to Spark div
+# on the non-negative operands here)
+_ORACLE_Q_MICRO = (
+    "least(n_tokens * 5000, 500000)"
+    " + (2 * (300000 * n_stop"
+    "         + least(20000 * total_len, 200000 * n_tokens))"
+    "    + n_tokens) // (2 * n_tokens)"
+)
+_ORACLE_STOP_MICRO = "(2 * n_stop * 1000000 + n_tokens) // (2 * n_tokens)"
+_ORACLE_LEN_MICRO = "(2 * total_len * 1000000 + n_tokens) // (2 * n_tokens)"
+
+
+def _oracle_quality_inputs_cte(extra_cols: str = "") -> str:
+    """``t`` CTE with the three BIGINT quality inputs per document."""
+    return f"""
+        t AS (
+            SELECT doc_id,{extra_cols}
+                   CAST(len({_oracle_tokens()}) AS BIGINT) AS n_tokens,
+                   CAST(len(list_filter({_oracle_tokens()},
+                                        t -> t IN ({_STOP_LIST}))) AS BIGINT)
+                       AS n_stop,
+                   CAST(list_sum(list_transform({_oracle_tokens()},
+                                                t -> length(t))) AS BIGINT)
+                       AS total_len
+            FROM documents
+        )
+    """
+
+
 ORACLES["text_quality_score"] = f"""
-    WITH t AS (
-        SELECT doc_id,
-               CAST(len({_oracle_tokens()}) AS INTEGER) AS n_tokens,
-               CAST(len(list_filter({_oracle_tokens()},
-                                    t -> t IN ({_STOP_LIST}))) AS INTEGER)
-                   AS n_stop,
-               CAST(list_sum(list_transform({_oracle_tokens()},
-                                            t -> length(t))) AS BIGINT)
-                   AS total_len
-        FROM documents
-    )
+    WITH {_oracle_quality_inputs_cte()}
     SELECT doc_id,
-           n_tokens,
-           ROUND(n_stop / n_tokens, 6) AS stopword_ratio,
-           ROUND(total_len / n_tokens, 6) AS mean_token_len,
-           ROUND(least(n_tokens / 100.0, 1.0) * 0.5
-                 + (n_stop / n_tokens) * 0.3
-                 + least((total_len / n_tokens) / 10.0, 1.0) * 0.2,
-                 6) AS quality
+           CAST(n_tokens AS INTEGER) AS n_tokens,
+           ({_ORACLE_STOP_MICRO}) / 1e6 AS stopword_ratio,
+           ({_ORACLE_LEN_MICRO}) / 1e6 AS mean_token_len,
+           ({_ORACLE_Q_MICRO}) / 1e6 AS quality
     FROM t
 """
 

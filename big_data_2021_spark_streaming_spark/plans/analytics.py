@@ -1051,6 +1051,36 @@ def running_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def user_trailing_hour_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE (time-range) window frame — the frame class ROWS can't
+    express: per event, the count and value sum of the same user's
+    events in the trailing hour, however many rows that is. Ordering
+    key is integer epoch-seconds (exact in both engines; RANGE peers at
+    the same second are included either way), the sum accumulates on
+    DECIMAL like running_user_value (window engines disagree on float
+    summation order), and the frame is O(window-span) sliding state per
+    user — one shuffle on user_id."""
+    events = load_table(spark, sf_dir, "events")
+    with_sec = events.select(
+        "event_id", "user_id", "ts", "value", _epoch_us("ts").alias("us")
+    ).select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.expr("us div 1000000").alias("sec"),
+    )
+    w = Window.partitionBy("user_id").orderBy("sec").rangeBetween(-3600, 0)
+    dec = F.col("value").cast("decimal(18,6)")
+    return with_sec.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.count(F.lit(1)).over(w).alias("n_trailing_1h"),
+        F.round(F.sum(dec).over(w).cast("double"), 4).alias("sum_trailing_1h"),
+    )
+
+
 def event_rank_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ntile + percent_rank over a total per-type order (value ties
     broken by event_id so both engines rank identically). percent_rank
@@ -1449,6 +1479,7 @@ QUERIES: dict[str, object] = {
     # already has multiple green rounds on record.
     "local_supplier_volume": local_supplier_volume,
     "returned_item_report": returned_item_report,
+    "user_trailing_hour_stats": user_trailing_hour_stats,
     "sole_late_supplier": sole_late_supplier,
     "brand_supplier_variety": brand_supplier_variety,
     "value_zscore_anomalies": value_zscore_anomalies,

@@ -87,6 +87,20 @@ ORACLES: dict[str, str] = {
         JOIN nation   ON c_nationkey = n_nationkey
         GROUP BY n_name
     """,
+    "user_trailing_hour_stats": """
+        WITH e AS (
+            SELECT event_id, user_id, ts, value,
+                   epoch_us(ts) // 1000000 AS sec
+            FROM events
+        )
+        SELECT event_id, user_id, ts,
+               COUNT(*) OVER w AS n_trailing_1h,
+               ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w
+                          AS DOUBLE), 4) AS sum_trailing_1h
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY sec
+                     RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+    """,
     "local_supplier_volume": """
         SELECT n_name AS nation_name,
                ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
