@@ -370,6 +370,16 @@ def test_dup_rate_report_no_python_no_cartesian(spark):
     assert "BatchEvalPython" not in p
 
 
+def test_trailing_hour_range_frame_single_exchange(spark):
+    # RANGE frame: one hash partitioning on user_id, no extra shuffle,
+    # and the frame spec survives as a running (bounded) window — never
+    # a global sort
+    p = plan(spark, "user_trailing_hour_stats")
+    assert p.count("Arguments: hashpartitioning(user_id") <= 1
+    assert "RangeFrame" in p
+    assert "CartesianProduct" not in p
+
+
 def test_scd2_single_exchange(spark):
     # gaps-and-islands + lead must reuse ONE hash partitioning on
     # user_id across both window passes and the aggregate
