@@ -1051,6 +1051,24 @@ def running_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def props_map_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType surface — the one semi-structured shape the engine's
+    type coverage lacked: decode the JSON payload as map<string,int>
+    (schema-on-read over open-ended keys, vs the fixed-StructType
+    decode of q1/rsvp), explode the entries, aggregate per key. One
+    scan + one |keys|-cardinality shuffle; from_json stays JVM-side."""
+    events = load_table(spark, sf_dir, "events")
+    entries = events.select(
+        F.explode(F.from_json("props", "map<string,int>")).alias("key", "val")
+    )
+    return entries.groupBy("key").agg(
+        F.count(F.lit(1)).alias("n_entries"),
+        F.min("val").alias("min_val"),
+        F.max("val").alias("max_val"),
+        F.sum(F.col("val").cast("bigint")).alias("sum_val"),
+    )
+
+
 def user_trailing_hour_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RANGE (time-range) window frame — the frame class ROWS can't
     express: per event, the count and value sum of the same user's
@@ -1480,6 +1498,7 @@ QUERIES: dict[str, object] = {
     "local_supplier_volume": local_supplier_volume,
     "returned_item_report": returned_item_report,
     "user_trailing_hour_stats": user_trailing_hour_stats,
+    "props_map_stats": props_map_stats,
     "sole_late_supplier": sole_late_supplier,
     "brand_supplier_variety": brand_supplier_variety,
     "value_zscore_anomalies": value_zscore_anomalies,

@@ -87,6 +87,21 @@ ORACLES: dict[str, str] = {
         JOIN nation   ON c_nationkey = n_nationkey
         GROUP BY n_name
     """,
+    "props_map_stats": """
+        WITH entries AS (
+            SELECT unnest(json_keys(props)) AS key, props FROM events
+        )
+        SELECT key,
+               COUNT(*) AS n_entries,
+               MIN(CAST(json_extract(props, '$.' || key) AS INTEGER))
+                   AS min_val,
+               MAX(CAST(json_extract(props, '$.' || key) AS INTEGER))
+                   AS max_val,
+               CAST(SUM(CAST(json_extract(props, '$.' || key) AS INTEGER))
+                    AS BIGINT) AS sum_val
+        FROM entries
+        GROUP BY key
+    """,
     "user_trailing_hour_stats": """
         WITH e AS (
             SELECT event_id, user_id, ts, value,
