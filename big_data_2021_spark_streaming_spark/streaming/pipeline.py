@@ -187,13 +187,19 @@ def stream_interval_join(
     join_keys_expr: str,
     window: str = "1 hour",
     watermark_delay: str = "10 minutes",
+    how: str = "inner",
 ) -> DataFrame:
-    """Stream–stream inner interval join (beyond the reference, which
-    only joins stream×static): right-side rows within ``window`` AFTER
-    the matching left row. Both sides carry watermarks and the join
+    """Stream–stream interval join (beyond the reference, which only
+    joins stream×static): right-side rows within ``window`` AFTER the
+    matching left row. Both sides carry watermarks and the join
     condition bounds event time in both directions, so Spark can evict
     join state once the watermark passes — without the time bounds the
     state grows forever, the stream–stream deploy-blocker at scale.
+
+    ``how="left_outer"`` adds the unmatched-left semantics: a left row
+    with no right match is emitted NULL-padded only once the watermark
+    proves no future match can arrive (watermark > left_ts + window) —
+    the delayed-NULL contract outer stream–stream joins are known for.
 
     ``join_keys_expr`` is the equality part (e.g. ``"user_id = p_user_id"``);
     column names on the two sides must not collide.
@@ -204,7 +210,7 @@ def stream_interval_join(
         f"{join_keys_expr} AND {right_ts} >= {left_ts} "
         f"AND {right_ts} <= {left_ts} + interval {window}"
     )
-    return lw.join(rw, cond, "inner")
+    return lw.join(rw, cond, how)
 
 
 SESSION_SCHEMA = StructType(

@@ -477,6 +477,89 @@ def test_stream_stream_interval_join(spark, tmp_path):
     assert pairs == {(1, 10)}
 
 
+def test_stream_stream_left_outer_join_delayed_nulls(spark, tmp_path):
+    """Left-outer stream–stream join: an unmatched left row is emitted
+    NULL-padded only after the watermark proves no match can arrive
+    (watermark > click_ts + window) — not in the batch it arrives in."""
+    from big_data_2021_spark_streaming_spark.streaming.pipeline import (
+        stream_interval_join,
+    )
+
+    cdir, pdir = tmp_path / "clicks", tmp_path / "purch"
+    cdir.mkdir()
+    pdir.mkdir()
+    (cdir / "b0.json").write_text(
+        "\n".join(
+            json.dumps(e)
+            for e in [
+                {"click_id": 1, "click_ts": "2024-01-01 10:00:00", "user_id": 1},
+                # user 2 never purchases -> must surface as (2, NULL),
+                # but only after the watermark passes 11:05 + delay
+                {"click_id": 2, "click_ts": "2024-01-01 10:05:00", "user_id": 2},
+            ]
+        )
+    )
+    (pdir / "b0.json").write_text(
+        json.dumps({"p_id": 10, "p_ts": "2024-01-01 10:30:00", "p_user_id": 1})
+    )
+    clicks = (
+        spark.readStream.schema("click_id LONG, click_ts STRING, user_id LONG")
+        .json(str(cdir))
+        .selectExpr("click_id", "CAST(click_ts AS TIMESTAMP) AS click_ts", "user_id")
+    )
+    purchases = (
+        spark.readStream.schema("p_id LONG, p_ts STRING, p_user_id LONG")
+        .json(str(pdir))
+        .selectExpr("p_id", "CAST(p_ts AS TIMESTAMP) AS p_ts", "p_user_id")
+    )
+    joined = stream_interval_join(
+        clicks,
+        purchases,
+        "click_ts",
+        "p_ts",
+        "user_id = p_user_id",
+        "1 hour",
+        how="left_outer",
+    ).select("click_id", "p_id")
+    q = to_memory_sink(joined, "ssoj_sink")
+    try:
+        q.processAllAvailable()
+        first = {
+            (r.click_id, r.p_id) for r in spark.table("ssoj_sink").collect()
+        }
+        assert first == {(1, 10)}, "NULL row must NOT be emitted early"
+        # advance BOTH watermarks past click_ts + window + delay so the
+        # join can prove click 2 is unmatched
+        (cdir / "b1.json").write_text(
+            json.dumps(
+                {"click_id": 99, "click_ts": "2024-01-01 13:00:00", "user_id": 98}
+            )
+        )
+        (pdir / "b1.json").write_text(
+            json.dumps({"p_id": 90, "p_ts": "2024-01-01 13:00:00", "p_user_id": 97})
+        )
+        q.processAllAvailable()
+        # the watermark computed from b1 only takes effect on the NEXT
+        # micro-batch — state eviction (and the NULL emission) needs
+        # one more batch, so nudge each source once more
+        (cdir / "b2.json").write_text(
+            json.dumps(
+                {"click_id": 100, "click_ts": "2024-01-01 13:10:00", "user_id": 96}
+            )
+        )
+        (pdir / "b2.json").write_text(
+            json.dumps({"p_id": 91, "p_ts": "2024-01-01 13:10:00", "p_user_id": 95})
+        )
+        q.processAllAvailable()
+        final = {
+            (r.click_id, r.p_id) for r in spark.table("ssoj_sink").collect()
+        }
+        assert (2, None) in final, "watermark-proven unmatched left row missing"
+        assert (1, 10) in final
+    finally:
+        q.stop()
+
+
 def test_text_quality_batch_stream_equivalence(spark, tmp_path):
     """The text-quality lineage is stateless: running it over a
     documents stream must equal the batch run on the same rows."""
