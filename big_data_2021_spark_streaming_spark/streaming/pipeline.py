@@ -101,6 +101,32 @@ def to_memory_sink(
     )
 
 
+def with_ingest_metrics(df: DataFrame, name: str = "ingest_metrics") -> DataFrame:
+    """Attach per-micro-batch data-quality metrics via ``observe()`` —
+    the production observability hook: row count, decode-failure count,
+    and max event-time ride the batch as observed metrics (surfaced in
+    every StreamingQueryProgress / QueryProgressEvent), costing one
+    accumulator pass fused into the existing plan instead of a second
+    aggregation query over the stream.
+
+    Works on any frame with the decoded RSVP ``data`` struct.
+    PERMISSIVE ``from_json`` turns a malformed record into a struct of
+    all-NULL fields (not a NULL struct — the same predicate
+    ``rsvp_decode_failures`` pins), so ``n_corrupt`` is the live
+    decode-failure meter the reference had no way to see."""
+    corrupt = (
+        F.col("data.rsvp_id").isNull()
+        & F.col("data.group").isNull()
+        & F.col("data.event").isNull()
+    )
+    return df.observe(
+        name,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(corrupt.cast("bigint")).alias("n_corrupt"),
+        F.max("timestamp").alias("max_event_ts"),
+    )
+
+
 def to_console_sink(
     df: DataFrame, output_mode: str = "append", truncate: bool = True
 ):

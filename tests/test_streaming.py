@@ -560,6 +560,45 @@ def test_stream_stream_left_outer_join_delayed_nulls(spark, tmp_path):
         q.stop()
 
 
+def test_observed_ingest_metrics(spark, fixture_dir, producer):
+    """observe(): per-micro-batch quality metrics ride the query
+    progress — row count and PERMISSIVE decode failures — without a
+    second aggregation query over the stream."""
+    from big_data_2021_spark_streaming_spark.plans.reference_queries import (
+        decode_rsvps,
+    )
+    from big_data_2021_spark_streaming_spark.streaming.pipeline import (
+        rsvp_file_stream,
+        to_memory_sink,
+        with_ingest_metrics,
+    )
+
+    producer.send_batch(
+        [
+            (rsvp_json("us", "Bend", "OR"), "2021-06-09 00:00:07"),
+            ("{not json", "2021-06-09 00:00:08"),  # decode failure
+            (rsvp_json("gb", "London"), "2021-06-09 00:00:09"),
+        ]
+    )
+    raw = rsvp_file_stream(spark, str(fixture_dir))
+    observed = with_ingest_metrics(decode_rsvps(raw))
+    q = to_memory_sink(observed.select("timestamp"), "obs_sink")
+    try:
+        q.processAllAvailable()
+        metrics = None
+        for p in reversed(q.recentProgress):
+            om = p.observedMetrics.get("ingest_metrics")
+            if om is not None and om["n_rows"]:
+                metrics = om
+                break
+        assert metrics is not None, "no batch carried observed metrics"
+        assert metrics["n_rows"] == 3
+        assert metrics["n_corrupt"] == 1
+        assert metrics["max_event_ts"] == "2021-06-09 00:00:09"
+    finally:
+        q.stop()
+
+
 def test_text_quality_batch_stream_equivalence(spark, tmp_path):
     """The text-quality lineage is stateless: running it over a
     documents stream must equal the batch run on the same rows."""
