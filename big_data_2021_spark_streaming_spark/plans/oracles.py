@@ -87,6 +87,32 @@ ORACLES: dict[str, str] = {
         JOIN nation   ON c_nationkey = n_nationkey
         GROUP BY n_name
     """,
+    "fuzzy_name_matches": """
+        WITH base AS (
+            SELECT c_custkey, c_name, length(c_name) AS n FROM customer
+        ),
+        variants AS (
+            SELECT DISTINCT c_custkey, c_name, variant FROM (
+                SELECT c_custkey, c_name,
+                       substr(c_name, 1, pos - 1)
+                           || substr(c_name, pos + 1) AS variant
+                FROM base, unnest(range(1, n + 1)) AS t(pos)
+                UNION ALL
+                SELECT c_custkey, c_name, c_name AS variant FROM base
+            )
+        ),
+        cand AS (
+            SELECT DISTINCT
+                   a.c_custkey AS custkey_a, a.c_name AS name_a,
+                   b.c_custkey AS custkey_b, b.c_name AS name_b
+            FROM variants a JOIN variants b USING (variant)
+            WHERE a.c_custkey < b.c_custkey
+        )
+        SELECT custkey_a, custkey_b, name_a, name_b,
+               CAST(levenshtein(name_a, name_b) AS INTEGER) AS edit_dist
+        FROM cand
+        WHERE levenshtein(name_a, name_b) = 1
+    """,
     "props_map_stats": """
         WITH entries AS (
             SELECT unnest(json_keys(props)) AS key, props FROM events

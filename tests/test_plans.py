@@ -370,6 +370,15 @@ def test_dup_rate_report_no_python_no_cartesian(spark):
     assert "BatchEvalPython" not in p
 
 
+def test_fuzzy_match_is_blocked_equi_join(spark):
+    # deletion-neighborhood blocking: candidates come from an equi-join
+    # on the variant key — never a cartesian/nested-loop name×name pass
+    p = plan(spark, "fuzzy_name_matches")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "variant" in p
+
+
 def test_trailing_hour_range_frame_single_exchange(spark):
     # RANGE frame: one hash partitioning on user_id, no extra shuffle,
     # and the frame spec survives as a running (bounded) window — never
