@@ -541,6 +541,41 @@ def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def lsh_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration report for the MinHash estimator: per est_jaccard
+    level (k/NUM_PERM is a 16-step lattice), how far is the estimate
+    from the exact token Jaccard? THE go/no-go QC before trusting an
+    LSH threshold on a new corpus — a biased level means the band/perm
+    config under- or over-merges there.
+
+    Marginal cost is one join of two persisted frames (the pair cache
+    and the verify output); aggregation is exact-integer micro-units
+    end to end (est is k·62500 exactly; the verify side's 6-decimal
+    jaccard is an exact micro integer), with half-up integer division
+    for the means — no float summation anywhere."""
+    pairs = minhash_lsh_pairs(spark, sf_dir)
+    true = jaccard_verify(spark, sf_dir)
+    joined = pairs.join(true, ["doc_id_a", "doc_id_b"]).select(
+        F.round(F.col("est_jaccard") * 1e6).cast("bigint").alias("est_micro"),
+        F.round(F.col("jaccard") * 1e6).cast("bigint").alias("true_micro"),
+    )
+    agg = joined.groupBy("est_micro").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("true_micro").alias("s_true"),
+        F.sum(F.abs(F.col("est_micro") - F.col("true_micro"))).alias("s_err"),
+    )
+    return agg.select(
+        (F.col("est_micro") / F.lit(1e6)).alias("est_jaccard"),
+        "n_pairs",
+        (F.expr("(2 * s_true + n_pairs) div (2 * n_pairs)") / F.lit(1e6)).alias(
+            "mean_true_jaccard"
+        ),
+        (F.expr("(2 * s_err + n_pairs) div (2 * n_pairs)") / F.lit(1e6)).alias(
+            "mean_abs_err"
+        ),
+    )
+
+
 def dup_rate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source corpus duplication dashboard: how much of each source
     survives exact dedup (distinct normalized fingerprints) and
@@ -903,6 +938,42 @@ ORACLES["dedup_clusters"] = f"""
     FROM documents d LEFT JOIN comp c USING (doc_id)
 """
 
+ORACLES["dedup_lsh_calibration"] = f"""
+    WITH {_MH_CTE},
+    {_BANDS_CTE},
+    pairs AS (
+        SELECT cand.doc_id_a, cand.doc_id_b,
+               ({_MATCHES}) / {float(NUM_PERM)} AS est_jaccard
+        FROM cand
+        JOIN mh a ON a.doc_id = cand.doc_id_a
+        JOIN mh b ON b.doc_id = cand.doc_id_b
+        WHERE ({_MATCHES}) / {float(NUM_PERM)} >= {EST_THRESHOLD}
+    ),
+    ts AS (SELECT doc_id, {_TOK_SQL} AS tok FROM documents),
+    j AS (
+        SELECT CAST(round(p.est_jaccard * 1e6) AS BIGINT) AS est_micro,
+               CAST(round(
+                   ROUND(CAST(len(list_intersect(ta.tok, tb.tok)) AS INTEGER)
+                         / CAST(len(list_distinct(list_concat(ta.tok, tb.tok)))
+                                AS INTEGER), 6) * 1e6) AS BIGINT) AS true_micro
+        FROM pairs p
+        JOIN ts ta ON ta.doc_id = p.doc_id_a
+        JOIN ts tb ON tb.doc_id = p.doc_id_b
+    ),
+    agg AS (
+        SELECT est_micro, COUNT(*) AS n_pairs,
+               CAST(SUM(true_micro) AS BIGINT) AS s_true,
+               CAST(SUM(abs(est_micro - true_micro)) AS BIGINT) AS s_err
+        FROM j GROUP BY est_micro
+    )
+    SELECT est_micro / 1e6 AS est_jaccard,
+           n_pairs,
+           ((2 * s_true + n_pairs) // (2 * n_pairs)) / 1e6
+               AS mean_true_jaccard,
+           ((2 * s_err + n_pairs) // (2 * n_pairs)) / 1e6 AS mean_abs_err
+    FROM agg
+"""
+
 ORACLES["dedup_incremental"] = f"""
     WITH {_MH_CTE},
     {_BANDS_CTE},
@@ -979,6 +1050,7 @@ ORACLES["dedup_rate_report"] = f"""
 
 QUERIES = {
     # new-in-round-3 entries first: registry order = driver grading order
+    "dedup_lsh_calibration": lsh_calibration,
     "dedup_incremental": incremental_dedup,
     "dedup_rate_report": dup_rate_report,
     "dedup_exact": exact_dedup,
