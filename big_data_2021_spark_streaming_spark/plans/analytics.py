@@ -356,6 +356,38 @@ def session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def peak_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap sweep — the capacity question session stats
+    alone can't answer: how many sessions were open AT ONCE, at peak?
+    Each session emits a (+1 at start, −1 at end) boundary, a running
+    sum over the boundary order is the live concurrency, and the peak
+    is its max; ends sort before coincident starts so back-to-back
+    sessions don't double-count. One global-ordered window over
+    2·|sessions| boundary rows — tiny next to the events that made
+    them; the event scan itself stays partitioned."""
+    sessions = session_window_stats(spark, sf_dir)
+    boundaries = sessions.select(
+        F.col("session_start").alias("ts"), F.lit(1).alias("delta")
+    ).union(
+        sessions.select(
+            F.col("session_end").alias("ts"), F.lit(-1).alias("delta")
+        )
+    )
+    w = Window.orderBy("ts", "delta").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    live = boundaries.select(
+        "ts", F.sum("delta").over(w).alias("concurrent")
+    )
+    peak = live.agg(F.max("concurrent").alias("peak_concurrent"))
+    return (
+        live.join(F.broadcast(peak), live.concurrent == peak.peak_concurrent)
+        .groupBy("peak_concurrent")
+        .agg(F.min("ts").alias("first_peak_ts"))
+        .select("peak_concurrent", "first_peak_ts")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Analytic (row) window functions — absent from the reference (§2.5) but
 # part of any complete engine surface
@@ -1560,6 +1592,7 @@ QUERIES: dict[str, object] = {
     "user_trailing_hour_stats": user_trailing_hour_stats,
     "props_map_stats": props_map_stats,
     "fuzzy_name_matches": fuzzy_name_matches,
+    "peak_concurrent_sessions": peak_concurrent_sessions,
     "sole_late_supplier": sole_late_supplier,
     "brand_supplier_variety": brand_supplier_variety,
     "value_zscore_anomalies": value_zscore_anomalies,

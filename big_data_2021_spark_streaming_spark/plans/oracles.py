@@ -294,6 +294,11 @@ ORACLES: dict[str, str] = {
         FROM numbered
         GROUP BY user_id, sess_id
     """,
+    # composed on the session oracle: +1/-1 boundary sweep, running sum
+    # = live concurrency (ends sort before coincident starts); among
+    # equal (ts, delta) rows the multiset of running values is order-
+    # independent, so the max and its first ts are deterministic
+    "peak_concurrent_sessions": None,  # assembled below (needs session SQL)
     "top3_per_segment": """
         SELECT c_mktsegment,
                c_custkey,
@@ -802,4 +807,25 @@ ORACLES["grouping_sets_revenue"] = """
     JOIN customer ON o_custkey = c_custkey
     JOIN nation ON c_nationkey = n_nationkey
     GROUP BY GROUPING SETS ((n_name), (o_orderpriority), ())
+"""
+
+ORACLES["peak_concurrent_sessions"] = f"""
+    WITH s AS ({ORACLES["session_window_stats"]}),
+    b AS (
+        SELECT session_start AS ts, 1 AS delta FROM s
+        UNION ALL
+        SELECT session_end AS ts, -1 AS delta FROM s
+    ),
+    live AS (
+        SELECT ts,
+               SUM(delta) OVER (
+                   ORDER BY ts, delta ROWS UNBOUNDED PRECEDING
+               ) AS concurrent
+        FROM b
+    ),
+    peak AS (SELECT MAX(concurrent) AS peak_concurrent FROM live)
+    SELECT CAST(p.peak_concurrent AS BIGINT) AS peak_concurrent,
+           MIN(l.ts) AS first_peak_ts
+    FROM live l JOIN peak p ON l.concurrent = p.peak_concurrent
+    GROUP BY p.peak_concurrent
 """
