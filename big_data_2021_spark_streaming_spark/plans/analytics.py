@@ -356,6 +356,32 @@ def session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def recent_orders_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated subquery through the SQL entry point — the
+    per-row top-k join shape (each customer's 2 most recent orders)
+    written the way a SQL user writes it. Catalyst must decorrelate
+    the LATERAL (DomainJoin → window/join rewrite) rather than execute
+    a per-row subquery; the registry's other top-k-per-group entries
+    pin the explicit window form, this one pins the planner's rewrite
+    of the correlated form. Also the registry's coverage of
+    ``spark.sql`` itself — every other builder is DataFrame-API."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("lat_customer")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("lat_orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, o.o_orderkey, o.o_orderdate
+        FROM lat_customer c,
+        LATERAL (
+            SELECT o_orderkey, o_orderdate
+            FROM lat_orders
+            WHERE o_custkey = c.c_custkey
+            ORDER BY o_orderdate DESC, o_orderkey
+            LIMIT 2
+        ) o
+        """
+    )
+
+
 def peak_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval-overlap sweep — the capacity question session stats
     alone can't answer: how many sessions were open AT ONCE, at peak?
@@ -1593,6 +1619,7 @@ QUERIES: dict[str, object] = {
     "props_map_stats": props_map_stats,
     "fuzzy_name_matches": fuzzy_name_matches,
     "peak_concurrent_sessions": peak_concurrent_sessions,
+    "recent_orders_lateral": recent_orders_lateral,
     "sole_late_supplier": sole_late_supplier,
     "brand_supplier_variety": brand_supplier_variety,
     "value_zscore_anomalies": value_zscore_anomalies,

@@ -829,3 +829,15 @@ ORACLES["peak_concurrent_sessions"] = f"""
     FROM live l JOIN peak p ON l.concurrent = p.peak_concurrent
     GROUP BY p.peak_concurrent
 """
+
+ORACLES["recent_orders_lateral"] = """
+    SELECT c.c_custkey, o.o_orderkey, o.o_orderdate
+    FROM customer c,
+    LATERAL (
+        SELECT o_orderkey, o_orderdate
+        FROM orders
+        WHERE o_custkey = c.c_custkey
+        ORDER BY o_orderdate DESC, o_orderkey
+        LIMIT 2
+    ) o
+"""

@@ -370,6 +370,16 @@ def test_dup_rate_report_no_python_no_cartesian(spark):
     assert "BatchEvalPython" not in p
 
 
+def test_lateral_topk_decorrelates_to_window_group_limit(spark):
+    # the LATERAL per-customer LIMIT 2 must decorrelate into the
+    # partial+final WindowGroupLimit top-k (map-side pruning before
+    # the shuffle), never a per-row subquery or cartesian
+    p = plan(spark, "recent_orders_lateral")
+    assert "WindowGroupLimit" in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
 def test_fuzzy_match_is_blocked_equi_join(spark):
     # deletion-neighborhood blocking: candidates come from an equi-join
     # on the variant key — never a cartesian/nested-loop name×name pass
