@@ -356,6 +356,31 @@ def session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def lineitem_measures_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (melt) — the inverse reshape of pivot_user_event_values:
+    lineitem's four numeric measures become (measure, value) rows, then
+    one profile row per measure. Wide→long is how a generic
+    profiling/QC pass walks every numeric column of a 100-column table
+    without 100 hand-written aggregates; the expansion is stateless
+    per-row (4× rows, same scan), aggregation is a 4-key shuffle.
+    Sums ride exact micro-unit integers (measure values are ≤2-decimal
+    in this schema) so the per-measure totals hash across engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    long = li.unpivot(
+        ids=[],
+        values=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        variableColumnName="measure",
+        valueColumnName="val",
+    )
+    micro = F.round(F.col("val") * 1e6).cast("bigint")
+    return long.groupBy("measure").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("val"), 6).alias("min_val"),
+        F.round(F.max("val"), 6).alias("max_val"),
+        (F.sum(micro) / F.lit(1e6)).alias("sum_val"),
+    )
+
+
 def recent_orders_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LATERAL correlated subquery through the SQL entry point — the
     per-row top-k join shape (each customer's 2 most recent orders)
@@ -1620,6 +1645,7 @@ QUERIES: dict[str, object] = {
     "fuzzy_name_matches": fuzzy_name_matches,
     "peak_concurrent_sessions": peak_concurrent_sessions,
     "recent_orders_lateral": recent_orders_lateral,
+    "lineitem_measures_unpivot": lineitem_measures_unpivot,
     "sole_late_supplier": sole_late_supplier,
     "brand_supplier_variety": brand_supplier_variety,
     "value_zscore_anomalies": value_zscore_anomalies,

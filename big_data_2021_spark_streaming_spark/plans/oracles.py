@@ -841,3 +841,20 @@ ORACLES["recent_orders_lateral"] = """
         LIMIT 2
     ) o
 """
+
+ORACLES["lineitem_measures_unpivot"] = """
+    WITH long AS (
+        SELECT measure, val
+        FROM lineitem
+        UNPIVOT (val FOR measure IN
+                 (l_quantity, l_extendedprice, l_discount, l_tax))
+    )
+    SELECT measure,
+           COUNT(*) AS n,
+           ROUND(MIN(val), 6) AS min_val,
+           ROUND(MAX(val), 6) AS max_val,
+           CAST(SUM(CAST(round(val * 1e6) AS BIGINT)) AS BIGINT) / 1e6
+               AS sum_val
+    FROM long
+    GROUP BY measure
+"""
