@@ -253,6 +253,31 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ivf_cell_occupancy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index-balance QC: vectors per cell, plus each cell's share
+    of the corpus — THE metric that decides whether NLIST fits the
+    data (one hot cell means probes degenerate toward a corpus scan;
+    many empty cells waste probe fan-out). Reuses the ivf_topk
+    assignment pass (one broadcast-centroid scan + a |cells|-key
+    aggregate); the share is an exact micro-unit rational."""
+    vecs = _vectors(spark, sf_dir)
+    assigned = _nearest_cells_fn(_ivf_cells(vecs))(vecs, "vec_id", "v", 1)
+    counts = assigned.groupBy("cell_id").agg(
+        F.count(F.lit(1)).alias("n_vecs")
+    )
+    return counts.select(
+        "cell_id",
+        "n_vecs",
+        (
+            F.expr(
+                "(2 * n_vecs * 1000000 + sum(n_vecs) OVER ())"
+                " div (2 * sum(n_vecs) OVER ())"
+            )
+            / F.lit(1e6)
+        ).alias("corpus_share"),
+    )
+
+
 PQ_M = 8  # subspaces (DIM / PQ_SUBDIM)
 PQ_SUBDIM = 8  # dims per subspace
 PQ_K = 16  # codebook centroids per subspace → 4-bit codes, 8 B/vector
@@ -920,6 +945,35 @@ ORACLES["similarity_ivf_topk"] = f"""
     FROM scored WHERE rank <= {TOPK}
 """
 
+ORACLES["similarity_ivf_occupancy"] = f"""
+    WITH v AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    cells AS (
+        SELECT vec_id AS cell_id, v AS c FROM v
+        WHERE vec_id >= {N_QUERIES} AND vec_id < {N_QUERIES + NLIST}
+    ),
+    assigned AS (
+        SELECT vec_id, cell_id FROM (
+            SELECT v.vec_id, c.cell_id,
+                   row_number() OVER (
+                       PARTITION BY v.vec_id
+                       ORDER BY list_cosine_similarity(v.v, c.c) DESC,
+                                c.cell_id) AS rn
+            FROM v CROSS JOIN cells c
+        ) WHERE rn = 1
+    ),
+    counts AS (
+        SELECT cell_id, COUNT(*) AS n_vecs FROM assigned GROUP BY cell_id
+    )
+    SELECT cell_id, n_vecs,
+           ((2 * n_vecs * 1000000
+             + CAST(SUM(n_vecs) OVER () AS BIGINT))
+            // (2 * CAST(SUM(n_vecs) OVER () AS BIGINT))) / 1e6
+               AS corpus_share
+    FROM counts
+"""
+
 ORACLES["kmeans_clusters"] = _kmeans_sql()
 ORACLES["embedding_outliers"] = _outliers_sql()
 
@@ -1136,6 +1190,7 @@ ORACLES["embedding_dim_variance"] = """
 
 QUERIES = {
     # new-in-round-3 entries first: registry order = driver grading order
+    "similarity_ivf_occupancy": ivf_cell_occupancy,
     "similarity_ivf_pq_topk": ivf_pq_topk,
     "similarity_pq_codes": pq_codes,
     "similarity_pq_topk": pq_topk,

@@ -142,6 +142,35 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "c_en", "c_es", "c_fr", "c_de", pred.alias("pred_lang"))
 
 
+def lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the marker-word language ID against the
+    table's gold ``lang`` labels — the eval report any classifier-ish
+    curation signal needs before its output gates real data. One
+    corpus scan (lang_id is stateless), a |langs|²-key aggregate, and
+    a window only over the aggregated matrix for per-gold-label
+    recall."""
+    pred = lang_id(spark, sf_dir).select("doc_id", "pred_lang")
+    gold = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    matrix = (
+        gold.join(pred, "doc_id")
+        .groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    return matrix.select(
+        "lang",
+        "pred_lang",
+        "n_docs",
+        (
+            F.expr(
+                "(2 * n_docs * 1000000"
+                " + sum(n_docs) OVER (PARTITION BY lang))"
+                " div (2 * sum(n_docs) OVER (PARTITION BY lang))"
+            )
+            / F.lit(1e6)
+        ).alias("share_of_gold"),
+    )
+
+
 def fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whitespace-normalized md5 content fingerprint — the cheap exact
     dedup key (dedup.exact_dedup groups on it)."""
@@ -768,6 +797,34 @@ ORACLES["text_prefix_clusters"] = f"""
     HAVING COUNT(*) >= {PREFIX_MIN_DOCS}
 """
 
+ORACLES["text_lang_confusion"] = f"""
+    WITH t AS (
+        SELECT doc_id,
+               {_MARKER_COLS}
+        FROM documents
+    ),
+    pred AS (
+        SELECT doc_id,
+               CASE WHEN greatest(c_en, c_es, c_fr, c_de) = 0 THEN 'und'
+                    WHEN c_en = greatest(c_en, c_es, c_fr, c_de) THEN 'en'
+                    WHEN c_es = greatest(c_en, c_es, c_fr, c_de) THEN 'es'
+                    WHEN c_fr = greatest(c_en, c_es, c_fr, c_de) THEN 'fr'
+                    ELSE 'de' END AS pred_lang
+        FROM t
+    ),
+    matrix AS (
+        SELECT d.lang, p.pred_lang, COUNT(*) AS n_docs
+        FROM documents d JOIN pred p USING (doc_id)
+        GROUP BY d.lang, p.pred_lang
+    )
+    SELECT lang, pred_lang, n_docs,
+           ((2 * n_docs * 1000000
+             + CAST(SUM(n_docs) OVER (PARTITION BY lang) AS BIGINT))
+            // (2 * CAST(SUM(n_docs) OVER (PARTITION BY lang) AS BIGINT)))
+               / 1e6 AS share_of_gold
+    FROM matrix
+"""
+
 ORACLES["text_token_rarity"] = f"""
     WITH t AS (
         SELECT doc_id,
@@ -791,6 +848,7 @@ ORACLES["text_token_rarity"] = f"""
 
 QUERIES = {
     # new-in-round-3 entries first: registry order = driver grading order
+    "text_lang_confusion": lang_confusion,
     "text_token_rarity": token_rarity,
     "text_prefix_clusters": prefix_clusters,
     "text_repetition_signals": repetition_signals,
