@@ -1,0 +1,82 @@
+"""Property tests for the pure math behind two round-3 operators.
+
+These hold OUTSIDE any engine: if they fail, the operator's guarantee
+is broken even when both Spark and DuckDB agree with each other.
+
+1. Deletion-neighborhood blocking (fuzzy_name_matches): ANY two strings
+   within edit distance 1 share a variant ({s} ∪ single-deletions(s)),
+   so the blocked equi-join has perfect recall at distance 1 — the
+   SymSpell completeness property.
+2. The exact half-up rational division ``(2a + b) div (2b)`` used for
+   every micro-unit mean/share (quality score, mixture report, LSH
+   calibration, confusion shares) equals true round-half-up of a/b.
+"""
+
+from __future__ import annotations
+
+from fractions import Fraction
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+def _variants(s: str) -> set[str]:
+    # pure twin of the Spark/DuckDB variant construction in
+    # plans.analytics.fuzzy_name_matches
+    return {s} | {s[:i] + s[i + 1 :] for i in range(len(s))}
+
+
+_ALPHA = "ab#0"  # tiny alphabet → frequent collisions and edge shapes
+
+
+@st.composite
+def _edit1_pair(draw):
+    s = draw(st.text(alphabet=_ALPHA, min_size=0, max_size=12))
+    kind = draw(st.sampled_from(["sub", "del", "ins", "eq"]))
+    if kind == "eq" or (kind in ("sub", "del") and not s):
+        return s, s
+    i = draw(st.integers(0, len(s) - 1 if kind != "ins" else len(s)))
+    c = draw(st.sampled_from(_ALPHA))
+    if kind == "sub":
+        return s, s[:i] + c + s[i + 1 :]
+    if kind == "del":
+        return s, s[:i] + s[i + 1 :]
+    return s, s[:i] + c + s[i:]
+
+
+@settings(max_examples=300, deadline=None)
+@given(_edit1_pair())
+def test_deletion_blocking_is_complete_at_distance_1(pair):
+    s, t = pair
+    assert _variants(s) & _variants(t), (
+        f"edit-distance-1 pair shares no variant: {s!r} vs {t!r}"
+    )
+
+
+@settings(max_examples=500, deadline=None)
+@given(st.integers(0, 10**12), st.integers(1, 10**6))
+def test_half_up_integer_division_matches_fraction(a, b):
+    got = (2 * a + b) // (2 * b)
+    fr = Fraction(a, b)
+    expect = int(fr + Fraction(1, 2))  # floor(a/b + 1/2) = round half up
+    assert got == expect, f"{a}/{b}: {got} != {expect}"
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.integers(1, 2000),  # n_tokens
+    st.integers(0, 2000),  # n_stop (may exceed n_tokens only artificially)
+    st.integers(0, 20000),  # total_len
+)
+def test_quality_micro_formula_matches_rational(n_tokens, n_stop, total_len):
+    # integer expression from operators.text.quality_lineage
+    n_stop = min(n_stop, n_tokens)
+    n1 = min(n_tokens * 5000, 500000)
+    n3 = min(20000 * total_len, 200000 * n_tokens)
+    got = n1 + (2 * (300000 * n_stop + n3) + n_tokens) // (2 * n_tokens)
+    # rational reference: term1 + round_half_up of the shared-denominator
+    # rational (term1 is an exact micro integer, so this equals rounding
+    # the full sum)
+    fr = Fraction(300000 * n_stop + n3, n_tokens)
+    expect = n1 + int(fr + Fraction(1, 2))
+    assert got == expect
