@@ -303,6 +303,70 @@ def test_checkpoint_recovery(spark, tmp_path):
     assert cities == ["Austin", "Bend"]  # exactly once each
 
 
+def test_interval_join_state_survives_checkpoint_restart(spark, tmp_path):
+    """Join-STATE recovery (beyond the aggregation-state recovery
+    above): a click buffered in join state before the stop must still
+    match a purchase that arrives only after restart from the same
+    checkpoint — and nothing is emitted twice."""
+    from big_data_2021_spark_streaming_spark.streaming.pipeline import (
+        stream_interval_join,
+    )
+
+    cdir, pdir = tmp_path / "clicks", tmp_path / "purch"
+    cdir.mkdir()
+    pdir.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def build():
+        clicks = (
+            spark.readStream.schema("click_id LONG, click_ts STRING, user_id LONG")
+            .json(str(cdir))
+            .selectExpr(
+                "click_id", "CAST(click_ts AS TIMESTAMP) AS click_ts", "user_id"
+            )
+        )
+        purchases = (
+            spark.readStream.schema("p_id LONG, p_ts STRING, p_user_id LONG")
+            .json(str(pdir))
+            .selectExpr("p_id", "CAST(p_ts AS TIMESTAMP) AS p_ts", "p_user_id")
+        )
+        return stream_interval_join(
+            clicks, purchases, "click_ts", "p_ts", "user_id = p_user_id", "1 hour"
+        ).select("click_id", "p_id")
+
+    def start(df):
+        return (
+            df.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .start()
+        )
+
+    (cdir / "b0.json").write_text(
+        json.dumps({"click_id": 1, "click_ts": "2024-01-01 10:00:00", "user_id": 1})
+    )
+    (pdir / "b0.json").write_text(
+        json.dumps({"p_id": 10, "p_ts": "2024-01-01 10:10:00", "p_user_id": 1})
+    )
+    q = start(build())
+    q.processAllAvailable()
+    q.stop()
+    # the matching purchase for the STILL-BUFFERED click arrives only
+    # after the restart; recovery must restore the click from join state
+    (pdir / "b1.json").write_text(
+        json.dumps({"p_id": 11, "p_ts": "2024-01-01 10:30:00", "p_user_id": 1})
+    )
+    q2 = start(build())
+    q2.processAllAvailable()
+    q2.stop()
+    pairs = sorted(
+        (r.click_id, r.p_id) for r in spark.read.parquet(out).collect()
+    )
+    assert pairs == [(1, 10), (1, 11)]  # old match once, new match found
+
+
 def test_replay_producer_roundtrip(tmp_path):
     """FileEnvelopeProducer writes the exact envelope contract and
     iter_jsonl_records is its inverse (the reference's decode loop)."""
