@@ -80,3 +80,49 @@ def test_quality_micro_formula_matches_rational(n_tokens, n_stop, total_len):
     fr = Fraction(300000 * n_stop + n3, n_tokens)
     expect = n1 + int(fr + Fraction(1, 2))
     assert got == expect
+
+
+def _winnow_py(s: str, k: int = 5, w: int = 4) -> set[int]:
+    """Pure twin of operators.text.winnow_fingerprints: normalize,
+    hash every k-gram with the cross-engine h60 family, keep each
+    w-window's min (full windows, plus the single global min when the
+    doc is shorter than one window)."""
+    import re
+
+    from big_data_2021_spark_streaming_spark.operators.similarity import (
+        _h60_py,
+    )
+
+    norm = re.sub(r"\s+", " ", s).strip().lower()
+    hashes = [
+        _h60_py(norm[i : i + k]) for i in range(max(len(norm) - k + 1, 1))
+    ] if len(norm) >= k else [_h60_py(norm[:k])]
+    if len(norm) < k:
+        hashes = [_h60_py(norm)]
+    n = len(hashes)
+    if n <= w:
+        return {min(hashes)}
+    return {min(hashes[i : i + w]) for i in range(n - w + 1)}
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    # space-free: whitespace inside the block would collapse under the
+    # \s+ normalization and could shrink the shared run below w+k-1
+    st.text(alphabet="abcd", min_size=8, max_size=20),  # shared substring
+    st.text(alphabet="wxyz", min_size=0, max_size=10),
+    st.text(alphabet="wxyz", min_size=0, max_size=10),
+)
+def test_winnowing_guarantee_shared_substring_shares_fingerprint(
+    shared, pre, post
+):
+    """The Schleimer/Wilkerson/Aiken guarantee for (k=5, w=4): any two
+    documents sharing a run of ≥ w+k-1 = 8 identical characters share
+    at least one selected fingerprint. The shared block uses a disjoint
+    alphabet from the noise so normalization can't merge across the
+    boundary."""
+    a = pre + shared + post
+    b = post + shared + pre
+    assert _winnow_py(a) & _winnow_py(b), (
+        f"no shared fingerprint: {a!r} vs {b!r}"
+    )

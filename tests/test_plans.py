@@ -404,3 +404,23 @@ def test_scd2_single_exchange(spark):
     # user_id across both window passes and the aggregate
     p = plan(spark, "user_type_scd2")
     assert p.count("Arguments: hashpartitioning(user_id") <= 1
+
+
+def test_registry_names_unique_across_modules():
+    # a duplicate name across operator modules would silently shadow an
+    # entry in the registry (dict insert wins) and shrink the graded set
+    from big_data_2021_spark_streaming_spark.operators import (
+        curation,
+        dedup,
+        multimodal,
+        similarity,
+        text,
+    )
+    from big_data_2021_spark_streaming_spark.plans import analytics, rsvp_fixture
+
+    seen: dict[str, str] = {}
+    for mod in (dedup, similarity, text, multimodal, curation, rsvp_fixture, analytics):
+        for name in mod.QUERIES:
+            assert name not in seen, f"{name} in both {seen[name]} and {mod.__name__}"
+            seen[name] = mod.__name__
+    assert len(seen) >= 109
