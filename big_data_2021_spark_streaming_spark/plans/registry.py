@@ -60,4 +60,45 @@ def all_queries() -> dict[str, QuerySpec]:
         add(mod.QUERIES, mod.ORACLES)
     add(rsvp_fixture.QUERIES, rsvp_fixture.ORACLES)
     add(analytics.QUERIES, ORACLES)
-    return registry
+    # Final pass: any query the driver has ALREADY hash-verified green
+    # moves to the back, so an arbitrary budget prefix grades the
+    # maximum number of never-verified entries. (_R02_VERIFIED is the
+    # exact green set from CORRECTNESS_r02.json; the two hash-FAILs of
+    # that round are deliberately absent so their fixes get regraded
+    # first.)
+    front = {n: s for n, s in registry.items() if n not in _R02_VERIFIED}
+    back = {n: s for n, s in registry.items() if n in _R02_VERIFIED}
+    return {**front, **back}
+
+
+# Names hash-verified green by the driver's round-2 correctness run
+# (CORRECTNESS_r02.json): lowest regrading priority. Excludes that
+# round's two hash-FAILs (returnflag_priority_counts,
+# rsvp_decode_failures — fixed since, must be regraded early) and its
+# rows-only entry keeps its place via this set (sketch_event_stats had
+# no oracle then and none now).
+_R02_VERIFIED = frozenset(
+    {
+        "q1_filter", "q2_join_enrich", "q3_window_collect_set",
+        "json_encode", "date_parts", "pricing_summary",
+        "revenue_by_nation", "top_customers", "order_priority_semijoin",
+        "parts_never_in_bulk_orders", "clickers_not_purchasers",
+        "event_type_union", "distinct_users_per_type",
+        "rollup_order_status", "cube_event_stats",
+        "pivot_user_event_values", "value_percentiles",
+        "session_window_stats", "top3_per_segment", "user_event_gaps",
+        "sliding_window_stats", "asof_last_signup",
+        "range_join_click_purchase", "salted_type_totals",
+        "promo_revenue_ratio", "supplier_balance_by_nation",
+        "small_qty_part_revenue", "big_order_customers",
+        "inactive_rich_customers", "top_supplier_by_revenue",
+        "shipping_priority_topk", "nation_pair_volume",
+        "market_share_by_year", "part_profit_by_nation_year",
+        "customer_order_distribution", "disjunctive_part_revenue",
+        "daily_click_purchase_recon", "click_and_error_users",
+        "latest_event_per_user", "funnel_conversion",
+        "running_user_value", "event_rank_stats",
+        "sketch_event_stats", "rsvp_faithful_filter", "rsvp_q2_payload",
+        "dedup_exact", "dedup_clusters", "dedup_minhash_lsh",
+    }
+)

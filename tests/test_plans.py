@@ -424,3 +424,19 @@ def test_registry_names_unique_across_modules():
             assert name not in seen, f"{name} in both {seen[name]} and {mod.__name__}"
             seen[name] = mod.__name__
     assert len(seen) >= 109
+
+
+def test_registry_orders_unverified_queries_first():
+    # grading order = registry order, and the driver's gate has a
+    # budget: every query the driver has never hash-verified (plus the
+    # r02 hash-FAILs, since fixed) must precede the r02-green block, so
+    # any budget prefix grades the maximum number of unverified entries
+    from big_data_2021_spark_streaming_spark.plans.registry import (
+        _R02_VERIFIED,
+        all_queries,
+    )
+
+    names = list(all_queries())
+    first_back = next(i for i, n in enumerate(names) if n in _R02_VERIFIED)
+    assert all(n in _R02_VERIFIED for n in names[first_back:])
+    assert all(n not in _R02_VERIFIED for n in names[:first_back])
