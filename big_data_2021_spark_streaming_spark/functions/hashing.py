@@ -71,3 +71,17 @@ def h60_packed_md5_sql(seed: int, expr: str) -> str:
 
 def h60_packed_member_sql(digest_expr: str, half: int) -> str:
     return f"CAST('0x' || substr({digest_expr}, {1 + 16 * half}, 15) AS BIGINT)"
+
+
+def fingerprint_col(text_col: str = "text") -> F.Column:
+    """Whitespace-normalized md5 content fingerprint — THE exact-dedup
+    key. One definition shared by text.fingerprint, dedup.exact_dedup
+    and dedup.dup_rate_report, so a normalization tweak can never make
+    them disagree about the 'exact duplicate' universe; the SQL twin is
+    ``fingerprint_sql``."""
+    return F.md5(F.lower(F.trim(F.regexp_replace(text_col, r"\s+", " "))))
+
+
+def fingerprint_sql(expr: str = "text") -> str:
+    """DuckDB twin of ``fingerprint_col``."""
+    return f"md5(lower(trim(regexp_replace({expr}, '\\s+', ' ', 'g'))))"

@@ -26,6 +26,8 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..functions.hashing import (
+    fingerprint_col,
+    fingerprint_sql,
     h60,
     h60_packed_md5,
     h60_packed_md5_sql,
@@ -57,8 +59,7 @@ def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup via normalized-content fingerprint: one shuffle on
     the 128-bit key; the canonical row is the min doc_id per group."""
     docs = load_table(spark, sf_dir, "documents")
-    normalized = F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
-    with_fp = docs.select("doc_id", F.md5(normalized).alias("fingerprint"))
+    with_fp = docs.select("doc_id", fingerprint_col().alias("fingerprint"))
     canon = with_fp.groupBy("fingerprint").agg(F.min("doc_id").alias("canonical_id"))
     return (
         with_fp.join(canon, "fingerprint")
@@ -270,6 +271,35 @@ def _char_gram_rows(
     ).distinct()
 
 
+def _pair_gram_sets(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """(pairs, gram_sets): the LSH candidate pairs and the persisted
+    per-candidate-doc gram-set frame — ONE definition shared by
+    ngram_jaccard and gram_containment (the SQL twin is
+    _PAIR_GRAMS_CTE). Sharing the construction, not just relying on
+    CacheManager plan-matching across two hand-maintained copies,
+    guarantees both consumers read the same materialization even if
+    the lineage changes later.
+
+    Gram sets are assembled relationally: the linear explode hashes
+    each position once (see _char_gram_rows — a transform() lambda
+    would be quadratic per doc), bounded to candidate docs BEFORE the
+    explode (Catalyst can't push a semi-join through Generate), then
+    collect_list re-packs the distinct grams into one small array per
+    doc so set arithmetic is a single pair join (measured ~10 s vs
+    ~4 s at sf0.1 for the exploded pairs×grams formulation, and that
+    blow-up scales with the near-dup rate)."""
+    pairs = minhash_lsh_pairs(spark, sf_dir).select("doc_id_a", "doc_id_b")
+    gram_sets = (
+        _char_gram_rows(spark, sf_dir, bound_to=_candidate_docs(pairs))
+        .groupBy("doc_id")
+        .agg(F.collect_list("g").alias("grams"))
+        .persist()
+    )
+    return pairs, gram_sets
+
+
 def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character-n-gram Jaccard for the LSH candidate pairs: the same
     two-phase shape as jaccard_verify but with 3-gram shingles instead
@@ -280,24 +310,7 @@ def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage is an equi-join or aggregation the planner can partition,
     and candidate generation stays LSH-bounded (never all-pairs).
     """
-    pairs = minhash_lsh_pairs(spark, sf_dir).select("doc_id_a", "doc_id_b")
-    # Per-doc gram SETS, assembled relationally: the linear explode
-    # hashes each position once (see _char_gram_rows — a transform()
-    # lambda would be quadratic per doc), bounded to candidate docs
-    # BEFORE the explode (Catalyst can't push a semi-join through
-    # Generate), then collect_list re-packs the distinct grams into one
-    # small array per doc. Set arithmetic is then a single pair join +
-    # array_intersect — the same pair-bounded shape as jaccard_verify —
-    # instead of exploding every (pair, gram) combination through a
-    # shuffle (~|pairs|·|grams/doc| rows; measured 10 s vs ~4 s at
-    # sf0.1 for this formulation, and the row blow-up scales with the
-    # near-dup rate, not the corpus).
-    gram_sets = (
-        _char_gram_rows(spark, sf_dir, bound_to=_candidate_docs(pairs))
-        .groupBy("doc_id")
-        .agg(F.collect_list("g").alias("grams"))
-        .persist()
-    )
+    pairs, gram_sets = _pair_gram_sets(spark, sf_dir)
     a = gram_sets.select(
         F.col("doc_id").alias("doc_id_a"), F.col("grams").alias("g_a")
     )
@@ -330,17 +343,10 @@ def gram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     C(A→B) = |grams(A)∩grams(B)| / |grams(A)|. Jaccard misses the
     doc-inside-doc case (a short document fully quoted inside a long
     one scores low Jaccard but containment ≈ 1), which is exactly the
-    boilerplate/quotation signal a curation pipeline keys on. Same
-    pair-bounded gram-set plan as ngram_jaccard — the persisted
-    gram_sets frame is shared via CacheManager plan matching, so the
-    marginal cost is one pair join."""
-    pairs = minhash_lsh_pairs(spark, sf_dir).select("doc_id_a", "doc_id_b")
-    gram_sets = (
-        _char_gram_rows(spark, sf_dir, bound_to=_candidate_docs(pairs))
-        .groupBy("doc_id")
-        .agg(F.collect_list("g").alias("grams"))
-        .persist()
-    )
+    boilerplate/quotation signal a curation pipeline keys on. Shares
+    _pair_gram_sets with ngram_jaccard — one persisted gram-set
+    materialization, so the marginal cost is one pair join."""
+    pairs, gram_sets = _pair_gram_sets(spark, sf_dir)
     a = gram_sets.select(
         F.col("doc_id").alias("doc_id_a"), F.col("grams").alias("g_a")
     )
@@ -589,9 +595,8 @@ def dup_rate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     are exact-integer numerators over one double division at the
     boundary."""
     docs = load_table(spark, sf_dir, "documents")
-    normalized = F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
     with_fp = docs.select(
-        "doc_id", "source", F.md5(normalized).alias("fingerprint")
+        "doc_id", "source", fingerprint_col().alias("fingerprint")
     )
     clusters = near_dup_clusters(spark, sf_dir).select("doc_id", "is_canonical")
     joined = with_fp.join(clusters, "doc_id")
@@ -761,10 +766,10 @@ _SIMHASH_SIG = " + ".join(
 )
 
 ORACLES: dict[str, str] = {
-    "dedup_exact": """
+    "dedup_exact": f"""
         WITH fp AS (
             SELECT doc_id,
-                   md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+                   {fingerprint_sql()}
                        AS fingerprint
             FROM documents
         ),
@@ -1008,7 +1013,7 @@ ORACLES["dedup_incremental"] = f"""
     WHERE d.source = '{INCR_SOURCE}'
 """
 
-_FP_SQL = "md5(lower(trim(regexp_replace(d.text, '\\s+', ' ', 'g'))))"
+_FP_SQL = fingerprint_sql("d.text")
 
 ORACLES["dedup_rate_report"] = f"""
     WITH RECURSIVE {_MH_CTE},

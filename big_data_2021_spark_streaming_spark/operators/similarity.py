@@ -466,12 +466,14 @@ def ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     codes = _pq_codes_long(spark, sf_dir)
     qtab = _pq_query_table(spark, sf_dir)
     scored = (
-        # candidates are bounded by N_QUERIES × NPROBE × cell occupancy
-        # — the sampled-query shape, always small next to the corpus
-        # code table; post-window stats are unknown at plan time, so
-        # hint it or Catalyst falls back to a sort-merge exchange of
-        # the code table
-        codes.join(F.broadcast(candidates), "vec_id")
+        # candidates are N_QUERIES × NPROBE × cell occupancy ≈
+        # (NPROBE·N_QUERIES/NLIST)× the corpus — corpus-PROPORTIONAL,
+        # so no broadcast hint here: a forced broadcast would hit the
+        # driver/broadcast cap at scale. AQE upgrades this join to a
+        # broadcast at runtime whenever the probed set is actually
+        # small; the genuinely query-sized frames (probes, qtab) keep
+        # their hints
+        codes.join(candidates, "vec_id")
         .join(F.broadcast(qtab), ["query_id", "m", "code"])
         .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
         .agg(F.sum("qdist").alias("adc"))
@@ -1034,16 +1036,24 @@ def _pq_codes_sql() -> str:
     """
 
 
-def _pq_topk_sql() -> str:
+def _pq_qtab_cte() -> str:
+    """``qtab`` CTE (ADC query table) — shared verbatim by
+    _pq_topk_sql and the IVF-PQ oracle so the two can't drift."""
     return f"""
-        WITH {_pq_codes_cte()},
         qtab AS (
             SELECT comp.vec_id AS query_id, m, k + 1 AS code,
                    SUM((xq - cq) * (xq - cq)) AS qdist
             FROM comp JOIN cents USING (gd)
             WHERE comp.vec_id < {N_QUERIES}
             GROUP BY 1, 2, 3
-        ),
+        )
+    """
+
+
+def _pq_topk_sql() -> str:
+    return f"""
+        WITH {_pq_codes_cte()},
+        {_pq_qtab_cte()},
         scored AS (
             SELECT q.query_id, c.vec_id AS neighbor_id,
                    SUM(q.qdist) AS adc
@@ -1074,13 +1084,7 @@ ORACLES["similarity_pq_topk"] = _pq_topk_sql()
 # CTE `cents` inside _pq_codes_cte
 ORACLES["similarity_ivf_pq_topk"] = f"""
     WITH {_pq_codes_cte()},
-    qtab AS (
-        SELECT comp.vec_id AS query_id, m, k + 1 AS code,
-               SUM((xq - cq) * (xq - cq)) AS qdist
-        FROM comp JOIN cents USING (gd)
-        WHERE comp.vec_id < {N_QUERIES}
-        GROUP BY 1, 2, 3
-    ),
+    {_pq_qtab_cte()},
     v AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
     ),

@@ -173,10 +173,12 @@ def lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whitespace-normalized md5 content fingerprint — the cheap exact
-    dedup key (dedup.exact_dedup groups on it)."""
+    dedup key (dedup.exact_dedup groups on it; one shared definition in
+    functions.hashing so the 'exact duplicate' universe can't fork)."""
+    from ..functions.hashing import fingerprint_col
+
     docs = load_table(spark, sf_dir, "documents")
-    normalized = F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
-    return docs.select("doc_id", F.md5(normalized).alias("fingerprint"))
+    return docs.select("doc_id", fingerprint_col().alias("fingerprint"))
 
 
 PREFIX_TOKENS = 2  # leading tokens that define a boilerplate family
@@ -422,13 +424,20 @@ ORACLES: dict[str, str] = {
     """,
     # text_quality_score / text_lang_id are assembled below from the
     # same constants the Spark builders use
-    "text_fingerprint": """
-        SELECT doc_id,
-               md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
-                   AS fingerprint
-        FROM documents
-    """,
 }
+
+
+def _fp_oracle_sql() -> str:
+    from ..functions.hashing import fingerprint_sql
+
+    return f"""
+        SELECT doc_id,
+               {fingerprint_sql()} AS fingerprint
+        FROM documents
+    """
+
+
+ORACLES["text_fingerprint"] = _fp_oracle_sql()
 
 _STOP_LIST = ", ".join(f"'{w}'" for w in STOPWORDS)
 # exact micro-unit twins of quality_lineage's integer expressions

@@ -94,11 +94,10 @@ def _winnow_py(s: str, k: int = 5, w: int = 4) -> set[int]:
     )
 
     norm = re.sub(r"\s+", " ", s).strip().lower()
-    hashes = [
-        _h60_py(norm[i : i + k]) for i in range(max(len(norm) - k + 1, 1))
-    ] if len(norm) >= k else [_h60_py(norm[:k])]
     if len(norm) < k:
         hashes = [_h60_py(norm)]
+    else:
+        hashes = [_h60_py(norm[i : i + k]) for i in range(len(norm) - k + 1)]
     n = len(hashes)
     if n <= w:
         return {min(hashes)}

