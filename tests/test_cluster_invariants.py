@@ -62,3 +62,59 @@ def test_incremental_dedup_invariants(spark):
         else:
             assert r.dup_of is not None and r.dup_of not in batch_ids
             assert r.est_jaccard >= EST_THRESHOLD
+
+
+def test_dup_rate_report_consistent_with_source_lineages(spark):
+    """The per-source dashboard must agree with the lineages it
+    summarizes: canonical counts match near_dup_clusters, unique
+    fingerprint counts match exact_dedup, and every rate is a valid
+    proportion."""
+    from big_data_2021_spark_streaming_spark.operators.dedup import (
+        dup_rate_report,
+        exact_dedup,
+        near_dup_clusters,
+    )
+    from big_data_2021_spark_streaming_spark.sources.batch import load_table
+
+    report = {r.source: r for r in dup_rate_report(spark, SF).collect()}
+    assert report, "no sources reported"
+    docs = {
+        r.doc_id: r.source
+        for r in load_table(spark, SF, "documents")
+        .select("doc_id", "source")
+        .collect()
+    }
+    canon_by_source: dict[str, int] = {}
+    for r in near_dup_clusters(spark, SF).collect():
+        if r.is_canonical:
+            s = docs[r.doc_id]
+            canon_by_source[s] = canon_by_source.get(s, 0) + 1
+    uniq_by_source: dict[str, set] = {}
+    for r in exact_dedup(spark, SF).collect():
+        uniq_by_source.setdefault(docs[r.doc_id], set()).add(r.fingerprint)
+    for s, row in report.items():
+        assert row.n_canonical == canon_by_source.get(s, 0), s
+        assert row.n_unique_exact == len(uniq_by_source[s]), s
+        assert 0.0 <= row.exact_dup_rate <= 1.0
+        assert 0.0 <= row.near_dup_rate <= 1.0
+        assert row.n_canonical <= row.n_docs
+
+
+def test_lsh_calibration_levels_are_the_estimator_lattice(spark):
+    """Calibration rows live on the k/NUM_PERM lattice at or above the
+    threshold, with sane error bounds (both jaccards are in [0,1], so
+    mean_abs_err can never exceed 1)."""
+    from big_data_2021_spark_streaming_spark.operators.dedup import (
+        NUM_PERM,
+        lsh_calibration,
+    )
+
+    rows = lsh_calibration(spark, SF).collect()
+    assert rows, "no calibration levels"
+    valid_levels = {k / NUM_PERM for k in range(NUM_PERM + 1)}
+    for r in rows:
+        assert r.est_jaccard in valid_levels
+        assert r.est_jaccard >= EST_THRESHOLD
+        assert r.n_pairs >= 1
+        assert 0.0 <= r.mean_true_jaccard <= 1.0
+        assert 0.0 <= r.mean_abs_err <= 1.0
