@@ -390,11 +390,25 @@ def token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = tok.join(F.broadcast(cf), "tok").crossJoin(F.broadcast(total))
     n = F.count(F.lit(1))
     rare = (F.col("c") * (100 // RARE_PCT) < F.col("total")).cast("bigint")
-    return scored.groupBy("doc_id").agg(
+    # both ratios as exact half-up integer unit division (1e4 / 1e6
+    # units), like quality_lineage: ROUND(int/int double, d) is the
+    # ROUND-boundary divergence class — Spark rounds BigDecimal's
+    # shortest repr, DuckDB the raw double, so a ratio landing on a
+    # .xxx5 boundary at an ungraded sf would hash-FAIL
+    agg = scored.groupBy("doc_id").agg(
         n.alias("n_tokens"),
         F.min("c").alias("min_count"),
-        F.round(F.sum("c") / n, 4).alias("avg_count"),
-        F.round(F.sum(rare) / n, 6).alias("rare_ratio"),
+        F.sum("c").alias("sum_c"),
+        F.sum(rare).alias("n_rare"),
+    )
+    avg_u = F.expr("(2 * sum_c * 10000 + n_tokens) div (2 * n_tokens)")
+    rare_u = F.expr("(2 * n_rare * 1000000 + n_tokens) div (2 * n_tokens)")
+    return agg.select(
+        "doc_id",
+        "n_tokens",
+        "min_count",
+        (avg_u / F.lit(1e4)).alias("avg_count"),
+        (rare_u / F.lit(1e6)).alias("rare_ratio"),
     )
 
 
@@ -846,11 +860,11 @@ ORACLES["text_token_rarity"] = f"""
     SELECT doc_id,
            COUNT(*) AS n_tokens,
            MIN(c) AS min_count,
-           ROUND(CAST(SUM(c) AS BIGINT) / CAST(COUNT(*) AS DOUBLE), 4)
-               AS avg_count,
-           ROUND(CAST(SUM(CASE WHEN c * {100 // RARE_PCT} < total
-                               THEN 1 ELSE 0 END) AS BIGINT)
-                 / CAST(COUNT(*) AS DOUBLE), 6) AS rare_ratio
+           ((2 * CAST(SUM(c) AS BIGINT) * 10000 + COUNT(*))
+            // (2 * COUNT(*))) / 1e4 AS avg_count,
+           ((2 * CAST(SUM(CASE WHEN c * {100 // RARE_PCT} < total
+                               THEN 1 ELSE 0 END) AS BIGINT) * 1000000
+             + COUNT(*)) // (2 * COUNT(*))) / 1e6 AS rare_ratio
     FROM tok JOIN cf USING (tok) CROSS JOIN tot
     GROUP BY doc_id
 """

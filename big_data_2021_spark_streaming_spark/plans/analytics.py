@@ -976,6 +976,14 @@ def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     supplier = load_table(spark, sf_dir, "supplier")
     nation = load_table(spark, sf_dir, "nation")
     region = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    # nation-level groups accumulate far more addends than the
+    # per-customer groups that motivated returned_item_report's exact
+    # cents: a double SUM's partial-aggregate order is partition-
+    # dependent, so ROUND(SUM(double),2) can drift in the last ulp
+    # across runs/engines — same micro-unit BIGINT pattern instead
+    rev_micro = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 1e6
+    ).cast("bigint")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
@@ -987,10 +995,12 @@ def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy(F.col("n_name").alias("nation_name"))
-        .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+        .agg(F.sum(rev_micro).alias("rev_micro"))
+        .select(
+            "nation_name",
+            (F.expr("(rev_micro + 5000) div 10000") / F.lit(100.0)).alias(
+                "revenue"
+            ),
         )
     )
 

@@ -114,19 +114,23 @@ ORACLES: dict[str, str] = {
         WHERE levenshtein(name_a, name_b) = 1
     """,
     "props_map_stats": """
+        -- unnest key/value pairs TOGETHER via the JSON→MAP cast: the
+        -- earlier json_extract(props, '$.' || key) rebuilt JSON paths
+        -- by string concatenation, which silently mis-addresses keys
+        -- containing '.', quotes, or brackets that Spark's
+        -- map<string,int> decode handles fine
         WITH entries AS (
-            SELECT unnest(json_keys(props)) AS key, props FROM events
+            SELECT unnest(map_entries(
+                       CAST(props::JSON AS MAP(VARCHAR, INTEGER)))) AS e
+            FROM events
         )
-        SELECT key,
+        SELECT e.key AS key,
                COUNT(*) AS n_entries,
-               MIN(CAST(json_extract(props, '$.' || key) AS INTEGER))
-                   AS min_val,
-               MAX(CAST(json_extract(props, '$.' || key) AS INTEGER))
-                   AS max_val,
-               CAST(SUM(CAST(json_extract(props, '$.' || key) AS INTEGER))
-                    AS BIGINT) AS sum_val
+               MIN(e.value) AS min_val,
+               MAX(e.value) AS max_val,
+               CAST(SUM(e.value) AS BIGINT) AS sum_val
         FROM entries
-        GROUP BY key
+        GROUP BY e.key
     """,
     "user_trailing_hour_stats": """
         WITH e AS (
@@ -143,8 +147,14 @@ ORACLES: dict[str, str] = {
                      RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
     """,
     "local_supplier_volume": """
+        -- exact micro-unit sum + integer half-up division to cents,
+        -- like returned_item_report: a double SUM is partial-order-
+        -- dependent and ROUND diverges between engines at boundaries
         SELECT n_name AS nation_name,
-               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+               ((CAST(SUM(CAST(round(
+                     l_extendedprice * (1 - l_discount) * 1e6)
+                 AS BIGINT)) AS BIGINT) + 5000) // 10000) / 100.0
+                   AS revenue
         FROM lineitem
         JOIN orders   ON l_orderkey = o_orderkey
         JOIN customer ON o_custkey = c_custkey

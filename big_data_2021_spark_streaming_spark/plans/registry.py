@@ -63,20 +63,21 @@ def all_queries() -> dict[str, QuerySpec]:
     add(rsvp_fixture.QUERIES, rsvp_fixture.ORACLES, "rsvp")
     add(analytics.QUERIES, ORACLES, "analytics")
     # Final pass: any query the driver has ALREADY hash-verified green
-    # moves to the back, so an arbitrary budget prefix grades the
-    # maximum number of never-verified entries. (_R02_VERIFIED is the
-    # exact green set from CORRECTNESS_r02.json; the two hash-FAILs of
-    # that round are deliberately absent so their fixes get regraded
-    # first.) Within the never-verified block, cheap families run
-    # before the ones that pay a one-time cache materialization
-    # (LSH pairs / cluster labels / gram sets), so a WALL-CLOCK budget
-    # also grades the most entries — harmless if the budget is a count.
+    # on its CURRENT plan moves to the back, so an arbitrary budget
+    # prefix grades the maximum number of never-verified entries.
+    # (_DRIVER_VERIFIED = CORRECTNESS_r02 ∪ CORRECTNESS_r03 greens,
+    # minus any name whose builder or oracle was re-planned after its
+    # last green — those must be regraded early.) Within the
+    # never-verified block, cheap families run before the ones that
+    # pay a one-time cache materialization (LSH pairs / cluster
+    # labels / gram sets), so a WALL-CLOCK budget also grades the most
+    # entries — harmless if the budget is a count.
     order = list(registry)
     front = sorted(
-        (n for n in order if n not in _R02_VERIFIED),
+        (n for n in order if n not in _DRIVER_VERIFIED),
         key=lambda n: (_FAMILY_COST[family[n]], order.index(n)),
     )
-    back = [n for n in order if n in _R02_VERIFIED]
+    back = [n for n in order if n in _DRIVER_VERIFIED]
     return {n: registry[n] for n in front + back}
 
 
@@ -95,34 +96,47 @@ _FAMILY_COST = {
 }
 
 
-# Names hash-verified green by the driver's round-2 correctness run
-# (CORRECTNESS_r02.json): lowest regrading priority. Excludes that
-# round's two hash-FAILs (returnflag_priority_counts,
-# rsvp_decode_failures — fixed since, must be regraded early) and its
-# rows-only entry keeps its place via this set (sketch_event_stats had
-# no oracle then and none now).
-_R02_VERIFIED = frozenset(
+# Names hash-verified green by the driver on their CURRENT plan:
+# CORRECTNESS_r02.json ∪ CORRECTNESS_r03.json greens, minus the three
+# queries re-planned in round 4 after their r03 green
+# (text_token_rarity / local_supplier_volume: exact micro-unit
+# rounding rewrites; props_map_stats: oracle rewritten off
+# string-concat JSON paths) — those regrade early. The 11 names the
+# driver has never verified on current code (8 never graded, 3 graded
+# only pre-r02-re-plan) are likewise absent and sort to the front.
+_DRIVER_VERIFIED = frozenset(
     {
-        "q1_filter", "q2_join_enrich", "q3_window_collect_set",
-        "json_encode", "date_parts", "pricing_summary",
-        "revenue_by_nation", "top_customers", "order_priority_semijoin",
-        "parts_never_in_bulk_orders", "clickers_not_purchasers",
-        "event_type_union", "distinct_users_per_type",
-        "rollup_order_status", "cube_event_stats",
-        "pivot_user_event_values", "value_percentiles",
-        "session_window_stats", "top3_per_segment", "user_event_gaps",
-        "sliding_window_stats", "asof_last_signup",
-        "range_join_click_purchase", "salted_type_totals",
-        "promo_revenue_ratio", "supplier_balance_by_nation",
-        "small_qty_part_revenue", "big_order_customers",
-        "inactive_rich_customers", "top_supplier_by_revenue",
-        "shipping_priority_topk", "nation_pair_volume",
-        "market_share_by_year", "part_profit_by_nation_year",
-        "customer_order_distribution", "disjunctive_part_revenue",
-        "daily_click_purchase_recon", "click_and_error_users",
-        "latest_event_per_user", "funnel_conversion",
-        "running_user_value", "event_rank_stats",
-        "sketch_event_stats", "rsvp_faithful_filter", "rsvp_q2_payload",
-        "dedup_exact", "dedup_clusters", "dedup_minhash_lsh",
+        "asof_last_signup", "big_order_customers", "brand_supplier_variety",
+        "click_and_error_users", "clickers_not_purchasers", "cube_event_stats",
+        "curation_keep_list", "curation_multisignal_gate", "customer_order_distribution",
+        "daily_click_purchase_recon", "date_parts", "dedup_clusters",
+        "dedup_exact", "dedup_minhash_lsh", "disjunctive_part_revenue",
+        "distinct_users_per_type", "embedding_dim_variance", "embedding_norm_stats",
+        "embedding_outliers", "event_hourly_resample", "event_rank_stats",
+        "event_type_union", "forecast_revenue_change", "funnel_conversion",
+        "fuzzy_name_matches", "grouping_sets_revenue", "inactive_rich_customers",
+        "json_encode", "kmeans_clusters", "latest_event_per_user",
+        "lineitem_measures_unpivot", "market_share_by_year", "multimodal_decode",
+        "multimodal_frame_sample", "multimodal_type_stats", "nation_pair_volume",
+        "order_priority_semijoin", "part_profit_by_nation_year", "parts_never_in_bulk_orders",
+        "peak_concurrent_sessions", "pivot_user_event_values", "pricing_summary",
+        "promo_revenue_ratio", "q1_filter", "q2_join_enrich",
+        "q3_window_collect_set", "range_join_click_purchase", "recent_orders_lateral",
+        "returned_item_report", "returnflag_priority_counts", "revenue_by_nation",
+        "rollup_order_status", "rsvp_decode_failures", "rsvp_faithful_filter",
+        "rsvp_q2_payload", "running_user_value", "salted_type_totals",
+        "session_window_stats", "shipping_priority_topk", "similarity_ann_recall",
+        "similarity_ivf_occupancy", "similarity_ivf_pq_topk", "similarity_ivf_topk",
+        "similarity_lsh_signature", "similarity_lsh_topk", "similarity_pq_codes",
+        "similarity_pq_reconstruction", "similarity_pq_topk", "similarity_topk",
+        "sketch_event_stats", "sliding_window_stats", "small_qty_part_revenue",
+        "sole_late_supplier", "supplier_balance_by_nation", "text_fingerprint",
+        "text_lang_confusion", "text_lang_id", "text_length_histogram",
+        "text_pii_scan", "text_prefix_clusters", "text_quality_score",
+        "text_repetition_signals", "text_tfidf_topterms", "text_token_stats",
+        "text_winnow_fingerprints", "top3_per_segment", "top_customers",
+        "top_supplier_by_revenue", "user_event_gaps", "user_retention_cohorts",
+        "user_trailing_hour_stats", "user_type_scd2", "value_equidepth_deciles",
+        "value_percentiles", "value_zscore_anomalies",
     }
 )

@@ -97,6 +97,61 @@ def test_clickers_single_shuffle(spark):
     assert p.count("Arguments: hashpartitioning") == 1
 
 
+# Queries whose plan CONTAINS a BroadcastNestedLoopJoin on purpose:
+# every one is a documented broadcast-crossJoin of a tiny frame (a
+# 1-row corpus total, a ≤20-row query set, a ≤64-row centroid table,
+# an hour×type grid) onto a scan — the broadcast side is bounded by
+# construction, so the nested loop is O(scan), never O(n²).
+_BNLJ_INTENDED = frozenset(
+    {
+        "event_hourly_resample",      # hours × event-type grid
+        "similarity_topk",            # exact baseline: queries × corpus
+        "similarity_ann_recall",      # pays the exact baseline by definition
+        "similarity_ivf_topk",        # broadcast-centroid assignment
+        "similarity_ivf_occupancy",   # same centroid assignment
+        "similarity_ivf_pq_topk",     # same, composed with PQ
+        "text_tfidf_topterms",        # 1-row n_docs total
+        "text_token_rarity",          # 1-row corpus-token total
+    }
+)
+
+
+def test_no_unintended_cartesian_or_nested_loop_join_anywhere(spark):
+    # registry-wide scale lint: a CartesianProduct anywhere, or a
+    # BroadcastNestedLoopJoin outside the documented broadcast-sized
+    # crossJoins, is a 100 TB outage regardless of small-sf correctness
+    for name, spec in all_queries().items():
+        df = spec.build(spark, SF)
+        jvm = spark._jvm
+        p = jvm.org.apache.spark.sql.api.python.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        assert "CartesianProduct" not in p, name
+        if name not in _BNLJ_INTENDED:
+            assert "BroadcastNestedLoopJoin" not in p, name
+
+
+def test_no_driver_side_collect_outside_lloyd_loop():
+    # .collect()/.toPandas() in an operator means it isn't distributed.
+    # The one legitimate exception: Lloyd's k-means rounds in
+    # operators/similarity.py collect K-row (count, sum-vector)
+    # aggregates — the MLlib shape — never data rows.
+    import re
+    from pathlib import Path
+
+    pkg = Path(__file__).resolve().parent.parent / (
+        "big_data_2021_spark_streaming_spark"
+    )
+    hits = []
+    for py in sorted(pkg.rglob("*.py")):
+        for i, line in enumerate(py.read_text().splitlines(), 1):
+            code = line.split("#", 1)[0]
+            if re.search(r"\.(collect|toPandas)\(\)", code):
+                hits.append((py.name, i))
+    assert all(f == "similarity.py" for f, _ in hits), hits
+    assert len(hits) <= 2, hits
+
+
 def test_session_window_single_shuffle(spark):
     p = plan(spark, "session_window_stats")
     assert "MergingSessions" in p
@@ -430,15 +485,26 @@ def test_registry_names_unique_across_modules():
 
 def test_registry_orders_unverified_queries_first():
     # grading order = registry order, and the driver's gate has a
-    # budget: every query the driver has never hash-verified (plus the
-    # r02 hash-FAILs, since fixed) must precede the r02-green block, so
-    # any budget prefix grades the maximum number of unverified entries
+    # budget: every query the driver has never hash-verified on its
+    # current plan (including ones re-planned after their last green)
+    # must precede the verified block, so any budget prefix grades the
+    # maximum number of unverified entries
     from big_data_2021_spark_streaming_spark.plans.registry import (
-        _R02_VERIFIED,
+        _DRIVER_VERIFIED,
         all_queries,
     )
 
     names = list(all_queries())
-    first_back = next(i for i, n in enumerate(names) if n in _R02_VERIFIED)
-    assert all(n in _R02_VERIFIED for n in names[first_back:])
-    assert all(n not in _R02_VERIFIED for n in names[:first_back])
+    first_back = next(i for i, n in enumerate(names) if n in _DRIVER_VERIFIED)
+    assert all(n in _DRIVER_VERIFIED for n in names[first_back:])
+    assert all(n not in _DRIVER_VERIFIED for n in names[:first_back])
+    # the 14 round-4 front-runners: 3 re-planned this round, then the
+    # 8 never-graded + 3 pre-re-plan-graded queries VERDICT r03 flagged
+    assert set(names[:first_back]) == {
+        "local_supplier_volume", "props_map_stats", "text_token_rarity",
+        "decontaminate_overlap", "corpus_stratified_sample",
+        "corpus_mixture_report", "dedup_lsh_calibration",
+        "dedup_incremental", "dedup_rate_report", "dedup_jaccard_verify",
+        "dedup_ngram_jaccard", "dedup_containment", "dedup_simhash",
+        "dedup_embedding_nn",
+    }
