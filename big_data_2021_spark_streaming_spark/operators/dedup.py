@@ -214,13 +214,25 @@ def jaccard_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = tok.select(F.col("doc_id").alias("doc_id_b"), F.col("tok").alias("tok_b"))
     inter = F.size(F.array_intersect("tok_a", "tok_b"))
     union = F.size(F.array_union("tok_a", "tok_b"))
+    # exact half-up micro-unit division instead of ROUND(int/int
+    # double, 6) — the cross-engine ROUND-boundary class; set sizes are
+    # int32, so the 1e6 blow-up must go through BIGINT
     return (
         pairs.join(a, "doc_id_a")
         .join(b, "doc_id_b")
         .select(
             "doc_id_a",
             "doc_id_b",
-            F.round(inter / union, 6).alias("jaccard"),
+            inter.cast("bigint").alias("n_inter"),
+            union.cast("bigint").alias("n_union"),
+        )
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            (
+                F.expr("(2 * n_inter * 1000000 + n_union) div (2 * n_union)")
+                / F.lit(1e6)
+            ).alias("jaccard"),
         )
     )
 
@@ -325,14 +337,24 @@ def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_a = F.coalesce(F.size("g_a"), F.lit(0))
     n_b = F.coalesce(F.size("g_b"), F.lit(0))
     union = n_a + n_b - n_inter
+    # half-up micro-unit division (see jaccard_verify); div by a zero
+    # union yields NULL in both engines, preserving the WHEN semantics
     return (
         pairs.join(a, "doc_id_a", "left")
         .join(b, "doc_id_b", "left")
         .select(
             "doc_id_a",
             "doc_id_b",
+            n_inter.cast("bigint").alias("n_inter"),
+            union.cast("bigint").alias("n_union"),
+        )
+        .select(
+            "doc_id_a",
+            "doc_id_b",
             F.when(
-                union > 0, F.round(n_inter / union, 6)
+                F.col("n_union") > 0,
+                F.expr("(2 * n_inter * 1000000 + n_union) div (2 * n_union)")
+                / F.lit(1e6),
             ).alias("ngram_jaccard"),
         )
     )
@@ -356,14 +378,30 @@ def gram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_inter = F.coalesce(F.size(F.array_intersect("g_a", "g_b")), F.lit(0))
     n_a = F.coalesce(F.size("g_a"), F.lit(0))
     n_b = F.coalesce(F.size("g_b"), F.lit(0))
+    # half-up micro-unit division (see jaccard_verify)
     return (
         pairs.join(a, "doc_id_a", "left")
         .join(b, "doc_id_b", "left")
         .select(
             "doc_id_a",
             "doc_id_b",
-            F.when(n_a > 0, F.round(n_inter / n_a, 6)).alias("contain_a_in_b"),
-            F.when(n_b > 0, F.round(n_inter / n_b, 6)).alias("contain_b_in_a"),
+            n_inter.cast("bigint").alias("n_inter"),
+            n_a.cast("bigint").alias("n_a"),
+            n_b.cast("bigint").alias("n_b"),
+        )
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            F.when(
+                F.col("n_a") > 0,
+                F.expr("(2 * n_inter * 1000000 + n_a) div (2 * n_a)")
+                / F.lit(1e6),
+            ).alias("contain_a_in_b"),
+            F.when(
+                F.col("n_b") > 0,
+                F.expr("(2 * n_inter * 1000000 + n_b) div (2 * n_b)")
+                / F.lit(1e6),
+            ).alias("contain_b_in_a"),
         )
     )
 
@@ -603,12 +641,36 @@ def dup_rate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = F.count(F.lit(1))
     n_unique = F.countDistinct("fingerprint")
     n_canon = F.sum(F.col("is_canonical").cast("bigint"))
-    return joined.groupBy("source").agg(
-        n.alias("n_docs"),
-        n_unique.alias("n_unique_exact"),
-        n_canon.alias("n_canonical"),
-        F.round(F.lit(1) - n_unique / n, 6).alias("exact_dup_rate"),
-        F.round(F.lit(1) - n_canon / n, 6).alias("near_dup_rate"),
+    # 1 - k/n as the integer rational (n-k)/n in exact half-up
+    # micro-units — ROUND(int/int double) is the cross-engine
+    # ROUND-boundary class
+    return (
+        joined.groupBy("source")
+        .agg(
+            n.alias("n_docs"),
+            n_unique.alias("n_unique_exact"),
+            n_canon.alias("n_canonical"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_unique_exact",
+            "n_canonical",
+            (
+                F.expr(
+                    "(2 * (n_docs - n_unique_exact) * 1000000 + n_docs)"
+                    " div (2 * n_docs)"
+                )
+                / F.lit(1e6)
+            ).alias("exact_dup_rate"),
+            (
+                F.expr(
+                    "(2 * (n_docs - n_canonical) * 1000000 + n_docs)"
+                    " div (2 * n_docs)"
+                )
+                / F.lit(1e6)
+            ).alias("near_dup_rate"),
+        )
     )
 
 
@@ -794,9 +856,12 @@ ORACLES: dict[str, str] = {
         ),
         ts AS (SELECT doc_id, {_TOK_SQL} AS tok FROM documents)
         SELECT p.doc_id_a, p.doc_id_b,
-               ROUND(CAST(len(list_intersect(ta.tok, tb.tok)) AS INTEGER)
-                     / CAST(len(list_distinct(list_concat(ta.tok, tb.tok)))
-                            AS INTEGER), 6) AS jaccard
+               ((2 * CAST(len(list_intersect(ta.tok, tb.tok)) AS BIGINT)
+                   * 1000000
+                 + CAST(len(list_distinct(list_concat(ta.tok, tb.tok)))
+                        AS BIGINT))
+                // (2 * CAST(len(list_distinct(list_concat(ta.tok, tb.tok)))
+                             AS BIGINT))) / 1e6 AS jaccard
         FROM pairs p
         JOIN ts ta ON ta.doc_id = p.doc_id_a
         JOIN ts tb ON tb.doc_id = p.doc_id_b
@@ -886,9 +951,13 @@ ORACLES["dedup_ngram_jaccard"] = f"""
     WITH {_PAIR_GRAMS_CTE}
     SELECT p.doc_id_a, p.doc_id_b,
            CASE WHEN len(list_distinct(list_concat(na.ng, nb.ng))) > 0
-                THEN ROUND(CAST(len(list_intersect(na.ng, nb.ng)) AS INTEGER)
-                           / CAST(len(list_distinct(list_concat(na.ng, nb.ng)))
-                                  AS INTEGER), 6)
+                THEN ((2 * CAST(len(list_intersect(na.ng, nb.ng)) AS BIGINT)
+                         * 1000000
+                       + CAST(len(list_distinct(list_concat(na.ng, nb.ng)))
+                              AS BIGINT))
+                      // (2 * CAST(len(list_distinct(
+                                       list_concat(na.ng, nb.ng))) AS BIGINT)))
+                     / 1e6
                 ELSE NULL END AS ngram_jaccard
     FROM pairs p
     JOIN ng na ON na.doc_id = p.doc_id_a
@@ -899,12 +968,14 @@ ORACLES["dedup_containment"] = f"""
     WITH {_PAIR_GRAMS_CTE}
     SELECT p.doc_id_a, p.doc_id_b,
            CASE WHEN len(na.ng) > 0
-                THEN ROUND(CAST(len(list_intersect(na.ng, nb.ng)) AS INTEGER)
-                           / CAST(len(na.ng) AS INTEGER), 6)
+                THEN ((2 * CAST(len(list_intersect(na.ng, nb.ng)) AS BIGINT)
+                         * 1000000 + CAST(len(na.ng) AS BIGINT))
+                      // (2 * CAST(len(na.ng) AS BIGINT))) / 1e6
                 ELSE NULL END AS contain_a_in_b,
            CASE WHEN len(nb.ng) > 0
-                THEN ROUND(CAST(len(list_intersect(na.ng, nb.ng)) AS INTEGER)
-                           / CAST(len(nb.ng) AS INTEGER), 6)
+                THEN ((2 * CAST(len(list_intersect(na.ng, nb.ng)) AS BIGINT)
+                         * 1000000 + CAST(len(nb.ng) AS BIGINT))
+                      // (2 * CAST(len(nb.ng) AS BIGINT))) / 1e6
                 ELSE NULL END AS contain_b_in_a
     FROM pairs p
     JOIN ng na ON na.doc_id = p.doc_id_a
@@ -1043,12 +1114,13 @@ ORACLES["dedup_rate_report"] = f"""
            COUNT(DISTINCT {_FP_SQL}) AS n_unique_exact,
            CAST(SUM(CASE WHEN d.doc_id = COALESCE(c.cluster_id, d.doc_id)
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_canonical,
-           ROUND(1 - COUNT(DISTINCT {_FP_SQL})
-                     / CAST(COUNT(*) AS DOUBLE), 6) AS exact_dup_rate,
-           ROUND(1 - CAST(SUM(CASE WHEN d.doc_id
-                                        = COALESCE(c.cluster_id, d.doc_id)
-                                   THEN 1 ELSE 0 END) AS BIGINT)
-                     / CAST(COUNT(*) AS DOUBLE), 6) AS near_dup_rate
+           ((2 * (COUNT(*) - COUNT(DISTINCT {_FP_SQL})) * 1000000
+             + COUNT(*)) // (2 * COUNT(*))) / 1e6 AS exact_dup_rate,
+           ((2 * (COUNT(*)
+                  - CAST(SUM(CASE WHEN d.doc_id
+                                       = COALESCE(c.cluster_id, d.doc_id)
+                                  THEN 1 ELSE 0 END) AS BIGINT)) * 1000000
+             + COUNT(*)) // (2 * COUNT(*))) / 1e6 AS near_dup_rate
     FROM documents d LEFT JOIN comp c USING (doc_id)
     GROUP BY d.source
 """

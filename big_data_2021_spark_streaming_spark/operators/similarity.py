@@ -541,7 +541,13 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             "n_exact",
             "n_hits",
-            F.round(F.col("n_hits") / F.col("n_exact"), 2).alias("recall"),
+            # exact half-up centi-unit division: k/K recall ratios land
+            # on .xx5 boundaries constantly (e.g. 19/40), where
+            # cross-engine double ROUND diverges
+            (
+                F.expr("(2 * n_hits * 100 + n_exact) div (2 * n_exact)")
+                / F.lit(100.0)
+            ).alias("recall"),
         )
     )
 
@@ -1158,9 +1164,9 @@ ORACLES["similarity_ann_recall"] = f"""
            COUNT(*) AS n_exact,
            CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
-           ROUND(CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL
-                               THEN 1 ELSE 0 END) AS DOUBLE)
-                 / COUNT(*), 2) AS recall
+           ((2 * CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL
+                               THEN 1 ELSE 0 END) AS BIGINT) * 100
+             + COUNT(*)) // (2 * COUNT(*))) / 100.0 AS recall
     FROM exact e
     LEFT JOIN approx a
         ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id

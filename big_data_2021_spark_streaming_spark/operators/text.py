@@ -289,13 +289,25 @@ def length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~#buckets keys."""
     docs = load_table(spark, sf_dir, "documents")
     bucket = (F.floor(F.col("n_chars") / 50) * 50).cast("int")
+    # avg as exact half-up 1e4-unit integer division, not
+    # ROUND(int/int double, 4) — the cross-engine ROUND-boundary class
     return (
         docs.groupBy(bucket.alias("bucket_lo"))
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.min("n_chars").alias("min_chars"),
             F.max("n_chars").alias("max_chars"),
-            F.round(F.sum("n_chars") / F.count(F.lit(1)), 4).alias("avg_chars"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .select(
+            "bucket_lo",
+            "n_docs",
+            "min_chars",
+            "max_chars",
+            (
+                F.expr("(2 * sum_chars * 10000 + n_docs) div (2 * n_docs)")
+                / F.lit(1e4)
+            ).alias("avg_chars"),
         )
     )
 
@@ -598,18 +610,34 @@ def repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.max("run_len").alias("max_run_len"))
     )
+    # all three fractions are int/int rationals → exact half-up
+    # micro-unit division (the cross-engine ROUND-boundary class);
+    # dup_bigram_frac's 1 - nd/nb is computed as (nb-nd)/nb so the
+    # numerator stays integer
     return (
         word_stats.join(bigram_stats, "doc_id", "left_outer")
         .join(run_stats, "doc_id")
         .select(
             "doc_id",
             "n_tokens",
-            F.round(F.col("top_count") / F.col("n_tokens"), 6).alias("top_word_frac"),
-            F.round(F.col("n_distinct") / F.col("n_tokens"), 6).alias(
-                "type_token_ratio"
-            ),
-            F.round(
-                1 - F.col("n_distinct_bigrams") / F.col("n_bigrams"), 6
+            (
+                F.expr(
+                    "(2 * top_count * 1000000 + n_tokens) div (2 * n_tokens)"
+                )
+                / F.lit(1e6)
+            ).alias("top_word_frac"),
+            (
+                F.expr(
+                    "(2 * n_distinct * 1000000 + n_tokens) div (2 * n_tokens)"
+                )
+                / F.lit(1e6)
+            ).alias("type_token_ratio"),
+            (
+                F.expr(
+                    "(2 * (n_bigrams - n_distinct_bigrams) * 1000000"
+                    " + n_bigrams) div (2 * n_bigrams)"
+                )
+                / F.lit(1e6)
             ).alias("dup_bigram_frac"),
             "max_run_len",
         )
@@ -661,10 +689,12 @@ ORACLES["text_repetition_signals"] = f"""
     )
     SELECT w.doc_id,
            w.n_tokens,
-           ROUND(w.top_count / w.n_tokens, 6) AS top_word_frac,
-           ROUND(w.n_distinct / w.n_tokens, 6) AS type_token_ratio,
-           ROUND(1 - b.n_distinct_bigrams / CAST(b.n_bigrams AS DOUBLE), 6)
-               AS dup_bigram_frac,
+           ((2 * w.top_count * 1000000 + w.n_tokens)
+            // (2 * w.n_tokens)) / 1e6 AS top_word_frac,
+           ((2 * w.n_distinct * 1000000 + w.n_tokens)
+            // (2 * w.n_tokens)) / 1e6 AS type_token_ratio,
+           ((2 * (b.n_bigrams - b.n_distinct_bigrams) * 1000000
+             + b.n_bigrams) // (2 * b.n_bigrams)) / 1e6 AS dup_bigram_frac,
            r.max_run_len
     FROM word_stats w
     LEFT OUTER JOIN bigram_stats b ON w.doc_id = b.doc_id
@@ -793,7 +823,8 @@ ORACLES["text_length_histogram"] = """
            COUNT(*) AS n_docs,
            MIN(n_chars) AS min_chars,
            MAX(n_chars) AS max_chars,
-           ROUND(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 4) AS avg_chars
+           ((2 * CAST(SUM(n_chars) AS BIGINT) * 10000 + COUNT(*))
+            // (2 * COUNT(*))) / 1e4 AS avg_chars
     FROM documents
     GROUP BY 1
 """

@@ -465,16 +465,34 @@ def top3_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def user_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """lag() over event time per user → mean inter-event gap."""
+    """lag() over event time per user → mean inter-event gap.
+
+    The mean stays integer µs until one exact half-up division:
+    ROUND(AVG(double),4) would hit the cross-engine ROUND-boundary
+    class, and a double µs sum is partial-order-dependent. The 4-dp
+    half-up mean is (2·Σus + 100·n) div (200·n) / 1e4 (Σus·1e4 / (n·1e6)
+    reduced); a single-event user has zero gaps → div by 0 → NULL,
+    matching AVG over no rows."""
     events = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gaps = events.withColumn(
-        "gap_sec",
-        (_epoch_us("ts") - _epoch_us(F.lag("ts").over(w))) / F.lit(1000000.0),
+        "gap_us", _epoch_us("ts") - _epoch_us(F.lag("ts").over(w))
     )
-    return gaps.groupBy("user_id").agg(
-        F.round(F.avg("gap_sec"), 4).alias("avg_gap_sec"),
-        F.count(F.lit(1)).alias("n_events"),
+    return (
+        gaps.groupBy("user_id")
+        .agg(
+            F.sum("gap_us").alias("s_us"),
+            F.count("gap_us").alias("n_gaps"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            "user_id",
+            (
+                F.expr("(2 * s_us + 100 * n_gaps) div (200 * n_gaps)")
+                / F.lit(1e4)
+            ).alias("avg_gap_sec"),
+            "n_events",
+        )
     )
 
 

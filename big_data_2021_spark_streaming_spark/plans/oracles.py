@@ -325,14 +325,18 @@ ORACLES: dict[str, str] = {
         WHERE rank_in_segment <= 3
     """,
     "user_event_gaps": """
+        -- integer-µs mean with one exact half-up division (see the
+        -- Spark builder); // by a zero gap count yields NULL like
+        -- AVG over no rows
         SELECT user_id,
-               ROUND(AVG(gap_sec), 4) AS avg_gap_sec,
+               ((2 * CAST(SUM(gap_us) AS BIGINT) + 100 * COUNT(gap_us))
+                // (200 * COUNT(gap_us))) / 1e4 AS avg_gap_sec,
                COUNT(*) AS n_events
         FROM (
             SELECT user_id,
-                   epoch(ts - lag(ts) OVER (
+                   epoch_us(ts) - epoch_us(lag(ts) OVER (
                        PARTITION BY user_id ORDER BY ts, event_id
-                   )) AS gap_sec
+                   )) AS gap_us
             FROM events
         )
         GROUP BY user_id

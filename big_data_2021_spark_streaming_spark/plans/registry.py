@@ -97,13 +97,15 @@ _FAMILY_COST = {
 
 
 # Names hash-verified green by the driver on their CURRENT plan:
-# CORRECTNESS_r02.json ∪ CORRECTNESS_r03.json greens, minus the three
-# queries re-planned in round 4 after their r03 green
-# (text_token_rarity / local_supplier_volume: exact micro-unit
-# rounding rewrites; props_map_stats: oracle rewritten off
-# string-concat JSON paths) — those regrade early. The 11 names the
-# driver has never verified on current code (8 never graded, 3 graded
-# only pre-r02-re-plan) are likewise absent and sort to the front.
+# CORRECTNESS_r02.json ∪ CORRECTNESS_r03.json greens, minus the seven
+# queries re-planned in round 4 after their last green
+# (text_token_rarity, local_supplier_volume, text_repetition_signals,
+# text_length_histogram, similarity_ann_recall, user_event_gaps:
+# exact micro-unit rounding rewrites; props_map_stats: oracle
+# rewritten off string-concat JSON paths) — those regrade early. The
+# 11 names the driver has never verified on current code (8 never
+# graded, 3 graded only pre-r02-re-plan) are likewise absent and sort
+# to the front.
 _DRIVER_VERIFIED = frozenset(
     {
         "asof_last_signup", "big_order_customers", "brand_supplier_variety",
@@ -125,17 +127,17 @@ _DRIVER_VERIFIED = frozenset(
         "returned_item_report", "returnflag_priority_counts", "revenue_by_nation",
         "rollup_order_status", "rsvp_decode_failures", "rsvp_faithful_filter",
         "rsvp_q2_payload", "running_user_value", "salted_type_totals",
-        "session_window_stats", "shipping_priority_topk", "similarity_ann_recall",
+        "session_window_stats", "shipping_priority_topk",
         "similarity_ivf_occupancy", "similarity_ivf_pq_topk", "similarity_ivf_topk",
         "similarity_lsh_signature", "similarity_lsh_topk", "similarity_pq_codes",
         "similarity_pq_reconstruction", "similarity_pq_topk", "similarity_topk",
         "sketch_event_stats", "sliding_window_stats", "small_qty_part_revenue",
         "sole_late_supplier", "supplier_balance_by_nation", "text_fingerprint",
-        "text_lang_confusion", "text_lang_id", "text_length_histogram",
+        "text_lang_confusion", "text_lang_id",
         "text_pii_scan", "text_prefix_clusters", "text_quality_score",
-        "text_repetition_signals", "text_tfidf_topterms", "text_token_stats",
+        "text_tfidf_topterms", "text_token_stats",
         "text_winnow_fingerprints", "top3_per_segment", "top_customers",
-        "top_supplier_by_revenue", "user_event_gaps", "user_retention_cohorts",
+        "top_supplier_by_revenue", "user_retention_cohorts",
         "user_trailing_hour_stats", "user_type_scd2", "value_equidepth_deciles",
         "value_percentiles", "value_zscore_anomalies",
     }

@@ -498,10 +498,13 @@ def test_registry_orders_unverified_queries_first():
     first_back = next(i for i, n in enumerate(names) if n in _DRIVER_VERIFIED)
     assert all(n in _DRIVER_VERIFIED for n in names[first_back:])
     assert all(n not in _DRIVER_VERIFIED for n in names[:first_back])
-    # the 14 round-4 front-runners: 3 re-planned this round, then the
-    # 8 never-graded + 3 pre-re-plan-graded queries VERDICT r03 flagged
+    # the 18 round-4 front-runners: 7 re-planned this round (exact
+    # micro-unit rounding / oracle rewrites), then the 8 never-graded
+    # + 3 pre-re-plan-graded queries VERDICT r03 flagged
     assert set(names[:first_back]) == {
         "local_supplier_volume", "props_map_stats", "text_token_rarity",
+        "text_repetition_signals", "text_length_histogram",
+        "similarity_ann_recall", "user_event_gaps",
         "decontaminate_overlap", "corpus_stratified_sample",
         "corpus_mixture_report", "dedup_lsh_calibration",
         "dedup_incremental", "dedup_rate_report", "dedup_jaccard_verify",

@@ -770,3 +770,101 @@ def test_streaming_topk_updates_across_batches(spark, tmp_path):
         latest.setdefault((r.event_type, r.rank), []).append(r.event_id)
     assert latest[("click", 1)][-1] == 2  # 9.0 still first
     assert latest[("click", 2)][-1] == 4  # 7.0 displaces 5.0
+
+
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+@pytest.fixture
+def rocksdb_state_store(spark):
+    """Pin the query's state store to RocksDB, restoring the default
+    (HDFS-backed) provider afterward. The provider is resolved from
+    SQLConf at query start, so a per-test conf flip is enough."""
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, ROCKSDB_PROVIDER)
+    yield
+    if prev is None:
+        spark.conf.unset(key)
+    else:
+        spark.conf.set(key, prev)
+
+
+def _run_q3_scenario(spark, fixture_dir, producer, sink):
+    """The append-mode Q3 lineage with a late straggler — identical to
+    test_q3_append_mode_emits_closed_windows_and_drops_late, factored so
+    both state-store providers replay the same scenario."""
+    producer.send_batch(
+        [
+            (rsvp_json("us", "Bend", "OR"), "2021-06-09 00:00:07"),
+            (rsvp_json("us", "Portland", "OR"), "2021-06-09 00:00:30"),
+        ]
+    )
+    raw = rsvp_file_stream(spark, str(fixture_dir))
+    q = to_memory_sink(
+        q3_cities_per_minute(raw, as_json=False), sink, output_mode="append"
+    )
+    q.processAllAvailable()
+    producer.send_batch(
+        [(rsvp_json("us", "Austin", "TX"), "2021-06-09 00:05:00")]
+    )
+    q.processAllAvailable()
+    producer.send_batch(
+        [(rsvp_json("us", "LateCity", "CA"), "2021-06-09 00:00:45")]
+    )
+    drain(q)
+    return {r.minute: sorted(r.cities) for r in spark.table(sink).collect()}
+
+
+def test_q3_rocksdb_state_store_matches_default(
+    spark, fixture_dir, producer, rocksdb_state_store
+):
+    """The 100 TB state answer: windowed-aggregation state living in
+    RocksDB (off-heap, spillable — the provider a large cluster runs)
+    must produce byte-identical results to the default in-memory
+    provider, including the watermark late-drop."""
+    rows = _run_q3_scenario(spark, fixture_dir, producer, "q3_rocks_sink")
+    assert rows.get(0) == ["Bend", "Portland"]
+    assert not any("LateCity" in cities for cities in rows.values())
+
+
+def test_sessionize_rocksdb_state_store_matches_default(
+    spark, tmp_path, rocksdb_state_store
+):
+    """flatMapGroupsWithState-style session state on RocksDB: the gap
+    closure emits the same session row the default provider emits."""
+    d = tmp_path / "sess_rocks"
+    d.mkdir()
+    t0 = datetime(2024, 1, 1, 0, 0, 0)
+
+    def ev(i, minutes, value, user=1):
+        return {
+            "event_id": i,
+            "ts": (t0 + timedelta(minutes=minutes)).strftime("%Y-%m-%d %H:%M:%S"),
+            "user_id": user,
+            "value": value,
+        }
+
+    (d / "b0.json").write_text(
+        "\n".join(json.dumps(e) for e in [ev(1, 0, 1.0), ev(2, 5, 2.0), ev(3, 10, 3.0)])
+    )
+    schema = "event_id LONG, ts STRING, user_id LONG, value DOUBLE"
+    stream = (
+        spark.readStream.schema(schema)
+        .json(str(d))
+        .selectExpr(
+            "event_id", "CAST(ts AS TIMESTAMP) AS ts", "user_id", "value"
+        )
+    )
+    sessions = sessionize(stream, gap="30 minutes", watermark_delay="1 minute")
+    q = to_memory_sink(sessions, "sess_rocks_sink")
+    q.processAllAvailable()
+    (d / "b1.json").write_text(json.dumps(ev(4, 300, 9.0)))
+    drain(q)
+    out = spark.table("sess_rocks_sink").collect()
+    assert len(out) == 1
+    s = out[0]
+    assert s.user_id == 1 and s.n_events == 3 and s.total_value == 6.0
+    assert s.session_start == t0 and s.session_end == t0 + timedelta(minutes=10)
