@@ -1,0 +1,253 @@
+"""Lake-health audit operators: referential integrity, join-key skew,
+and erasure (right-to-be-forgotten) impact — the QC passes a team runs
+over a 100 TB lake before trusting joins, before picking partition
+keys, and before executing a compliance delete.
+
+The reference has nothing in this territory; these are north-star
+extensions per SURVEY.md §7.4.
+
+Scale posture: every operator is one scan per table plus at most one
+equi-join, all aggregation map-side-combinable, results a handful of
+rows. ``join_key_skew``'s top-k uses sort+limit (TakeOrderedAndProject
+— distributed partial top-k per partition) rather than a global
+row_number window, so the per-key frame is never single-partitioned.
+All ratios are exact half-up micro-unit integers (``*_micro``), never
+engine-rounded doubles.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..sources.batch import load_table
+
+# child table, fk column, parent table, pk column
+FK_EDGES: tuple[tuple[str, str, str, str], ...] = (
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("events", "user_id", "customer", "c_custkey"),
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+)
+
+_MICRO = "(2 * orphan_rows * 1000000 + child_rows) div (2 * child_rows)"
+
+
+def fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orphan audit across every foreign-key edge of the star schema:
+    child rows whose key has no parent. One left join per edge (parent
+    side reduced to distinct keys first, so the build side is the key
+    domain, not the table); AQE picks broadcast where the key domain
+    is small. Each edge aggregates to a single row.
+    """
+    frames = []
+    for child_t, fk, parent_t, pk in FK_EDGES:
+        child = load_table(spark, sf_dir, child_t).select(F.col(fk).alias("k"))
+        parent = (
+            load_table(spark, sf_dir, parent_t)
+            .select(F.col(pk).alias("k"))
+            .distinct()
+            .withColumn("hit", F.lit(1))
+        )
+        frames.append(
+            child.join(parent, "k", "left")
+            .agg(
+                F.count("*").alias("child_rows"),
+                F.sum(
+                    F.when(F.col("hit").isNull(), 1).otherwise(0).cast("bigint")
+                ).alias("orphan_rows"),
+            )
+            .select(
+                F.lit(f"{child_t}.{fk}->{parent_t}.{pk}").alias("relationship"),
+                "child_rows",
+                "orphan_rows",
+                F.expr(_MICRO).alias("orphan_micro"),
+            )
+        )
+    return reduce(DataFrame.unionByName, frames)
+
+
+SKEW_TOPK = 10
+
+
+def join_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-distribution profile for lineitem's supplier join key — the
+    pre-flight check before shuffling a fact on it. Reports the
+    SKEW_TOPK heaviest keys (exact share in micro-units) alongside the
+    global key stats (n_keys, max, exact mean) that decide whether the
+    join needs salting or AQE skew handling.
+
+    micro products stay inside BIGINT while total_rows·1e6 < 2^63,
+    i.e. up to ~9.2e12 fact rows — comfortably past 100 TB of
+    lineitem.
+    """
+    per_key = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_suppkey")
+        .agg(F.count("*").alias("cnt"))
+    )
+    stats = per_key.agg(
+        F.count("*").alias("n_keys"),
+        F.sum("cnt").alias("total_rows"),
+        F.max("cnt").alias("max_cnt"),
+    )
+    # distributed top-k (TakeOrderedAndProject), then rank the tiny result
+    top = per_key.orderBy(F.desc("cnt"), F.asc("l_suppkey")).limit(SKEW_TOPK)
+    w = Window.orderBy(F.desc("cnt"), F.asc("l_suppkey"))
+    return (
+        top.withColumn("rank", F.row_number().over(w))
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "rank",
+            "l_suppkey",
+            "cnt",
+            F.expr("(2 * cnt * 1000000 + total_rows) div (2 * total_rows)").alias(
+                "share_micro"
+            ),
+            "n_keys",
+            "max_cnt",
+            F.expr("(2 * total_rows * 1000000 + n_keys) div (2 * n_keys)").alias(
+                "avg_cnt_micro"
+            ),
+        )
+    )
+
+
+ERASE_MOD, ERASE_REM = 97, 3
+
+
+def user_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cascade impact of a right-to-be-forgotten delete: for a
+    deterministic erasure cohort (custkey ≡ ERASE_REM mod ERASE_MOD),
+    count the rows each table would lose. Tables keyed directly on the
+    customer key (customer, orders, events) need NO join — the cohort
+    predicate pushes into their scans; only lineitem cascades through
+    orders (semi-join-shaped left join on the erased order keys).
+    """
+    def direct(table: str, key: str) -> DataFrame:
+        t = load_table(spark, sf_dir, table)
+        return t.agg(
+            F.count("*").alias("rows_total"),
+            F.sum(
+                F.when(F.col(key) % ERASE_MOD == ERASE_REM, 1)
+                .otherwise(0)
+                .cast("bigint")
+            ).alias("rows_erased"),
+        ).select(F.lit(table).alias("table_name"), "rows_total", "rows_erased")
+
+    erased_orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") % ERASE_MOD == ERASE_REM)
+        .select("o_orderkey")
+        .withColumn("hit", F.lit(1))
+    )
+    lineitem = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o_orderkey"))
+        .join(erased_orders, "o_orderkey", "left")
+        .agg(
+            F.count("*").alias("rows_total"),
+            F.sum(
+                F.when(F.col("hit").isNotNull(), 1).otherwise(0).cast("bigint")
+            ).alias("rows_erased"),
+        )
+        .select(F.lit("lineitem").alias("table_name"), "rows_total", "rows_erased")
+    )
+    frames = [
+        direct("customer", "c_custkey"),
+        direct("events", "user_id"),
+        lineitem,
+        direct("orders", "o_custkey"),
+    ]
+    return reduce(DataFrame.unionByName, frames).select(
+        "table_name",
+        "rows_total",
+        "rows_erased",
+        F.expr("(2 * rows_erased * 1000000 + rows_total) div (2 * rows_total)").alias(
+            "erased_micro"
+        ),
+    )
+
+
+ORACLES: dict[str, str] = {}
+
+_FK_SELECTS = []
+for _c, _fk, _p, _pk in FK_EDGES:
+    _FK_SELECTS.append(f"""
+    SELECT '{_c}.{_fk}->{_p}.{_pk}' AS relationship,
+           CAST(COUNT(*) AS BIGINT) AS child_rows,
+           CAST(COUNT(*) FILTER (WHERE p.k IS NULL) AS BIGINT) AS orphan_rows,
+           CAST((2 * COUNT(*) FILTER (WHERE p.k IS NULL) * 1000000 + COUNT(*))
+                // (2 * COUNT(*)) AS BIGINT) AS orphan_micro
+    FROM {_c} c
+    LEFT JOIN (SELECT DISTINCT {_pk} AS k FROM {_p}) p ON c.{_fk} = p.k
+""")
+ORACLES["fk_integrity_audit"] = "\nUNION ALL\n".join(_FK_SELECTS)
+
+ORACLES["join_key_skew"] = f"""
+    WITH per_key AS (
+        SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM lineitem GROUP BY l_suppkey
+    ),
+    stats AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+               CAST(SUM(cnt) AS BIGINT) AS total_rows,
+               MAX(cnt) AS max_cnt
+        FROM per_key
+    ),
+    top AS (
+        SELECT l_suppkey, cnt,
+               CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, l_suppkey)
+                    AS INTEGER) AS rank
+        FROM per_key
+        ORDER BY cnt DESC, l_suppkey
+        LIMIT {SKEW_TOPK}
+    )
+    SELECT rank, l_suppkey, cnt,
+           CAST((2 * cnt * 1000000 + total_rows) // (2 * total_rows) AS BIGINT)
+               AS share_micro,
+           n_keys, max_cnt,
+           CAST((2 * total_rows * 1000000 + n_keys) // (2 * n_keys) AS BIGINT)
+               AS avg_cnt_micro
+    FROM top, stats
+"""
+
+_ERASE = f"% {ERASE_MOD} = {ERASE_REM}"
+ORACLES["user_erasure_audit"] = f"""
+    WITH counts AS (
+        SELECT 'customer' AS table_name,
+               CAST(COUNT(*) AS BIGINT) AS rows_total,
+               CAST(COUNT(*) FILTER (WHERE c_custkey {_ERASE}) AS BIGINT)
+                   AS rows_erased
+        FROM customer
+        UNION ALL
+        SELECT 'events', CAST(COUNT(*) AS BIGINT),
+               CAST(COUNT(*) FILTER (WHERE user_id {_ERASE}) AS BIGINT)
+        FROM events
+        UNION ALL
+        SELECT 'lineitem', CAST(COUNT(*) AS BIGINT),
+               CAST(COUNT(*) FILTER (WHERE o.o_orderkey IS NOT NULL) AS BIGINT)
+        FROM lineitem l
+        LEFT JOIN (SELECT o_orderkey FROM orders
+                   WHERE o_custkey {_ERASE}) o
+            ON l.l_orderkey = o.o_orderkey
+        UNION ALL
+        SELECT 'orders', CAST(COUNT(*) AS BIGINT),
+               CAST(COUNT(*) FILTER (WHERE o_custkey {_ERASE}) AS BIGINT)
+        FROM orders
+    )
+    SELECT table_name, rows_total, rows_erased,
+           CAST((2 * rows_erased * 1000000 + rows_total) // (2 * rows_total)
+                AS BIGINT) AS erased_micro
+    FROM counts
+"""
+
+QUERIES = {
+    "fk_integrity_audit": fk_integrity_audit,
+    "join_key_skew": join_key_skew,
+    "user_erasure_audit": user_erasure_audit,
+}

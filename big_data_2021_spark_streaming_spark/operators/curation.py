@@ -399,9 +399,56 @@ def corpus_mixture_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             F.expr("(2 * q_micro + n_docs) div (2 * n_docs)") / F.lit(1e6)
         ).alias("avg_quality"),
-        F.round(
-            F.col("n_docs") / F.sum("n_docs").over(Window.partitionBy()), 6
+        (
+            F.expr(
+                "(2 * n_docs * 1000000 + sum(n_docs) over ())"
+                " div (2 * sum(n_docs) over ())"
+            )
+            / F.lit(1e6)
         ).alias("share"),
+    )
+
+
+def mixture_reweight_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampling-rate planner for a target training mixture: given the
+    observed per-language char volumes and a uniform target share,
+    compute the keep rate that downsamples every over-represented
+    language to the target (capped at 1 — we never upsample), plus the
+    expected post-sampling volume. This is the knob-setting pass that
+    runs BEFORE ``corpus_stratified_sample`` executes the plan.
+
+    One corpus scan → language-cardinality frame; the target is a
+    window over that tiny frame. All rates are exact half-up
+    micro-unit integers and the expected volume is a floor product —
+    bit-stable across engines and scale factors.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    strata = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("stratum_chars"),
+    )
+    planned = strata.select(
+        "lang",
+        "n_docs",
+        "stratum_chars",
+        F.expr(
+            "sum(stratum_chars) over () div count(1) over ()"
+        ).alias("target_chars"),
+    )
+    rate_micro = F.expr(
+        "least(1000000, (2 * target_chars * 1000000 + stratum_chars)"
+        " div (2 * stratum_chars))"
+    )
+    return planned.select(
+        "lang",
+        "n_docs",
+        "stratum_chars",
+        "target_chars",
+        rate_micro.alias("rate_micro"),
+        F.expr(
+            "least(1000000, (2 * target_chars * 1000000 + stratum_chars)"
+            " div (2 * stratum_chars)) * stratum_chars div 1000000"
+        ).alias("expected_chars"),
     )
 
 
@@ -429,7 +476,8 @@ def _mixture_sql() -> str:
                CAST(SUM(n_chars) AS BIGINT) AS total_chars,
                ((2 * CAST(SUM(CAST(round(quality * 1e6) AS BIGINT)) AS BIGINT)
                  + COUNT(*)) // (2 * COUNT(*))) / 1e6 AS avg_quality,
-               ROUND(COUNT(*) / CAST(SUM(COUNT(*)) OVER () AS DOUBLE), 6)
+               ((2 * COUNT(*) * 1000000 + CAST(SUM(COUNT(*)) OVER () AS BIGINT))
+                // (2 * CAST(SUM(COUNT(*)) OVER () AS BIGINT))) / 1e6
                    AS share
         FROM q GROUP BY lang, source
     """
@@ -437,8 +485,33 @@ def _mixture_sql() -> str:
 
 ORACLES["corpus_mixture_report"] = _mixture_sql()
 
+ORACLES["mixture_reweight_plan"] = """
+    WITH strata AS (
+        SELECT lang, COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS stratum_chars
+        FROM documents GROUP BY lang
+    ),
+    planned AS (
+        SELECT lang, n_docs, stratum_chars,
+               CAST(SUM(stratum_chars) OVER () AS BIGINT)
+                   // CAST(COUNT(*) OVER () AS BIGINT) AS target_chars
+        FROM strata
+    )
+    SELECT lang, n_docs, stratum_chars, target_chars,
+           LEAST(1000000,
+                 (2 * target_chars * 1000000 + stratum_chars)
+                 // (2 * stratum_chars)) AS rate_micro,
+           LEAST(1000000,
+                 (2 * target_chars * 1000000 + stratum_chars)
+                 // (2 * stratum_chars)) * stratum_chars // 1000000
+               AS expected_chars
+    FROM planned
+"""
+
 QUERIES = {
-    # new-in-round-3 entries first: registry order = driver grading order
+    # new-in-round-4 entries first: registry order = driver grading order
+    "mixture_reweight_plan": mixture_reweight_plan,
+    # new-in-round-3 entries next
     "curation_multisignal_gate": multisignal_gate,
     "curation_keep_list": curation_keep_list,
     "decontaminate_overlap": decontaminate_overlap,

@@ -1125,8 +1125,47 @@ ORACLES["dedup_rate_report"] = f"""
     GROUP BY d.source
 """
 
+def cluster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-size distribution of the near-dup graph — the one-glance
+    health check on an LSH threshold (a fat tail of giant clusters
+    means the threshold is too loose, all-singletons means too tight).
+    Reuses the memoized label frame, so after any clusters consumer has
+    run this is two tiny groupBys; ``n_docs = size × count`` makes the
+    histogram self-auditing (sums to the corpus row count).
+    """
+    labels = near_dup_clusters(spark, sf_dir)
+    sizes = labels.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .select(
+            "cluster_size",
+            "n_clusters",
+            (F.col("cluster_size") * F.col("n_clusters")).alias("n_docs"),
+        )
+    )
+
+
+ORACLES["dedup_cluster_histogram"] = f"""
+    SELECT cluster_size, n_clusters,
+           CAST(cluster_size * n_clusters AS BIGINT) AS n_docs
+    FROM (
+        SELECT cluster_size, COUNT(*) AS n_clusters
+        FROM (
+            SELECT cluster_id, COUNT(*) AS cluster_size
+            FROM ({ORACLES["dedup_clusters"]})
+            GROUP BY cluster_id
+        )
+        GROUP BY cluster_size
+    )
+"""
+
 QUERIES = {
-    # new-in-round-3 entries first: registry order = driver grading order
+    # new-in-round-4 entries first: registry order = driver grading order
+    "dedup_cluster_histogram": cluster_histogram,
+    # new-in-round-3 entries next
     "dedup_lsh_calibration": lsh_calibration,
     "dedup_incremental": incremental_dedup,
     "dedup_rate_report": dup_rate_report,

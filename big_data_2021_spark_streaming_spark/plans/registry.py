@@ -46,7 +46,15 @@ def all_queries() -> dict[str, QuerySpec]:
     # query family (with a warning); a typo'd import inside an operator
     # module must fail loudly, not silently shrink the correctness gate.
     _OPTIONAL = {"pandas", "pyarrow", "duckdb", "numpy"}
-    for modname in ("dedup", "similarity", "text", "multimodal", "curation"):
+    for modname in (
+        "chunking",
+        "audit",
+        "dedup",
+        "similarity",
+        "text",
+        "multimodal",
+        "curation",
+    ):
         try:
             mod = importlib.import_module(f"..operators.{modname}", __package__)
         except ModuleNotFoundError as e:
@@ -87,7 +95,9 @@ def all_queries() -> dict[str, QuerySpec]:
 # dedup pay the shared LSH/cluster/gram caches on first touch
 _FAMILY_COST = {
     "rsvp": 0,
+    "audit": 0,
     "analytics": 1,
+    "chunking": 1,
     "text": 2,
     "multimodal": 3,
     "similarity": 4,

@@ -1,0 +1,109 @@
+"""Invariants for the round-4 chunking/packing and lake-audit
+operators, beyond the oracle hash parity test_oracle_parity already
+applies to them.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from big_data_2021_spark_streaming_spark.operators import audit, chunking
+from big_data_2021_spark_streaming_spark.sources.batch import load_table
+from big_data_2021_spark_streaming_spark.operators.text import tokens_col
+
+
+def test_chunking_covers_every_token_exactly(spark, sf_dir):
+    # sliding-window guarantee: chunks tile [0, n_tokens) — the first
+    # chunk starts at 0, consecutive starts advance by STRIDE, and the
+    # last chunk reaches the final token (start + n_tok == n_tokens)
+    chunks = chunking.doc_chunking(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(tokens_col(F.col("text"))).alias("n_tokens")
+    )
+    per_doc = (
+        chunks.groupBy("doc_id")
+        .agg(
+            F.min("start_tok").alias("first_start"),
+            F.max(F.col("start_tok") + F.col("n_tok")).alias("reach"),
+            F.count("*").alias("n_chunks"),
+            F.max("start_tok").alias("last_start"),
+        )
+        .join(docs, "doc_id")
+    )
+    bad = per_doc.filter(
+        (F.col("first_start") != 0)
+        | (F.col("reach") != F.col("n_tokens"))
+        | (F.col("last_start") != (F.col("n_chunks") - 1) * chunking.STRIDE)
+    )
+    assert bad.count() == 0
+    # every full-size chunk carries CHUNK tokens; only the last may be short
+    short_not_last = (
+        chunks.join(per_doc.select("doc_id", "last_start"), "doc_id")
+        .filter(
+            (F.col("n_tok") != chunking.CHUNK)
+            & (F.col("start_tok") != F.col("last_start"))
+        )
+        .count()
+    )
+    assert short_not_last == 0
+
+
+def test_packing_conserves_docs_and_tokens(spark, sf_dir):
+    packed = chunking.doc_packing(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(tokens_col(F.col("text"))).cast("bigint").alias("n")
+    )
+    totals = packed.agg(
+        F.sum("n_docs").alias("docs"), F.sum("total_tokens").alias("toks")
+    ).first()
+    expect = docs.agg(F.count("*"), F.sum("n")).first()
+    assert totals["docs"] == expect[0]
+    assert totals["toks"] == expect[1]
+    # bins are a partition of the stream: id spans must not interleave
+    rows = sorted(
+        packed.select("bin_id", "first_doc_id", "last_doc_id").collect(),
+        key=lambda r: r.bin_id,
+    )
+    for a, b in zip(rows, rows[1:]):
+        assert a.last_doc_id < b.first_doc_id
+    # every bin but the last must be filled to at least the budget by
+    # its members plus the doc straddling out of it (i.e. bins are only
+    # opened when the previous budget is consumed)
+    assert all(b.bin_id == i for i, b in enumerate(rows))
+
+
+def test_fk_audit_covers_all_edges_and_is_orphan_consistent(spark, sf_dir):
+    out = audit.fk_integrity_audit(spark, sf_dir)
+    rows = {r.relationship: r for r in out.collect()}
+    assert len(rows) == len(audit.FK_EDGES)
+    for r in rows.values():
+        assert 0 <= r.orphan_rows <= r.child_rows
+        # structural edges of the generated star schema hold by
+        # construction; only events.user_id may dangle
+        if not r.relationship.startswith("events."):
+            assert r.orphan_rows == 0, r.relationship
+
+
+def test_erasure_audit_lineitem_consistent_with_orders(spark, sf_dir):
+    out = {r.table_name: r for r in audit.user_erasure_audit(spark, sf_dir).collect()}
+    assert set(out) == {"customer", "events", "lineitem", "orders"}
+    # erased lineitem rows must be exactly those of erased orders
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_custkey") % audit.ERASE_MOD == audit.ERASE_REM
+    )
+    expect = li.join(
+        orders.select(F.col("o_orderkey").alias("l_orderkey")),
+        "l_orderkey",
+        "left_semi",
+    ).count()
+    assert out["lineitem"].rows_erased == expect
+
+
+def test_join_key_skew_shares_and_rank(spark, sf_dir):
+    rows = audit.join_key_skew(spark, sf_dir).orderBy("rank").collect()
+    assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+    cnts = [r.cnt for r in rows]
+    assert cnts == sorted(cnts, reverse=True)
+    assert all(r.cnt <= r.max_cnt for r in rows)
+    assert rows[0].cnt == rows[0].max_cnt

@@ -112,6 +112,7 @@ _BNLJ_INTENDED = frozenset(
         "similarity_ivf_pq_topk",     # same, composed with PQ
         "text_tfidf_topterms",        # 1-row n_docs total
         "text_token_rarity",          # 1-row corpus-token total
+        "join_key_skew",              # 1-row key-stats total onto top-10
     }
 )
 
@@ -467,6 +468,8 @@ def test_registry_names_unique_across_modules():
     # a duplicate name across operator modules would silently shadow an
     # entry in the registry (dict insert wins) and shrink the graded set
     from big_data_2021_spark_streaming_spark.operators import (
+        audit,
+        chunking,
         curation,
         dedup,
         multimodal,
@@ -476,11 +479,21 @@ def test_registry_names_unique_across_modules():
     from big_data_2021_spark_streaming_spark.plans import analytics, rsvp_fixture
 
     seen: dict[str, str] = {}
-    for mod in (dedup, similarity, text, multimodal, curation, rsvp_fixture, analytics):
+    for mod in (
+        chunking,
+        audit,
+        dedup,
+        similarity,
+        text,
+        multimodal,
+        curation,
+        rsvp_fixture,
+        analytics,
+    ):
         for name in mod.QUERIES:
             assert name not in seen, f"{name} in both {seen[name]} and {mod.__name__}"
             seen[name] = mod.__name__
-    assert len(seen) >= 109
+    assert len(seen) >= 116
 
 
 def test_registry_orders_unverified_queries_first():
@@ -498,13 +511,20 @@ def test_registry_orders_unverified_queries_first():
     first_back = next(i for i, n in enumerate(names) if n in _DRIVER_VERIFIED)
     assert all(n in _DRIVER_VERIFIED for n in names[first_back:])
     assert all(n not in _DRIVER_VERIFIED for n in names[:first_back])
-    # the 18 round-4 front-runners: 7 re-planned this round (exact
-    # micro-unit rounding / oracle rewrites), then the 8 never-graded
-    # + 3 pre-re-plan-graded queries VERDICT r03 flagged
+    # the 25 round-4 front-runners: 7 new this round, 7 re-planned
+    # this round (exact micro-unit rounding / oracle rewrites), then
+    # the 8 never-graded + 3 pre-re-plan-graded queries VERDICT r03
+    # flagged
     assert set(names[:first_back]) == {
+        # new in round 4
+        "doc_chunking", "doc_packing", "fk_integrity_audit",
+        "join_key_skew", "user_erasure_audit", "mixture_reweight_plan",
+        "dedup_cluster_histogram",
+        # re-planned in round 4
         "local_supplier_volume", "props_map_stats", "text_token_rarity",
         "text_repetition_signals", "text_length_histogram",
         "similarity_ann_recall", "user_event_gaps",
+        # never driver-verified on current code (VERDICT r03)
         "decontaminate_overlap", "corpus_stratified_sample",
         "corpus_mixture_report", "dedup_lsh_calibration",
         "dedup_incremental", "dedup_rate_report", "dedup_jaccard_verify",
