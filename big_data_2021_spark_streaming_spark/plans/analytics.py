@@ -1661,11 +1661,106 @@ def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def orders_monthly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue growth: the KPI trend every reporting
+    layer derives from the fact table. One aggregate pass to the
+    months-cardinality frame; the ``lag`` window runs over that tiny
+    frame only (never the fact). Revenue accumulates as exact cent
+    BIGINTs and the growth rate is half-up micro-unit integer division
+    extended to negative deltas (round half-away-from-zero) — Spark's
+    ``div`` and DuckDB's ``//`` both truncate toward zero, so the
+    signed formula is applied to |Δ| and re-signed, keeping the two
+    engines bit-identical on shrinking months too."""
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = (
+        orders.groupBy(
+            F.year("o_orderdate").alias("year"),
+            F.month("o_orderdate").alias("month"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias(
+                "revenue_cents"
+            ),
+        )
+    )
+    w = Window.orderBy("year", "month")
+    return (
+        monthly.withColumn(
+            "prev_cents", F.lag("revenue_cents").over(w)
+        )
+        .withColumn(
+            "growth_micro",
+            F.when(F.col("prev_cents").isNull(), F.lit(None).cast("bigint")).otherwise(
+                F.expr(
+                    "CASE WHEN revenue_cents >= prev_cents"
+                    " THEN (2 * (revenue_cents - prev_cents) * 1000000 + prev_cents)"
+                    "      div (2 * prev_cents)"
+                    " ELSE -((2 * (prev_cents - revenue_cents) * 1000000 + prev_cents)"
+                    "        div (2 * prev_cents)) END"
+                )
+            ),
+        )
+        .select(
+            "year", "month", "n_orders", "revenue_cents", "prev_cents",
+            "growth_micro",
+        )
+    )
+
+
+UPSERT_MOD, UPSERT_REM = 101, 5
+UPSERT_KEY_OFFSET = 20_000_000
+UPSERT_BUMP_CENTS = 500
+
+
+def order_status_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics as pure relational lineage: a deterministic
+    CDC batch (matched keys get status 'X' and a price bump; a
+    synthetic set of brand-new keys inserts as status 'N') merged into
+    the orders base via ONE full-outer join on the key — update wins
+    where matched, base survives where not, inserts appear where only
+    the batch has the key. Emitted as the post-merge per-status
+    summary so the result stays audit-sized.
+
+    At scale this is the lakehouse upsert shape: the join shuffles on
+    the merge key exactly once, and a real table format (Delta/Iceberg)
+    would replace only the touched files — the plan here is the
+    engine-side semantics those formats compile MERGE into."""
+    base = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    matched = base.filter(
+        F.col("o_orderkey") % UPSERT_MOD == UPSERT_REM
+    ).select(
+        "o_orderkey",
+        F.lit("X").alias("u_status"),
+        (F.col("cents") + UPSERT_BUMP_CENTS).alias("u_cents"),
+    )
+    inserts = matched.select(
+        (F.col("o_orderkey") + UPSERT_KEY_OFFSET).alias("o_orderkey"),
+        F.lit("N").alias("u_status"),
+        F.col("u_cents").alias("u_cents"),
+    )
+    updates = matched.unionByName(inserts)
+    merged = base.join(updates, "o_orderkey", "full_outer").select(
+        F.coalesce("u_status", "o_orderstatus").alias("status"),
+        F.coalesce("u_cents", "cents").alias("cents"),
+    )
+    return merged.groupBy("status").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("cents").alias("total_cents"),
+    )
+
+
 QUERIES: dict[str, object] = {
     # dict order = registry order = driver grading order (its gate has
     # a budget; see plans/registry.py) — entries added or re-planned
     # most recently go FIRST so they are graded before the suite that
     # already has multiple green rounds on record.
+    "orders_monthly_growth": orders_monthly_growth,
+    "order_status_upsert": order_status_upsert,
     "local_supplier_volume": local_supplier_volume,
     "returned_item_report": returned_item_report,
     "user_trailing_hour_stats": user_trailing_hour_stats,

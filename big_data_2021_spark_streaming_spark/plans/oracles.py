@@ -20,6 +20,60 @@ discovered empirically and relied on throughout:
 from __future__ import annotations
 
 ORACLES: dict[str, str] = {
+    "orders_monthly_growth": """
+        WITH monthly AS (
+            SELECT CAST(year(o_orderdate) AS INTEGER) AS year,
+                   CAST(month(o_orderdate) AS INTEGER) AS month,
+                   COUNT(*) AS n_orders,
+                   CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS revenue_cents
+            FROM orders
+            GROUP BY 1, 2
+        ),
+        lagged AS (
+            SELECT *,
+                   LAG(revenue_cents) OVER (ORDER BY year, month)
+                       AS prev_cents
+            FROM monthly
+        )
+        SELECT year, month, n_orders, revenue_cents, prev_cents,
+               CASE
+                   WHEN prev_cents IS NULL THEN NULL
+                   WHEN revenue_cents >= prev_cents THEN
+                       (2 * (revenue_cents - prev_cents) * 1000000
+                        + prev_cents) // (2 * prev_cents)
+                   ELSE
+                       -((2 * (prev_cents - revenue_cents) * 1000000
+                          + prev_cents) // (2 * prev_cents))
+               END AS growth_micro
+        FROM lagged
+    """,
+    "order_status_upsert": """
+        WITH base AS (
+            SELECT o_orderkey, o_orderstatus,
+                   CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+            FROM orders
+        ),
+        matched AS (
+            SELECT o_orderkey, 'X' AS u_status,
+                   cents + 500 AS u_cents
+            FROM base WHERE o_orderkey % 101 = 5
+        ),
+        updates AS (
+            SELECT * FROM matched
+            UNION ALL
+            SELECT o_orderkey + 20000000, 'N', u_cents FROM matched
+        ),
+        merged AS (
+            SELECT COALESCE(u.u_status, b.o_orderstatus) AS status,
+                   COALESCE(u.u_cents, b.cents) AS cents
+            FROM base b
+            FULL OUTER JOIN updates u USING (o_orderkey)
+        )
+        SELECT status, COUNT(*) AS n_orders,
+               CAST(SUM(cents) AS BIGINT) AS total_cents
+        FROM merged GROUP BY status
+    """,
     "q1_filter": """
         SELECT event_id,
                user_id,

@@ -493,7 +493,7 @@ def test_registry_names_unique_across_modules():
         for name in mod.QUERIES:
             assert name not in seen, f"{name} in both {seen[name]} and {mod.__name__}"
             seen[name] = mod.__name__
-    assert len(seen) >= 116
+    assert len(seen) >= 118
 
 
 def test_registry_orders_unverified_queries_first():
@@ -511,7 +511,7 @@ def test_registry_orders_unverified_queries_first():
     first_back = next(i for i, n in enumerate(names) if n in _DRIVER_VERIFIED)
     assert all(n in _DRIVER_VERIFIED for n in names[first_back:])
     assert all(n not in _DRIVER_VERIFIED for n in names[:first_back])
-    # the 25 round-4 front-runners: 7 new this round, 7 re-planned
+    # the 27 round-4 front-runners: 9 new this round, 7 re-planned
     # this round (exact micro-unit rounding / oracle rewrites), then
     # the 8 never-graded + 3 pre-re-plan-graded queries VERDICT r03
     # flagged
@@ -519,7 +519,8 @@ def test_registry_orders_unverified_queries_first():
         # new in round 4
         "doc_chunking", "doc_packing", "fk_integrity_audit",
         "join_key_skew", "user_erasure_audit", "mixture_reweight_plan",
-        "dedup_cluster_histogram",
+        "dedup_cluster_histogram", "orders_monthly_growth",
+        "order_status_upsert",
         # re-planned in round 4
         "local_supplier_volume", "props_map_stats", "text_token_rarity",
         "text_repetition_signals", "text_length_histogram",
