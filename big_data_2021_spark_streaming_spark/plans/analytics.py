@@ -1754,11 +1754,161 @@ def order_status_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def regional_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 pattern — the correlated-MIN supplier-selection shape:
+    for every qualifying part, the supplier(s) in one region offering
+    the minimum unit price (the schema has no partsupp, so the offer
+    book is derived: per (part, supplier) average sale price from
+    lineitem). The classic form is a correlated scalar subquery
+    ``WHERE cost = (SELECT MIN(cost) ... WHERE partkey = outer)``;
+    here it is one aggregation plus a per-part MIN window with an
+    equality filter — Catalyst's own decorrelation target.
+
+    Scale shape: the selective part filter and the region filter both
+    broadcast onto the lineitem scan BEFORE the (part, supplier)
+    aggregation, so the only wide shuffle is over the filtered offer
+    frame. Unit price is exact half-up micro-unit integer division
+    ((2a+b) div (2b)) — a double AVG would hit the cross-engine ROUND
+    boundary this registry eliminates everywhere else."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").where(
+        (F.col("p_type") == "ECONOMY") & (F.col("p_size") <= 15)
+    )
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    sup_in_region = (
+        supplier.join(
+            F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+        )
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", F.col("n_name").alias("nation_name"))
+    )
+    offers = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(sup_in_region), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("p_partkey", "p_name", "s_suppkey", "s_name", "nation_name")
+        .agg(
+            F.sum(
+                F.round(F.col("l_extendedprice") * 1e6).cast("bigint")
+            ).alias("ext_micro"),
+            F.sum(F.round("l_quantity").cast("bigint")).alias("qty"),
+        )
+        .withColumn(
+            "price_micro",
+            F.expr("(2 * ext_micro + qty) div (2 * qty)"),
+        )
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        offers.withColumn("min_micro", F.min("price_micro").over(w))
+        .where(F.col("price_micro") == F.col("min_micro"))
+        .select(
+            "p_partkey",
+            "p_name",
+            "s_suppkey",
+            "s_name",
+            "nation_name",
+            (F.col("price_micro") / F.lit(1000000.0)).alias("unit_price"),
+        )
+    )
+
+
+def valuable_part_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 pattern — share-of-total HAVING with a scalar
+    subquery: per-part sales value from one nation's suppliers, kept
+    only where the part's value exceeds TWICE the mean per-part value
+    (Q11's literal 0.0001·total is a fixed fraction, which inverts
+    meaning as the part catalog grows — the mean-relative form keeps
+    the selectivity scale-invariant). The threshold compare is pure
+    integer arithmetic (v > 2 · (total div n_parts)) so no engine
+    ever divides fractionally: no rounding boundary, no overflow from
+    multiplying the grand total.
+
+    Scale shape: the nation's supplier keys broadcast onto the
+    lineitem scan; the per-part aggregate is the one wide shuffle; the
+    grand total is a 1-row aggregate OF THE AGGREGATE (never a second
+    fact scan) broadcast back over the part frame."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation").where(
+        F.col("n_name") == "NATION_7"
+    )
+    sup = supplier.join(
+        F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey")
+    val = (
+        li.join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(
+            F.sum(
+                F.round(F.col("l_extendedprice") * 1e6).cast("bigint")
+            ).alias("v")
+        )
+    )
+    total = val.agg(
+        F.expr("2 * (sum(v) div count(*))").alias("threshold")
+    )
+    return (
+        val.join(F.broadcast(total))
+        .where(F.col("v") > F.col("threshold"))
+        .select(
+            "partkey",
+            (F.expr("(v + 5000) div 10000") / F.lit(100.0)).alias("stock_value"),
+        )
+    )
+
+
+def excess_quantity_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 pattern — the nested-IN supplier-qualification chain:
+    suppliers who moved MORE THAN HALF the corpus-wide volume of some
+    part in a name family (``p_name LIKE 'small%'`` stands in for Q20's
+    ``'forest%'``; shipped quantity stands in for availqty, and the
+    qualifying share is an eighth — the corpus spreads parts across
+    ~100 suppliers, so Q20's literal half selects nobody). The classic
+    form is suppkey IN (… partkey IN (…) AND qty > frac·total); here
+    the inner IN is a broadcast equi-join, the fraction is the integer
+    compare 8·sq > tq, and the outer IN collapses to DISTINCT before
+    the supplier join.
+
+    Scale shape: the part-family filter broadcasts onto the scan
+    before the (supplier, part) aggregation; the per-part total is a
+    window over the already-aggregated frame (cardinality = touched
+    part×supplier pairs, not lineitems); qualification emits supplier
+    KEYS only, so the final enrichment join is key-distinct-sized."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").where(F.col("p_name").like("small%"))
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    per_pair = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(F.round("l_quantity").cast("bigint")).alias("sq"))
+    )
+    w = Window.partitionBy("l_partkey")
+    qualified = (
+        per_pair.withColumn("tq", F.sum("sq").over(w))
+        .where(8 * F.col("sq") > F.col("tq"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        qualified.join(
+            F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey")
+        )
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", F.col("n_name").alias("nation_name"))
+    )
+
+
 QUERIES: dict[str, object] = {
     # dict order = registry order = driver grading order (its gate has
     # a budget; see plans/registry.py) — entries added or re-planned
     # most recently go FIRST so they are graded before the suite that
     # already has multiple green rounds on record.
+    "regional_min_cost_supplier": regional_min_cost_supplier,
+    "valuable_part_stock": valuable_part_stock,
+    "excess_quantity_suppliers": excess_quantity_suppliers,
     "orders_monthly_growth": orders_monthly_growth,
     "order_status_upsert": order_status_upsert,
     "local_supplier_volume": local_supplier_volume,

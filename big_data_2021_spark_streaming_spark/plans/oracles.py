@@ -926,3 +926,77 @@ ORACLES["lineitem_measures_unpivot"] = """
     FROM long
     GROUP BY measure
 """
+
+ORACLES["regional_min_cost_supplier"] = """
+    -- TPC-H Q2 pattern: classic correlated-MIN form; the Spark builder
+    -- uses the decorrelated window equivalent. Unit price is the exact
+    -- half-up micro-unit rational (2a+b)//(2b) both sides.
+    WITH offers AS (
+        SELECT p_partkey, p_name, s_suppkey, s_name,
+               n_name AS nation_name,
+               (2 * CAST(SUM(CAST(round(l_extendedprice * 1e6) AS BIGINT))
+                         AS BIGINT)
+                  + CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT))
+               // (2 * CAST(SUM(CAST(round(l_quantity) AS BIGINT))
+                            AS BIGINT)) AS price_micro
+        FROM lineitem
+        JOIN part     ON l_partkey = p_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        WHERE p_type = 'ECONOMY' AND p_size <= 15 AND r_name = 'EUROPE'
+        GROUP BY p_partkey, p_name, s_suppkey, s_name, n_name
+    )
+    SELECT p_partkey, p_name, s_suppkey, s_name, nation_name,
+           price_micro / 1000000.0 AS unit_price
+    FROM offers o
+    WHERE price_micro = (
+        SELECT MIN(price_micro) FROM offers i
+        WHERE i.p_partkey = o.p_partkey
+    )
+"""
+
+ORACLES["valuable_part_stock"] = """
+    -- TPC-H Q11 pattern: share-of-total HAVING via scalar subquery.
+    -- Threshold is integer-only and scale-invariant (v > 2x the mean
+    -- per-part value): no fractional division, no ROUND boundary.
+    WITH val AS (
+        SELECT l_partkey AS partkey,
+               CAST(SUM(CAST(round(l_extendedprice * 1e6) AS BIGINT))
+                    AS BIGINT) AS v
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        WHERE n_name = 'NATION_7'
+        GROUP BY l_partkey
+    )
+    SELECT partkey, ((v + 5000) // 10000) / 100.0 AS stock_value
+    FROM val
+    WHERE v > (SELECT 2 * (CAST(SUM(v) AS BIGINT) // COUNT(*)) FROM val)
+"""
+
+ORACLES["excess_quantity_suppliers"] = """
+    -- TPC-H Q20 pattern: nested-IN qualification chain in its classic
+    -- form; the Spark builder runs the decorrelated window + distinct
+    -- equivalent. Eighth-share factor as the integer compare
+    -- 8*sq > tq (see the builder's note on corpus supplier spread).
+    SELECT s_suppkey, s_name, n_name AS nation_name
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE s_suppkey IN (
+        SELECT l_suppkey
+        FROM (
+            SELECT l_suppkey, l_partkey,
+                   CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
+                       AS sq,
+                   CAST(SUM(CAST(SUM(CAST(round(l_quantity) AS BIGINT))
+                                 AS BIGINT))
+                        OVER (PARTITION BY l_partkey) AS BIGINT) AS tq
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            WHERE p_name LIKE 'small%'
+            GROUP BY l_suppkey, l_partkey
+        )
+        WHERE 8 * sq > tq
+    )
+"""

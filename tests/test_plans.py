@@ -113,6 +113,7 @@ _BNLJ_INTENDED = frozenset(
         "text_tfidf_topterms",        # 1-row n_docs total
         "text_token_rarity",          # 1-row corpus-token total
         "join_key_skew",              # 1-row key-stats total onto top-10
+        "valuable_part_stock",        # 1-row grand-total threshold
     }
 )
 
@@ -464,6 +465,25 @@ def test_scd2_single_exchange(spark):
     assert p.count("Arguments: hashpartitioning(user_id") <= 1
 
 
+def test_min_cost_supplier_broadcasts_below_aggregation(spark):
+    # Q2 pattern: the part/supplier/region filters must broadcast onto
+    # the lineitem scan BEFORE the (part, supplier) aggregation — the
+    # wide shuffle is over the filtered offer frame only, and the
+    # correlated MIN is a window, never a per-row subquery
+    p = plan(spark, "regional_min_cost_supplier")
+    assert p.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in p
+
+
+def test_excess_quantity_chain_is_joins_not_subqueries(spark):
+    # Q20 pattern: the nested INs must plan as a broadcast equi-join +
+    # window + distinct chain; the per-part total is a window over the
+    # aggregated pair frame, not a second fact scan
+    p = plan(spark, "excess_quantity_suppliers")
+    assert "SortMergeJoin" not in p
+    assert nscans(p) == 4  # lineitem, part, supplier, nation — once each
+
+
 def test_registry_names_unique_across_modules():
     # a duplicate name across operator modules would silently shadow an
     # entry in the registry (dict insert wins) and shrink the graded set
@@ -511,7 +531,7 @@ def test_registry_orders_unverified_queries_first():
     first_back = next(i for i, n in enumerate(names) if n in _DRIVER_VERIFIED)
     assert all(n in _DRIVER_VERIFIED for n in names[first_back:])
     assert all(n not in _DRIVER_VERIFIED for n in names[:first_back])
-    # the 27 round-4 front-runners: 9 new this round, 7 re-planned
+    # the 30 round-4 front-runners: 12 new this round, 7 re-planned
     # this round (exact micro-unit rounding / oracle rewrites), then
     # the 8 never-graded + 3 pre-re-plan-graded queries VERDICT r03
     # flagged
@@ -520,7 +540,8 @@ def test_registry_orders_unverified_queries_first():
         "doc_chunking", "doc_packing", "fk_integrity_audit",
         "join_key_skew", "user_erasure_audit", "mixture_reweight_plan",
         "dedup_cluster_histogram", "orders_monthly_growth",
-        "order_status_upsert",
+        "order_status_upsert", "regional_min_cost_supplier",
+        "valuable_part_stock", "excess_quantity_suppliers",
         # re-planned in round 4
         "local_supplier_volume", "props_map_stats", "text_token_rarity",
         "text_repetition_signals", "text_length_histogram",
