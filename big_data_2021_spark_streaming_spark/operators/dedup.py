@@ -1162,8 +1162,120 @@ ORACLES["dedup_cluster_histogram"] = f"""
     )
 """
 
+SEM_COS_THRESHOLD = 0.43  # SemDeDup gate, sized to the synthetic corpus
+
+
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup (the SemDeDup recipe, Abbas et al. 2023): k-means
+    cluster the embedding corpus, then compare pairs ONLY within each
+    cluster and drop every vector that has a close-cosine neighbor with
+    a lower id — the kept lowest id is the group's representative. The
+    per-doc verdict (cluster, close-neighbor count, keep/drop, the
+    canonical kept id) is the curation signal a keep-list consumes.
+
+    Scale shape: the pairwise stage is an equi-join on cluster_id with
+    an id-ordering predicate — never a corpus cross join — so the work
+    is Σ|cluster|², which SemDeDup bounds by growing K with the corpus
+    (K is a constant here; at 100 TB it is ∝N so cluster size stays
+    fixed). The trained assignment frame is persisted and shared with
+    ``kmeans_clusters`` via similarity's per-session memo, so the Lloyd
+    rounds are not re-run. The cosine gate compares RAW doubles: both
+    engines evaluate the identical left-associated expression
+    bit-for-bit (the curation multisignal-gate precedent), so no
+    rounding boundary exists at any scale.
+    """
+    from .similarity import kmeans_assignments
+
+    assign = kmeans_assignments(spark, sf_dir)
+    a = assign.select(
+        "cluster_id", F.col("vec_id").alias("aid"), F.col("v").alias("va")
+    )
+    b = assign.select(
+        "cluster_id", F.col("vec_id").alias("bid"), F.col("v").alias("vb")
+    )
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    close = (
+        a.join(b, "cluster_id")
+        .where(F.col("aid") < F.col("bid"))
+        .select(
+            "aid",
+            "bid",
+            (dot / (norm(F.col("va")) * norm(F.col("vb")))).alias("cos"),
+        )
+        .where(F.col("cos") >= SEM_COS_THRESHOLD)
+    )
+    nbrs = close.select(F.col("aid").alias("vec_id"), F.col("bid").alias("nb")).unionByName(
+        close.select(F.col("bid").alias("vec_id"), F.col("aid").alias("nb"))
+    )
+    per_doc = nbrs.groupBy("vec_id").agg(
+        F.count(F.lit(1)).alias("n_close"),
+        F.min(F.when(F.col("nb") < F.col("vec_id"), F.col("nb"))).alias("low"),
+    )
+    return (
+        assign.select("vec_id", "cluster_id")
+        .join(per_doc, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cluster_id",
+            F.coalesce("n_close", F.lit(0)).alias("n_close"),
+            F.col("low").isNotNull().alias("is_dup"),
+            F.coalesce("low", F.col("vec_id")).alias("canonical_id"),
+        )
+    )
+
+
+def _semantic_dedup_sql() -> str:
+    from .similarity import DIM, kmeans_assign_cte_sql
+
+    cos = (
+        "("
+        + " + ".join(f"(a.va[{j}] * b.vb[{j}])" for j in range(1, DIM + 1))
+        + ") / (sqrt("
+        + " + ".join(f"(a.va[{j}] * a.va[{j}])" for j in range(1, DIM + 1))
+        + ") * sqrt("
+        + " + ".join(f"(b.vb[{j}] * b.vb[{j}])" for j in range(1, DIM + 1))
+        + "))"
+    )
+    return f"""
+    {kmeans_assign_cte_sql(materialized=True)},
+    sd_a AS (SELECT cluster_id, vec_id AS aid, v AS va FROM assign),
+    sd_b AS (SELECT cluster_id, vec_id AS bid, v AS vb FROM assign),
+    sd_close AS (
+        SELECT aid, bid
+        FROM sd_a a JOIN sd_b b
+          ON a.cluster_id = b.cluster_id AND a.aid < b.bid
+        WHERE {cos} >= {SEM_COS_THRESHOLD}
+    ),
+    sd_nbrs AS (
+        SELECT aid AS vec_id, bid AS nb FROM sd_close
+        UNION ALL
+        SELECT bid AS vec_id, aid AS nb FROM sd_close
+    ),
+    sd_per_doc AS (
+        SELECT vec_id, COUNT(*) AS n_close,
+               MIN(CASE WHEN nb < vec_id THEN nb END) AS low
+        FROM sd_nbrs GROUP BY vec_id
+    )
+    SELECT s.vec_id, s.cluster_id,
+           COALESCE(p.n_close, 0) AS n_close,
+           p.low IS NOT NULL AS is_dup,
+           COALESCE(p.low, s.vec_id) AS canonical_id
+    FROM assign s LEFT JOIN sd_per_doc p ON s.vec_id = p.vec_id
+    """
+
+
+ORACLES["dedup_semantic"] = _semantic_dedup_sql()
+
 QUERIES = {
     # new-in-round-4 entries first: registry order = driver grading order
+    "dedup_semantic": semantic_dedup,
     "dedup_cluster_histogram": cluster_histogram,
     # new-in-round-3 entries next
     "dedup_lsh_calibration": lsh_calibration,

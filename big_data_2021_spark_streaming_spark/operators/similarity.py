@@ -593,11 +593,17 @@ def _sq_dist(v, c) -> F.Column:
     )
 
 
-def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Lloyd k-means over the embedding corpus: KM_ITERS assignment /
-    update rounds from deterministic seeds (vec_id < KM_K), then the
-    final cell assignment — the training step the IVF index above
-    stubs out with seed centroids.
+_KM_MEMO: dict[tuple[str, str], DataFrame] = {}
+
+
+def kmeans_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, v, cluster_id, d): Lloyd k-means over the embedding
+    corpus — KM_ITERS assignment / update rounds from deterministic
+    seeds (vec_id < KM_K), then the final cell assignment. Shared by
+    ``kmeans_clusters`` (the training query) and ``dedup.semantic``
+    (which dedups WITHIN the trained clusters), so the Lloyd rounds
+    run once per (session, sf_dir); the assignment frame is persisted
+    and memoized like dedup's label frame.
 
     Scale shape (the same one MLlib's KMeans uses): centroids live on
     the driver — they are K×DIM aggregate values, not data — and are
@@ -614,6 +620,9 @@ def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     double precision identically on both sides, so assignments (and
     the DuckDB oracle's unrolled replica) match bit-for-bit.
     """
+    memo_key = (spark.sparkContext.applicationId, sf_dir)
+    if memo_key in _KM_MEMO:
+        return _KM_MEMO[memo_key]
     vecs = _vectors(spark, sf_dir)
     cents: dict[int, list[float]] = {
         int(r["vec_id"]): [float(x) for x in r["v"]]
@@ -649,10 +658,26 @@ def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         # clusters that captured no vectors keep their previous centroid
 
     best = assign_expr()
-    return vecs.select(
+    out = vecs.select(
         "vec_id",
+        "v",
         best.getField("cid").alias("cluster_id"),
-        F.round(best.getField("d"), 6).alias("dist_sq"),
+        best.getField("d").alias("d"),
+    ).persist()
+    for key in [k for k in _KM_MEMO if k[0] != memo_key[0]]:
+        del _KM_MEMO[key]
+    _KM_MEMO[memo_key] = out
+    return out
+
+
+def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The k-means training query: final (vector → cluster) assignment
+    with its squared distance. See ``kmeans_assignments`` for the
+    Lloyd-loop scale shape and cross-engine exactness notes."""
+    return kmeans_assignments(spark, sf_dir).select(
+        "vec_id",
+        "cluster_id",
+        F.round("d", 6).alias("dist_sq"),
     )
 
 
@@ -772,11 +797,19 @@ def _outliers_sql() -> str:
     """
 
 
-def _kmeans_sql() -> str:
-    """Unrolled Lloyd replica: c0 = seeds, then KM_ITERS×(assign CTE +
-    update CTE with empty-cluster COALESCE), then the final assignment.
-    The distance is an explicit left-associated 64-term sum matching
-    the Spark fold's evaluation order."""
+def kmeans_assign_cte_sql(materialized: bool = False) -> str:
+    """Unrolled Lloyd replica as a CTE chain ending in
+    ``assign(vec_id, v, cluster_id, d)``: c0 = seeds, then
+    KM_ITERS×(assign CTE + update CTE with empty-cluster COALESCE),
+    then the final assignment. The distance is an explicit
+    left-associated 64-term sum matching the Spark fold's evaluation
+    order. Shared by the kmeans_clusters oracle and dedup's
+    semantic-dedup oracle (which joins within the trained clusters).
+
+    ``materialized=True`` pins ``assign`` AS MATERIALIZED: DuckDB
+    inlines multiply-referenced CTEs, and re-expanding the whole Lloyd
+    chain per reference OOMs — the same CTE-inlining trap the gram
+    oracle documents, at query scale."""
 
     def dist(v: str, c: str) -> str:
         return " + ".join(
@@ -811,15 +844,24 @@ def _kmeans_sql() -> str:
                 SELECT cluster_id, [{mean_list}] AS c
                 FROM a{i} GROUP BY cluster_id) n USING (cluster_id))"""
         )
-    return (
-        ",\n".join(parts)
-        + f"""
-        SELECT vec_id, cluster_id, ROUND(d, 6) AS dist_sq FROM (
-            SELECT v.vec_id, c.cluster_id, {dist('v.v', 'c.c')} AS d,
+    mat = "MATERIALIZED " if materialized else ""
+    parts.append(
+        f"""assign AS {mat}(
+        SELECT vec_id, v, cluster_id, d FROM (
+            SELECT v.vec_id, v.v, c.cluster_id, {dist('v.v', 'c.c')} AS d,
                    row_number() OVER (
                        PARTITION BY v.vec_id
                        ORDER BY {dist('v.v', 'c.c')}, c.cluster_id) AS rn
-            FROM v CROSS JOIN c{KM_ITERS} c) WHERE rn = 1
+            FROM v CROSS JOIN c{KM_ITERS} c) WHERE rn = 1)"""
+    )
+    return ",\n".join(parts)
+
+
+def _kmeans_sql() -> str:
+    return (
+        kmeans_assign_cte_sql()
+        + """
+        SELECT vec_id, cluster_id, ROUND(d, 6) AS dist_sq FROM assign
     """
     )
 

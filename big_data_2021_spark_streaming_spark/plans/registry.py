@@ -107,12 +107,14 @@ _FAMILY_COST = {
 
 
 # Names hash-verified green by the driver on their CURRENT plan:
-# CORRECTNESS_r02.json ∪ CORRECTNESS_r03.json greens, minus the seven
+# CORRECTNESS_r02.json ∪ CORRECTNESS_r03.json greens, minus the eight
 # queries re-planned in round 4 after their last green
 # (text_token_rarity, local_supplier_volume, text_repetition_signals,
 # text_length_histogram, similarity_ann_recall, user_event_gaps:
 # exact micro-unit rounding rewrites; props_map_stats: oracle
-# rewritten off string-concat JSON paths) — those regrade early. The
+# rewritten off string-concat JSON paths; kmeans_clusters: assignment
+# frame extracted, memoized and persisted for dedup_semantic) — those
+# regrade early. The
 # 11 names the driver has never verified on current code (8 never
 # graded, 3 graded only pre-r02-re-plan) are likewise absent and sort
 # to the front.
@@ -127,7 +129,7 @@ _DRIVER_VERIFIED = frozenset(
         "embedding_outliers", "event_hourly_resample", "event_rank_stats",
         "event_type_union", "forecast_revenue_change", "funnel_conversion",
         "fuzzy_name_matches", "grouping_sets_revenue", "inactive_rich_customers",
-        "json_encode", "kmeans_clusters", "latest_event_per_user",
+        "json_encode", "latest_event_per_user",
         "lineitem_measures_unpivot", "market_share_by_year", "multimodal_decode",
         "multimodal_frame_sample", "multimodal_type_stats", "nation_pair_volume",
         "order_priority_semijoin", "part_profit_by_nation_year", "parts_never_in_bulk_orders",

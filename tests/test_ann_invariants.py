@@ -61,3 +61,28 @@ def test_ivf_pq_is_subset_of_pq_candidates(spark):
     assert overlap, "IVF-PQ shares no pairs with PQ top-k on the fixture"
     for r in overlap:
         assert full[(r.query_id, r.neighbor_id)] == r.approx_dist
+
+
+def test_semantic_dedup_invariants(spark):
+    """SemDeDup verdict frame: one row per vector; canonical_id is
+    never above the vector's own id; is_dup holds exactly when a
+    lower-id close neighbor exists (canonical_id < vec_id); kept
+    vectors are their own canonical; and close-neighbor counts are
+    symmetric (a pair contributes to both endpoints), so the n_close
+    total is even."""
+    from big_data_2021_spark_streaming_spark.operators.dedup import (
+        semantic_dedup,
+    )
+
+    rows = semantic_dedup(spark, SF).collect()
+    assert len(rows) == len({r.vec_id for r in rows})
+    total_close = 0
+    for r in rows:
+        assert r.canonical_id <= r.vec_id
+        assert r.is_dup == (r.canonical_id < r.vec_id)
+        if not r.is_dup:
+            assert r.canonical_id == r.vec_id
+        if r.n_close == 0:
+            assert not r.is_dup
+        total_close += r.n_close
+    assert total_close % 2 == 0
