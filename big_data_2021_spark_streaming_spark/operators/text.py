@@ -900,8 +900,64 @@ ORACLES["text_token_rarity"] = f"""
     GROUP BY doc_id
 """
 
+BPE_TOP_PAIRS = 50
+
+
+def bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The statistic a BPE tokenizer's first merge consumes: corpus-wide
+    adjacent-symbol-pair counts within whitespace tokens, top-K by
+    frequency with document reach. Training a tokenizer over a 100 TB
+    corpus IS this aggregation run to a fixpoint — each merge round is
+    one scan + one tiny groupBy, the shape shown here.
+
+    Scale: the pair explode is linear scan-side work; the groupBy key
+    space is bounded by the symbol alphabet squared (tiny), so the
+    shuffle after map-side partial aggregation is negligible and the
+    top-K plans as TakeOrderedAndProject. No Python in the path."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(tokens_col(F.col("text"))).alias("t")
+    ).where(F.length("t") >= 2)
+    pairs = tok.select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(sequence(1, length(t) - 1), i -> substring(t, i, 2))")
+        ).alias("pair"),
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.col("n_occurrences").desc(), F.col("pair"))
+        .limit(BPE_TOP_PAIRS)
+    )
+
+
+ORACLES["text_bpe_pair_stats"] = f"""
+    WITH tok AS (
+        SELECT doc_id, tok AS t FROM (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+            FROM documents)
+        WHERE length(tok) >= 2
+    ),
+    pairs AS (
+        SELECT doc_id, substring(t, CAST(i AS INTEGER), 2) AS pair FROM (
+            SELECT doc_id, t, unnest(range(1, length(t))) AS i FROM tok)
+    )
+    SELECT pair, COUNT(*) AS n_occurrences,
+           COUNT(DISTINCT doc_id) AS n_docs
+    FROM pairs GROUP BY pair
+    ORDER BY n_occurrences DESC, pair
+    LIMIT {BPE_TOP_PAIRS}
+"""
+
 QUERIES = {
-    # new-in-round-3 entries first: registry order = driver grading order
+    # new-in-round-4 entries first: registry order = driver grading order
+    "text_bpe_pair_stats": bpe_pair_stats,
+    # new-in-round-3 entries next
     "text_lang_confusion": lang_confusion,
     "text_token_rarity": token_rarity,
     "text_prefix_clusters": prefix_clusters,

@@ -531,7 +531,7 @@ def test_registry_orders_unverified_queries_first():
     first_back = next(i for i, n in enumerate(names) if n in _DRIVER_VERIFIED)
     assert all(n in _DRIVER_VERIFIED for n in names[first_back:])
     assert all(n not in _DRIVER_VERIFIED for n in names[:first_back])
-    # the 32 round-4 front-runners: 13 new this round, 8 re-planned
+    # the 33 round-4 front-runners: 14 new this round, 8 re-planned
     # this round (exact micro-unit rounding / oracle rewrites), then
     # the 8 never-graded + 3 pre-re-plan-graded queries VERDICT r03
     # flagged
@@ -542,7 +542,7 @@ def test_registry_orders_unverified_queries_first():
         "dedup_cluster_histogram", "orders_monthly_growth",
         "order_status_upsert", "regional_min_cost_supplier",
         "valuable_part_stock", "excess_quantity_suppliers",
-        "dedup_semantic",
+        "dedup_semantic", "text_bpe_pair_stats",
         # re-planned in round 4
         "local_supplier_volume", "props_map_stats", "text_token_rarity",
         "text_repetition_signals", "text_length_histogram",
