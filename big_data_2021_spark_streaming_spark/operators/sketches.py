@@ -1,0 +1,443 @@
+"""Probabilistic sketch operators: HyperLogLog distinct counting,
+Bloom-filter semi-join reduction, and Count-Min heavy-hitter
+estimation — the mergeable-summary layer a 100 TB pipeline runs where
+exact answers would shuffle the corpus.
+
+The reference has nothing in this territory (its engine is
+decode→filter→join→window, ``srapk_structure_streaming.py``); these
+are north-star extensions per SURVEY.md §7.4, sibling to the existing
+``sketch_event_stats`` (which uses Spark's built-in, non-deterministic
+HLL++ and is therefore rows-only in the gate). Everything HERE is
+deterministic and exact-integer so the DuckDB oracle hash-verifies
+the actual sketch contents:
+
+- hashes come from the repo's portable md5 scheme
+  (``functions/hashing.py``) — both engines compute identical digests;
+- the only real-valued steps (HLL's alpha·m²/Z and the linear-counting
+  fallback m·ln(m/V)) are folded into integer arithmetic: half-up
+  micro-unit division for the former, a 64-entry precomputed literal
+  CASE (same Python-computed constants inlined into BOTH engines) for
+  the latter.
+
+Scale posture — the whole point of sketches at 100 TB:
+- HLL registers are a bounded (m=64 rows) map-side partial aggregate:
+  one corpus scan, a 64-key shuffle, constant-size state. Merging
+  shards = max() over registers — associative, so AQE/partial
+  aggregation applies freely.
+- The Bloom build side is a ≤ k·|needles| bit-position set that
+  BROADCASTS; probing is a narrow per-row hash + broadcast hash join,
+  i.e. the runtime row-level filter that cuts shuffle volume before an
+  expensive join (Spark's own runtime filtering, made explicit).
+- CMS counters are d·w = 3·1024 cells regardless of stream size —
+  again one scan + tiny shuffle; estimates join a 20-row probe set
+  against the counter table.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..sources.batch import load_table
+
+# ---- HLL parameters -------------------------------------------------
+HLL_M = 64  # registers (p = 6)
+HLL_ALPHA_MILLI = 709  # alpha_64 = 0.709 (Flajolet et al.), in 1e-3 units
+HLL_CAP = 30  # rho computed over a 30-bit suffix hash
+# linear-counting fallback m*ln(m/V), V = count of zero registers —
+# precomputed in Python and inlined as the SAME literals in both
+# engines, so the ln() never runs inside either engine.
+_LC_TABLE = {v: round(HLL_M * math.log(HLL_M / v)) for v in range(1, HLL_M + 1)}
+
+# ---- Bloom parameters -----------------------------------------------
+BLOOM_BITS = 1 << 16  # m = 65536 bits
+BLOOM_K = 4  # hash functions
+_BLOOM_SEGMENT = "BUILDING"  # needle set: customers in this segment
+
+# ---- CMS parameters -------------------------------------------------
+CMS_D = 3  # hash rows
+CMS_W = 1024  # buckets per row
+CMS_TOPN = 20  # heavy hitters to probe
+
+
+def _h(seed: str, expr_col: F.Column) -> F.Column:
+    """Portable 60-bit hash: md5(seed:value) hex prefix → bigint.
+    Identical bytes in DuckDB via ``_h_sql`` — the same scheme as
+    functions/hashing.h60_packed_md5."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{seed}:"), expr_col)), 1, 15), 16, 10
+    ).cast("bigint")
+
+
+def _h_sql(seed: str, expr: str) -> str:
+    return f"CAST('0x' || substr(md5('{seed}:' || {expr}), 1, 15) AS BIGINT)"
+
+
+# ---------------------------------------------------------------------
+# HyperLogLog
+# ---------------------------------------------------------------------
+
+
+def sketch_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic HyperLogLog over ``events.user_id``.
+
+    bucket = 6 leading hash bits; rho = position of the highest set bit
+    in a 30-bit suffix hash (computed via length(bin(v)) — portable
+    integer ops, no log()). The register table aggregates to
+    S = Σ 2^(CAP - rho_max) (absent registers contribute 2^CAP), and
+    the raw estimate alpha·m²/Z becomes one exact half-up integer
+    division. Small-range (linear counting) correction applies per the
+    original paper when raw ≤ 5/2·m and zero registers exist, via the
+    precomputed ``_LC_TABLE`` literals.
+
+    Output also carries the exact distinct count and the error in
+    permille — the acceptance metric for the sketch.
+    """
+    events = load_table(spark, sf_dir, "events")
+    uid = F.col("user_id").cast("string")
+    hashed = events.select(
+        (_h("hllb", uid) % HLL_M).alias("bucket"),
+        (_h("hllv", uid) % (1 << HLL_CAP)).alias("v"),
+    )
+    rho = F.when(F.col("v") == 0, F.lit(HLL_CAP + 1)).otherwise(
+        F.lit(HLL_CAP + 1) - F.length(F.bin(F.col("v")))
+    )
+    regs = hashed.select("bucket", rho.alias("rho")).groupBy("bucket").agg(
+        F.max("rho").alias("rho_max")
+    )
+    # S over all m registers: present ones contribute 2^(CAP-rho_max),
+    # absent ones 2^CAP each. shiftleft keeps it exact-integer.
+    summary = regs.agg(
+        F.count("*").alias("nonzero_registers"),
+        F.sum(
+            F.expr(f"shiftleft(cast(1 as bigint), {HLL_CAP} - rho_max)")
+        ).alias("s_present"),
+    ).select(
+        F.col("nonzero_registers").cast("bigint").alias("nonzero_registers"),
+        (
+            F.col("s_present")
+            + (F.lit(HLL_M) - F.col("nonzero_registers"))
+            * F.lit(1 << HLL_CAP).cast("bigint")
+        ).alias("s_scaled"),
+    )
+    exact = events.agg(F.count_distinct("user_id").cast("bigint").alias("exact_distinct"))
+    # raw = alpha*m^2/Z = ALPHA_MILLI*m^2*2^CAP / (1000*S), half-up.
+    raw = F.expr(
+        f"(2 * {HLL_ALPHA_MILLI * HLL_M * HLL_M * (1 << HLL_CAP)} + 1000 * s_scaled)"
+        f" div (2 * 1000 * s_scaled)"
+    )
+    zero_regs = F.lit(HLL_M) - F.col("nonzero_registers")
+    lc_case = "CASE zero_regs " + " ".join(
+        f"WHEN {v} THEN {est}" for v, est in _LC_TABLE.items()
+    ) + " END"
+    out = (
+        summary.crossJoin(exact)
+        .withColumn("raw_est", raw)
+        .withColumn("zero_regs", zero_regs.cast("bigint"))
+        .withColumn(
+            "hll_estimate",
+            F.when(
+                (F.col("zero_regs") > 0) & (F.col("raw_est") * 2 <= 5 * HLL_M),
+                F.expr(lc_case),
+            )
+            .otherwise(F.col("raw_est"))
+            .cast("bigint"),
+        )
+    )
+    err = F.abs(F.col("hll_estimate") - F.col("exact_distinct"))
+    return out.select(
+        F.lit(HLL_M).cast("bigint").alias("m"),
+        "nonzero_registers",
+        "s_scaled",
+        "hll_estimate",
+        "exact_distinct",
+        # half-up permille error — exact integer, so hash-stable
+        F.expr(
+            "(2 * 1000 * abs(hll_estimate - exact_distinct) + exact_distinct)"
+            " div (2 * exact_distinct)"
+        ).alias("err_permille"),
+    )
+
+
+# ---------------------------------------------------------------------
+# Bloom filter
+# ---------------------------------------------------------------------
+
+
+def sketch_bloom_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join reduction: build a k=4, m=65536-bit
+    filter over the custkeys of one market segment, probe every order,
+    and report the reduction plus the measured false-positive rate
+    against the exact semi-join.
+
+    This is Spark's runtime row-level filtering made explicit: the bit
+    set is ≤ k·|needles| positions and BROADCASTS; each probe row pays
+    k portable hashes and passes iff all k positions are set. At
+    100 TB the filter drops non-matching probe rows BEFORE the shuffle
+    join — the oracle's exact semi-join is the correctness check and
+    the fp_permille column is the filter's quality metric.
+    """
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    needles = customer.filter(F.col("c_mktsegment") == _BLOOM_SEGMENT).select(
+        F.col("c_custkey").cast("string").alias("key")
+    )
+    # build: distinct bit positions over k seeded hashes
+    pos_cols = [(_h(f"bf{i}", F.col("key")) % BLOOM_BITS) for i in range(BLOOM_K)]
+    bits = (
+        needles.select(F.explode(F.array(*pos_cols)).alias("pos")).distinct()
+    )
+    # probe: each order's k positions must all be set
+    probes = orders.select(
+        F.col("o_orderkey"), F.col("o_custkey").cast("string").alias("key")
+    )
+    probe_pos = probes.select(
+        "o_orderkey",
+        "key",
+        F.explode(
+            F.array(*[(_h(f"bf{i}", F.col("key")) % BLOOM_BITS) for i in range(BLOOM_K)])
+        ).alias("pos"),
+    )
+    hit = (
+        probe_pos.join(F.broadcast(bits.withColumn("set_", F.lit(1))), "pos", "left")
+        .groupBy("o_orderkey", "key")
+        .agg((F.sum(F.coalesce(F.col("set_"), F.lit(0))) == BLOOM_K).alias("bloom_pass"))
+    )
+    truth = needles.select(F.col("key")).distinct().withColumn("true_pass", F.lit(1))
+    joined = hit.join(F.broadcast(truth), "key", "left").select(
+        "bloom_pass", F.coalesce(F.col("true_pass"), F.lit(0)).alias("is_true")
+    )
+    return joined.agg(
+        F.count("*").cast("bigint").alias("n_probes"),
+        F.sum(F.col("bloom_pass").cast("bigint")).alias("bloom_pass"),
+        F.sum("is_true").cast("bigint").alias("true_pass"),
+        F.sum(
+            (F.col("bloom_pass") & (F.col("is_true") == 0)).cast("bigint")
+        ).alias("false_pos"),
+    ).select(
+        "n_probes",
+        "bloom_pass",
+        "true_pass",
+        "false_pos",
+        # fp rate among non-members, half-up permille
+        F.expr(
+            "(2 * 1000 * false_pos + (n_probes - true_pass))"
+            " div (2 * (n_probes - true_pass))"
+        ).alias("fp_permille"),
+    )
+
+
+# ---------------------------------------------------------------------
+# Count-Min sketch
+# ---------------------------------------------------------------------
+
+
+def sketch_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min estimates for the exact top-N users by event count.
+
+    The counter table is d·w = 3·1024 cells built in ONE event scan
+    (explode to (row, bucket) then count) — constant size at any
+    corpus scale, mergeable by cell-wise sum. The probe set is the
+    exact top-N (count desc, user_id asc tiebreak); its estimate is
+    min over the d counters, always ≥ the exact count. ``overcount``
+    quantifies collision inflation — the sketch's acceptance metric.
+    """
+    events = load_table(spark, sf_dir, "events")
+    uid = F.col("user_id").cast("string")
+    cells = (
+        events.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(j).alias("row_"),
+                            (_h(f"cms{j}", uid) % CMS_W).alias("bucket"),
+                        )
+                        for j in range(CMS_D)
+                    ]
+                )
+            ).alias("c")
+        )
+        .select("c.row_", "c.bucket")
+        .groupBy("row_", "bucket")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+    top = (
+        events.groupBy("user_id")
+        .agg(F.count("*").cast("bigint").alias("exact_cnt"))
+        .orderBy(F.desc("exact_cnt"), F.asc("user_id"))
+        .limit(CMS_TOPN)
+    )
+    probe = top.select(
+        "user_id",
+        "exact_cnt",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("row_"),
+                        (_h(f"cms{j}", F.col("user_id").cast("string")) % CMS_W).alias(
+                            "bucket"
+                        ),
+                    )
+                    for j in range(CMS_D)
+                ]
+            )
+        ).alias("c"),
+    ).select("user_id", "exact_cnt", "c.row_", "c.bucket")
+    est = (
+        probe.join(F.broadcast(cells), ["row_", "bucket"])
+        .groupBy("user_id", "exact_cnt")
+        .agg(F.min("cnt").alias("cms_estimate"))
+    )
+    return est.select(
+        "user_id",
+        "exact_cnt",
+        "cms_estimate",
+        (F.col("cms_estimate") - F.col("exact_cnt")).alias("overcount"),
+    )
+
+
+# ---------------------------------------------------------------------
+# Oracles
+# ---------------------------------------------------------------------
+
+ORACLES: dict[str, str] = {}
+
+_LC_CASE_SQL = (
+    "CASE zero_regs "
+    + " ".join(f"WHEN {v} THEN {est}" for v, est in _LC_TABLE.items())
+    + " END"
+)
+
+ORACLES["sketch_hll_users"] = f"""
+    WITH hashed AS (
+        SELECT {_h_sql('hllb', 'CAST(user_id AS VARCHAR)')} % {HLL_M} AS bucket,
+               {_h_sql('hllv', 'CAST(user_id AS VARCHAR)')} % {1 << HLL_CAP} AS v
+        FROM events
+    ),
+    regs AS (
+        SELECT bucket,
+               MAX(CASE WHEN v = 0 THEN {HLL_CAP + 1}
+                        ELSE {HLL_CAP + 1} - length(bin(v)) END) AS rho_max
+        FROM hashed GROUP BY bucket
+    ),
+    summary AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS nonzero_registers,
+               CAST(SUM((1::BIGINT << ({HLL_CAP} - rho_max)))
+                    + ({HLL_M} - COUNT(*)) * {1 << HLL_CAP}::BIGINT
+                    AS BIGINT) AS s_scaled
+        FROM regs
+    ),
+    exact AS (
+        SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct
+        FROM events
+    ),
+    est AS (
+        SELECT nonzero_registers, s_scaled, exact_distinct,
+               (2 * {HLL_ALPHA_MILLI * HLL_M * HLL_M * (1 << HLL_CAP)}
+                + 1000 * s_scaled) // (2 * 1000 * s_scaled) AS raw_est,
+               CAST({HLL_M} - nonzero_registers AS BIGINT) AS zero_regs
+        FROM summary, exact
+    )
+    SELECT CAST({HLL_M} AS BIGINT) AS m,
+           nonzero_registers,
+           s_scaled,
+           CAST(CASE WHEN zero_regs > 0 AND raw_est * 2 <= {5 * HLL_M}
+                     THEN {_LC_CASE_SQL}
+                     ELSE raw_est END AS BIGINT) AS hll_estimate,
+           exact_distinct,
+           (2 * 1000 * abs(CAST(CASE WHEN zero_regs > 0 AND raw_est * 2 <= {5 * HLL_M}
+                     THEN {_LC_CASE_SQL}
+                     ELSE raw_est END AS BIGINT) - exact_distinct)
+            + exact_distinct) // (2 * exact_distinct) AS err_permille
+    FROM est
+"""
+
+_BLOOM_PROBE_POS = " UNION ALL ".join(
+    f"SELECT o_orderkey, key, {_h_sql(f'bf{i}', 'key')} % {BLOOM_BITS} AS pos"
+    " FROM probes"
+    for i in range(BLOOM_K)
+)
+_BLOOM_BUILD_POS = " UNION ALL ".join(
+    f"SELECT {_h_sql(f'bf{i}', 'key')} % {BLOOM_BITS} AS pos FROM needles"
+    for i in range(BLOOM_K)
+)
+
+ORACLES["sketch_bloom_reduction"] = f"""
+    WITH needles AS (
+        SELECT CAST(c_custkey AS VARCHAR) AS key FROM customer
+        WHERE c_mktsegment = '{_BLOOM_SEGMENT}'
+    ),
+    bits AS (
+        SELECT DISTINCT pos FROM ({_BLOOM_BUILD_POS})
+    ),
+    probes AS (
+        SELECT o_orderkey, CAST(o_custkey AS VARCHAR) AS key FROM orders
+    ),
+    probe_pos AS ({_BLOOM_PROBE_POS}),
+    hit AS (
+        SELECT p.o_orderkey, p.key,
+               (SUM(CASE WHEN b.pos IS NOT NULL THEN 1 ELSE 0 END)
+                = {BLOOM_K}) AS bloom_pass
+        FROM probe_pos p LEFT JOIN bits b ON p.pos = b.pos
+        GROUP BY p.o_orderkey, p.key
+    ),
+    truth AS (SELECT DISTINCT key, 1 AS true_pass FROM needles),
+    joined AS (
+        SELECT h.bloom_pass,
+               COALESCE(t.true_pass, 0) AS is_true
+        FROM hit h LEFT JOIN truth t ON h.key = t.key
+    ),
+    agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_probes,
+               CAST(SUM(CASE WHEN bloom_pass THEN 1 ELSE 0 END) AS BIGINT)
+                   AS bloom_pass,
+               CAST(SUM(is_true) AS BIGINT) AS true_pass,
+               CAST(SUM(CASE WHEN bloom_pass AND is_true = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS false_pos
+        FROM joined
+    )
+    SELECT n_probes, bloom_pass, true_pass, false_pos,
+           (2 * 1000 * false_pos + (n_probes - true_pass))
+               // (2 * (n_probes - true_pass)) AS fp_permille
+    FROM agg
+"""
+
+_CMS_CELLS = " UNION ALL ".join(
+    f"SELECT {j} AS row_, {_h_sql(f'cms{j}', 'CAST(user_id AS VARCHAR)')}"
+    f" % {CMS_W} AS bucket FROM events"
+    for j in range(CMS_D)
+)
+_CMS_PROBE = " UNION ALL ".join(
+    f"SELECT user_id, exact_cnt, {j} AS row_,"
+    f" {_h_sql(f'cms{j}', 'CAST(user_id AS VARCHAR)')} % {CMS_W} AS bucket"
+    " FROM top"
+    for j in range(CMS_D)
+)
+
+ORACLES["sketch_cms_heavy_hitters"] = f"""
+    WITH cells AS (
+        SELECT row_, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM ({_CMS_CELLS}) GROUP BY row_, bucket
+    ),
+    top AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS exact_cnt
+        FROM events GROUP BY user_id
+        ORDER BY exact_cnt DESC, user_id ASC LIMIT {CMS_TOPN}
+    ),
+    probe AS ({_CMS_PROBE})
+    SELECT p.user_id, p.exact_cnt,
+           MIN(c.cnt) AS cms_estimate,
+           MIN(c.cnt) - p.exact_cnt AS overcount
+    FROM probe p JOIN cells c ON p.row_ = c.row_ AND p.bucket = c.bucket
+    GROUP BY p.user_id, p.exact_cnt
+"""
+
+QUERIES = {
+    "sketch_hll_users": sketch_hll_users,
+    "sketch_bloom_reduction": sketch_bloom_reduction,
+    "sketch_cms_heavy_hitters": sketch_cms_heavy_hitters,
+}

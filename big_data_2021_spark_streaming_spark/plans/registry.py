@@ -47,6 +47,7 @@ def all_queries() -> dict[str, QuerySpec]:
     # module must fail loudly, not silently shrink the correctness gate.
     _OPTIONAL = {"pandas", "pyarrow", "duckdb", "numpy"}
     for modname in (
+        "sketches",
         "chunking",
         "audit",
         "dedup",
@@ -95,6 +96,7 @@ def all_queries() -> dict[str, QuerySpec]:
 # dedup pay the shared LSH/cluster/gram caches on first touch
 _FAMILY_COST = {
     "rsvp": 0,
+    "sketches": 0,
     "audit": 0,
     "analytics": 1,
     "chunking": 1,

@@ -114,6 +114,7 @@ _BNLJ_INTENDED = frozenset(
         "text_token_rarity",          # 1-row corpus-token total
         "join_key_skew",              # 1-row key-stats total onto top-10
         "valuable_part_stock",        # 1-row grand-total threshold
+        "sketch_hll_users",           # 1-row register summary × 1-row exact count
     }
 )
 
@@ -537,6 +538,8 @@ def test_registry_orders_unverified_queries_first():
     # flagged
     assert set(names[:first_back]) == {
         # new in round 4
+        "sketch_hll_users", "sketch_bloom_reduction",
+        "sketch_cms_heavy_hitters",
         "doc_chunking", "doc_packing", "fk_integrity_audit",
         "join_key_skew", "user_erasure_audit", "mixture_reweight_plan",
         "dedup_cluster_histogram", "orders_monthly_growth",

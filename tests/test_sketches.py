@@ -1,0 +1,79 @@
+"""Semantic invariants for the probabilistic-sketch operators, beyond
+the oracle hash parity test_oracle_parity applies to them.
+
+The sketch guarantees under test are the published ones:
+- Count-Min never under-counts (one-sided error);
+- a Bloom filter has no false negatives;
+- the HLL estimate lands within a few standard errors
+  (sigma ~= 1.04/sqrt(m)) of the exact distinct count;
+- all three sketch summaries are bounded-size regardless of input
+  rows (the property that makes them the 100 TB answer).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from big_data_2021_spark_streaming_spark.operators import sketches
+from big_data_2021_spark_streaming_spark.sources.batch import load_table
+
+
+def test_cms_one_sided_error(spark, sf_dir):
+    rows = sketches.sketch_cms_heavy_hitters(spark, sf_dir).collect()
+    assert rows, "probe set empty"
+    for r in rows:
+        assert r.cms_estimate >= r.exact_cnt, r
+        assert r.overcount == r.cms_estimate - r.exact_cnt
+
+
+def test_bloom_no_false_negatives(spark, sf_dir):
+    row = sketches.sketch_bloom_reduction(spark, sf_dir).collect()[0]
+    # every true member must pass the filter: pass count >= true count
+    assert row.bloom_pass >= row.true_pass
+    # and the decomposition is consistent
+    assert row.bloom_pass == row.true_pass + row.false_pos
+    assert 0 <= row.fp_permille <= 1000
+
+
+def test_hll_within_error_bound(spark, sf_dir):
+    row = sketches.sketch_hll_users(spark, sf_dir).collect()[0]
+    assert row.m == sketches.HLL_M
+    assert 0 < row.nonzero_registers <= sketches.HLL_M
+    # 1.04/sqrt(64) ~= 13% standard error; allow 4 sigma
+    sigma = 1.04 / (sketches.HLL_M ** 0.5)
+    assert abs(row.hll_estimate - row.exact_distinct) <= max(
+        4 * sigma * row.exact_distinct, 4
+    ), row
+
+
+def test_sketch_summaries_are_bounded(spark, sf_dir):
+    # the registers/counters an executor materializes are constant-size
+    # partial aggregates — the scale guarantee. Recompute the internal
+    # frames' row counts directly.
+    events = load_table(spark, sf_dir, "events")
+    uid = F.col("user_id").cast("string")
+    regs = (
+        events.select((sketches._h("hllb", uid) % sketches.HLL_M).alias("b"))
+        .groupBy("b")
+        .count()
+    )
+    assert regs.count() <= sketches.HLL_M
+    cells = (
+        events.select(
+            *[
+                (sketches._h(f"cms{j}", uid) % sketches.CMS_W).alias(f"b{j}")
+                for j in range(sketches.CMS_D)
+            ]
+        )
+        .select(F.explode(F.array(*[F.col(f"b{j}") for j in range(sketches.CMS_D)])))
+        .distinct()
+    )
+    assert cells.count() <= sketches.CMS_D * sketches.CMS_W
+
+
+def test_bloom_build_side_broadcasts(spark, sf_dir):
+    # the probe join must be a broadcast hash join on the bit set —
+    # a shuffled probe side defeats the filter's purpose
+    df = sketches.sketch_bloom_reduction(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
