@@ -935,6 +935,94 @@ def bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+LM_SCALE = 1_000_000
+
+
+def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained bigram language-model score per document — the
+    classic MapReduce LM shape (train = two vocabulary-bounded
+    groupBys with map-side combine; score = one shuffle join of doc
+    bigrams against the trained probability table), the quality signal
+    a perplexity-filtered training pipeline thresholds on.
+
+    The model is the exact conditional MLE: P(w2|w1) = c(w1,w2) /
+    Σ_w c(w1,w), in half-up micro-units so both engines agree bit-for-
+    bit (the probabilities per prefix sum to ~1e6 by construction).
+    A document's score is the half-up mean over its bigram instances;
+    docs with < 2 tokens surface with n_bigrams = 0 and a NULL score.
+
+    Scale: bigram/prefix count tables are bounded by vocabulary², not
+    corpus size, and build via partial aggregation; scoring shuffles
+    on the (w1, w2) key — skew on stop-word prefixes is sharded by
+    AQE. No Python anywhere in the path."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens_col(F.col("text")).alias("toks"))
+    big = toks.where(F.size("toks") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 1),"
+                " i -> struct(toks[i-1] AS w1, toks[i] AS w2))"
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.w1", "b.w2")
+    cb = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_b"))
+    cp = cb.groupBy("w1").agg(F.sum("c_b").alias("c_p"))
+    probs = cb.join(cp, "w1").select(
+        "w1",
+        "w2",
+        F.expr(f"(2 * c_b * {LM_SCALE} + c_p) div (2 * c_p)").alias("p_micro"),
+    )
+    scored = (
+        big.join(probs, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.sum("p_micro").alias("sp"),
+        )
+    )
+    return docs.select("doc_id").join(scored, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("bigint").alias("n_bigrams"),
+        F.expr("(2 * sp + n_bigrams) div (2 * n_bigrams)").alias("lm_score_micro"),
+    )
+
+
+ORACLES["text_bigram_lm_score"] = f"""
+    WITH toks AS (
+        SELECT doc_id, {_oracle_tokens()} AS toks FROM documents
+    ),
+    big AS (
+        SELECT doc_id,
+               toks[CAST(i AS INTEGER)] AS w1,
+               toks[CAST(i AS INTEGER) + 1] AS w2
+        FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
+              FROM toks WHERE len(toks) >= 2)
+    ),
+    cb AS (
+        SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c_b
+        FROM big GROUP BY w1, w2
+    ),
+    cp AS (
+        SELECT w1, CAST(SUM(c_b) AS BIGINT) AS c_p FROM cb GROUP BY w1
+    ),
+    probs AS (
+        SELECT cb.w1, cb.w2,
+               (2 * c_b * {LM_SCALE} + c_p) // (2 * c_p) AS p_micro
+        FROM cb JOIN cp ON cb.w1 = cp.w1
+    ),
+    scored AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+               CAST(SUM(p_micro) AS BIGINT) AS sp
+        FROM big JOIN probs ON big.w1 = probs.w1 AND big.w2 = probs.w2
+        GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           (2 * s.sp + s.n_bigrams) // (2 * s.n_bigrams) AS lm_score_micro
+    FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+"""
+
 ORACLES["text_bpe_pair_stats"] = f"""
     WITH tok AS (
         SELECT doc_id, tok AS t FROM (
@@ -956,6 +1044,7 @@ ORACLES["text_bpe_pair_stats"] = f"""
 
 QUERIES = {
     # new-in-round-4 entries first: registry order = driver grading order
+    "text_bigram_lm_score": bigram_lm_score,
     "text_bpe_pair_stats": bpe_pair_stats,
     # new-in-round-3 entries next
     "text_lang_confusion": lang_confusion,

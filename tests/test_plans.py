@@ -545,7 +545,7 @@ def test_registry_orders_unverified_queries_first():
         "dedup_cluster_histogram", "orders_monthly_growth",
         "order_status_upsert", "regional_min_cost_supplier",
         "valuable_part_stock", "excess_quantity_suppliers",
-        "dedup_semantic", "text_bpe_pair_stats",
+        "dedup_semantic", "text_bpe_pair_stats", "text_bigram_lm_score",
         # re-planned in round 4
         "local_supplier_volume", "props_map_stats", "text_token_rarity",
         "text_repetition_signals", "text_length_histogram",

@@ -77,3 +77,45 @@ def test_bloom_build_side_broadcasts(spark, sf_dir):
     df = sketches.sketch_bloom_reduction(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_bigram_lm_probabilities_normalize(spark, sf_dir):
+    # the trained model is a true conditional distribution: per-prefix
+    # micro-probabilities sum to 1e6 within half-up rounding slack
+    # (± one count of bigram types per prefix), and every doc score is
+    # a valid probability in micro-units
+    from big_data_2021_spark_streaming_spark.operators import text
+    from big_data_2021_spark_streaming_spark.operators.text import tokens_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens_col(F.col("text")).alias("toks"))
+    big = toks.where(F.size("toks") >= 2).select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 1),"
+                " i -> struct(toks[i-1] AS w1, toks[i] AS w2))"
+            )
+        ).alias("b")
+    ).select("b.w1", "b.w2")
+    cb = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_b"))
+    cp = cb.groupBy("w1").agg(
+        F.sum("c_b").alias("c_p"), F.count(F.lit(1)).alias("n_types")
+    )
+    probs = cb.join(cp, "w1").select(
+        "w1",
+        "n_types",
+        F.expr(f"(2 * c_b * {text.LM_SCALE} + c_p) div (2 * c_p)").alias("p"),
+    )
+    bad = (
+        probs.groupBy("w1", "n_types")
+        .agg(F.sum("p").alias("s"))
+        .filter(F.abs(F.col("s") - text.LM_SCALE) > F.col("n_types"))
+    )
+    assert bad.count() == 0
+    scored = text.bigram_lm_score(spark, sf_dir)
+    out_of_range = scored.filter(
+        (F.col("lm_score_micro") < 0) | (F.col("lm_score_micro") > text.LM_SCALE)
+    )
+    assert out_of_range.count() == 0
+    # row-complete: one output row per document, including short docs
+    assert scored.count() == docs.count()
