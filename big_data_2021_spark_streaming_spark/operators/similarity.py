@@ -1240,8 +1240,194 @@ ORACLES["embedding_dim_variance"] = """
     FROM moments
 """
 
+# ---------------------------------------------------------------------
+# Scalar quantization (SQ8): per-dimension affine int8 compression
+# ---------------------------------------------------------------------
+
+SQ_LEVELS = 255  # codes 0..255
+
+
+def _sq_params(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension quantizer parameters learned from the corpus in
+    one scan: (gd, mn, mx, rng) in exact milli-units. 64 rows — always
+    broadcast-sized, the SQ 'codebook'."""
+    vecs = _vectors(spark, sf_dir)
+    comp = vecs.select(F.posexplode("v").alias("gd", "x")).select(
+        "gd", _milli(F.col("x")).alias("xq")
+    )
+    return comp.groupBy("gd").agg(
+        F.min("xq").alias("mn"),
+        F.max("xq").alias("mx"),
+        (F.max("xq") - F.min("xq")).alias("rng"),
+    )
+
+
+def _sq_code() -> F.Column:
+    """Half-up affine code in 0..SQ_LEVELS from milli component xq and
+    broadcast params (mn, rng); constant-range dims collapse to 0."""
+    return F.when(F.col("rng") == 0, F.lit(0)).otherwise(
+        F.expr(f"(2 * (xq - mn) * {SQ_LEVELS} + rng) div (2 * rng)")
+    )
+
+
+def sq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-quantized (SQ8) top-5: each vector compressed to 64
+    affine int8 codes against per-dimension corpus min/max; candidate
+    distance is the range-weighted integer code distance
+    Σ (Δcode_i · rng_i)² — the exact-integer analogue of dequantized
+    L2 (common 1/255² factor dropped; units (milli/255)²).
+
+    Scale: the quantizer is ONE corpus scan reduced to a 64-row
+    broadcast table; queries contribute a 20×64-row broadcast code
+    table; the corpus is then touched once as codes with the distance
+    accumulated by partial aggregation — the flat-scan SQ layout
+    (4× memory cut vs float32) that composes with IVF pruning the
+    same way pq_topk does. Exact BIGINT math end to end, no float
+    summation order to pin."""
+    vecs = _vectors(spark, sf_dir)
+    params = _sq_params(spark, sf_dir)
+    comp = vecs.select("vec_id", F.posexplode("v").alias("gd", "x")).select(
+        "vec_id", "gd", _milli(F.col("x")).alias("xq")
+    )
+    codes = comp.join(F.broadcast(params), "gd").select(
+        "vec_id", "gd", "rng", _sq_code().alias("code")
+    )
+    qcodes = (
+        codes.where(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            "gd",
+            F.col("code").alias("qcode"),
+        )
+    )
+    dvec = F.col("code") - F.col("qcode")
+    scored = (
+        codes.join(F.broadcast(qcodes), "gd")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum(dvec * dvec * F.col("rng") * F.col("rng")).alias("sq_dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy("sq_dist", "vec_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOPK)
+        .select(
+            "query_id", "rank", F.col("vec_id").alias("neighbor_id"), "sq_dist"
+        )
+    )
+
+
+def sq_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension SQ8 quantizer audit: learned min/max (milli), and
+    the reconstruction error |255·(x−mn) − code·rng| aggregated exactly
+    (avg half-up, max) in 255·milli units — the acceptance metric that
+    says which dimensions the 8-bit budget serves poorly. One scan +
+    one 64-key aggregate."""
+    vecs = _vectors(spark, sf_dir)
+    params = _sq_params(spark, sf_dir)
+    comp = vecs.select("vec_id", F.posexplode("v").alias("gd", "x")).select(
+        "vec_id", "gd", _milli(F.col("x")).alias("xq")
+    )
+    coded = comp.join(F.broadcast(params), "gd").select(
+        "gd",
+        "mn",
+        "mx",
+        "rng",
+        F.abs(
+            (F.col("xq") - F.col("mn")) * SQ_LEVELS - _sq_code() * F.col("rng")
+        ).alias("err"),
+    )
+    return coded.groupBy("gd", "mn", "mx").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+        F.expr("(2 * sum(err) + count(1)) div (2 * count(1))").alias(
+            "avg_err_255milli"
+        ),
+        F.max("err").alias("max_err_255milli"),
+    )
+
+
+def _sq_cte() -> str:
+    """Shared oracle CTE: milli components, per-dim params, codes."""
+    return f"""
+        comp0 AS (
+            SELECT vec_id,
+                   unnest(range(0, len(embedding))) AS gd,
+                   unnest(CAST(embedding AS DOUBLE[])) AS x
+            FROM embeddings
+        ),
+        comp AS (
+            SELECT vec_id, CAST(gd AS INTEGER) AS gd,
+                   CAST(ROUND(x * 1000) AS BIGINT) AS xq
+            FROM comp0
+        ),
+        params AS (
+            SELECT gd, MIN(xq) AS mn, MAX(xq) AS mx,
+                   MAX(xq) - MIN(xq) AS rng
+            FROM comp GROUP BY gd
+        ),
+        codes AS (
+            SELECT vec_id, comp.gd, rng,
+                   CASE WHEN rng = 0 THEN 0
+                        ELSE (2 * (xq - mn) * {SQ_LEVELS} + rng)
+                             // (2 * rng) END AS code
+            FROM comp JOIN params ON comp.gd = params.gd
+        )
+    """
+
+
+def _sq_topk_sql() -> str:
+    return f"""
+        WITH {_sq_cte()},
+        qcodes AS (
+            SELECT vec_id AS query_id, gd, code AS qcode
+            FROM codes WHERE vec_id < {N_QUERIES}
+        ),
+        scored AS (
+            SELECT q.query_id, c.vec_id,
+                   CAST(SUM((c.code - q.qcode) * (c.code - q.qcode)
+                            * c.rng * c.rng) AS BIGINT) AS sq_dist
+            FROM codes c JOIN qcodes q ON c.gd = q.gd
+            WHERE c.vec_id <> q.query_id
+            GROUP BY 1, 2
+        )
+        SELECT query_id, CAST(rank AS INTEGER) AS rank,
+               vec_id AS neighbor_id, sq_dist
+        FROM (
+            SELECT query_id, vec_id, sq_dist,
+                   row_number() OVER (
+                       PARTITION BY query_id ORDER BY sq_dist, vec_id
+                   ) AS rank
+            FROM scored
+        ) WHERE rank <= {TOPK}
+    """
+
+
+def _sq_quality_sql() -> str:
+    return f"""
+        WITH {_sq_cte()}
+        SELECT c.gd, p.mn, p.mx,
+               CAST(COUNT(*) AS BIGINT) AS n_vecs,
+               (2 * CAST(SUM(abs((xq - p.mn) * {SQ_LEVELS} - code * c.rng))
+                         AS BIGINT) + COUNT(*))
+                   // (2 * COUNT(*)) AS avg_err_255milli,
+               CAST(MAX(abs((xq - p.mn) * {SQ_LEVELS} - code * c.rng))
+                    AS BIGINT) AS max_err_255milli
+        FROM codes c
+        JOIN params p ON c.gd = p.gd
+        JOIN comp ON comp.vec_id = c.vec_id AND comp.gd = c.gd
+        GROUP BY c.gd, p.mn, p.mx
+    """
+
+
+ORACLES["similarity_sq_topk"] = _sq_topk_sql()
+ORACLES["similarity_sq_quality"] = _sq_quality_sql()
+
+
 QUERIES = {
-    # new-in-round-3 entries first: registry order = driver grading order
+    # new-in-round-4 entries first: registry order = driver grading order
+    "similarity_sq_topk": sq_topk,
+    "similarity_sq_quality": sq_quality,
+    # new-in-round-3 entries next
     "similarity_ivf_occupancy": ivf_cell_occupancy,
     "similarity_ivf_pq_topk": ivf_pq_topk,
     "similarity_pq_codes": pq_codes,

@@ -86,3 +86,24 @@ def test_semantic_dedup_invariants(spark):
             assert not r.is_dup
         total_close += r.n_close
     assert total_close % 2 == 0
+
+
+def test_sq_topk_invariants(spark):
+    from big_data_2021_spark_streaming_spark.operators.similarity import (
+        sq_quality,
+        sq_topk,
+    )
+
+    rows = sq_topk(spark, SF).collect()
+    _check_topk_frame(rows, "sq_dist", ascending=True)
+    for r in rows:
+        assert r.sq_dist >= 0
+    # half-up quantization guarantee: per-component reconstruction
+    # error never exceeds half a quantization step — max_err <= rng/2
+    # in the same 255*milli units ((rng+1)//2 allows the half-up tie)
+    q = sq_quality(spark, SF).collect()
+    assert len(q) == 64
+    for d in q:
+        rng = d.mx - d.mn
+        assert 0 <= d.avg_err_255milli <= d.max_err_255milli
+        assert d.max_err_255milli <= (rng + 1) // 2, d

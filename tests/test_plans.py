@@ -539,7 +539,8 @@ def test_registry_orders_unverified_queries_first():
     assert set(names[:first_back]) == {
         # new in round 4
         "sketch_hll_users", "sketch_bloom_reduction",
-        "sketch_cms_heavy_hitters",
+        "sketch_cms_heavy_hitters", "similarity_sq_topk",
+        "similarity_sq_quality",
         "doc_chunking", "doc_packing", "fk_integrity_audit",
         "join_key_skew", "user_erasure_audit", "mixture_reweight_plan",
         "dedup_cluster_histogram", "orders_monthly_growth",
