@@ -173,7 +173,140 @@ def user_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DRIFT_BUCKETS = 10
+
+
+def value_drift_tvd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor: total-variation distance between the
+    first and second time-halves of each event type's ``value``
+    distribution, over a fixed equi-width bucket grid.
+
+    TVD = ½·Σ_b |p1(b) − p2(b)| is computed EXACTLY as
+    Σ|o1·n2 − o2·n1| / (2·n1·n2) in half-up micro-units — one integer
+    division per event type, no per-bucket rational arithmetic to
+    round (the reformulation that keeps a χ²-style statistic exact).
+    ``top_shift_bucket`` names the bucket contributing the largest
+    shift — where to look when the alarm fires.
+
+    Scale: one corpus scan; the only broadcast is the 1-row global
+    bounds frame (time midpoint + value range); buckets×types cells
+    then reduce by partial aggregation. The drift alarm a 100 TB
+    ingest pipeline runs per batch IS this shape — summaries are
+    type×bucket cells, never rows."""
+    from ..plans.analytics import _epoch_us
+
+    events = load_table(spark, sf_dir, "events")
+    base = events.select("event_type", _epoch_us("ts").alias("us"), "value")
+    bounds = base.agg(
+        F.min("us").alias("lo_us"),
+        F.max("us").alias("hi_us"),
+        F.min("value").alias("lo_v"),
+        F.max("value").alias("hi_v"),
+    )
+    marked = base.crossJoin(F.broadcast(bounds)).select(
+        "event_type",
+        (F.col("us") * 2 <= F.col("lo_us") + F.col("hi_us")).alias("first_half"),
+        F.when(F.col("hi_v") == F.col("lo_v"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.lit(DRIFT_BUCKETS - 1),
+                F.floor(
+                    (F.col("value") - F.col("lo_v"))
+                    * DRIFT_BUCKETS
+                    / (F.col("hi_v") - F.col("lo_v"))
+                ),
+            )
+        )
+        .cast("int")
+        .alias("bucket"),
+    )
+    cells = marked.groupBy("event_type", "bucket").agg(
+        F.sum(F.col("first_half").cast("bigint")).alias("o1"),
+        F.sum((~F.col("first_half")).cast("bigint")).alias("o2"),
+    )
+    totals = cells.groupBy("event_type").agg(
+        F.sum("o1").alias("n1"), F.sum("o2").alias("n2")
+    )
+    diffs = cells.join(F.broadcast(totals), "event_type").select(
+        "event_type",
+        "bucket",
+        "n1",
+        "n2",
+        F.abs(F.col("o1") * F.col("n2") - F.col("o2") * F.col("n1")).alias("d"),
+    )
+    w = Window.partitionBy("event_type").orderBy(F.desc("d"), F.asc("bucket"))
+    return (
+        diffs.withColumn("rn", F.row_number().over(w))
+        .groupBy("event_type", "n1", "n2")
+        .agg(
+            F.sum("d").alias("num"),
+            F.max(F.when(F.col("rn") == 1, F.col("bucket"))).alias(
+                "top_shift_bucket"
+            ),
+        )
+        .select(
+            "event_type",
+            F.col("n1").alias("n_first"),
+            F.col("n2").alias("n_second"),
+            F.expr(
+                "(2 * 1000000 * num + 2 * n1 * n2) div (4 * n1 * n2)"
+            ).alias("tvd_micro"),
+            "top_shift_bucket",
+        )
+    )
+
+
 ORACLES: dict[str, str] = {}
+
+ORACLES["value_drift_tvd"] = f"""
+    WITH base AS (
+        SELECT event_type, epoch_us(ts) AS us, value FROM events
+    ),
+    bounds AS (
+        SELECT MIN(us) AS lo_us, MAX(us) AS hi_us,
+               MIN(value) AS lo_v, MAX(value) AS hi_v
+        FROM base
+    ),
+    marked AS (
+        SELECT event_type,
+               (us * 2 <= lo_us + hi_us) AS first_half,
+               CAST(CASE WHEN hi_v = lo_v THEN 0
+                    ELSE LEAST({DRIFT_BUCKETS - 1},
+                               FLOOR((value - lo_v) * {DRIFT_BUCKETS}
+                                     / (hi_v - lo_v)))
+                    END AS INTEGER) AS bucket
+        FROM base, bounds
+    ),
+    cells AS (
+        SELECT event_type, bucket,
+               CAST(SUM(CASE WHEN first_half THEN 1 ELSE 0 END) AS BIGINT) AS o1,
+               CAST(SUM(CASE WHEN first_half THEN 0 ELSE 1 END) AS BIGINT) AS o2
+        FROM marked GROUP BY event_type, bucket
+    ),
+    totals AS (
+        SELECT event_type, CAST(SUM(o1) AS BIGINT) AS n1,
+               CAST(SUM(o2) AS BIGINT) AS n2
+        FROM cells GROUP BY event_type
+    ),
+    diffs AS (
+        SELECT c.event_type, c.bucket, t.n1, t.n2,
+               abs(c.o1 * t.n2 - c.o2 * t.n1) AS d,
+               row_number() OVER (
+                   PARTITION BY c.event_type ORDER BY abs(c.o1 * t.n2 - c.o2 * t.n1) DESC,
+                   c.bucket ASC
+               ) AS rn
+        FROM cells c JOIN totals t ON c.event_type = t.event_type
+    )
+    SELECT event_type,
+           n1 AS n_first,
+           n2 AS n_second,
+           (2 * 1000000 * CAST(SUM(d) AS BIGINT) + 2 * n1 * n2)
+               // (4 * n1 * n2) AS tvd_micro,
+           CAST(MAX(CASE WHEN rn = 1 THEN bucket END) AS INTEGER)
+               AS top_shift_bucket
+    FROM diffs
+    GROUP BY event_type, n1, n2
+"""
 
 _FK_SELECTS = []
 for _c, _fk, _p, _pk in FK_EDGES:
@@ -247,6 +380,8 @@ ORACLES["user_erasure_audit"] = f"""
 """
 
 QUERIES = {
+    # new-in-round-4b entry first: registry order = driver grading order
+    "value_drift_tvd": value_drift_tvd,
     "fk_integrity_audit": fk_integrity_audit,
     "join_key_skew": join_key_skew,
     "user_erasure_audit": user_erasure_audit,

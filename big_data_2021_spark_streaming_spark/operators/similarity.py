@@ -1423,10 +1423,124 @@ ORACLES["similarity_sq_topk"] = _sq_topk_sql()
 ORACLES["similarity_sq_quality"] = _sq_quality_sql()
 
 
+# ---------------------------------------------------------------------
+# Feature covariance (PCA precursor)
+# ---------------------------------------------------------------------
+
+COV_TOP_PAIRS = 30
+
+
+def covariance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top cross-dimension covariances of the embedding space — the
+    Gram-matrix pass PCA/whitening starts from, reported as the
+    COV_TOP_PAIRS strongest off-diagonal pairs (redundant or entangled
+    feature dimensions; the diagonal lives in embedding_dim_variance).
+
+    Exact integer statistics: components in milli-units, covariance
+    numerator n·Σxy − Σx·Σy as BIGINT, one signed half-up division to
+    milli² units (the |Δ| re-sign idiom, since div/// truncate toward
+    zero in both engines).
+
+    Scale: the second-moment table is a vec_id-aligned self-join of
+    the component frame — co-partitioned on vec_id, so it shuffles the
+    components once and never materializes an n×n anything; output is
+    DIM²/2 = 2 016 cells reduced by partial aggregation, then a tiny
+    top-K sort (TakeOrderedAndProject)."""
+    vecs = _vectors(spark, sf_dir)
+    comp = vecs.select("vec_id", F.posexplode("v").alias("gd", "x")).select(
+        "vec_id", "gd", _milli(F.col("x")).alias("xq")
+    )
+    a, b = comp.alias("a"), comp.alias("b")
+    prod = (
+        a.join(
+            b,
+            (F.col("a.vec_id") == F.col("b.vec_id"))
+            & (F.col("a.gd") < F.col("b.gd")),
+        )
+        .groupBy(F.col("a.gd").alias("gd1"), F.col("b.gd").alias("gd2"))
+        .agg(
+            F.sum(F.col("a.xq") * F.col("b.xq")).alias("s_xy"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+    )
+    sums = comp.groupBy("gd").agg(F.sum("xq").alias("s"))
+    cov = (
+        prod.join(F.broadcast(sums.select(F.col("gd").alias("gd1"), F.col("s").alias("s1"))), "gd1")
+        .join(F.broadcast(sums.select(F.col("gd").alias("gd2"), F.col("s").alias("s2"))), "gd2")
+        .select(
+            "gd1",
+            "gd2",
+            F.col("n").alias("n_vecs"),
+            "s_xy",
+            (F.col("n") * F.col("s_xy") - F.col("s1") * F.col("s2")).alias("num"),
+        )
+    )
+    signed = cov.select(
+        "gd1",
+        "gd2",
+        "n_vecs",
+        "s_xy",
+        F.expr(
+            "CASE WHEN num < 0"
+            " THEN -((2 * (-num) + n_vecs * n_vecs) div (2 * n_vecs * n_vecs))"
+            " ELSE (2 * num + n_vecs * n_vecs) div (2 * n_vecs * n_vecs) END"
+        ).alias("cov_milli2"),
+        F.abs("num").alias("_absnum"),
+    )
+    return (
+        signed.orderBy(F.desc("_absnum"), "gd1", "gd2")
+        .limit(COV_TOP_PAIRS)
+        .drop("_absnum")
+    )
+
+
+ORACLES["embedding_covariance_pairs"] = f"""
+    WITH comp0 AS (
+        SELECT vec_id,
+               unnest(range(0, len(embedding))) AS gd,
+               unnest(CAST(embedding AS DOUBLE[])) AS x
+        FROM embeddings
+    ),
+    comp AS (
+        SELECT vec_id, CAST(gd AS INTEGER) AS gd,
+               CAST(ROUND(x * 1000) AS BIGINT) AS xq
+        FROM comp0
+    ),
+    prod AS (
+        SELECT a.gd AS gd1, b.gd AS gd2,
+               CAST(SUM(a.xq * b.xq) AS BIGINT) AS s_xy,
+               CAST(COUNT(*) AS BIGINT) AS n_vecs
+        FROM comp a JOIN comp b
+          ON a.vec_id = b.vec_id AND a.gd < b.gd
+        GROUP BY 1, 2
+    ),
+    sums AS (
+        SELECT gd, CAST(SUM(xq) AS BIGINT) AS s FROM comp GROUP BY gd
+    ),
+    cov AS (
+        SELECT gd1, gd2, n_vecs, s_xy,
+               n_vecs * s_xy - s1.s * s2.s AS num
+        FROM prod
+        JOIN sums s1 ON prod.gd1 = s1.gd
+        JOIN sums s2 ON prod.gd2 = s2.gd
+    )
+    SELECT gd1, gd2, n_vecs, s_xy,
+           CASE WHEN num < 0
+                THEN -((2 * (-num) + n_vecs * n_vecs)
+                       // (2 * n_vecs * n_vecs))
+                ELSE (2 * num + n_vecs * n_vecs)
+                     // (2 * n_vecs * n_vecs) END AS cov_milli2
+    FROM cov
+    ORDER BY abs(num) DESC, gd1, gd2
+    LIMIT {COV_TOP_PAIRS}
+"""
+
+
 QUERIES = {
     # new-in-round-4 entries first: registry order = driver grading order
     "similarity_sq_topk": sq_topk,
     "similarity_sq_quality": sq_quality,
+    "embedding_covariance_pairs": covariance_pairs,
     # new-in-round-3 entries next
     "similarity_ivf_occupancy": ivf_cell_occupancy,
     "similarity_ivf_pq_topk": ivf_pq_topk,

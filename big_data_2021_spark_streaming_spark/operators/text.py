@@ -935,6 +935,89 @@ def bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+NOVELTY_N = 3  # token shingle width for the novelty curve
+
+
+def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-saturation signal: per document, the fraction of its
+    distinct 3-token shingles that no earlier document (by doc_id —
+    the ingest order) contains. A falling novelty curve says new data
+    is stale; flat-high says the corpus is still learning. This is the
+    per-increment acceptance metric a crawl pipeline gates batches on.
+
+    Scale: one gram explode (linear in corpus tokens) feeding two
+    hash aggregations — per-doc distinct grams, then a global
+    min(doc_id) per gram (the same gram-key shuffle the dedup family
+    pays, with map-side combine). The join back is gram-keyed; no
+    pairwise doc comparison anywhere."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens_col(F.col("text")).alias("toks"))
+    grams = (
+        toks.where(F.size("toks") >= NOVELTY_N)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(toks) - 2),"
+                    " i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1]))"
+                )
+            ).alias("g"),
+        )
+        .distinct()
+    )
+    first = grams.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (
+        grams.join(first, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            F.sum((F.col("doc_id") == F.col("first_doc")).cast("bigint")).alias(
+                "n_novel"
+            ),
+        )
+    )
+    return docs.select("doc_id", "source").join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        "source",
+        F.coalesce(F.col("n_grams"), F.lit(0)).cast("bigint").alias("n_grams"),
+        F.coalesce(F.col("n_novel"), F.lit(0)).cast("bigint").alias("n_novel"),
+        F.expr("(2 * 1000 * n_novel + n_grams) div (2 * n_grams)").alias(
+            "novelty_permille"
+        ),
+    )
+
+
+ORACLES["text_ngram_novelty"] = f"""
+    WITH toks AS (
+        SELECT doc_id, {_oracle_tokens()} AS toks FROM documents
+    ),
+    grams AS (
+        SELECT DISTINCT doc_id,
+               toks[CAST(i AS INTEGER)] || ' ' ||
+               toks[CAST(i AS INTEGER) + 1] || ' ' ||
+               toks[CAST(i AS INTEGER) + 2] AS g
+        FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 1)) AS i
+              FROM toks WHERE len(toks) >= {NOVELTY_N})
+    ),
+    first AS (
+        SELECT g, MIN(doc_id) AS first_doc FROM grams GROUP BY g
+    ),
+    per_doc AS (
+        SELECT grams.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+               CAST(SUM(CASE WHEN grams.doc_id = first_doc THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_novel
+        FROM grams JOIN first ON grams.g = first.g
+        GROUP BY grams.doc_id
+    )
+    SELECT d.doc_id, d.source,
+           CAST(COALESCE(p.n_grams, 0) AS BIGINT) AS n_grams,
+           CAST(COALESCE(p.n_novel, 0) AS BIGINT) AS n_novel,
+           (2 * 1000 * p.n_novel + p.n_grams) // (2 * p.n_grams)
+               AS novelty_permille
+    FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+"""
+
+
 LM_SCALE = 1_000_000
 
 
@@ -1044,6 +1127,7 @@ ORACLES["text_bpe_pair_stats"] = f"""
 
 QUERIES = {
     # new-in-round-4 entries first: registry order = driver grading order
+    "text_ngram_novelty": ngram_novelty,
     "text_bigram_lm_score": bigram_lm_score,
     "text_bpe_pair_stats": bpe_pair_stats,
     # new-in-round-3 entries next

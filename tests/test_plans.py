@@ -115,6 +115,7 @@ _BNLJ_INTENDED = frozenset(
         "join_key_skew",              # 1-row key-stats total onto top-10
         "valuable_part_stock",        # 1-row grand-total threshold
         "sketch_hll_users",           # 1-row register summary × 1-row exact count
+        "value_drift_tvd",            # 1-row global-bounds frame onto the scan
     }
 )
 
@@ -540,7 +541,8 @@ def test_registry_orders_unverified_queries_first():
         # new in round 4
         "sketch_hll_users", "sketch_bloom_reduction",
         "sketch_cms_heavy_hitters", "similarity_sq_topk",
-        "similarity_sq_quality",
+        "similarity_sq_quality", "value_drift_tvd", "text_ngram_novelty",
+        "embedding_covariance_pairs",
         "doc_chunking", "doc_packing", "fk_integrity_audit",
         "join_key_skew", "user_erasure_audit", "mixture_reweight_plan",
         "dedup_cluster_histogram", "orders_monthly_growth",
