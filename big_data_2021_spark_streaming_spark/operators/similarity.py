@@ -1441,27 +1441,35 @@ def covariance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     milli² units (the |Δ| re-sign idiom, since div/// truncate toward
     zero in both engines).
 
-    Scale: the second-moment table is a vec_id-aligned self-join of
-    the component frame — co-partitioned on vec_id, so it shuffles the
-    components once and never materializes an n×n anything; output is
-    DIM²/2 = 2 016 cells reduced by partial aggregation, then a tiny
-    top-K sort (TakeOrderedAndProject)."""
+    Scale: the second-moment pass never shuffles rows at all — each
+    vector expands to its DIM²/2 = 2 016 (i, j, x_i·x_j) products
+    INSIDE the scan task (nested lambda transform, whole-stage
+    codegen), and only the 2 016-cell partial aggregates move; the
+    DuckDB oracle proves the equivalent vec-aligned self-join gives
+    identical cells. Then a tiny top-K sort (TakeOrderedAndProject).
+    """
     vecs = _vectors(spark, sf_dir)
-    comp = vecs.select("vec_id", F.posexplode("v").alias("gd", "x")).select(
-        "vec_id", "gd", _milli(F.col("x")).alias("xq")
+    pairs = vecs.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(sequence(0, size(v) - 2), i ->"
+                " transform(sequence(i + 1, size(v) - 1), j ->"
+                " struct(i AS gd1, j AS gd2,"
+                " cast(round(v[i] * 1000) as bigint)"
+                " * cast(round(v[j] * 1000) as bigint) AS xy))))"
+            )
+        ).alias("p")
+    ).select(
+        F.col("p.gd1").cast("int").alias("gd1"),
+        F.col("p.gd2").cast("int").alias("gd2"),
+        F.col("p.xy"),
     )
-    a, b = comp.alias("a"), comp.alias("b")
-    prod = (
-        a.join(
-            b,
-            (F.col("a.vec_id") == F.col("b.vec_id"))
-            & (F.col("a.gd") < F.col("b.gd")),
-        )
-        .groupBy(F.col("a.gd").alias("gd1"), F.col("b.gd").alias("gd2"))
-        .agg(
-            F.sum(F.col("a.xq") * F.col("b.xq")).alias("s_xy"),
-            F.count(F.lit(1)).cast("bigint").alias("n"),
-        )
+    prod = pairs.groupBy("gd1", "gd2").agg(
+        F.sum("xy").alias("s_xy"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    comp = vecs.select("vec_id", F.posexplode("v").alias("gd", "x")).select(
+        "gd", _milli(F.col("x")).alias("xq")
     )
     sums = comp.groupBy("gd").agg(F.sum("xq").alias("s"))
     cov = (
