@@ -80,6 +80,53 @@ def _h_sql(seed: str, expr: str) -> str:
 # ---------------------------------------------------------------------
 
 
+def _hll_rho() -> F.Column:
+    """rho for a 30-bit suffix hash value column ``v`` — position of
+    the highest set bit from the top (v = 0 → CAP + 1)."""
+    return F.when(F.col("v") == 0, F.lit(HLL_CAP + 1)).otherwise(
+        F.lit(HLL_CAP + 1) - F.length(F.bin(F.col("v")))
+    )
+
+
+def _hll_finalize(summary: DataFrame) -> DataFrame:
+    """Append hll_estimate / err_permille to a frame carrying
+    (…, nonzero_registers, s_scaled, exact_distinct) — the shared
+    estimator: exact half-up integer division for alpha·m²/Z plus the
+    precomputed linear-counting literals for the small range."""
+    lc_case = (
+        "CASE zero_regs "
+        + " ".join(f"WHEN {v} THEN {est}" for v, est in _LC_TABLE.items())
+        + " END"
+    )
+    raw = F.expr(
+        f"(2 * {HLL_ALPHA_MILLI * HLL_M * HLL_M * (1 << HLL_CAP)}"
+        f" + 1000 * s_scaled) div (2 * 1000 * s_scaled)"
+    )
+    out = (
+        summary.withColumn("raw_est", raw)
+        .withColumn(
+            "zero_regs", (F.lit(HLL_M) - F.col("nonzero_registers")).cast("bigint")
+        )
+        .withColumn(
+            "hll_estimate",
+            F.when(
+                (F.col("zero_regs") > 0) & (F.col("raw_est") * 2 <= 5 * HLL_M),
+                F.expr(lc_case),
+            )
+            .otherwise(F.col("raw_est"))
+            .cast("bigint"),
+        )
+        .withColumn(
+            "err_permille",
+            F.expr(
+                "(2 * 1000 * abs(hll_estimate - exact_distinct) + exact_distinct)"
+                " div (2 * exact_distinct)"
+            ),
+        )
+    )
+    return out.drop("raw_est", "zero_regs")
+
+
 def sketch_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic HyperLogLog over ``events.user_id``.
 
@@ -101,10 +148,7 @@ def sketch_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         (_h("hllb", uid) % HLL_M).alias("bucket"),
         (_h("hllv", uid) % (1 << HLL_CAP)).alias("v"),
     )
-    rho = F.when(F.col("v") == 0, F.lit(HLL_CAP + 1)).otherwise(
-        F.lit(HLL_CAP + 1) - F.length(F.bin(F.col("v")))
-    )
-    regs = hashed.select("bucket", rho.alias("rho")).groupBy("bucket").agg(
+    regs = hashed.select("bucket", _hll_rho().alias("rho")).groupBy("bucket").agg(
         F.max("rho").alias("rho_max")
     )
     # S over all m registers: present ones contribute 2^(CAP-rho_max),
@@ -123,41 +167,68 @@ def sketch_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("s_scaled"),
     )
     exact = events.agg(F.count_distinct("user_id").cast("bigint").alias("exact_distinct"))
-    # raw = alpha*m^2/Z = ALPHA_MILLI*m^2*2^CAP / (1000*S), half-up.
-    raw = F.expr(
-        f"(2 * {HLL_ALPHA_MILLI * HLL_M * HLL_M * (1 << HLL_CAP)} + 1000 * s_scaled)"
-        f" div (2 * 1000 * s_scaled)"
-    )
-    zero_regs = F.lit(HLL_M) - F.col("nonzero_registers")
-    lc_case = "CASE zero_regs " + " ".join(
-        f"WHEN {v} THEN {est}" for v, est in _LC_TABLE.items()
-    ) + " END"
-    out = (
-        summary.crossJoin(exact)
-        .withColumn("raw_est", raw)
-        .withColumn("zero_regs", zero_regs.cast("bigint"))
-        .withColumn(
-            "hll_estimate",
-            F.when(
-                (F.col("zero_regs") > 0) & (F.col("raw_est") * 2 <= 5 * HLL_M),
-                F.expr(lc_case),
-            )
-            .otherwise(F.col("raw_est"))
-            .cast("bigint"),
-        )
-    )
-    err = F.abs(F.col("hll_estimate") - F.col("exact_distinct"))
-    return out.select(
+    return _hll_finalize(summary.crossJoin(exact)).select(
         F.lit(HLL_M).cast("bigint").alias("m"),
         "nonzero_registers",
         "s_scaled",
         "hll_estimate",
         "exact_distinct",
-        # half-up permille error — exact integer, so hash-stable
-        F.expr(
-            "(2 * 1000 * abs(hll_estimate - exact_distinct) + exact_distinct)"
-            " div (2 * exact_distinct)"
-        ).alias("err_permille"),
+        "err_permille",
+    )
+
+
+def sketch_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The property that makes HLL the 100 TB distinct counter:
+    register-wise max MERGES shard sketches into the corpus sketch
+    with no rescan. Per event type, build an independent register set
+    and estimate its user cardinality; then merge the five register
+    sets (groupBy bucket → max rho) into a ``__merged__`` row whose
+    registers — and therefore estimate — are provably identical to
+    hashing the whole stream at once (max is associative), while its
+    exact_distinct is the true global distinct. Shapes: one scan, a
+    (types × 64)-row register table, types+1 output rows."""
+    events = load_table(spark, sf_dir, "events")
+    uid = F.col("user_id").cast("string")
+    hashed = events.select(
+        F.col("event_type").alias("scope"),
+        (_h("hllb", uid) % HLL_M).alias("bucket"),
+        (_h("hllv", uid) % (1 << HLL_CAP)).alias("v"),
+    )
+    regs = (
+        hashed.select("scope", "bucket", _hll_rho().alias("rho"))
+        .groupBy("scope", "bucket")
+        .agg(F.max("rho").alias("rho_max"))
+    )
+    merged = (
+        regs.groupBy("bucket")
+        .agg(F.max("rho_max").alias("rho_max"))
+        .select(F.lit("__merged__").alias("scope"), "bucket", "rho_max")
+    )
+    all_regs = regs.unionByName(merged)
+    summary = all_regs.groupBy("scope").agg(
+        F.count("*").cast("bigint").alias("nonzero_registers"),
+        F.sum(
+            F.expr(f"shiftleft(cast(1 as bigint), {HLL_CAP} - rho_max)")
+        ).alias("s_present"),
+    ).select(
+        "scope",
+        "nonzero_registers",
+        (
+            F.col("s_present")
+            + (F.lit(HLL_M) - F.col("nonzero_registers"))
+            * F.lit(1 << HLL_CAP).cast("bigint")
+        ).alias("s_scaled"),
+    )
+    per_type = events.groupBy(F.col("event_type").alias("scope")).agg(
+        F.count_distinct("user_id").cast("bigint").alias("exact_distinct")
+    )
+    glob = events.agg(
+        F.count_distinct("user_id").cast("bigint").alias("exact_distinct")
+    ).select(F.lit("__merged__").alias("scope"), "exact_distinct")
+    exact = per_type.unionByName(glob)
+    return _hll_finalize(summary.join(exact, "scope")).select(
+        "scope", "nonzero_registers", "s_scaled", "hll_estimate",
+        "exact_distinct", "err_permille",
     )
 
 
@@ -356,6 +427,62 @@ ORACLES["sketch_hll_users"] = f"""
     FROM est
 """
 
+ORACLES["sketch_hll_merge"] = f"""
+    WITH hashed AS (
+        SELECT event_type AS scope,
+               {_h_sql('hllb', 'CAST(user_id AS VARCHAR)')} % {HLL_M} AS bucket,
+               {_h_sql('hllv', 'CAST(user_id AS VARCHAR)')} % {1 << HLL_CAP} AS v
+        FROM events
+    ),
+    regs AS (
+        SELECT scope, bucket,
+               MAX(CASE WHEN v = 0 THEN {HLL_CAP + 1}
+                        ELSE {HLL_CAP + 1} - length(bin(v)) END) AS rho_max
+        FROM hashed GROUP BY scope, bucket
+    ),
+    all_regs AS (
+        SELECT scope, bucket, rho_max FROM regs
+        UNION ALL
+        SELECT '__merged__' AS scope, bucket, MAX(rho_max) AS rho_max
+        FROM regs GROUP BY bucket
+    ),
+    summary AS (
+        SELECT scope,
+               CAST(COUNT(*) AS BIGINT) AS nonzero_registers,
+               CAST(SUM((1::BIGINT << ({HLL_CAP} - rho_max)))
+                    + ({HLL_M} - COUNT(*)) * {1 << HLL_CAP}::BIGINT
+                    AS BIGINT) AS s_scaled
+        FROM all_regs GROUP BY scope
+    ),
+    exact AS (
+        SELECT event_type AS scope,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct
+        FROM events GROUP BY event_type
+        UNION ALL
+        SELECT '__merged__' AS scope,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct
+        FROM events
+    ),
+    est AS (
+        SELECT s.scope, s.nonzero_registers, s.s_scaled, e.exact_distinct,
+               (2 * {HLL_ALPHA_MILLI * HLL_M * HLL_M * (1 << HLL_CAP)}
+                + 1000 * s.s_scaled) // (2 * 1000 * s.s_scaled) AS raw_est,
+               CAST({HLL_M} - s.nonzero_registers AS BIGINT) AS zero_regs
+        FROM summary s JOIN exact e ON s.scope = e.scope
+    ),
+    final AS (
+        SELECT scope, nonzero_registers, s_scaled, exact_distinct,
+               CAST(CASE WHEN zero_regs > 0 AND raw_est * 2 <= {5 * HLL_M}
+                         THEN {_LC_CASE_SQL}
+                         ELSE raw_est END AS BIGINT) AS hll_estimate
+        FROM est
+    )
+    SELECT scope, nonzero_registers, s_scaled, hll_estimate, exact_distinct,
+           (2 * 1000 * abs(hll_estimate - exact_distinct) + exact_distinct)
+               // (2 * exact_distinct) AS err_permille
+    FROM final
+"""
+
 _BLOOM_PROBE_POS = " UNION ALL ".join(
     f"SELECT o_orderkey, key, {_h_sql(f'bf{i}', 'key')} % {BLOOM_BITS} AS pos"
     " FROM probes"
@@ -438,6 +565,7 @@ ORACLES["sketch_cms_heavy_hitters"] = f"""
 
 QUERIES = {
     "sketch_hll_users": sketch_hll_users,
+    "sketch_hll_merge": sketch_hll_merge,
     "sketch_bloom_reduction": sketch_bloom_reduction,
     "sketch_cms_heavy_hitters": sketch_cms_heavy_hitters,
 }

@@ -1901,11 +1901,49 @@ def excess_quantity_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: P(next_type | type) for every observed ordered pair —
+    the sequence-mining summary behind next-action prediction and
+    funnel-anomaly alerts (a transition probability collapsing between
+    releases is a regression signal no per-type count shows).
+
+    Probabilities are exact half-up micro-units of c(pair)/c(prefix),
+    where the prefix total is the row sum of the matrix — so each row
+    provably normalizes to ~1e6. One lag window per user partition
+    (the natural event-log partitioning; state is one row), then a
+    types²-bounded aggregate — scale-independent output size."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        events.select(
+            "user_id",
+            F.lag("event_type").over(w).alias("prev_type"),
+            F.col("event_type").alias("next_type"),
+        )
+        .where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "next_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_transitions"))
+    )
+    totals = pairs.groupBy("prev_type").agg(
+        F.sum("n_transitions").alias("n_from")
+    )
+    return pairs.join(F.broadcast(totals), "prev_type").select(
+        "prev_type",
+        "next_type",
+        "n_transitions",
+        F.expr(
+            "(2 * n_transitions * 1000000 + n_from) div (2 * n_from)"
+        ).alias("p_micro"),
+    )
+
+
 QUERIES: dict[str, object] = {
     # dict order = registry order = driver grading order (its gate has
     # a budget; see plans/registry.py) — entries added or re-planned
     # most recently go FIRST so they are graded before the suite that
     # already has multiple green rounds on record.
+    "event_transition_matrix": event_transition_matrix,
     "regional_min_cost_supplier": regional_min_cost_supplier,
     "valuable_part_stock": valuable_part_stock,
     "excess_quantity_suppliers": excess_quantity_suppliers,

@@ -20,6 +20,30 @@ discovered empirically and relied on throughout:
 from __future__ import annotations
 
 ORACLES: dict[str, str] = {
+    "event_transition_matrix": """
+        WITH seq AS (
+            SELECT user_id,
+                   LAG(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS prev_type,
+                   event_type AS next_type
+            FROM events
+        ),
+        pairs AS (
+            SELECT prev_type, next_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_transitions
+            FROM seq WHERE prev_type IS NOT NULL
+            GROUP BY prev_type, next_type
+        ),
+        totals AS (
+            SELECT prev_type, CAST(SUM(n_transitions) AS BIGINT) AS n_from
+            FROM pairs GROUP BY prev_type
+        )
+        SELECT p.prev_type, p.next_type, p.n_transitions,
+               (2 * p.n_transitions * 1000000 + t.n_from)
+                   // (2 * t.n_from) AS p_micro
+        FROM pairs p JOIN totals t ON p.prev_type = t.prev_type
+    """,
     "orders_monthly_growth": """
         WITH monthly AS (
             SELECT CAST(year(o_orderdate) AS INTEGER) AS year,

@@ -119,3 +119,38 @@ def test_bigram_lm_probabilities_normalize(spark, sf_dir):
     assert out_of_range.count() == 0
     # row-complete: one output row per document, including short docs
     assert scored.count() == docs.count()
+
+
+def test_hll_merge_equals_global_sketch(spark, sf_dir):
+    # register-wise max of per-type sketches must reproduce the
+    # global sketch EXACTLY — the mergeability property; the merged
+    # row's registers therefore give the same estimate sketch_hll_users
+    # computes from one pass over the whole stream
+    merged = {
+        r.scope: r for r in sketches.sketch_hll_merge(spark, sf_dir).collect()
+    }
+    glob = sketches.sketch_hll_users(spark, sf_dir).collect()[0]
+    m = merged["__merged__"]
+    assert m.s_scaled == glob.s_scaled
+    assert m.nonzero_registers == glob.nonzero_registers
+    assert m.hll_estimate == glob.hll_estimate
+    assert m.exact_distinct == glob.exact_distinct
+    # per-type sketches cover every event type
+    assert len(merged) >= 2
+
+
+def test_transition_matrix_rows_normalize(spark, sf_dir):
+    from big_data_2021_spark_streaming_spark.plans.analytics import (
+        event_transition_matrix,
+    )
+
+    rows = event_transition_matrix(spark, sf_dir).collect()
+    assert rows
+    by_prev = {}
+    for r in rows:
+        assert r.n_transitions > 0
+        by_prev.setdefault(r.prev_type, []).append(r)
+    for prev, rs in by_prev.items():
+        s = sum(r.p_micro for r in rs)
+        # half-up rounding slack: ± one micro-unit per matrix cell
+        assert abs(s - 1_000_000) <= len(rs), (prev, s)
