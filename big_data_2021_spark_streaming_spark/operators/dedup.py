@@ -1162,6 +1162,55 @@ ORACLES["dedup_cluster_histogram"] = f"""
     )
 """
 
+def keep_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivorship manifest — the auditable artifact a dedup run must
+    ship: for every multi-member near-dup cluster, the canonical
+    (kept) doc, the sorted list of dropped doc_ids, and the characters
+    reclaimed. This is the provenance record that lets a takedown or a
+    quality regression trace exactly which documents a survivor
+    replaced.
+
+    Reuses the memoized cluster-label frame (one propagation per
+    session shared with every clusters consumer), so the marginal cost
+    is one join to documents plus a cluster-keyed aggregate; the
+    dropped-id arrays are bounded by cluster size, which the LSH
+    threshold bounds by construction."""
+    labels = near_dup_clusters(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    joined = labels.join(docs, "doc_id")
+    return (
+        joined.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_members"),
+            F.sort_array(
+                F.collect_list(
+                    F.when(~F.col("is_canonical"), F.col("doc_id"))
+                )
+            ).alias("dropped_ids"),
+            F.coalesce(
+                F.sum(F.when(~F.col("is_canonical"), F.col("n_chars"))), F.lit(0)
+            )
+            .cast("bigint")
+            .alias("freed_chars"),
+        )
+        .where(F.col("n_members") > 1)
+    )
+
+
+ORACLES["dedup_keep_manifest"] = f"""
+    SELECT cluster_id,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           list_sort(list(c.doc_id) FILTER (WHERE NOT is_canonical))
+               AS dropped_ids,
+           CAST(COALESCE(SUM(CASE WHEN NOT is_canonical THEN d.n_chars END),
+                         0) AS BIGINT) AS freed_chars
+    FROM ({ORACLES["dedup_clusters"]}) c
+    JOIN documents d ON c.doc_id = d.doc_id
+    GROUP BY cluster_id
+    HAVING COUNT(*) > 1
+"""
+
+
 SEM_COS_THRESHOLD = 0.43  # SemDeDup gate, sized to the synthetic corpus
 
 
@@ -1275,6 +1324,7 @@ ORACLES["dedup_semantic"] = _semantic_dedup_sql()
 
 QUERIES = {
     # new-in-round-4 entries first: registry order = driver grading order
+    "dedup_keep_manifest": keep_manifest,
     "dedup_semantic": semantic_dedup,
     "dedup_cluster_histogram": cluster_histogram,
     # new-in-round-3 entries next
