@@ -194,6 +194,75 @@ def idempotent_parquet_batch_writer(out_dir: str):
     return write
 
 
+DRIFT_BUCKETS = 10
+
+
+def drift_monitor_batch_writer(
+    ref_cells: dict[int, int], lo: float, hi: float, out_dir: str
+):
+    """batch_fn for ``to_foreach_batch_sink``: per micro-batch
+    distribution-drift alarm — bucket the batch's ``value`` on the
+    FIXED [lo, hi) equi-width grid a reference corpus defined, compute
+    the exact total-variation distance against the reference histogram
+    (the same |o_b·n_ref − o_ref·n_b| integer reformulation as
+    ``operators.audit.value_drift_tvd``), and land ONE metrics row per
+    batch in ``out_dir/batch_id=N`` (overwrite — idempotent under
+    batch replay, same contract as idempotent_parquet_batch_writer).
+
+    Everything stays on executors: the reference histogram is a
+    ≤ DRIFT_BUCKETS-row broadcast, the batch reduces to bucket cells,
+    and the alarm row is WRITTEN, not collected — the shape a 100 TB
+    ingest pipeline's per-batch quality gate runs."""
+    n_ref = sum(ref_cells.values())
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        ref = spark.createDataFrame(
+            sorted(ref_cells.items()), "bucket INT, o_ref BIGINT"
+        )
+        bucket = F.least(
+            F.lit(DRIFT_BUCKETS - 1),
+            F.floor(
+                (F.col("value") - F.lit(lo)) * DRIFT_BUCKETS / F.lit(hi - lo)
+            ),
+        ).cast("int")
+        cells = (
+            batch_df.select(bucket.alias("bucket"))
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("o_b"))
+        )
+        joined = (
+            ref.join(cells, "bucket", "full_outer")
+            .select(
+                F.coalesce("o_b", F.lit(0)).alias("o_b"),
+                F.coalesce("o_ref", F.lit(0)).alias("o_ref"),
+            )
+        )
+        tot = joined.agg(F.sum("o_b").alias("n_b"))
+        out = (
+            joined.crossJoin(F.broadcast(tot))
+            .agg(
+                F.first("n_b").alias("n_batch"),
+                F.sum(
+                    F.abs(
+                        F.col("o_b") * F.lit(n_ref) - F.col("o_ref") * F.col("n_b")
+                    )
+                ).alias("num"),
+            )
+            .select(
+                F.lit(batch_id).cast("bigint").alias("batch_id"),
+                "n_batch",
+                F.expr(
+                    f"(2 * 1000000 * num + 2 * n_batch * {n_ref})"
+                    f" div (4 * n_batch * {n_ref})"
+                ).alias("tvd_micro"),
+            )
+        )
+        out.write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch_id}")
+
+    return write
+
+
 def stream_dedup(
     events: DataFrame, keys: list[str], watermark_col: str, delay: str
 ) -> DataFrame:
