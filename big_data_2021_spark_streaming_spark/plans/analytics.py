@@ -1938,11 +1938,107 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def user_value_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-concentration (Lorenz-style) report: how much of total
+    event value the heaviest users hold. Users aggregate to exact
+    cents, then band by the INTEGER log2 of their total (power-of-two
+    bands via bin-length — the same portable integer-log trick the
+    HLL sketch uses), and the cumulative share sweeps bands from the
+    top. 'The top band's N users hold X% of value' without ever
+    globally sorting users: a global ntile/row_number window would
+    single-partition the user frame — the classic 100 TB cliff — so
+    the only ordered window here runs over the ≤ ~40-row band frame.
+    All arithmetic exact (cents BIGINT, half-up micro shares)."""
+    events = load_table(spark, sf_dir, "events")
+    users = events.groupBy("user_id").agg(
+        F.sum(F.expr("cast(round(value * 100) as bigint)")).alias("v_cents")
+    )
+    # non-positive totals get band 0; positive ones 1 + floor(log2)
+    band = F.when(F.col("v_cents") <= 0, F.lit(0)).otherwise(
+        F.length(F.bin(F.col("v_cents")))
+    )
+    bands = users.groupBy(band.alias("band")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("v_cents").alias("band_cents"),
+    )
+    w_desc = Window.orderBy(F.desc("band")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.orderBy(F.desc("band")).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return bands.select(
+        "band",
+        "n_users",
+        "band_cents",
+        F.sum("n_users").over(w_desc).alias("cum_users"),
+        F.sum("band_cents").over(w_desc).alias("cum_cents"),
+        F.expr(
+            "(2 * 1000000 * sum(band_cents) over ("
+            "order by band desc rows between unbounded preceding and current row)"
+            " + sum(band_cents) over ("
+            "order by band desc rows between unbounded preceding and unbounded following))"
+            " div (2 * sum(band_cents) over ("
+            "order by band desc rows between unbounded preceding and unbounded following))"
+        ).alias("cum_share_micro"),
+    )
+
+
+def nation_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier-concentration index per nation: the Herfindahl–
+    Hirschman index over suppliers' lineitem revenue shares — the
+    market-concentration metric a sourcing-risk dashboard tracks
+    (10 000 ≡ monopoly in the classic scale; here exact micro-units
+    of Σ share², i.e. 1e6 ≡ monopoly). Computed EXACTLY as
+    1e6·Σv_i² / (Σv_i)² — one half-up division per nation on BIGINT
+    cent sums, no per-supplier rounding. Two partial-aggregable
+    groupBys (supplier revenue, then nation moments) plus one
+    broadcast dim join; DECIMAL(38) guards the Σv² squaring."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    rev = lineitem.groupBy("l_suppkey").agg(
+        F.sum(
+            F.expr(
+                "cast(round(l_extendedprice * (1 - l_discount) * 100) as bigint)"
+            )
+        ).alias("v_cents")
+    )
+    by_nation = (
+        rev.join(F.broadcast(supplier.select("s_suppkey", "s_nationkey")),
+                 F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation.select("n_nationkey", "n_name")),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_suppliers"),
+            F.sum("v_cents").alias("total_cents"),
+            F.sum(
+                (F.col("v_cents").cast("decimal(38,0)")
+                 * F.col("v_cents").cast("decimal(38,0)"))
+            ).alias("sum_sq"),
+        )
+    )
+    return by_nation.select(
+        F.col("n_name").alias("nation_name"),
+        "n_suppliers",
+        "total_cents",
+        F.expr(
+            "cast((2 * 1000000 * sum_sq"
+            " + cast(total_cents as decimal(38,0)) * total_cents)"
+            " div (2 * cast(total_cents as decimal(38,0)) * total_cents)"
+            " as bigint)"
+        ).alias("hhi_micro"),
+    )
+
+
 QUERIES: dict[str, object] = {
     # dict order = registry order = driver grading order (its gate has
     # a budget; see plans/registry.py) — entries added or re-planned
     # most recently go FIRST so they are graded before the suite that
     # already has multiple green rounds on record.
+    "user_value_concentration": user_value_concentration,
+    "nation_supplier_hhi": nation_supplier_hhi,
     "event_transition_matrix": event_transition_matrix,
     "regional_min_cost_supplier": regional_min_cost_supplier,
     "valuable_part_stock": valuable_part_stock,

@@ -20,6 +20,59 @@ discovered empirically and relied on throughout:
 from __future__ import annotations
 
 ORACLES: dict[str, str] = {
+    "user_value_concentration": """
+        WITH users AS (
+            SELECT user_id,
+                   CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                       AS v_cents
+            FROM events GROUP BY user_id
+        ),
+        bands AS (
+            SELECT CAST(CASE WHEN v_cents <= 0 THEN 0
+                        ELSE length(bin(v_cents)) END AS INTEGER) AS band,
+                   CAST(COUNT(*) AS BIGINT) AS n_users,
+                   CAST(SUM(v_cents) AS BIGINT) AS band_cents
+            FROM users GROUP BY 1
+        )
+        SELECT band, n_users, band_cents,
+               CAST(SUM(n_users) OVER w1 AS BIGINT) AS cum_users,
+               CAST(SUM(band_cents) OVER w1 AS BIGINT) AS cum_cents,
+               (2 * 1000000 * CAST(SUM(band_cents) OVER w1 AS BIGINT)
+                + CAST(SUM(band_cents) OVER w2 AS BIGINT))
+                   // (2 * CAST(SUM(band_cents) OVER w2 AS BIGINT))
+                   AS cum_share_micro
+        FROM bands
+        WINDOW w1 AS (ORDER BY band DESC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               w2 AS (ORDER BY band DESC
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND UNBOUNDED FOLLOWING)
+    """,
+    "nation_supplier_hhi": """
+        WITH rev AS (
+            SELECT l_suppkey,
+                   CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount)
+                                       * 100) AS BIGINT)) AS BIGINT)
+                       AS v_cents
+            FROM lineitem GROUP BY l_suppkey
+        ),
+        by_n AS (
+            SELECT n.n_name,
+                   CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+                   CAST(SUM(r.v_cents) AS BIGINT) AS total_cents,
+                   SUM(CAST(r.v_cents AS HUGEINT) * r.v_cents) AS sum_sq
+            FROM rev r
+            JOIN supplier s ON r.l_suppkey = s.s_suppkey
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            GROUP BY n.n_name
+        )
+        SELECT n_name AS nation_name, n_suppliers, total_cents,
+               CAST((2 * 1000000 * sum_sq
+                     + CAST(total_cents AS HUGEINT) * total_cents)
+                    // (2 * CAST(total_cents AS HUGEINT) * total_cents)
+                    AS BIGINT) AS hhi_micro
+        FROM by_n
+    """,
     "event_transition_matrix": """
         WITH seq AS (
             SELECT user_id,

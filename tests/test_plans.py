@@ -544,6 +544,7 @@ def test_registry_orders_unverified_queries_first():
         "similarity_sq_quality", "value_drift_tvd", "text_ngram_novelty",
         "embedding_covariance_pairs", "sketch_hll_merge",
         "event_transition_matrix", "dedup_keep_manifest",
+        "user_value_concentration", "nation_supplier_hhi",
         "doc_chunking", "doc_packing", "fk_integrity_audit",
         "join_key_skew", "user_erasure_audit", "mixture_reweight_plan",
         "dedup_cluster_histogram", "orders_monthly_growth",
