@@ -508,8 +508,296 @@ ORACLES["mixture_reweight_plan"] = """
     FROM planned
 """
 
+# ---------------------------------------------------------------------------
+# train/val/test split, per-source caps, and contrastive pair mining —
+# the release-engineering tail of a training-data pipeline
+
+SPLIT_TRAIN_PCT = 90  # bucket < 90 → train
+SPLIT_VAL_PCT = 95    # 90 ≤ bucket < 95 → val; rest → test
+
+
+def _split_expr(bucket: F.Column) -> F.Column:
+    return (
+        F.when(bucket < SPLIT_TRAIN_PCT, F.lit("train"))
+        .when(bucket < SPLIT_VAL_PCT, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+
+
+def train_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-proof train/val/test assignment: the split bucket is a
+    salted hash of the near-dup CLUSTER id, not the document id, so
+    every member of a near-dup cluster lands in the same split BY
+    CONSTRUCTION — hashing doc_id instead is the classic eval-leak
+    (val examples that are near-copies of train examples).
+
+    Plan shape: the cluster-label frame (memoized, pair-graph-sized
+    state joined back over one corpus scan) plus a stateless hash
+    expression — no new shuffle beyond the label join the dedup family
+    already shares. Deterministic across runs, engines and cluster
+    sizes: no RNG, no per-partition seed state.
+    """
+    from ..functions.hashing import h60
+
+    clusters = _dedup.near_dup_clusters(spark, sf_dir)
+    bucket = h60(
+        F.concat(F.lit("split:"), F.col("cluster_id").cast("string"))
+    ) % 100
+    return clusters.select(
+        "doc_id", "cluster_id", _split_expr(bucket).alias("split")
+    )
+
+
+def split_leakage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The audit behind the split: per-split document/cluster/char
+    volumes plus ``leaked_clusters`` — the number of clusters whose
+    members span more than one split. The split derives from the
+    cluster id, so the invariant is provable; the audit COMPUTES it
+    from the assignment anyway (the check a release gate runs, and the
+    cross-engine hash fails loudly if the two engines ever cluster or
+    bucket differently).
+
+    Plan shape: one corpus join to fetch n_chars, one groupBy on the
+    3-value split key, one cluster-cardinality aggregate for the leak
+    count; the 1-row leak total broadcast-crossJoins onto the 3-row
+    summary (bounded by construction).
+    """
+    assigned = train_split_assign(spark, sf_dir)
+    chars = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    per_split = (
+        assigned.join(chars, "doc_id")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("cluster_id").alias("n_clusters"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+    leaks = (
+        assigned.groupBy("cluster_id")
+        .agg(F.countDistinct("split").alias("n_splits"))
+        .where(F.col("n_splits") > 1)
+        .agg(F.count(F.lit(1)).alias("leaked_clusters"))
+    )
+    return per_split.crossJoin(F.broadcast(leaks))
+
+
+SOURCE_CAP = 15  # max documents retained per source
+
+
+def source_cap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document caps — the domain-balancing pass of web-scale
+    curation (no single crawl domain may dominate the mix): within each
+    source, documents are ranked by a salted content-independent hash
+    (deterministic, order-free) and only the first SOURCE_CAP survive.
+    Reports per-source kept/dropped counts AND the kept char volume, so
+    the hash gate pins the exact kept SET, not just its size.
+
+    Plan shape: one shuffle on the source key for the rank window, then
+    a map-side-combinable re-aggregation on the same key (no second
+    exchange). At 100 TB a heavy-hitter source would skew the window
+    shuffle; the production variant pre-caps per (source, salt) shard
+    at a higher threshold first — same plan shape, bounded partitions —
+    before this exact global pass over the survivors.
+    """
+    from ..functions.hashing import h60
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    h = h60(F.concat(F.lit("cap:"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("source").orderBy(F.col("h"), F.col("doc_id"))
+    ranked = docs.withColumn("h", h).withColumn("rk", F.row_number().over(w))
+    kept = F.col("rk") <= SOURCE_CAP
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(kept.cast("bigint")).alias("n_kept"),
+            F.sum((~kept).cast("bigint")).alias("n_dropped"),
+            F.sum(F.when(kept, F.col("n_chars")).otherwise(F.lit(0))).alias(
+                "kept_chars"
+            ),
+        )
+    )
+
+
+NEG_PER_ANCHOR = 3   # negatives mined per anchor document
+ANCHOR_MOD = 20      # anchors = doc_id % 20 == 0 (a deterministic 5%)
+
+
+def contrastive_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-aware negative mining for contrastive training: for each
+    anchor document, draw NEG_PER_ANCHOR pseudo-random candidate ids
+    (salted hash mod corpus size — reproducible, no RNG state), then
+    DROP any candidate that is the anchor itself or a member of the
+    anchor's near-dup cluster — a near-copy used as a negative is a
+    false negative that actively corrupts the contrastive objective.
+    This is the composition that makes the dedup stack a training-data
+    feature, not just a cleanup pass.
+
+    Plan shape: anchors are a hash-filtered sliver of one corpus scan;
+    the corpus-size scalar is a 1-row aggregate broadcast-crossJoined
+    on (bounded by construction); candidate ids join back to the corpus
+    and to the (memoized) cluster-label frame by plain equi-joins on
+    the id — the tiny candidate side broadcasts, the corpus is never
+    shuffled. Works on dense ids (TESTDATA doc_id = 0..N-1); sparse-id
+    corpora would first zipWithIndex-style densify once.
+    """
+    from ..functions.hashing import h60
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_total = docs.agg(F.count(F.lit(1)).alias("n_total"))
+    anchors = (
+        docs.where(F.col("doc_id") % ANCHOR_MOD == 0)
+        .select(F.col("doc_id").alias("anchor_id"))
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            "anchor_id",
+            "n_total",
+            F.explode(
+                F.array(*[F.lit(k) for k in range(NEG_PER_ANCHOR)])
+            ).alias("k"),
+        )
+    )
+    neg_id = h60(
+        F.concat(
+            F.lit("neg:"),
+            F.col("k").cast("string"),
+            F.lit(":"),
+            F.col("anchor_id").cast("string"),
+        )
+    ) % F.col("n_total")
+    cand = anchors.select("anchor_id", "k", neg_id.alias("neg_id")).where(
+        F.col("neg_id") != F.col("anchor_id")
+    )
+    labels = _dedup.near_dup_clusters(spark, sf_dir).select(
+        "doc_id", "cluster_id"
+    )
+    a_lab = labels.select(
+        F.col("doc_id").alias("anchor_id"),
+        F.col("cluster_id").alias("anchor_cluster"),
+    )
+    n_lab = labels.select(
+        F.col("doc_id").alias("neg_id"),
+        F.col("cluster_id").alias("neg_cluster"),
+    )
+    neg_meta = docs.select(
+        F.col("doc_id").alias("neg_id"), "lang", "source"
+    )
+    return (
+        cand.join(a_lab, "anchor_id")
+        .join(n_lab, "neg_id")
+        .where(F.col("anchor_cluster") != F.col("neg_cluster"))
+        .join(neg_meta, "neg_id")
+        .select(
+            "anchor_id",
+            "k",
+            "neg_id",
+            F.col("lang").alias("neg_lang"),
+            F.col("source").alias("neg_source"),
+        )
+    )
+
+
+def _h60_oracle(expr: str) -> str:
+    from ..functions.hashing import h60_sql
+
+    return h60_sql(expr)
+
+
+_SPLIT_CASE = f"""CASE
+    WHEN {_h60_oracle("'split:' || CAST(cluster_id AS VARCHAR)")} % 100
+         < {SPLIT_TRAIN_PCT} THEN 'train'
+    WHEN {_h60_oracle("'split:' || CAST(cluster_id AS VARCHAR)")} % 100
+         < {SPLIT_VAL_PCT} THEN 'val'
+    ELSE 'test'
+END"""
+
+
+def _clusters_sub() -> str:
+    return _dedup.ORACLES["dedup_clusters"]
+
+
+ORACLES["train_split_assign"] = f"""
+    SELECT doc_id, cluster_id, {_SPLIT_CASE} AS split
+    FROM ({_clusters_sub()}) c
+"""
+
+ORACLES["split_leakage_report"] = f"""
+    WITH assigned AS (
+        SELECT doc_id, cluster_id, {_SPLIT_CASE} AS split
+        FROM ({_clusters_sub()}) c
+    ),
+    leaks AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS leaked_clusters FROM (
+            SELECT cluster_id FROM assigned
+            GROUP BY cluster_id HAVING COUNT(DISTINCT split) > 1
+        )
+    )
+    SELECT a.split,
+           COUNT(*) AS n_docs,
+           CAST(COUNT(DISTINCT a.cluster_id) AS BIGINT) AS n_clusters,
+           CAST(SUM(d.n_chars) AS BIGINT) AS total_chars,
+           ANY_VALUE(l.leaked_clusters) AS leaked_clusters
+    FROM assigned a
+    JOIN documents d USING (doc_id)
+    CROSS JOIN leaks l
+    GROUP BY a.split
+"""
+
+ORACLES["source_cap_report"] = f"""
+    WITH ranked AS (
+        SELECT doc_id, source, n_chars,
+               ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY {_h60_oracle("'cap:' || CAST(doc_id AS VARCHAR)")},
+                            doc_id
+               ) AS rk
+        FROM documents
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(COUNT(*) FILTER (rk <= {SOURCE_CAP}) AS BIGINT) AS n_kept,
+           CAST(COUNT(*) FILTER (rk > {SOURCE_CAP}) AS BIGINT) AS n_dropped,
+           CAST(COALESCE(SUM(n_chars) FILTER (rk <= {SOURCE_CAP}), 0)
+                AS BIGINT) AS kept_chars
+    FROM ranked GROUP BY source
+"""
+
+ORACLES["contrastive_negatives"] = f"""
+    WITH clusters AS (
+        SELECT doc_id, cluster_id FROM ({_clusters_sub()}) c
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM documents),
+    cand AS (
+        SELECT d.doc_id AS anchor_id, k.k,
+               {_h60_oracle(
+                   "'neg:' || CAST(k.k AS VARCHAR) || ':' "
+                   "|| CAST(d.doc_id AS VARCHAR)"
+               )} % n.n_total AS neg_id
+        FROM documents d
+        CROSS JOIN (VALUES {", ".join(f"({k})" for k in range(NEG_PER_ANCHOR))}) AS k(k)
+        CROSS JOIN n
+        WHERE d.doc_id % {ANCHOR_MOD} = 0
+    )
+    SELECT c.anchor_id, c.k, c.neg_id,
+           nd.lang AS neg_lang, nd.source AS neg_source
+    FROM cand c
+    JOIN clusters ca ON ca.doc_id = c.anchor_id
+    JOIN clusters cn ON cn.doc_id = c.neg_id
+    JOIN documents nd ON nd.doc_id = c.neg_id
+    WHERE c.neg_id <> c.anchor_id
+      AND ca.cluster_id <> cn.cluster_id
+"""
+
+
 QUERIES = {
     # new-in-round-4 entries first: registry order = driver grading order
+    "train_split_assign": train_split_assign,
+    "split_leakage_report": split_leakage_report,
+    "source_cap_report": source_cap_report,
+    "contrastive_negatives": contrastive_negatives,
     "mixture_reweight_plan": mixture_reweight_plan,
     # new-in-round-3 entries next
     "curation_multisignal_gate": multisignal_gate,

@@ -282,6 +282,32 @@ def pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction — the transform the scan above triages for: every
+    email / IPv4 / phone / SSN match is replaced with a typed mask
+    token, and the output carries the FULL redacted text so the hash
+    gate pins the exact byte-level rewrite, not just match counts.
+
+    Replacement order is fixed (email, ip, phone, ssn) and immaterial:
+    the four patterns match disjoint languages (phones need 3-3-4 digit
+    groups, SSNs 3-2-4, and mask tokens contain no digits or '@'), so
+    no earlier replacement can create or destroy a later match.
+    Stateless regexp_replace over one scan — scan-speed at 100 TB, no
+    shuffle, no Python.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    t = _pii_enriched_text()
+    red = F.regexp_replace(t, PII_EMAIL_RE, "[EMAIL]")
+    red = F.regexp_replace(red, PII_IPV4_RE, "[IP]")
+    red = F.regexp_replace(red, PII_PHONE_RE, "[PHONE]")
+    red = F.regexp_replace(red, PII_SSN_RE, "[SSN]")
+    return docs.select(
+        "doc_id",
+        red.alias("redacted"),
+        (F.length(t) - F.length(red)).alias("chars_removed"),
+    )
+
+
 def length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus length profile: 50-char buckets of n_chars with count and
     exact min/max plus a deterministic mean (integer sums divided once
@@ -818,6 +844,39 @@ ORACLES["text_pii_scan"] = (
 """
 )
 
+ORACLES["text_pii_redact"] = (
+    """
+    WITH scanned AS (
+        SELECT doc_id, """
+    + _PII_ENRICHED_SQL
+    + """ AS t FROM documents
+    )
+    SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+               t, '"""
+    + PII_EMAIL_RE
+    + """', '[EMAIL]', 'g'), '"""
+    + PII_IPV4_RE
+    + """', '[IP]', 'g'), '"""
+    + PII_PHONE_RE
+    + """', '[PHONE]', 'g'), '"""
+    + PII_SSN_RE
+    + """', '[SSN]', 'g') AS redacted,
+           CAST(length(t) AS INTEGER)
+               - CAST(length(regexp_replace(regexp_replace(regexp_replace(
+                     regexp_replace(t, '"""
+    + PII_EMAIL_RE
+    + """', '[EMAIL]', 'g'), '"""
+    + PII_IPV4_RE
+    + """', '[IP]', 'g'), '"""
+    + PII_PHONE_RE
+    + """', '[PHONE]', 'g'), '"""
+    + PII_SSN_RE
+    + """', '[SSN]', 'g')) AS INTEGER) AS chars_removed
+    FROM scanned
+"""
+)
+
 ORACLES["text_length_histogram"] = """
     SELECT CAST(floor(n_chars / 50) * 50 AS INTEGER) AS bucket_lo,
            COUNT(*) AS n_docs,
@@ -1127,6 +1186,7 @@ ORACLES["text_bpe_pair_stats"] = f"""
 
 QUERIES = {
     # new-in-round-4 entries first: registry order = driver grading order
+    "text_pii_redact": pii_redact,
     "text_ngram_novelty": ngram_novelty,
     "text_bigram_lm_score": bigram_lm_score,
     "text_bpe_pair_stats": bpe_pair_stats,

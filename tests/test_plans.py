@@ -116,6 +116,8 @@ _BNLJ_INTENDED = frozenset(
         "valuable_part_stock",        # 1-row grand-total threshold
         "sketch_hll_users",           # 1-row register summary × 1-row exact count
         "value_drift_tvd",            # 1-row global-bounds frame onto the scan
+        "split_leakage_report",       # 1-row leak total onto the 3-row summary
+        "contrastive_negatives",      # 1-row corpus-size scalar onto anchors
     }
 )
 
@@ -533,12 +535,14 @@ def test_registry_orders_unverified_queries_first():
     first_back = next(i for i, n in enumerate(names) if n in _DRIVER_VERIFIED)
     assert all(n in _DRIVER_VERIFIED for n in names[first_back:])
     assert all(n not in _DRIVER_VERIFIED for n in names[:first_back])
-    # the 33 round-4 front-runners: 14 new this round, 8 re-planned
+    # the round-4 front-runners: the queries new this round, 8 re-planned
     # this round (exact micro-unit rounding / oracle rewrites), then
     # the 8 never-graded + 3 pre-re-plan-graded queries VERDICT r03
     # flagged
     assert set(names[:first_back]) == {
         # new in round 4
+        "train_split_assign", "split_leakage_report", "source_cap_report",
+        "contrastive_negatives", "text_pii_redact",
         "sketch_hll_users", "sketch_bloom_reduction",
         "sketch_cms_heavy_hitters", "similarity_sq_topk",
         "similarity_sq_quality", "value_drift_tvd", "text_ngram_novelty",

@@ -1,0 +1,110 @@
+"""Structural invariants of the release-engineering curation tail:
+cluster-aware train/val/test splits, per-source caps, dedup-aware
+contrastive negative mining, and PII redaction — checked independently
+of the DuckDB oracle so a violation fails with a diagnosable message
+instead of a hash mismatch."""
+
+from __future__ import annotations
+
+import re
+
+import pyspark.sql.functions as F
+
+from big_data_2021_spark_streaming_spark.operators.curation import (
+    ANCHOR_MOD,
+    NEG_PER_ANCHOR,
+    SOURCE_CAP,
+    contrastive_negatives,
+    source_cap_report,
+    split_leakage_report,
+    train_split_assign,
+)
+from big_data_2021_spark_streaming_spark.operators.dedup import (
+    near_dup_clusters,
+)
+from big_data_2021_spark_streaming_spark.operators.text import (
+    PII_EMAIL_RE,
+    PII_IPV4_RE,
+    PII_PHONE_RE,
+    PII_SSN_RE,
+    pii_redact,
+)
+from big_data_2021_spark_streaming_spark.sources.batch import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_split_assignment_is_total_and_cluster_consistent(spark):
+    rows = train_split_assign(spark, SF).collect()
+    n_docs = load_table(spark, SF, "documents").count()
+    assert len(rows) == n_docs  # every document assigned exactly once
+    assert {r.split for r in rows} <= {"train", "val", "test"}
+    by_cluster: dict[int, set[str]] = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster_id, set()).add(r.split)
+    # the leakage guarantee: a cluster never spans splits
+    assert all(len(s) == 1 for s in by_cluster.values())
+
+
+def test_split_leakage_report_totals(spark):
+    rows = split_leakage_report(spark, SF).collect()
+    n_docs = load_table(spark, SF, "documents").count()
+    assert sum(r.n_docs for r in rows) == n_docs
+    assert all(r.leaked_clusters == 0 for r in rows)
+    # cluster counts per split partition the cluster set
+    n_clusters = (
+        near_dup_clusters(spark, SF).select("cluster_id").distinct().count()
+    )
+    assert sum(r.n_clusters for r in rows) == n_clusters
+
+
+def test_source_cap_enforced(spark):
+    docs = load_table(spark, SF, "documents")
+    totals = {
+        r.source: (r.n, r.chars)
+        for r in docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n"), F.sum("n_chars").alias("chars")
+        )
+        .collect()
+    }
+    for r in source_cap_report(spark, SF).collect():
+        n, chars = totals[r.source]
+        assert r.n_kept <= SOURCE_CAP
+        assert r.n_kept == min(n, SOURCE_CAP)
+        assert r.n_kept + r.n_dropped == r.n_docs == n
+        assert 0 < r.kept_chars <= chars
+
+
+def test_contrastive_negatives_are_cross_cluster(spark):
+    clusters = {
+        r.doc_id: r.cluster_id
+        for r in near_dup_clusters(spark, SF).collect()
+    }
+    per_anchor: dict[int, int] = {}
+    for r in contrastive_negatives(spark, SF).collect():
+        assert r.anchor_id % ANCHOR_MOD == 0
+        assert 0 <= r.k < NEG_PER_ANCHOR
+        assert r.neg_id != r.anchor_id
+        # a near-dup of the anchor must never be used as a negative
+        assert clusters[r.neg_id] != clusters[r.anchor_id]
+        per_anchor[r.anchor_id] = per_anchor.get(r.anchor_id, 0) + 1
+    assert per_anchor, "fixture corpus should yield anchors"
+    assert all(n <= NEG_PER_ANCHOR for n in per_anchor.values())
+
+
+def test_pii_redact_removes_every_match(spark):
+    rows = pii_redact(spark, SF).collect()
+    pats = [
+        re.compile(p)
+        for p in (PII_EMAIL_RE, PII_IPV4_RE, PII_PHONE_RE, PII_SSN_RE)
+    ]
+    masked = 0
+    for r in rows:
+        for p in pats:
+            assert not p.search(r.redacted), (r.doc_id, p.pattern)
+        assert r.chars_removed >= 0 or "[" in r.redacted
+        if "[EMAIL]" in r.redacted:
+            masked += 1
+            assert r.doc_id % 7 == 0  # only the injected subset has email
+    assert masked > 0
