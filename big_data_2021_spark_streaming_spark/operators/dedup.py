@@ -1322,8 +1322,123 @@ def _semantic_dedup_sql() -> str:
 
 ORACLES["dedup_semantic"] = _semantic_dedup_sql()
 
+PR_ITERS = 5          # fixed power-iteration rounds (unrolled in the oracle)
+PR_SCALE = 10**12     # rank fixed-point scale: integer ops are engine-identical
+PR_DAMP_NUM = 85      # damping factor 0.85 as the rational 85/100
+
+
+def pagerank_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the near-dup pair graph — the second iterative
+    graph operator beyond min-label propagation: rank every paired
+    document by its centrality in the duplicate neighborhood. A dedup
+    pipeline uses this to pick the canonical survivor as the most
+    central member (the hub a scraped template radiates from) instead
+    of the arbitrary min-id.
+
+    All arithmetic is fixed-point integer (rank scaled by PR_SCALE,
+    damping as the rational 85/100, per-edge contribution via integer
+    div) — addition is associative, so the result is bit-identical
+    across partitionings, runs, and engines; the oracle unrolls the
+    same PR_ITERS rounds as chained CTEs.
+
+    Scale shape: state is one row per PAIRED document (bounded by the
+    near-dup graph, not the corpus) and each round is one equi-join of
+    ranks onto the edge frame plus a map-side-combinable sum on dst —
+    the Pregel round as two narrow shuffles of pair-graph-sized data.
+    The edge frame reuses the persisted LSH pair frame every other
+    dedup operator shares; the corpus is never rescanned.
+    """
+    pairs = minhash_lsh_pairs(spark, sf_dir).select("doc_id_a", "doc_id_b")
+    edges = pairs.union(pairs.select("doc_id_b", "doc_id_a")).toDF("src", "dst")
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # node count as a 1-row broadcast (bounded by construction) rather
+    # than an unpartitioned window, which would funnel the whole node
+    # frame through a single partition
+    n_g = deg.agg(F.count(F.lit(1)).alias("n_g"))
+    nodes = deg.select(F.col("src").alias("doc_id"), "deg").crossJoin(
+        F.broadcast(n_g)
+    )
+    ranks = nodes.withColumn("r", F.expr(f"{PR_SCALE} div n_g"))
+    for _ in range(PR_ITERS):
+        inc = (
+            ranks.select(F.col("doc_id").alias("src"), "deg", "r")
+            .join(edges, "src")
+            .select(
+                F.col("dst").alias("doc_id"), F.expr("r div deg").alias("c")
+            )
+            .groupBy("doc_id")
+            .agg(F.sum("c").alias("inc"))
+        )
+        # every node has incoming mass (edges are symmetric, deg ≥ 1),
+        # so the inner join is total over the node set
+        ranks = nodes.join(inc, "doc_id").select(
+            "doc_id",
+            "deg",
+            "n_g",
+            F.expr(
+                f"(15 * {PR_SCALE}) div (100 * n_g)"
+                f" + ({PR_DAMP_NUM} * inc) div 100"
+            ).alias("r"),
+        )
+    return ranks.select("doc_id", "deg", F.col("r").alias("rank_e12"))
+
+
+def _pagerank_sql() -> str:
+    base = f"(15 * {PR_SCALE}) // (100 * n.n_g)"
+    steps = []
+    prev = "r0"
+    for i in range(1, PR_ITERS + 1):
+        steps.append(
+            f"""r{i} AS (
+        SELECT n.doc_id, n.deg, n.n_g,
+               {base} + ({PR_DAMP_NUM} * s.inc) // 100 AS r
+        FROM nodes n JOIN (
+            SELECT e.dst AS doc_id,
+                   CAST(SUM(p.r // p.deg) AS BIGINT) AS inc
+            FROM edges e JOIN {prev} p ON p.doc_id = e.src
+            GROUP BY e.dst
+        ) s USING (doc_id)
+    )"""
+        )
+        prev = f"r{i}"
+    chained = ",\n    ".join(steps)
+    return f"""
+    WITH {_MH_CTE},
+    {_BANDS_CTE},
+    pairs AS (
+        SELECT cand.doc_id_a, cand.doc_id_b FROM cand
+        JOIN mh a ON a.doc_id = cand.doc_id_a
+        JOIN mh b ON b.doc_id = cand.doc_id_b
+        WHERE ({_MATCHES}) / {float(NUM_PERM)} >= {EST_THRESHOLD}
+    ),
+    edges AS (
+        SELECT doc_id_a AS src, doc_id_b AS dst FROM pairs
+        UNION ALL
+        SELECT doc_id_b, doc_id_a FROM pairs
+    ),
+    deg AS (
+        SELECT src AS doc_id, CAST(COUNT(*) AS BIGINT) AS deg
+        FROM edges GROUP BY src
+    ),
+    nodes AS (
+        SELECT doc_id, deg,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_g
+        FROM deg
+    ),
+    r0 AS (
+        SELECT doc_id, deg, n_g, {PR_SCALE} // n_g AS r FROM nodes
+    ),
+    {chained}
+    SELECT doc_id, deg, r AS rank_e12 FROM r{PR_ITERS}
+    """
+
+
+ORACLES["dedup_pagerank"] = _pagerank_sql()
+
+
 QUERIES = {
     # new-in-round-4 entries first: registry order = driver grading order
+    "dedup_pagerank": pagerank_centrality,
     "dedup_keep_manifest": keep_manifest,
     "dedup_semantic": semantic_dedup,
     "dedup_cluster_histogram": cluster_histogram,

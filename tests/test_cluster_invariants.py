@@ -118,3 +118,30 @@ def test_lsh_calibration_levels_are_the_estimator_lattice(spark):
         assert r.n_pairs >= 1
         assert 0.0 <= r.mean_true_jaccard <= 1.0
         assert 0.0 <= r.mean_abs_err <= 1.0
+
+
+def test_pagerank_centrality_invariants(spark):
+    """Rank mass stays near the fixed-point scale (integer truncation
+    only ever loses sub-unit mass), every paired doc is ranked, and the
+    result is deterministic across two independent builds."""
+    from big_data_2021_spark_streaming_spark.operators.dedup import (
+        PR_SCALE,
+        pagerank_centrality,
+    )
+
+    rows = pagerank_centrality(spark, SF).collect()
+    paired = set()
+    for r in minhash_lsh_pairs(spark, SF).collect():
+        paired.add(r.doc_id_a)
+        paired.add(r.doc_id_b)
+    assert {r.doc_id for r in rows} == paired
+    assert all(r.rank_e12 > 0 for r in rows)
+    assert all(r.deg >= 1 for r in rows)
+    total = sum(r.rank_e12 for r in rows)
+    # truncating integer division loses < 1 unit per term per round
+    assert 0.95 * PR_SCALE < total <= PR_SCALE
+    again = {
+        (r.doc_id, r.rank_e12)
+        for r in pagerank_centrality(spark, SF).collect()
+    }
+    assert again == {(r.doc_id, r.rank_e12) for r in rows}

@@ -118,6 +118,7 @@ _BNLJ_INTENDED = frozenset(
         "value_drift_tvd",            # 1-row global-bounds frame onto the scan
         "split_leakage_report",       # 1-row leak total onto the 3-row summary
         "contrastive_negatives",      # 1-row corpus-size scalar onto anchors
+        "dedup_pagerank",             # 1-row node-count scalar onto the node frame
     }
 )
 
@@ -542,7 +543,7 @@ def test_registry_orders_unverified_queries_first():
     assert set(names[:first_back]) == {
         # new in round 4
         "train_split_assign", "split_leakage_report", "source_cap_report",
-        "contrastive_negatives", "text_pii_redact",
+        "contrastive_negatives", "text_pii_redact", "dedup_pagerank",
         "sketch_hll_users", "sketch_bloom_reduction",
         "sketch_cms_heavy_hitters", "similarity_sq_topk",
         "similarity_sq_quality", "value_drift_tvd", "text_ngram_novelty",
