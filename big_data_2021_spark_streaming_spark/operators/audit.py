@@ -256,7 +256,135 @@ def value_drift_tvd(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ZORDER_BITS = 8  # 256 buckets per dimension
+ZORDER_FILES = 64  # simulated file count per layout
+
+
+def _interleave(u: str, d: str, idiv: str) -> str:
+    """Morton/Z-order bit interleave of two ZORDER_BITS-bit ints as a
+    pure integer expression (``idiv`` is 'div' for Spark, '//' for
+    DuckDB — the only dialect difference)."""
+    terms = []
+    for i in range(ZORDER_BITS):
+        terms.append(f"((({u}) {idiv} {1 << i}) % 2) * {1 << (2 * i + 1)}")
+        terms.append(f"((({d}) {idiv} {1 << i}) % 2) * {1 << (2 * i)}")
+    return " + ".join(terms)
+
+
+def layout_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-dimensional clustering audit: how much of the corpus a
+    point probe on EACH dimension must scan under three file layouts —
+    Z-order (Morton-interleaved user×hour), user-linear, and
+    time-linear. This is the measurement behind ``OPTIMIZE ZORDER BY``
+    decisions: a linear layout prunes perfectly on its own dimension
+    and not at all on the other; Z-order buys balanced pruning on
+    both, which is what a 100 TB table probed by several predicates
+    needs.
+
+    Each event maps to a (user-bucket, hour-bucket) cell; each layout
+    assigns it a simulated file; per file the zone map [min,max] of
+    each dimension is aggregated, and the expected scan fraction for a
+    uniform point probe on a dimension is Σ_files(span)/files·buckets
+    in exact half-up micro-units.
+
+    Scale: one scan; the stack() triples rows BEFORE aggregation but
+    partial aggregation collapses them to layouts×files cells inside
+    the scan task, so the shuffle moves ≤ 3·64 rows.
+    """
+    from ..plans.analytics import _epoch_us
+
+    events = load_table(spark, sf_dir, "events")
+    b = 1 << ZORDER_BITS
+    per_file = b * b // ZORDER_FILES  # z-cells per z-order file
+    lin = b // ZORDER_FILES  # buckets per linear file
+    base = (
+        events.select(
+            (F.col("user_id") % b).alias("u"),
+            _epoch_us("ts").alias("us"),
+        )
+        # integer div throughout: double-divide + CAST truncates in
+        # Spark but ROUNDS in DuckDB — a silent off-by-one-hour
+        .select("u", F.expr(f"(us div 3600000000) % {b}").alias("d"))
+        .select("u", "d", F.expr(_interleave("u", "d", "div")).alias("z"))
+    )
+    cells = (
+        base.select(
+            "u",
+            "d",
+            F.expr(
+                f"stack(3, 'zorder', z div {per_file},"
+                f" 'linear_user', u div {lin},"
+                f" 'linear_time', d div {lin}) as (layout, file_id)"
+            ),
+        )
+        .groupBy("layout", "file_id")
+        .agg(
+            F.min("u").alias("lo_u"),
+            F.max("u").alias("hi_u"),
+            F.min("d").alias("lo_d"),
+            F.max("d").alias("hi_d"),
+        )
+    )
+    return (
+        cells.groupBy("layout")
+        .agg(
+            F.count(F.lit(1)).alias("files"),
+            F.sum(F.col("hi_u") - F.col("lo_u") + 1).alias("span_u"),
+            F.sum(F.col("hi_d") - F.col("lo_d") + 1).alias("span_d"),
+        )
+        .select(
+            "layout",
+            "files",
+            F.expr(
+                f"(2 * span_u * 1000000 + files * {b})"
+                f" div (2 * files * {b})"
+            ).alias("probe_scan_user_micro"),
+            F.expr(
+                f"(2 * span_d * 1000000 + files * {b})"
+                f" div (2 * files * {b})"
+            ).alias("probe_scan_time_micro"),
+        )
+        .orderBy("layout")
+    )
+
+
 ORACLES: dict[str, str] = {}
+
+_ZB = 1 << ZORDER_BITS
+ORACLES["layout_zorder_stats"] = f"""
+    WITH base AS (
+        SELECT (user_id % {_ZB}) AS u,
+               ((epoch_us(ts) // 3600000000) % {_ZB}) AS d
+        FROM events
+    ),
+    zed AS (
+        SELECT u, d, {_interleave("u", "d", "//")} AS z FROM base
+    ),
+    assigned AS (
+        SELECT 'zorder' AS layout, z // {_ZB * _ZB // ZORDER_FILES} AS file_id,
+               u, d FROM zed
+        UNION ALL
+        SELECT 'linear_user', u // {_ZB // ZORDER_FILES}, u, d FROM zed
+        UNION ALL
+        SELECT 'linear_time', d // {_ZB // ZORDER_FILES}, u, d FROM zed
+    ),
+    cells AS (
+        SELECT layout, file_id,
+               MIN(u) AS lo_u, MAX(u) AS hi_u,
+               MIN(d) AS lo_d, MAX(d) AS hi_d
+        FROM assigned GROUP BY layout, file_id
+    )
+    SELECT layout,
+           CAST(COUNT(*) AS BIGINT) AS files,
+           CAST((2 * SUM(hi_u - lo_u + 1) * 1000000 + COUNT(*) * {_ZB})
+                // (2 * COUNT(*) * {_ZB}) AS BIGINT)
+               AS probe_scan_user_micro,
+           CAST((2 * SUM(hi_d - lo_d + 1) * 1000000 + COUNT(*) * {_ZB})
+                // (2 * COUNT(*) * {_ZB}) AS BIGINT)
+               AS probe_scan_time_micro
+    FROM cells GROUP BY layout
+    ORDER BY layout
+"""
 
 ORACLES["value_drift_tvd"] = f"""
     WITH base AS (
@@ -381,6 +509,7 @@ ORACLES["user_erasure_audit"] = f"""
 
 QUERIES = {
     # new-in-round-4b entry first: registry order = driver grading order
+    "layout_zorder_stats": layout_zorder_stats,
     "value_drift_tvd": value_drift_tvd,
     "fk_integrity_audit": fk_integrity_audit,
     "join_key_skew": join_key_skew,

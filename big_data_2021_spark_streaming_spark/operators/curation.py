@@ -368,6 +368,76 @@ ORACLES["corpus_stratified_sample"] = f"""
     WHERE {_h60_sample_sql()} % 100 < {_rate_case_sql()}
 """
 
+WSAMPLE_TOP = 50
+WSAMPLE_BUCKETS = 1 << 20
+
+
+def weighted_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted priority sampling without replacement — the
+    deterministic analogue of the A-RES exponential race (priority =
+    u^(1/w), take top-k): here each doc draws a salted-hash bucket
+    u ∈ [1, 2^20] and races with rational priority w·2^20/u, so higher
+    quality (w) systematically beats a given luck draw and the winners
+    are identical across runs, engines, and cluster sizes. This is the
+    'sample the best K docs, weighted, reproducibly' pass a curation
+    pipeline runs after scoring.
+
+    Scale: one scan (quality lineage is per-doc expression logic), no
+    shuffle except the top-k itself, which is sort+limit —
+    TakeOrderedAndProject keeps a K-row heap per partition and merges
+    K rows per partition at the driver, never a global sort. All
+    arithmetic is exact BIGINT (w_micro ≤ 1e6+1, ·2^20 ≪ 2^63).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    from ..functions.hashing import h60
+
+    q = quality_lineage(docs, keep=("lang",)).select(
+        "doc_id",
+        "lang",
+        (F.round(F.col("quality") * 1e6).cast("bigint") + 1).alias("w_micro"),
+        (
+            h60(F.concat(F.lit("wsample:"), F.col("doc_id").cast("string")))
+            % WSAMPLE_BUCKETS
+            + 1
+        ).alias("u_bucket"),
+    )
+    return (
+        q.select(
+            "doc_id",
+            "lang",
+            "w_micro",
+            F.expr(
+                f"(2 * w_micro * {WSAMPLE_BUCKETS} + u_bucket)"
+                " div (2 * u_bucket)"
+            ).alias("priority"),
+        )
+        .orderBy(F.col("priority").desc(), "doc_id")
+        .limit(WSAMPLE_TOP)
+    )
+
+
+def _wsample_sql() -> str:
+    from ..functions.hashing import h60_sql
+
+    hashed = h60_sql("'wsample:' || CAST(doc_id AS VARCHAR)")
+    u = f"({hashed} % {WSAMPLE_BUCKETS} + 1)"
+    return f"""
+    WITH {_quality_cte()},
+    weighted AS (
+        SELECT doc_id, d.lang,
+               CAST(round(quality * 1e6) AS BIGINT) + 1 AS w_micro,
+               {u} AS u_bucket
+        FROM q JOIN documents d USING (doc_id)
+    )
+    SELECT doc_id, lang, w_micro,
+           (2 * w_micro * {WSAMPLE_BUCKETS} + u_bucket) // (2 * u_bucket)
+               AS priority
+    FROM weighted
+    ORDER BY priority DESC, doc_id
+    LIMIT {WSAMPLE_TOP}
+"""
+
+
 def corpus_mixture_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The mixture dashboard behind the sampling knob above: per
     (lang, source) document counts, char volume, mean quality, and
@@ -484,6 +554,7 @@ def _mixture_sql() -> str:
 
 
 ORACLES["corpus_mixture_report"] = _mixture_sql()
+ORACLES["weighted_doc_sample"] = _wsample_sql()
 
 ORACLES["mixture_reweight_plan"] = """
     WITH strata AS (
@@ -794,6 +865,7 @@ ORACLES["contrastive_negatives"] = f"""
 
 QUERIES = {
     # new-in-round-4 entries first: registry order = driver grading order
+    "weighted_doc_sample": weighted_doc_sample,
     "train_split_assign": train_split_assign,
     "split_leakage_report": split_leakage_report,
     "source_cap_report": source_cap_report,

@@ -20,6 +20,50 @@ discovered empirically and relied on throughout:
 from __future__ import annotations
 
 ORACLES: dict[str, str] = {
+    "mv_incremental_refresh": """
+        WITH typed AS (
+            SELECT o_orderpriority,
+                   CAST(year(o_orderdate) * 100 + month(o_orderdate)
+                        AS INTEGER) AS month,
+                   CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+                   o_orderdate < TIMESTAMP '2001-01-01' AS is_base
+            FROM orders
+        ),
+        base_mv AS (
+            SELECT o_orderpriority, month,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders,
+                   CAST(SUM(cents) AS BIGINT) AS total_cents
+            FROM typed WHERE is_base GROUP BY 1, 2
+        ),
+        delta AS (
+            SELECT o_orderpriority, month,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders,
+                   CAST(SUM(cents) AS BIGINT) AS total_cents
+            FROM typed WHERE NOT is_base GROUP BY 1, 2
+        ),
+        merged AS (
+            SELECT o_orderpriority, month,
+                   CAST(SUM(n_orders) AS BIGINT) AS n_orders,
+                   CAST(SUM(total_cents) AS BIGINT) AS total_cents
+            FROM (SELECT * FROM base_mv UNION ALL SELECT * FROM delta)
+            GROUP BY 1, 2
+        ),
+        full_mv AS (
+            SELECT o_orderpriority, month,
+                   CAST(COUNT(*) AS BIGINT) AS f_n,
+                   CAST(SUM(cents) AS BIGINT) AS f_cents
+            FROM typed GROUP BY 1, 2
+        )
+        SELECT m.o_orderpriority, m.month, m.n_orders, m.total_cents,
+               (2 * m.total_cents + m.n_orders) // (2 * m.n_orders)
+                   AS avg_cents,
+               (m.n_orders IS NOT DISTINCT FROM f.f_n
+                AND m.total_cents IS NOT DISTINCT FROM f.f_cents)
+                   AS consistent
+        FROM merged m
+        FULL OUTER JOIN full_mv f
+            ON m.o_orderpriority = f.o_orderpriority AND m.month = f.month
+    """,
     "user_value_concentration": """
         WITH users AS (
             SELECT user_id,

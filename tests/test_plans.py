@@ -119,6 +119,7 @@ _BNLJ_INTENDED = frozenset(
         "split_leakage_report",       # 1-row leak total onto the 3-row summary
         "contrastive_negatives",      # 1-row corpus-size scalar onto anchors
         "dedup_pagerank",             # 1-row node-count scalar onto the node frame
+        "text_bm25_search",           # 1-row corpus-totals scalar onto matched docs
     }
 )
 
@@ -556,6 +557,8 @@ def test_registry_orders_unverified_queries_first():
         "order_status_upsert", "regional_min_cost_supplier",
         "valuable_part_stock", "excess_quantity_suppliers",
         "dedup_semantic", "text_bpe_pair_stats", "text_bigram_lm_score",
+        "text_bm25_search", "layout_zorder_stats",
+        "mv_incremental_refresh", "weighted_doc_sample",
         # re-planned in round 4
         "local_supplier_volume", "props_map_stats", "text_token_rarity",
         "text_repetition_signals", "text_length_histogram",
