@@ -348,7 +348,164 @@ def layout_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+K_ANON = 8  # groups smaller than this are re-identification risks
+
+
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity profile of the customer table under the
+    quasi-identifier pair (nation, market segment): the size-of-size
+    histogram — how many QI groups have exactly s members, how many
+    rows sit in them, and whether that size is below the K_ANON
+    re-identification threshold. This is the privacy audit run before
+    releasing an 'anonymized' extract: any row in a ``risky`` band is
+    re-identifiable by its QI combination alone.
+
+    Scale: one scan → QI-cardinality groupBy (map-side combinable) →
+    a second groupBy over the group-size frame (≤ |QI domain| rows).
+    Nothing here grows with table size except the first partial
+    aggregation.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    groups = cust.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("group_size")
+    )
+    return (
+        groups.groupBy("group_size")
+        .agg(F.count(F.lit(1)).alias("n_groups"))
+        .select(
+            "group_size",
+            "n_groups",
+            (F.col("group_size") * F.col("n_groups")).alias("n_rows"),
+            (F.col("group_size") < K_ANON).alias("risky"),
+        )
+        .orderBy("group_size")
+    )
+
+
+CARD_BUCKETS = 256
+
+
+def join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram-based join-cardinality estimation — the cost-based-
+    optimizer statistic, validated against the true join size. For
+    orders ⋈ lineitem on orderkey, the classic estimator per histogram
+    bucket is |R_b|·|S_b| / max(ndv_R_b, ndv_S_b); the single-bucket
+    ('global stats only') estimate is what an optimizer has from table
+    stats, the 256-bucket one is what a real histogram buys. Emitting
+    both errors shows the refinement — the decision data for 'do we
+    ANALYZE this table'.
+
+    Scale: two scans (one per side) reduced to bucket cells inside the
+    scan tasks, one key-equi-join for ground truth (the validation
+    step; the estimator itself never joins). Exact integer micro-unit
+    errors.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        (F.col("o_orderkey") % CARD_BUCKETS).alias("b"),
+        F.col("o_orderkey").alias("k"),
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        (F.col("l_orderkey") % CARD_BUCKETS).alias("b"),
+        F.col("l_orderkey").alias("k"),
+    )
+
+    def hist(df: DataFrame) -> DataFrame:
+        return df.groupBy("b").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("k").alias("d"),
+        )
+    h1 = hist(orders).select("b", F.col("n").alias("n1"), F.col("d").alias("d1"))
+    h2 = hist(li).select("b", F.col("n").alias("n2"), F.col("d").alias("d2"))
+    per_bucket = h1.join(h2, "b").select(
+        F.expr("(2 * n1 * n2 + greatest(d1, d2)) div (2 * greatest(d1, d2))")
+        .alias("est_b"),
+        "n1", "n2", "d1", "d2",
+    )
+    est = per_bucket.agg(
+        F.sum("est_b").alias("est_bucketed"),
+        F.sum("n1").alias("t1"),
+        F.sum("n2").alias("t2"),
+        F.sum("d1").alias("td1"),
+        F.sum("d2").alias("td2"),
+    ).select(
+        "est_bucketed",
+        F.expr(
+            "(2 * t1 * t2 + greatest(td1, td2)) div (2 * greatest(td1, td2))"
+        ).alias("est_global"),
+    )
+    actual = (
+        orders.select("k")
+        .join(li.select("k"), "k")
+        .agg(F.count(F.lit(1)).alias("actual_rows"))
+    )
+    return est.crossJoin(F.broadcast(actual)).select(
+        "actual_rows",
+        "est_global",
+        "est_bucketed",
+        F.expr(
+            "(2 * abs(est_global - actual_rows) * 1000000 + actual_rows)"
+            " div (2 * actual_rows)"
+        ).alias("err_global_micro"),
+        F.expr(
+            "(2 * abs(est_bucketed - actual_rows) * 1000000 + actual_rows)"
+            " div (2 * actual_rows)"
+        ).alias("err_bucketed_micro"),
+    )
+
+
 ORACLES: dict[str, str] = {}
+
+ORACLES["k_anonymity_audit"] = f"""
+    WITH groups AS (
+        SELECT c_nationkey, c_mktsegment, CAST(COUNT(*) AS BIGINT) AS group_size
+        FROM customer GROUP BY 1, 2
+    )
+    SELECT group_size,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(group_size * COUNT(*) AS BIGINT) AS n_rows,
+           group_size < {K_ANON} AS risky
+    FROM groups GROUP BY group_size
+    ORDER BY group_size
+"""
+
+ORACLES["join_cardinality_estimate"] = f"""
+    WITH h1 AS (
+        SELECT o_orderkey % {CARD_BUCKETS} AS b,
+               CAST(COUNT(*) AS BIGINT) AS n1,
+               CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS d1
+        FROM orders GROUP BY 1
+    ),
+    h2 AS (
+        SELECT l_orderkey % {CARD_BUCKETS} AS b,
+               CAST(COUNT(*) AS BIGINT) AS n2,
+               CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS d2
+        FROM lineitem GROUP BY 1
+    ),
+    per_bucket AS (
+        SELECT (2 * n1 * n2 + greatest(d1, d2)) // (2 * greatest(d1, d2))
+                   AS est_b,
+               n1, n2, d1, d2
+        FROM h1 JOIN h2 USING (b)
+    ),
+    est AS (
+        SELECT CAST(SUM(est_b) AS BIGINT) AS est_bucketed,
+               (2 * CAST(SUM(n1) AS BIGINT) * CAST(SUM(n2) AS BIGINT)
+                + greatest(CAST(SUM(d1) AS BIGINT), CAST(SUM(d2) AS BIGINT)))
+               // (2 * greatest(CAST(SUM(d1) AS BIGINT),
+                                CAST(SUM(d2) AS BIGINT))) AS est_global
+        FROM per_bucket
+    ),
+    actual AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS actual_rows
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    )
+    SELECT actual_rows, est_global, est_bucketed,
+           (2 * abs(est_global - actual_rows) * 1000000 + actual_rows)
+               // (2 * actual_rows) AS err_global_micro,
+           (2 * abs(est_bucketed - actual_rows) * 1000000 + actual_rows)
+               // (2 * actual_rows) AS err_bucketed_micro
+    FROM est, actual
+"""
 
 _ZB = 1 << ZORDER_BITS
 ORACLES["layout_zorder_stats"] = f"""
@@ -510,6 +667,8 @@ ORACLES["user_erasure_audit"] = f"""
 QUERIES = {
     # new-in-round-4b entry first: registry order = driver grading order
     "layout_zorder_stats": layout_zorder_stats,
+    "k_anonymity_audit": k_anonymity_audit,
+    "join_cardinality_estimate": join_cardinality_estimate,
     "value_drift_tvd": value_drift_tvd,
     "fk_integrity_audit": fk_integrity_audit,
     "join_key_skew": join_key_skew,

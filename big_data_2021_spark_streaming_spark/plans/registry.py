@@ -113,6 +113,8 @@ _GRADE_AFTER_REGRADES = frozenset(
         "layout_zorder_stats",
         "mv_incremental_refresh",
         "weighted_doc_sample",
+        "k_anonymity_audit",
+        "join_cardinality_estimate",
     }
 )
 

@@ -120,6 +120,7 @@ _BNLJ_INTENDED = frozenset(
         "contrastive_negatives",      # 1-row corpus-size scalar onto anchors
         "dedup_pagerank",             # 1-row node-count scalar onto the node frame
         "text_bm25_search",           # 1-row corpus-totals scalar onto matched docs
+        "join_cardinality_estimate",  # 1-row ground-truth count onto 1-row estimate
     }
 )
 
@@ -559,6 +560,7 @@ def test_registry_orders_unverified_queries_first():
         "dedup_semantic", "text_bpe_pair_stats", "text_bigram_lm_score",
         "text_bm25_search", "layout_zorder_stats",
         "mv_incremental_refresh", "weighted_doc_sample",
+        "k_anonymity_audit", "join_cardinality_estimate",
         # re-planned in round 4
         "local_supplier_volume", "props_map_stats", "text_token_rarity",
         "text_repetition_signals", "text_length_histogram",
