@@ -1349,20 +1349,33 @@ def pagerank_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup operator shares; the corpus is never rescanned.
     """
     pairs = minhash_lsh_pairs(spark, sf_dir).select("doc_id_a", "doc_id_b")
-    edges = pairs.union(pairs.select("doc_id_b", "doc_id_a")).toDF("src", "dst")
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    raw_edges = pairs.union(pairs.select("doc_id_b", "doc_id_a")).toDF(
+        "src", "dst"
+    )
+    deg = raw_edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     # node count as a 1-row broadcast (bounded by construction) rather
     # than an unpartitioned window, which would funnel the whole node
     # frame through a single partition
     n_g = deg.agg(F.count(F.lit(1)).alias("n_g"))
-    nodes = deg.select(F.col("src").alias("doc_id"), "deg").crossJoin(
-        F.broadcast(n_g)
+    # The graph frames are bounded by the near-dup pair graph, not the
+    # corpus: localCheckpoint truncates the shared-LSH lineage so the
+    # power-iteration loop replans a constant-depth graph each round
+    # instead of re-analyzing the whole MinHash pipeline PR_ITERS
+    # times (same pattern as dedup_clusters' label propagation).
+    # Carrying src's degree ON the edge frame drops the per-round
+    # degree re-join: each round is ONE equi-join + one aggregation.
+    nodes = (
+        deg.select(F.col("src").alias("doc_id"), "deg")
+        .crossJoin(F.broadcast(n_g))
+        .localCheckpoint()
     )
+    edges = raw_edges.join(deg, "src").localCheckpoint()
     ranks = nodes.withColumn("r", F.expr(f"{PR_SCALE} div n_g"))
     for _ in range(PR_ITERS):
         inc = (
-            ranks.select(F.col("doc_id").alias("src"), "deg", "r")
-            .join(edges, "src")
+            edges.join(
+                ranks.select(F.col("doc_id").alias("src"), "r"), "src"
+            )
             .select(
                 F.col("dst").alias("doc_id"), F.expr("r div deg").alias("c")
             )
@@ -1379,7 +1392,7 @@ def pagerank_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"(15 * {PR_SCALE}) div (100 * n_g)"
                 f" + ({PR_DAMP_NUM} * inc) div 100"
             ).alias("r"),
-        )
+        ).localCheckpoint()
     return ranks.select("doc_id", "deg", F.col("r").alias("rank_e12"))
 
 
