@@ -382,6 +382,52 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+L_DIV = 3  # groups with fewer distinct sensitive values are risky
+
+
+def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity profile — the attribute-disclosure complement to
+    ``k_anonymity_audit``: a QI group can be large (k-anonymous) yet
+    still leak if every member shares the same sensitive value. Under
+    the same quasi-identifier pair (nation, market segment), the
+    sensitive attribute is the account-balance band (1000-unit floor);
+    the report is the histogram of groups by their distinct-sensitive
+    count, with the rows they cover and the below-L_DIV risk flag.
+
+    Scale: one scan → (QI, band)-keyed partial-aggregate groupBy →
+    QI-keyed rollup of the (≤ |QI|·|bands|)-row frame → histogram over
+    the ≤|QI|-row group frame. Only the first aggregation sees data.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    bands = (
+        cust.select(
+            "c_nationkey",
+            "c_mktsegment",
+            F.floor(F.col("c_acctbal") / 1000).cast("int").alias("band"),
+        )
+        .groupBy("c_nationkey", "c_mktsegment", "band")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    groups = bands.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_sensitive"),
+        F.sum("n").alias("group_size"),
+    )
+    return (
+        groups.groupBy("n_sensitive")
+        .agg(
+            F.count(F.lit(1)).alias("n_groups"),
+            F.sum("group_size").alias("n_rows"),
+        )
+        .select(
+            "n_sensitive",
+            "n_groups",
+            "n_rows",
+            (F.col("n_sensitive") < L_DIV).alias("risky"),
+        )
+        .orderBy("n_sensitive")
+    )
+
+
 CARD_BUCKETS = 256
 
 
@@ -664,8 +710,31 @@ ORACLES["user_erasure_audit"] = f"""
     FROM counts
 """
 
+ORACLES["l_diversity_audit"] = f"""
+    WITH bands AS (
+        SELECT c_nationkey, c_mktsegment,
+               CAST(floor(c_acctbal / 1000) AS INTEGER) AS band,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM customer GROUP BY 1, 2, 3
+    ),
+    groups AS (
+        SELECT c_nationkey, c_mktsegment,
+               CAST(COUNT(*) AS BIGINT) AS n_sensitive,
+               CAST(SUM(n) AS BIGINT) AS group_size
+        FROM bands GROUP BY 1, 2
+    )
+    SELECT n_sensitive,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(group_size) AS BIGINT) AS n_rows,
+           n_sensitive < {L_DIV} AS risky
+    FROM groups GROUP BY n_sensitive
+    ORDER BY n_sensitive
+"""
+
 QUERIES = {
-    # new-in-round-4b entry first: registry order = driver grading order
+    # new-in-round-4c entry first: registry order = driver grading order
+    "l_diversity_audit": l_diversity_audit,
+    # round-4b entries
     "layout_zorder_stats": layout_zorder_stats,
     "k_anonymity_audit": k_anonymity_audit,
     "join_cardinality_estimate": join_cardinality_estimate,

@@ -552,6 +552,93 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RANGE_TAU = 0.30  # cosine radius for range search
+
+
+def range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius (range) similarity search: every corpus vector within
+    cosine ≥ RANGE_TAU of each query — the dual of top-k retrieval
+    ("everything at least this similar" instead of "the k most
+    similar"), the shape near-dup mining and recall-oriented retrieval
+    actually want when result counts per query are unknown.
+
+    Exact baseline plan: broadcast the N_QUERIES query vectors, one
+    scan of the corpus, predicate on the raw double cosine (the same
+    strictly-sequential arithmetic both engines share, so the τ
+    boundary is bit-identical). At 100 TB the same predicate composes
+    with the IVF cell probe of ``similarity_ivf_topk`` — the candidate
+    set shrinks, the τ filter is unchanged."""
+    vecs = _vectors(spark, sf_dir)
+    queries = vecs.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("q")
+    )
+    return (
+        vecs.crossJoin(F.broadcast(queries))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            _cos(F.col("q"), F.col("v")).alias("cos"),
+        )
+        .where(F.col("cos") >= RANGE_TAU)
+        .select("query_id", "neighbor_id", F.round("cos", 6).alias("cos_sim"))
+    )
+
+
+DIVERSE_TOPK = 10  # fused result size
+DIVERSE_PER_CELL = 2  # diversity quota: max results per IVF cell
+
+
+def diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity-quota top-k: the k best neighbors per query subject to
+    at most DIVERSE_PER_CELL results from any one IVF cell — the
+    relational stand-in for MMR re-ranking. RAG retrieval that feeds k
+    near-duplicate passages into a context window wastes it; capping
+    per-cluster membership forces coverage of distinct regions of the
+    embedding space while staying a pure two-window plan (no iterative
+    greedy selection, so it distributes and the oracle can express it).
+
+    Plan shape: one broadcast-centroid assignment scan (shared shape
+    with ``similarity_ivf_topk``), one broadcast-query scoring scan,
+    then two stacked row_number windows — per (query, cell) quota
+    first, global top-k second. Both windows key on query_id, so one
+    shuffle serves both under AQE."""
+    vecs = _vectors(spark, sf_dir)
+    assigned = _nearest_cells_fn(_ivf_cells(vecs))(vecs, "vec_id", "v", 1)
+    queries = vecs.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("q")
+    )
+    scored = (
+        assigned.crossJoin(F.broadcast(queries))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "cell_id",
+            _cos(F.col("q"), F.col("v")).alias("cos"),
+        )
+    )
+    w_cell = Window.partitionBy("query_id", "cell_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    w_q = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("cell_rank", F.row_number().over(w_cell))
+        .where(F.col("cell_rank") <= DIVERSE_PER_CELL)
+        .withColumn("rank", F.row_number().over(w_q))
+        .where(F.col("rank") <= DIVERSE_TOPK)
+        .select(
+            "query_id",
+            "rank",
+            "neighbor_id",
+            "cell_id",
+            F.round("cos", 6).alias("cos_sim"),
+        )
+    )
+
+
 def dim_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-(label, dimension) variance — the embedding-QC pass that
     exposes collapsed or dead dimensions (a failure mode of bad
@@ -1022,6 +1109,69 @@ ORACLES["similarity_ivf_occupancy"] = f"""
             // (2 * CAST(SUM(n_vecs) OVER () AS BIGINT))) / 1e6
                AS corpus_share
     FROM counts
+"""
+
+ORACLES["similarity_range_search"] = f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        FROM embeddings WHERE vec_id < {N_QUERIES}
+    ),
+    scored AS (
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+               list_cosine_similarity(q.qv, CAST(e.embedding AS DOUBLE[]))
+                   AS cos
+        FROM embeddings e CROSS JOIN q
+        WHERE e.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, ROUND(cos, 6) AS cos_sim
+    FROM scored WHERE cos >= {RANGE_TAU}
+"""
+
+ORACLES["similarity_diverse_topk"] = f"""
+    WITH v AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    cents AS (
+        SELECT vec_id AS cell_id, v AS c FROM v
+        WHERE vec_id >= {N_QUERIES} AND vec_id < {N_QUERIES + NLIST}
+    ),
+    assigned AS (
+        SELECT vec_id, v, cell_id FROM (
+            SELECT v.vec_id, v.v, c.cell_id,
+                   row_number() OVER (
+                       PARTITION BY v.vec_id
+                       ORDER BY list_cosine_similarity(v.v, c.c) DESC,
+                                c.cell_id
+                   ) AS rn
+            FROM v CROSS JOIN cents c
+        ) WHERE rn = 1
+    ),
+    q AS (
+        SELECT vec_id AS query_id, v AS qv FROM v
+        WHERE vec_id < {N_QUERIES}
+    ),
+    scored AS (
+        SELECT q.query_id, a.vec_id AS neighbor_id, a.cell_id,
+               list_cosine_similarity(q.qv, a.v) AS cos
+        FROM assigned a CROSS JOIN q
+        WHERE a.vec_id <> q.query_id
+    ),
+    quota AS (
+        SELECT *, row_number() OVER (
+                   PARTITION BY query_id, cell_id
+                   ORDER BY cos DESC, neighbor_id) AS cell_rank
+        FROM scored
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, cell_id, cos,
+               row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY cos DESC, neighbor_id) AS rank
+        FROM quota WHERE cell_rank <= {DIVERSE_PER_CELL}
+    )
+    SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, cell_id,
+           ROUND(cos, 6) AS cos_sim
+    FROM ranked WHERE rank <= {DIVERSE_TOPK}
 """
 
 ORACLES["kmeans_clusters"] = _kmeans_sql()
@@ -1546,6 +1696,8 @@ ORACLES["embedding_covariance_pairs"] = f"""
 
 QUERIES = {
     # new-in-round-4 entries first: registry order = driver grading order
+    "similarity_range_search": range_search,
+    "similarity_diverse_topk": diverse_topk,
     "similarity_sq_topk": sq_topk,
     "similarity_sq_quality": sq_quality,
     "embedding_covariance_pairs": covariance_pairs,

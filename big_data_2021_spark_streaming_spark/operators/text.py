@@ -17,7 +17,7 @@ is: tokens = regexp-split of trim(text) on whitespace runs.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..sources.batch import load_table
 
@@ -1258,6 +1258,86 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RRF_K = 60  # the standard RRF dampening constant
+RRF_POOL = 50  # candidates taken from each ranker
+RRF_TOP = 20  # fused results returned
+RRF_QUERY_VEC = 0  # vec_id of the dense query vector
+
+
+def rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via Reciprocal Rank Fusion: the BM25 lexical
+    ranking and the embedding-cosine dense ranking (vec_id ≡ doc_id)
+    fused as Σ 1/(60 + rank) — the standard zero-training combiner a
+    RAG stack runs when neither ranker alone is trustworthy.
+
+    Exact-integer RRF: each reciprocal is the half-up micro-unit
+    rational 1e6/(60+rank), so fused scores hash identically across
+    engines. Plan shape: the lexical list is the gated
+    ``text_bm25_search`` result reused verbatim (top-BM25_TOP); the
+    dense ranker pools its top-RRF_POOL via sort+limit
+    (TakeOrderedAndProject — never a global row_number window over
+    the corpus); ranks are then assigned inside the pool-sized
+    frames, and the fusion is one full-outer equi-join of two k-sized
+    frames. At 100 TB only the two ranker scans grow; the fusion
+    stays k-sized."""
+    lexical = bm25_search(spark, sf_dir).select("doc_id", "score_micro")
+    vecs = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    from .similarity import _cos  # no cycle: similarity never imports text
+
+    q = vecs.where(F.col("vec_id") == RRF_QUERY_VEC).select(
+        F.col("v").alias("qv")
+    )
+    dense_pool = (
+        vecs.where(F.col("vec_id") != RRF_QUERY_VEC)
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            _cos(F.col("qv"), F.col("v")).alias("cos"),
+        )
+        .orderBy(F.col("cos").desc(), "doc_id")
+        .limit(RRF_POOL)
+    )
+    # rank assignment inside the pooled (≤RRF_POOL-row) frames: the
+    # global window is bounded by construction, not by the corpus
+    w_lex = Window.orderBy(F.col("score_micro").desc(), "doc_id")
+    w_dense = Window.orderBy(F.col("cos").desc(), "doc_id")
+    lex_ranked = lexical.select(
+        "doc_id", F.row_number().over(w_lex).alias("lex_rank")
+    )
+    dense_ranked = dense_pool.select(
+        "doc_id", F.row_number().over(w_dense).alias("dense_rank")
+    )
+    rr = "(2 * 1000000 + (%(k)d + %(r)s)) div (2 * (%(k)d + %(r)s))"
+    fused = (
+        lex_ranked.join(dense_ranked, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            "lex_rank",
+            "dense_rank",
+            (
+                F.coalesce(
+                    F.expr(rr % {"k": RRF_K, "r": "lex_rank"}), F.lit(0)
+                )
+                + F.coalesce(
+                    F.expr(rr % {"k": RRF_K, "r": "dense_rank"}), F.lit(0)
+                )
+            ).alias("rrf_micro"),
+        )
+        .orderBy(F.col("rrf_micro").desc(), "doc_id")
+        .limit(RRF_TOP)
+    )
+    w_f = Window.orderBy(F.col("rrf_micro").desc(), "doc_id")
+    return fused.select(
+        F.row_number().over(w_f).alias("rank"),
+        "doc_id",
+        "lex_rank",
+        "dense_rank",
+        "rrf_micro",
+    )
+
+
 _BM25_INLIST = ", ".join(f"'{t}'" for t in BM25_QUERY)
 ORACLES["text_bm25_search"] = f"""
     WITH tok AS (
@@ -1302,8 +1382,59 @@ ORACLES["text_bm25_search"] = f"""
 """
 
 
+ORACLES["retrieval_rrf_fusion"] = f"""
+    WITH lexical AS (
+        {ORACLES["text_bm25_search"]}
+    ),
+    lex_ranked AS (
+        SELECT doc_id,
+               CAST(row_number() OVER (
+                   ORDER BY score_micro DESC, doc_id) AS INTEGER)
+                   AS lex_rank
+        FROM lexical
+    ),
+    q AS (
+        SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+        WHERE vec_id = {RRF_QUERY_VEC}
+    ),
+    dense_pool AS (
+        SELECT e.vec_id AS doc_id,
+               list_cosine_similarity(q.qv, CAST(e.embedding AS DOUBLE[]))
+                   AS cos
+        FROM embeddings e CROSS JOIN q
+        WHERE e.vec_id <> {RRF_QUERY_VEC}
+        ORDER BY cos DESC, doc_id
+        LIMIT {RRF_POOL}
+    ),
+    dense_ranked AS (
+        SELECT doc_id,
+               CAST(row_number() OVER (
+                   ORDER BY cos DESC, doc_id) AS INTEGER) AS dense_rank
+        FROM dense_pool
+    ),
+    fused AS (
+        SELECT COALESCE(l.doc_id, d.doc_id) AS doc_id,
+               l.lex_rank, d.dense_rank,
+               (COALESCE((2 * 1000000 + ({RRF_K} + l.lex_rank))
+                         // (2 * ({RRF_K} + l.lex_rank)), 0)
+                + COALESCE((2 * 1000000 + ({RRF_K} + d.dense_rank))
+                           // (2 * ({RRF_K} + d.dense_rank)), 0))
+                   AS rrf_micro
+        FROM lex_ranked l FULL OUTER JOIN dense_ranked d
+          ON l.doc_id = d.doc_id
+        ORDER BY rrf_micro DESC, doc_id
+        LIMIT {RRF_TOP}
+    )
+    SELECT CAST(row_number() OVER (
+               ORDER BY rrf_micro DESC, doc_id) AS INTEGER) AS rank,
+           doc_id, lex_rank, dense_rank, rrf_micro
+    FROM fused
+"""
+
+
 QUERIES = {
     # new-in-round-4 entries first: registry order = driver grading order
+    "retrieval_rrf_fusion": rrf_fusion,
     "text_bm25_search": bm25_search,
     "text_pii_redact": pii_redact,
     "text_ngram_novelty": ngram_novelty,

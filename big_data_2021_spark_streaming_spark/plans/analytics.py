@@ -2096,11 +2096,67 @@ def nation_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ASOF_T1 = "2024-01-16 00:00:00"  # first snapshot boundary
+ASOF_T2 = "2024-01-31 00:00:00"  # second snapshot boundary (covers all)
+
+
+def snapshot_asof_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC diff between two as-of snapshots of per-user latest state —
+    the change feed a downstream sync computes when the upstream has
+    no change log: reconstruct "latest (event_type, value) per user as
+    of T1" and "as of T2" and emit what changed in between
+    (``added`` = first seen after T1, ``changed`` = latest state
+    differs; unchanged users are suppressed, which is what keeps the
+    diff small at scale).
+
+    Both snapshots come out of ONE scan and ONE user-keyed shuffle:
+    the T1 state is a conditional struct-max (max over
+    lexicographically-ordered (ts, event_id, ...) structs, nulls
+    ignored), the T2 state the unconditional one — never two scans
+    joined. (user_id, ts) is unique in the corpus, but event_id stays
+    in the ordering struct so ties would still be deterministic.
+    """
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("ts") <= F.lit(ASOF_T2).cast("timestamp_ntz")
+    )
+    st = F.struct("ts", "event_id", "event_type", "value")
+    states = ev.groupBy("user_id").agg(
+        F.max(F.when(F.col("ts") <= F.lit(ASOF_T1).cast("timestamp_ntz"), st))
+        .alias("old"),
+        F.max(st).alias("new"),
+    )
+    return (
+        states.select(
+            "user_id",
+            F.col("old.event_type").alias("old_type"),
+            F.col("old.value").alias("old_value"),
+            F.col("new.event_type").alias("new_type"),
+            F.col("new.value").alias("new_value"),
+            F.when(F.col("old").isNull(), F.lit("added"))
+            .when(
+                (F.col("old.event_type") != F.col("new.event_type"))
+                | (F.col("old.value") != F.col("new.value")),
+                F.lit("changed"),
+            )
+            .alias("change_type"),
+        )
+        .where(F.col("change_type").isNotNull())
+        # values are raw stored doubles (identical parquet bytes in
+        # both engines) — passed through unrounded on purpose; a ROUND
+        # here would reintroduce the cross-engine .xx5 boundary class
+        .select(
+            "user_id", "change_type",
+            "old_type", "old_value", "new_type", "new_value",
+        )
+    )
+
+
 QUERIES: dict[str, object] = {
     # dict order = registry order = driver grading order (its gate has
     # a budget; see plans/registry.py) — entries added or re-planned
     # most recently go FIRST so they are graded before the suite that
     # already has multiple green rounds on record.
+    "snapshot_asof_diff": snapshot_asof_diff,
     "mv_incremental_refresh": mv_incremental_refresh,
     "user_value_concentration": user_value_concentration,
     "nation_supplier_hhi": nation_supplier_hhi,

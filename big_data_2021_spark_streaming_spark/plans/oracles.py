@@ -20,6 +20,35 @@ discovered empirically and relied on throughout:
 from __future__ import annotations
 
 ORACLES: dict[str, str] = {
+    "snapshot_asof_diff": """
+        WITH bounded AS (
+            SELECT * FROM events
+            WHERE ts <= TIMESTAMP '2024-01-31 00:00:00'
+        ),
+        states AS (
+            SELECT user_id,
+                   max(CASE WHEN ts <= TIMESTAMP '2024-01-16 00:00:00'
+                            THEN struct_pack(ts := ts, eid := event_id,
+                                             et := event_type, v := value)
+                       END) AS old,
+                   max(struct_pack(ts := ts, eid := event_id,
+                                   et := event_type, v := value)) AS new
+            FROM bounded GROUP BY user_id
+        ),
+        diff AS (
+            SELECT user_id,
+                   CASE WHEN old IS NULL THEN 'added'
+                        WHEN old.et <> new.et OR old.v <> new.v
+                             THEN 'changed'
+                   END AS change_type,
+                   old.et AS old_type, old.v AS old_value,
+                   new.et AS new_type, new.v AS new_value
+            FROM states
+        )
+        SELECT user_id, change_type, old_type, old_value,
+               new_type, new_value
+        FROM diff WHERE change_type IS NOT NULL
+    """,
     "mv_incremental_refresh": """
         WITH typed AS (
             SELECT o_orderpriority,

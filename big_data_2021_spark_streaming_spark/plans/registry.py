@@ -115,6 +115,12 @@ _GRADE_AFTER_REGRADES = frozenset(
         "weighted_doc_sample",
         "k_anonymity_audit",
         "join_cardinality_estimate",
+        # round-4c additions (this session)
+        "similarity_range_search",
+        "similarity_diverse_topk",
+        "retrieval_rrf_fusion",
+        "l_diversity_audit",
+        "snapshot_asof_diff",
     }
 )
 

@@ -120,6 +120,9 @@ _BNLJ_INTENDED = frozenset(
         "contrastive_negatives",      # 1-row corpus-size scalar onto anchors
         "dedup_pagerank",             # 1-row node-count scalar onto the node frame
         "text_bm25_search",           # 1-row corpus-totals scalar onto matched docs
+        "similarity_range_search",    # exact baseline: queries × corpus
+        "similarity_diverse_topk",    # centroid assignment + queries × corpus
+        "retrieval_rrf_fusion",       # BM25 totals scalar + 1-row query vector
         "join_cardinality_estimate",  # 1-row ground-truth count onto 1-row estimate
     }
 )
@@ -571,6 +574,9 @@ def test_registry_orders_unverified_queries_first():
         "dedup_incremental", "dedup_rate_report", "dedup_jaccard_verify",
         "dedup_ngram_jaccard", "dedup_containment", "dedup_simhash",
         "dedup_embedding_nn",
+        # new in round 4c (this session; deferred behind the regrades)
+        "similarity_range_search", "similarity_diverse_topk",
+        "retrieval_rrf_fusion", "l_diversity_audit", "snapshot_asof_diff",
     }
     # the driver's observed grading budget is 50 queries per round
     # (r02 and r03 both truncated there); the 11 VERDICT-r03-flagged
