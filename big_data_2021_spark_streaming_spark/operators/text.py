@@ -1077,6 +1077,108 @@ ORACLES["text_ngram_novelty"] = f"""
 """
 
 
+BOILER_PCT = 1  # a gram in ≥ this % of docs is corpus boilerplate
+
+
+def boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide boilerplate exposure per document: the share of a
+    doc's distinct 3-token shingles that occur in ≥ BOILER_PCT% of all
+    documents — headers, footers, navigation chrome, license blurbs.
+    ``text_repetition_signals`` sees repetition *within* a doc; this
+    sees the template text shared *across* docs, the other half of the
+    Gopher-style repetition gate, and the share is the removal-priority
+    signal a cleaning pass sorts by.
+
+    Scale: the same linear gram explode as ``text_ngram_novelty``
+    feeding a gram-keyed doc-frequency aggregate; the flagged-gram
+    frame (bounded by grams above the threshold, a tiny tail of the
+    df distribution) joins back gram-keyed — AQE picks broadcast when
+    it fits. The doc-count scalar rides a 1-row broadcast crossJoin;
+    exact integer threshold (df·100 ≥ pct·n_docs) and half-up permille.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens_col(F.col("text")).alias("toks"))
+    grams = (
+        toks.where(F.size("toks") >= NOVELTY_N)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(toks) - 2),"
+                    " i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1]))"
+                )
+            ).alias("g"),
+        )
+        .distinct()
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    flagged = (
+        grams.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(F.broadcast(n_docs))
+        .where(F.col("df") * 100 >= F.lit(BOILER_PCT) * F.col("n_docs"))
+        .select("g", F.lit(1).alias("boiler"))
+    )
+    per_doc = (
+        grams.join(flagged, "g", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            F.sum(F.coalesce(F.col("boiler"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_boiler"),
+        )
+    )
+    return (
+        docs.select("doc_id", "source")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            F.coalesce("n_grams", F.lit(0)).cast("bigint").alias("n_grams"),
+            F.coalesce("n_boiler", F.lit(0)).cast("bigint").alias("n_boiler"),
+            F.expr(
+                "(2 * 1000 * n_boiler + n_grams) div (2 * n_grams)"
+            ).alias("boiler_permille"),
+        )
+    )
+
+
+ORACLES["text_boilerplate_ngrams"] = f"""
+    WITH toks AS (
+        SELECT doc_id, {_oracle_tokens()} AS toks FROM documents
+    ),
+    grams AS (
+        SELECT DISTINCT doc_id,
+               toks[CAST(i AS INTEGER)] || ' ' ||
+               toks[CAST(i AS INTEGER) + 1] || ' ' ||
+               toks[CAST(i AS INTEGER) + 2] AS g
+        FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 1)) AS i
+              FROM toks WHERE len(toks) >= {NOVELTY_N})
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+    flagged AS (
+        SELECT g, 1 AS boiler
+        FROM (SELECT g, CAST(COUNT(*) AS BIGINT) AS df
+              FROM grams GROUP BY g) CROSS JOIN n
+        WHERE df * 100 >= {BOILER_PCT} * n_docs
+    ),
+    per_doc AS (
+        SELECT grams.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_grams,
+               CAST(SUM(COALESCE(boiler, 0)) AS BIGINT) AS n_boiler
+        FROM grams LEFT JOIN flagged ON grams.g = flagged.g
+        GROUP BY grams.doc_id
+    )
+    SELECT d.doc_id, d.source,
+           CAST(COALESCE(p.n_grams, 0) AS BIGINT) AS n_grams,
+           CAST(COALESCE(p.n_boiler, 0) AS BIGINT) AS n_boiler,
+           (2 * 1000 * p.n_boiler + p.n_grams) // (2 * p.n_grams)
+               AS boiler_permille
+    FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+"""
+
+
 LM_SCALE = 1_000_000
 
 
@@ -1435,6 +1537,7 @@ ORACLES["retrieval_rrf_fusion"] = f"""
 QUERIES = {
     # new-in-round-4 entries first: registry order = driver grading order
     "retrieval_rrf_fusion": rrf_fusion,
+    "text_boilerplate_ngrams": boilerplate_ngrams,
     "text_bm25_search": bm25_search,
     "text_pii_redact": pii_redact,
     "text_ngram_novelty": ngram_novelty,

@@ -121,6 +121,8 @@ _GRADE_AFTER_REGRADES = frozenset(
         "retrieval_rrf_fusion",
         "l_diversity_audit",
         "snapshot_asof_diff",
+        "dedup_graph_triangles",
+        "text_boilerplate_ngrams",
     }
 )
 

@@ -123,6 +123,7 @@ _BNLJ_INTENDED = frozenset(
         "similarity_range_search",    # exact baseline: queries × corpus
         "similarity_diverse_topk",    # centroid assignment + queries × corpus
         "retrieval_rrf_fusion",       # BM25 totals scalar + 1-row query vector
+        "text_boilerplate_ngrams",    # 1-row doc-count scalar onto the df frame
         "join_cardinality_estimate",  # 1-row ground-truth count onto 1-row estimate
     }
 )
@@ -577,6 +578,7 @@ def test_registry_orders_unverified_queries_first():
         # new in round 4c (this session; deferred behind the regrades)
         "similarity_range_search", "similarity_diverse_topk",
         "retrieval_rrf_fusion", "l_diversity_audit", "snapshot_asof_diff",
+        "dedup_graph_triangles", "text_boilerplate_ngrams",
     }
     # the driver's observed grading budget is 50 queries per round
     # (r02 and r03 both truncated there); the 11 VERDICT-r03-flagged
