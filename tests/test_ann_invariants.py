@@ -107,3 +107,79 @@ def test_sq_topk_invariants(spark):
         rng = d.mx - d.mn
         assert 0 <= d.avg_err_255milli <= d.max_err_255milli
         assert d.max_err_255milli <= (rng + 1) // 2, d
+
+
+def test_range_search_invariants(spark):
+    """Radius search: no self-matches, every hit clears the τ cutoff,
+    and the result agrees with brute-force top-k wherever they overlap
+    (same metric, same arithmetic)."""
+    from big_data_2021_spark_streaming_spark.operators.similarity import (
+        RANGE_TAU,
+        range_search,
+    )
+
+    rows = range_search(spark, SF).collect()
+    exact = {
+        (r.query_id, r.neighbor_id): r.cos_sim
+        for r in topk_bruteforce(spark, SF).collect()
+    }
+    for r in rows:
+        assert r.neighbor_id != r.query_id
+        assert r.cos_sim >= round(RANGE_TAU, 6) - 1e-6
+        if (r.query_id, r.neighbor_id) in exact:
+            assert exact[(r.query_id, r.neighbor_id)] == r.cos_sim
+
+
+def test_diverse_topk_respects_cell_quota(spark):
+    """Diversity-quota top-k: ranks contiguous per query, scores
+    non-increasing, and no query takes more than DIVERSE_PER_CELL
+    results from any one IVF cell — the invariant that distinguishes
+    it from plain top-k."""
+    from big_data_2021_spark_streaming_spark.operators.similarity import (
+        DIVERSE_PER_CELL,
+        DIVERSE_TOPK,
+        diverse_topk,
+    )
+
+    rows = diverse_topk(spark, SF).collect()
+    per_query = defaultdict(list)
+    for r in rows:
+        assert r.neighbor_id != r.query_id
+        per_query[r.query_id].append(r)
+    assert per_query
+    for q, rs in per_query.items():
+        rs.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= DIVERSE_TOPK
+        dists = [r.cos_sim for r in rs]
+        assert dists == sorted(dists, reverse=True)
+        cells = defaultdict(int)
+        for r in rs:
+            cells[r.cell_id] += 1
+        assert max(cells.values()) <= DIVERSE_PER_CELL, (q, dict(cells))
+
+
+def test_rrf_fusion_scores_are_consistent(spark):
+    """RRF: the fused score must equal the sum of the reciprocal
+    contributions recomputable from the emitted ranks, every listed
+    rank must be positive, and ordering must follow rrf_micro."""
+    from big_data_2021_spark_streaming_spark.operators.text import (
+        RRF_K,
+        rrf_fusion,
+    )
+
+    rows = rrf_fusion(spark, SF).collect()
+    assert rows
+
+    def rr(rank):
+        if rank is None:
+            return 0
+        return (2 * 1_000_000 + (RRF_K + rank)) // (2 * (RRF_K + rank))
+
+    prev = None
+    for r in sorted(rows, key=lambda r: r.rank):
+        assert r.lex_rank is not None or r.dense_rank is not None
+        assert r.rrf_micro == rr(r.lex_rank) + rr(r.dense_rank)
+        if prev is not None:
+            assert (prev.rrf_micro, -prev.doc_id) >= (r.rrf_micro, -r.doc_id)
+        prev = r

