@@ -152,7 +152,9 @@ _FAMILY_COST = {
 # text_length_histogram, similarity_ann_recall, user_event_gaps:
 # exact micro-unit rounding rewrites; props_map_stats: oracle
 # rewritten off string-concat JSON paths; kmeans_clusters: assignment
-# frame extracted, memoized and persisted for dedup_semantic) — those
+# frame extracted, memoized and persisted for dedup_semantic;
+# range_join_click_purchase: r03 _epoch_us rewrite after its only
+# green, r02 — ungraded in r03, so it must regrade) — those
 # regrade early. The
 # 11 names the driver has never verified on current code (8 never
 # graded, 3 graded only pre-r02-re-plan) are likewise absent and sort
@@ -174,7 +176,7 @@ _DRIVER_VERIFIED = frozenset(
         "order_priority_semijoin", "part_profit_by_nation_year", "parts_never_in_bulk_orders",
         "peak_concurrent_sessions", "pivot_user_event_values", "pricing_summary",
         "promo_revenue_ratio", "q1_filter", "q2_join_enrich",
-        "q3_window_collect_set", "range_join_click_purchase", "recent_orders_lateral",
+        "q3_window_collect_set", "recent_orders_lateral",
         "returned_item_report", "returnflag_priority_counts", "revenue_by_nation",
         "rollup_order_status", "rsvp_decode_failures", "rsvp_faithful_filter",
         "rsvp_q2_payload", "running_user_value", "salted_type_totals",

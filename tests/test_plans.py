@@ -569,6 +569,7 @@ def test_registry_orders_unverified_queries_first():
         "local_supplier_volume", "props_map_stats", "text_token_rarity",
         "text_repetition_signals", "text_length_histogram",
         "similarity_ann_recall", "user_event_gaps", "kmeans_clusters",
+        "range_join_click_purchase",
         # never driver-verified on current code (VERDICT r03)
         "decontaminate_overlap", "corpus_stratified_sample",
         "corpus_mixture_report", "dedup_lsh_calibration",
