@@ -185,6 +185,84 @@ def decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source-level redundancy audit: estimated Jaccard
+    similarity between every pair of corpus sources over their distinct
+    word n-gram sets. Two crawls of the same sites, a re-scrape, or a
+    mirrored dump show up as a high-Jaccard source pair — the
+    corpus-composition signal that decides whether adding a new source
+    actually adds information (``decontaminate_overlap`` asks the same
+    question of one doc vs the eval split; this asks it of whole
+    sources against each other).
+
+    Plan shape: one gram explode reduced to the distinct
+    (source, gram) frame (map-side combine), then a gram-keyed
+    self-join whose per-gram fan-out is bounded by |sources| — never
+    doc×doc or gram×gram. Per-source totals are |sources| rows and
+    broadcast onto the pair frame; Jaccard is exact half-up integer
+    permille. At 100 TB the (source, gram) frame is the only large
+    intermediate and it shrinks with gram dedup; everything after it
+    is dimension-table-sized.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    grams = _word_grams(docs).select("source", "gram").distinct()
+    sizes = grams.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_grams")
+    )
+    inter = (
+        grams.alias("a")
+        .join(grams.alias("b"), "gram")
+        .where(F.col("a.source") < F.col("b.source"))
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("inter_grams"))
+    )
+    pairs = (
+        sizes.select(
+            F.col("source").alias("source_a"), F.col("n_grams").alias("grams_a")
+        )
+        .crossJoin(
+            F.broadcast(
+                sizes.select(
+                    F.col("source").alias("source_b"),
+                    F.col("n_grams").alias("grams_b"),
+                )
+            )
+        )
+        .where(F.col("source_a") < F.col("source_b"))
+        .join(inter, ["source_a", "source_b"], "left")
+        .select(
+            "source_a",
+            "source_b",
+            "grams_a",
+            "grams_b",
+            F.coalesce("inter_grams", F.lit(0)).cast("bigint").alias(
+                "inter_grams"
+            ),
+        )
+    )
+    union = F.col("grams_a") + F.col("grams_b") - F.col("inter_grams")
+    return pairs.select(
+        "source_a",
+        "source_b",
+        "grams_a",
+        "grams_b",
+        "inter_grams",
+        F.when(union == 0, F.lit(0).cast("bigint"))
+        .otherwise(
+            F.expr(
+                "(2 * 1000 * inter_grams + (grams_a + grams_b - inter_grams))"
+                " div (2 * (grams_a + grams_b - inter_grams))"
+            )
+        )
+        .alias("jaccard_permille"),
+    )
+
+
 def _quality_cte() -> str:
     # exact micro-unit quality, shared with operators.text's oracle so
     # every consumer of the score agrees bit-for-bit (the old double
@@ -319,6 +397,54 @@ ORACLES["decontaminate_overlap"] = f"""
     FROM documents d
     LEFT JOIN shared s USING (doc_id)
     WHERE d.source <> '{EVAL_SOURCE}'
+"""
+
+ORACLES["corpus_cross_source_overlap"] = f"""
+    WITH pos AS (
+        SELECT doc_id, source,
+               generate_subscripts(toks, 1) AS pos,
+               unnest(toks) AS tok
+        FROM (
+            SELECT doc_id, source,
+                   regexp_split_to_array(trim(text), '\\s+') AS toks
+            FROM documents
+        )
+    ),
+    grams AS (
+        SELECT DISTINCT source, gram FROM (
+            SELECT doc_id, source,
+                   concat_ws(' ', tok,
+                             {", ".join(f"lead(tok, {i}) OVER w" for i in range(1, DECON_NGRAM))}) AS gram,
+                   lead(tok, {DECON_NGRAM - 1}) OVER w AS _last
+            FROM pos WHERE tok <> ''
+            WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        ) WHERE _last IS NOT NULL
+    ),
+    sizes AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_grams
+        FROM grams GROUP BY source
+    ),
+    inter AS (
+        SELECT a.source AS source_a, b.source AS source_b,
+               CAST(COUNT(*) AS BIGINT) AS inter_grams
+        FROM grams a JOIN grams b
+          ON a.gram = b.gram AND a.source < b.source
+        GROUP BY 1, 2
+    )
+    SELECT sa.source AS source_a, sb.source AS source_b,
+           sa.n_grams AS grams_a, sb.n_grams AS grams_b,
+           CAST(COALESCE(i.inter_grams, 0) AS BIGINT) AS inter_grams,
+           CASE WHEN sa.n_grams + sb.n_grams - COALESCE(i.inter_grams, 0) = 0
+                THEN CAST(0 AS BIGINT)
+                ELSE (2 * 1000 * COALESCE(i.inter_grams, 0)
+                      + (sa.n_grams + sb.n_grams - COALESCE(i.inter_grams, 0)))
+                     // (2 * (sa.n_grams + sb.n_grams
+                              - COALESCE(i.inter_grams, 0)))
+           END AS jaccard_permille
+    FROM sizes sa
+    JOIN sizes sb ON sa.source < sb.source
+    LEFT JOIN inter i
+      ON i.source_a = sa.source AND i.source_b = sb.source
 """
 
 # per-language sampling rates (percent) — the data-mixing knob: a
@@ -865,6 +991,7 @@ ORACLES["contrastive_negatives"] = f"""
 
 QUERIES = {
     # new-in-round-4 entries first: registry order = driver grading order
+    "corpus_cross_source_overlap": cross_source_overlap,
     "weighted_doc_sample": weighted_doc_sample,
     "train_split_assign": train_split_assign,
     "split_leakage_report": split_leakage_report,

@@ -1694,8 +1694,104 @@ ORACLES["embedding_covariance_pairs"] = f"""
 """
 
 
+def centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding drift between two corpus snapshots: the L2
+    distance between each label's centroid in snapshot A (even vec_id)
+    and snapshot B (odd vec_id) — the encoder-regression monitor a
+    pipeline runs when a new checkpoint re-embeds the corpus (a large
+    centroid shift for one label means that region of the space moved
+    and every ANN index over it is stale). The parity split stands in
+    for the two snapshot tables; on real data A and B are yesterday's
+    and today's embedding runs.
+
+    Exact cross-engine arithmetic: components in integer milli-units,
+    per-(label, dim, half) sums as BIGINT (one map-side-combined
+    aggregation, 64×|labels| result rows), and the mean difference
+    cleared of divisions via t_d = s1A·nB − s1B·nA. t_d² is summed on
+    DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) — exact and
+    order-independent — and only the final sqrt/normalize runs in
+    double, identically on both engines. One corpus scan, no join, no
+    window; the 100 TB cost is the scan.
+    """
+    vecs = _vectors(spark, sf_dir)
+    comp = vecs.select(
+        "label",
+        (F.col("vec_id") % 2).alias("half"),
+        F.posexplode("v").alias("dim", "x"),
+    ).select("label", "half", "dim", _milli(F.col("x")).alias("xq"))
+    by_dim = comp.groupBy("label", "dim").agg(
+        F.sum(F.when(F.col("half") == 0, F.col("xq")).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("s_a"),
+        F.sum(F.when(F.col("half") == 1, F.col("xq")).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("s_b"),
+        F.sum((F.col("half") == 0).cast("bigint")).cast("bigint").alias("n_a"),
+        F.sum((F.col("half") == 1).cast("bigint")).cast("bigint").alias("n_b"),
+    )
+    t = (F.col("s_a") * F.col("n_b") - F.col("s_b") * F.col("n_a")).cast(
+        "decimal(19,0)"
+    )
+    per_label = by_dim.groupBy("label").agg(
+        F.sum(t * t).alias("ssq"),
+        F.max("n_a").alias("n_vecs_a"),
+        F.max("n_b").alias("n_vecs_b"),
+    )
+    return per_label.where(
+        (F.col("n_vecs_a") > 0) & (F.col("n_vecs_b") > 0)
+    ).select(
+        "label",
+        "n_vecs_a",
+        "n_vecs_b",
+        F.round(
+            F.sqrt(F.col("ssq").cast("double"))
+            / (
+                F.col("n_vecs_a").cast("double")
+                * F.col("n_vecs_b").cast("double")
+                * F.lit(1000.0)
+            ),
+            6,
+        ).alias("centroid_shift"),
+    )
+
+
+ORACLES["embedding_centroid_drift"] = """
+    WITH comp0 AS (
+        SELECT label, vec_id % 2 AS half,
+               unnest(range(0, len(embedding))) AS dim,
+               unnest(CAST(embedding AS DOUBLE[])) AS x
+        FROM embeddings
+    ),
+    by_dim AS (
+        SELECT label, dim,
+               CAST(COALESCE(SUM(CAST(ROUND(x * 1000) AS BIGINT))
+                             FILTER (half = 0), 0) AS BIGINT) AS s_a,
+               CAST(COALESCE(SUM(CAST(ROUND(x * 1000) AS BIGINT))
+                             FILTER (half = 1), 0) AS BIGINT) AS s_b,
+               CAST(COUNT(*) FILTER (half = 0) AS BIGINT) AS n_a,
+               CAST(COUNT(*) FILTER (half = 1) AS BIGINT) AS n_b
+        FROM comp0 GROUP BY 1, 2
+    ),
+    per_label AS (
+        SELECT label,
+               SUM(CAST(s_a * n_b - s_b * n_a AS HUGEINT)
+                   * CAST(s_a * n_b - s_b * n_a AS HUGEINT)) AS ssq,
+               MAX(n_a) AS n_vecs_a,
+               MAX(n_b) AS n_vecs_b
+        FROM by_dim GROUP BY label
+    )
+    SELECT label, n_vecs_a, n_vecs_b,
+           ROUND(sqrt(CAST(ssq AS DOUBLE))
+                 / (CAST(n_vecs_a AS DOUBLE) * CAST(n_vecs_b AS DOUBLE)
+                    * 1000.0), 6) AS centroid_shift
+    FROM per_label
+    WHERE n_vecs_a > 0 AND n_vecs_b > 0
+"""
+
+
 QUERIES = {
     # new-in-round-4 entries first: registry order = driver grading order
+    "embedding_centroid_drift": centroid_drift,
     "similarity_range_search": range_search,
     "similarity_diverse_topk": diverse_topk,
     "similarity_sq_topk": sq_topk,

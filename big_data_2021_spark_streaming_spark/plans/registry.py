@@ -123,6 +123,9 @@ _GRADE_AFTER_REGRADES = frozenset(
         "snapshot_asof_diff",
         "dedup_graph_triangles",
         "text_boilerplate_ngrams",
+        # round-4d additions (this session)
+        "corpus_cross_source_overlap",
+        "embedding_centroid_drift",
     }
 )
 

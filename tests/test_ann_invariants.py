@@ -183,3 +183,58 @@ def test_rrf_fusion_scores_are_consistent(spark):
         if prev is not None:
             assert (prev.rrf_micro, -prev.doc_id) >= (r.rrf_micro, -r.doc_id)
         prev = r
+
+
+def test_centroid_drift_matches_pure_python(spark):
+    """Full third-engine recomputation of the parity-split centroid
+    shift from the raw parquet in integer milli-units — pins the exact
+    arithmetic (ROUND half-away, t_d = s1A*nB - s1B*nA, exact square
+    sum) independently of both SQL engines."""
+    import math
+
+    import pandas as pd
+
+    from big_data_2021_spark_streaming_spark.operators.similarity import (
+        centroid_drift,
+    )
+
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet")
+    sums: dict[tuple[int, int, int], int] = {}
+    counts: dict[tuple[int, int], int] = {}
+    for _, row in emb.iterrows():
+        label, half = int(row["label"]), int(row["vec_id"]) % 2
+        counts[(label, half)] = counts.get((label, half), 0) + 1
+        for d, x in enumerate(row["embedding"]):
+            # ROUND half-away-from-zero, matching both engines
+            xq = int(math.floor(abs(float(x)) * 1000 + 0.5))
+            xq = xq if x >= 0 else -xq
+            k = (label, half, d)
+            sums[k] = sums.get(k, 0) + xq
+
+    expected = {}
+    dim = len(emb.iloc[0]["embedding"])
+    for label in sorted({int(x) for x in emb["label"]}):
+        n_a, n_b = counts.get((label, 0), 0), counts.get((label, 1), 0)
+        if n_a == 0 or n_b == 0:
+            continue
+        ssq = sum(
+            (
+                sums.get((label, 0, d), 0) * n_b
+                - sums.get((label, 1, d), 0) * n_a
+            )
+            ** 2
+            for d in range(dim)
+        )
+        expected[label] = (
+            n_a,
+            n_b,
+            round(math.sqrt(ssq) / (n_a * n_b * 1000.0), 6),
+        )
+
+    rows = centroid_drift(spark, SF).collect()
+    assert {r.label for r in rows} == set(expected)
+    for r in rows:
+        n_a, n_b, shift = expected[r.label]
+        assert (r.n_vecs_a, r.n_vecs_b) == (n_a, n_b)
+        assert r.centroid_shift >= 0
+        assert abs(r.centroid_shift - shift) < 1e-9, (r.label, r.centroid_shift, shift)

@@ -125,6 +125,7 @@ _BNLJ_INTENDED = frozenset(
         "retrieval_rrf_fusion",       # BM25 totals scalar + 1-row query vector
         "text_boilerplate_ngrams",    # 1-row doc-count scalar onto the df frame
         "join_cardinality_estimate",  # 1-row ground-truth count onto 1-row estimate
+        "corpus_cross_source_overlap",  # |sources|-row totals × totals pair grid
     }
 )
 
@@ -580,6 +581,8 @@ def test_registry_orders_unverified_queries_first():
         "similarity_range_search", "similarity_diverse_topk",
         "retrieval_rrf_fusion", "l_diversity_audit", "snapshot_asof_diff",
         "dedup_graph_triangles", "text_boilerplate_ngrams",
+        # new in round 4d (this session; deferred behind the regrades)
+        "corpus_cross_source_overlap", "embedding_centroid_drift",
     }
     # the driver's observed grading budget is 50 queries per round
     # (r02 and r03 both truncated there); the 11 VERDICT-r03-flagged

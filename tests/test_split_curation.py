@@ -108,3 +108,44 @@ def test_pii_redact_removes_every_match(spark):
             masked += 1
             assert r.doc_id % 7 == 0  # only the injected subset has email
     assert masked > 0
+
+
+def test_cross_source_overlap_matches_pure_python(spark):
+    """Full third-engine recomputation: pairwise source Jaccard over
+    distinct whitespace 3-gram sets rebuilt in pure Python from the raw
+    parquet — if Spark and DuckDB ever shared a tokenization or join
+    bug, this still fails."""
+    import itertools
+
+    import pandas as pd
+
+    from big_data_2021_spark_streaming_spark.operators.curation import (
+        cross_source_overlap,
+    )
+
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    by_source: dict[str, set[str]] = {}
+    for _, row in docs.iterrows():
+        toks = [t for t in row["text"].strip().split() if t]
+        grams = {
+            " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+        }
+        by_source.setdefault(row["source"], set()).update(grams)
+
+    expected = {}
+    for sa, sb in itertools.combinations(sorted(by_source), 2):
+        a, b = by_source[sa], by_source[sb]
+        inter = len(a & b)
+        union = len(a) + len(b) - inter
+        jac = 0 if union == 0 else (2 * 1000 * inter + union) // (2 * union)
+        expected[(sa, sb)] = (len(a), len(b), inter, jac)
+
+    rows = cross_source_overlap(spark, SF).collect()
+    assert len(rows) == len(expected)
+    for r in rows:
+        assert r.source_a < r.source_b
+        exp = expected[(r.source_a, r.source_b)]
+        got = (r.grams_a, r.grams_b, r.inter_grams, r.jaccard_permille)
+        assert got == exp, (r.source_a, r.source_b, got, exp)
+        assert r.inter_grams <= min(r.grams_a, r.grams_b)
+        assert 0 <= r.jaccard_permille <= 1000
