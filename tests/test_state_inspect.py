@@ -1,0 +1,126 @@
+"""Checkpoint/state introspection tests.
+
+Half of these run against the REFERENCE's own committed checkpoint
+(`/root/reference/checkpoint`, the real 2021 Kafka-cluster run) and pin
+the exact numbers BASELINE.md derived from those artifacts by hand —
+the module must reproduce the hand analysis. The other half build a
+fresh stateful checkpoint and read its keyed state back through
+Spark's statestore source.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import pytest
+
+from big_data_2021_spark_streaming_spark.streaming.state_inspect import (
+    checkpoint_commits,
+    checkpoint_offsets,
+    checkpoint_progress_report,
+    kafka_batch_records,
+    read_operator_state,
+    state_metadata,
+    state_skew_report,
+)
+
+REF_CKPT = "/root/reference/checkpoint"
+
+needs_reference = pytest.mark.skipif(
+    not Path(REF_CKPT).is_dir(), reason="reference checkpoint not present"
+)
+
+
+@needs_reference
+def test_reference_offsets_log(spark):
+    """BASELINE.md rows 'micro-batches recorded' and 'watermark
+    advance': 13 planned batches (0–12), batchWatermarkMs pinned 0 on
+    every one (the stateless Q2 run), Spark 3.1.2 conf captured."""
+    rows = {r.batch_id: r for r in checkpoint_offsets(spark, REF_CKPT).collect()}
+    assert sorted(rows) == list(range(13))
+    assert all(r.batch_watermark_ms == 0 for r in rows.values())
+    assert rows[0].conf["spark.sql.shuffle.partitions"] == "200"
+    assert rows[0].conf[
+        "spark.sql.streaming.stateStore.providerClass"
+    ].endswith("HDFSBackedStateStoreProvider")
+    # each batch logged exactly one source (the single Kafka topic)
+    assert all(len(r.sources) == 1 for r in rows.values())
+
+
+@needs_reference
+def test_reference_progress_report(spark):
+    """BASELINE.md rows 'wall-clock span' and 'mean batch cadence':
+    97.032 s first→last planned batch, gaps 6.9–10.4 s; batches 0–11
+    committed, batch 12 planned but never committed (the run was
+    stopped mid-batch — the batch that would replay on restart)."""
+    rows = sorted(
+        checkpoint_progress_report(spark, REF_CKPT).collect(),
+        key=lambda r: r.batch_id,
+    )
+    assert rows[-1].batch_timestamp_ms - rows[0].batch_timestamp_ms == 97_032
+    gaps = [r.batch_gap_ms for r in rows[1:]]
+    assert rows[0].batch_gap_ms is None
+    assert min(gaps) >= 6_900 and max(gaps) <= 10_400
+    committed = {r.batch_id: r.committed for r in rows}
+    assert all(committed[i] for i in range(12))
+    assert committed[12] is False
+
+
+@needs_reference
+def test_reference_kafka_ingest_ledger(spark):
+    """BASELINE.md row 'records processed': single-partition topic
+    ``all_events`` ends at offset 21861; batches 1–12 ingested 134
+    records between them (batch 0's own 1-record delta lives in
+    sources/, outside the offsets log, hence NULL)."""
+    rows = sorted(
+        kafka_batch_records(spark, REF_CKPT).collect(),
+        key=lambda r: r.batch_id,
+    )
+    assert {r.topic for r in rows} == {"all_events"}
+    assert {r.partition for r in rows} == {0}
+    assert rows[0].records is None
+    assert rows[-1].end_offset == 21_861
+    assert sum(r.records for r in rows[1:]) == 21_861 - 21_727
+
+
+def test_state_read_matches_query_output(spark, tmp_path):
+    """Build a checkpointed streaming aggregation, then read its keyed
+    state back through the statestore source: the state must hold
+    exactly the counts the sink saw, metadata must inventory the
+    operator, and the skew report must cover all state rows with
+    permille shares summing to ~1000."""
+    src = tmp_path / "src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    (src / "a.json").write_text(
+        "\n".join(
+            f'{{"id": {i}, "k": "{k}"}}'
+            for i, k in enumerate(["x", "y", "x", "z", "x", "y"])
+        )
+    )
+    q = (
+        spark.readStream.schema("id INT, k STRING")
+        .json(str(src))
+        .groupBy("k")
+        .count()
+        .writeStream.format("memory")
+        .queryName("state_inspect_sink")
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    sink = {r.k: r["count"] for r in spark.table("state_inspect_sink").collect()}
+    assert sink == {"x": 3, "y": 2, "z": 1}
+
+    meta = state_metadata(spark, ckpt).collect()
+    assert len(meta) == 1 and meta[0].operatorName == "stateStoreSave"
+
+    state = read_operator_state(spark, ckpt).collect()
+    assert {r.key[0]: r.value[0] for r in state} == sink
+
+    skew = state_skew_report(spark, ckpt).collect()
+    assert sum(r.state_rows for r in skew) == len(sink)
+    assert all(r.state_rows > 0 for r in skew)  # empty partitions absent
+    assert abs(sum(r.share_permille for r in skew) - 1000) <= len(skew)
