@@ -499,7 +499,96 @@ def join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# (column, exact-integer encoding SQL — shared verbatim by both
+# engines so NDV/min/max are over the identical canonical value; NULL
+# encoding = string column, whose min/max are skipped)
+STATS_COLUMNS: tuple[tuple[str, str | None], ...] = (
+    ("o_orderkey", "o_orderkey"),
+    ("o_custkey", "o_custkey"),
+    ("o_orderstatus", None),
+    ("o_totalprice", "CAST(ROUND(o_totalprice * 100) AS BIGINT)"),
+    (
+        "o_orderdate",
+        "CAST(DATEDIFF(CAST(o_orderdate AS DATE), DATE '1970-01-01')"
+        " AS BIGINT)",
+    ),
+    ("o_orderpriority", None),
+)
+
+
+def lake_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE TABLE in operator form: per-column row/null counts,
+    exact NDV, and min/max over the ``orders`` table — the statistics
+    a cost-based optimizer's join-ordering and broadcast decisions
+    consume (``join_cardinality_estimate`` shows what those stats
+    buy). Numeric/temporal columns are canonicalized to exact integer
+    units (cents, epoch days) so min/max and NDV hash identically
+    across engines; string columns report NDV only.
+
+    Scale: one scan; the multi-column exact COUNT(DISTINCT) expands
+    the scan the way ANALYZE itself does. At 100 TB the swap is
+    ``approx_count_distinct`` (or the mergeable HLL registers of
+    ``sketch_hll_users``) — same plan shape, sketch-sized state; the
+    exact form is kept because the oracle gate must hash-match."""
+    orders = load_table(spark, sf_dir, "orders")
+    aggs, fields = [], []
+    for col, enc in STATS_COLUMNS:
+        e = F.expr(enc) if enc is not None else F.col(col)
+        aggs += [
+            F.sum(F.col(col).isNull().cast("bigint")).alias(f"nn_{col}"),
+            F.countDistinct(e).alias(f"ndv_{col}"),
+        ]
+        if enc is not None:
+            aggs += [F.min(e).alias(f"mn_{col}"), F.max(e).alias(f"mx_{col}")]
+        mn = f"mn_{col}" if enc is not None else "CAST(NULL AS BIGINT)"
+        mx = f"mx_{col}" if enc is not None else "CAST(NULL AS BIGINT)"
+        fields.append(
+            f"struct('{col}' AS col_name, nn_{col} AS n_nulls,"
+            f" ndv_{col} AS ndv, {mn} AS min_v, {mx} AS max_v)"
+        )
+    one = orders.agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"), *aggs)
+    return one.select(
+        "n_rows", F.explode(F.expr(f"array({', '.join(fields)})")).alias("s")
+    ).select(
+        F.col("s.col_name").alias("col_name"),
+        "n_rows",
+        F.col("s.n_nulls").cast("bigint").alias("n_nulls"),
+        F.col("s.ndv").cast("bigint").alias("ndv"),
+        F.col("s.min_v").cast("bigint").alias("min_v"),
+        F.col("s.max_v").cast("bigint").alias("max_v"),
+    )
+
+
 ORACLES: dict[str, str] = {}
+
+
+def _column_stats_sql() -> str:
+    selects = []
+    for col, enc in STATS_COLUMNS:
+        duck_enc = (
+            enc.replace(
+                "DATEDIFF(CAST(o_orderdate AS DATE), DATE '1970-01-01')",
+                "date_diff('day', DATE '1970-01-01',"
+                " CAST(o_orderdate AS DATE))",
+            )
+            if enc is not None
+            else None
+        )
+        e = duck_enc if duck_enc is not None else col
+        mn = f"CAST(MIN({e}) AS BIGINT)" if enc else "CAST(NULL AS BIGINT)"
+        mx = f"CAST(MAX({e}) AS BIGINT)" if enc else "CAST(NULL AS BIGINT)"
+        selects.append(f"""
+        SELECT '{col}' AS col_name,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CASE WHEN {col} IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_nulls,
+               CAST(COUNT(DISTINCT {e}) AS BIGINT) AS ndv,
+               {mn} AS min_v, {mx} AS max_v
+        FROM orders""")
+    return "\nUNION ALL\n".join(selects)
+
+
+ORACLES["lake_column_stats"] = _column_stats_sql()
 
 ORACLES["k_anonymity_audit"] = f"""
     WITH groups AS (
@@ -732,7 +821,9 @@ ORACLES["l_diversity_audit"] = f"""
 """
 
 QUERIES = {
-    # new-in-round-4c entry first: registry order = driver grading order
+    # new-in-round-4d entry first: registry order = driver grading order
+    "lake_column_stats": lake_column_stats,
+    # round-4c entry
     "l_diversity_audit": l_diversity_audit,
     # round-4b entries
     "layout_zorder_stats": layout_zorder_stats,

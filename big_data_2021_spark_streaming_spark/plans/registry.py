@@ -126,6 +126,7 @@ _GRADE_AFTER_REGRADES = frozenset(
         # round-4d additions (this session)
         "corpus_cross_source_overlap",
         "embedding_centroid_drift",
+        "lake_column_stats",
     }
 )
 

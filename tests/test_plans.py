@@ -583,6 +583,7 @@ def test_registry_orders_unverified_queries_first():
         "dedup_graph_triangles", "text_boilerplate_ngrams",
         # new in round 4d (this session; deferred behind the regrades)
         "corpus_cross_source_overlap", "embedding_centroid_drift",
+        "lake_column_stats",
     }
     # the driver's observed grading budget is 50 queries per round
     # (r02 and r03 both truncated there); the 11 VERDICT-r03-flagged
