@@ -73,3 +73,38 @@ def read_parquet_evolved(spark: SparkSession, *paths: str) -> DataFrame:
     schema versions: added columns appear as NULL in older shards.
     Footer-merge only — no data pass."""
     return spark.read.option("mergeSchema", True).parquet(*paths)
+
+
+def avro_available(spark: SparkSession) -> bool:
+    """True when the external ``spark-avro`` data-source module is on
+    the classpath. Avro is Spark's standard row-oriented interchange
+    format (Kafka schema-registry payloads, streaming handoffs), but
+    it ships as an EXTERNAL module (``org.apache.spark:spark-avro``)
+    — the core avro jars alone don't register the source, and this
+    sandbox has only those, so the Avro path is environment-gated the
+    same way the Kafka broker e2e is."""
+    import shutil
+    import tempfile
+
+    # the avro classes can be present without the source being
+    # REGISTERED, so probe the actual lookup path with a 1-row write
+    d = tempfile.mkdtemp(prefix="avro_probe_")
+    try:
+        spark.range(1).write.mode("overwrite").format("avro").save(f"{d}/p")
+        return True
+    except Exception as e:
+        if "Failed to find data source" in str(e):
+            return False
+        raise
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def write_avro(df: DataFrame, path: str) -> None:
+    df.write.mode("overwrite").format("avro").save(path)
+
+
+def read_avro(spark: SparkSession, path: str, ddl: str) -> DataFrame:
+    # schema pinned like every other read — avro files are
+    # self-describing, but reader-schema evolution must be explicit
+    return spark.read.schema(ddl).format("avro").load(path)

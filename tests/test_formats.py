@@ -92,3 +92,20 @@ def test_parquet_schema_evolution_union(spark, sf_dir, tmp_path):
     assert merged.count() == 2 * n
     # old shard surfaces the evolved column as NULL
     assert merged.where(F.col("region_code").isNull()).count() == n
+
+
+def test_avro_round_trip_when_module_present(spark, sf_dir, tmp_path):
+    """Avro is an EXTERNAL Spark module (spark-avro); this sandbox
+    ships only the core avro jars, so the round-trip runs wherever the
+    module exists and documents the gate where it doesn't — the same
+    contract as the Kafka-broker e2e."""
+    import pytest
+
+    if not formats.avro_available(spark):
+        pytest.skip("spark-avro data-source module not on the classpath")
+    src = _orders_sample(spark, sf_dir)
+    path = str(tmp_path / "orders_avro")
+    formats.write_avro(src, path)
+    back = formats.read_avro(spark, path, ORDERS_DDL)
+    cols = list(src.columns)
+    assert _sorted_rows(back, cols) == _sorted_rows(src, cols)
