@@ -93,6 +93,58 @@ ORACLES: dict[str, str] = {
         FULL OUTER JOIN full_mv f
             ON m.o_orderpriority = f.o_orderpriority AND m.month = f.month
     """,
+    "event_path_topk": """
+        WITH e AS (
+            SELECT user_id, ts, event_id, event_type,
+                   CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                            PARTITION BY user_id ORDER BY ts, event_id
+                        ) > 30 * 60 * 1000000 THEN 1 ELSE 0 END AS new_sess
+            FROM events
+        ),
+        s AS (
+            SELECT user_id, ts, event_id, event_type,
+                   SUM(new_sess) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS sess_id
+            FROM e
+        ),
+        p AS (
+            SELECT array_to_string(
+                       (list(event_type ORDER BY ts, event_id))[1:8], '>'
+                   ) AS path
+            FROM s GROUP BY user_id, sess_id
+        )
+        SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+        FROM p GROUP BY path
+        ORDER BY n_sessions DESC, path ASC
+        LIMIT 20
+    """,
+    "event_cooccurrence_lift": """
+        WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+        n AS (
+            SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+            FROM events
+        ),
+        pt AS (
+            SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_t
+            FROM ut GROUP BY event_type
+        ),
+        pairs AS (
+            SELECT a.event_type AS type_a, b.event_type AS type_b,
+                   CAST(COUNT(*) AS BIGINT) AS n_both
+            FROM ut a
+            JOIN ut b ON a.user_id = b.user_id
+                     AND a.event_type < b.event_type
+            GROUP BY 1, 2
+        )
+        SELECT type_a, type_b, pa.n_t AS n_a, pb.n_t AS n_b, n_both,
+               (2 * n_both * n.n_users * 1000000 + pa.n_t * pb.n_t)
+                   // (2 * pa.n_t * pb.n_t) AS lift_micro
+        FROM pairs
+        CROSS JOIN n
+        JOIN pt pa ON pairs.type_a = pa.event_type
+        JOIN pt pb ON pairs.type_b = pb.event_type
+    """,
     "user_value_concentration": """
         WITH users AS (
             SELECT user_id,

@@ -127,6 +127,8 @@ _GRADE_AFTER_REGRADES = frozenset(
         "corpus_cross_source_overlap",
         "embedding_centroid_drift",
         "lake_column_stats",
+        "event_path_topk",
+        "event_cooccurrence_lift",
     }
 )
 

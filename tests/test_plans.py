@@ -126,6 +126,7 @@ _BNLJ_INTENDED = frozenset(
         "text_boilerplate_ngrams",    # 1-row doc-count scalar onto the df frame
         "join_cardinality_estimate",  # 1-row ground-truth count onto 1-row estimate
         "corpus_cross_source_overlap",  # |sources|-row totals × totals pair grid
+        "event_cooccurrence_lift",    # 1-row distinct-user total onto the pair frame
     }
 )
 
@@ -583,7 +584,7 @@ def test_registry_orders_unverified_queries_first():
         "dedup_graph_triangles", "text_boilerplate_ngrams",
         # new in round 4d (this session; deferred behind the regrades)
         "corpus_cross_source_overlap", "embedding_centroid_drift",
-        "lake_column_stats",
+        "lake_column_stats", "event_path_topk", "event_cooccurrence_lift",
     }
     # the driver's observed grading budget is 50 queries per round
     # (r02 and r03 both truncated there); the 11 VERDICT-r03-flagged
