@@ -1,0 +1,71 @@
+"""Third-engine invariants for the sequence/association operators:
+pure-Python recomputation from the raw parquet, independent of both
+SQL engines."""
+
+from __future__ import annotations
+
+import itertools
+from collections import Counter
+
+import pandas as pd
+
+from big_data_2021_spark_streaming_spark.plans.analytics import (
+    PATH_GAP_MIN,
+    PATH_MAX_EVENTS,
+    PATH_TOPK,
+    event_cooccurrence_lift,
+    event_path_topk,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _events() -> pd.DataFrame:
+    return pd.read_parquet(f"{SF}/events.parquet")
+
+
+def test_cooccurrence_lift_matches_pure_python(spark):
+    ev = _events()
+    ut = {(int(u), t) for u, t in zip(ev["user_id"], ev["event_type"])}
+    n_users = ev["user_id"].nunique()
+    per_type = Counter(t for _, t in ut)
+    by_user: dict[int, set[str]] = {}
+    for u, t in ut:
+        by_user.setdefault(u, set()).add(t)
+    pair_counts: Counter = Counter()
+    for types in by_user.values():
+        for a, b in itertools.combinations(sorted(types), 2):
+            pair_counts[(a, b)] += 1
+
+    rows = event_cooccurrence_lift(spark, SF).collect()
+    assert len(rows) == len(pair_counts)
+    for r in rows:
+        assert r.type_a < r.type_b
+        n_both = pair_counts[(r.type_a, r.type_b)]
+        n_a, n_b = per_type[r.type_a], per_type[r.type_b]
+        assert (r.n_a, r.n_b, r.n_both) == (n_a, n_b, n_both)
+        num = 2 * n_both * n_users * 1_000_000 + n_a * n_b
+        assert r.lift_micro == num // (2 * n_a * n_b)
+
+
+def test_path_topk_matches_pure_python(spark):
+    ev = _events().sort_values(["user_id", "ts", "event_id"])
+    gap_us = PATH_GAP_MIN * 60 * 1_000_000
+    paths: Counter = Counter()
+    for _, g in ev.groupby("user_id"):
+        ts_us = g["ts"].astype("int64").tolist()
+        types = g["event_type"].tolist()
+        sess: list[str] = []
+        for i, t in enumerate(types):
+            if i > 0 and ts_us[i] - ts_us[i - 1] > gap_us:
+                paths[">".join(sess[:PATH_MAX_EVENTS])] += 1
+                sess = []
+            sess.append(t)
+        if sess:
+            paths[">".join(sess[:PATH_MAX_EVENTS])] += 1
+
+    expected = sorted(paths.items(), key=lambda kv: (-kv[1], kv[0]))[:PATH_TOPK]
+    rows = event_path_topk(spark, SF).collect()
+    assert [(r.path, r.n_sessions) for r in rows] == expected
+    for r in rows:
+        assert r.path.count(">") <= PATH_MAX_EVENTS - 1
