@@ -79,3 +79,33 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
     assert "Arguments: hashpartitioning" not in p  # no shuffle on either side
     assert "SortMergeJoin" in p
     assert joined.count() > 0
+
+
+def test_join_strategy_hints_are_honored(spark):
+    """The three shuffle-join strategies are an explicit knob, not
+    folklore: a shuffle_hash hint must produce ShuffledHashJoin (the
+    right call when one side is much smaller but exceeds the broadcast
+    cap — no sort, build-side hash), merge must produce SortMergeJoin
+    (the spill-safe default for two large sides), and broadcast must
+    eliminate the fact-side Exchange entirely."""
+    orders = load_table(spark, SF, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, SF, "lineitem").select("l_orderkey", "l_quantity")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        hashed = li.join(
+            orders.hint("shuffle_hash"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        assert "ShuffledHashJoin" in plan_of(hashed)
+        merged = li.join(
+            orders.hint("merge"), F.col("l_orderkey") == F.col("o_orderkey")
+        )
+        assert "SortMergeJoin" in plan_of(merged)
+        bcast = li.join(
+            F.broadcast(orders), F.col("l_orderkey") == F.col("o_orderkey")
+        )
+        pb = plan_of(bcast)
+        assert "BroadcastHashJoin" in pb
+        assert "Arguments: hashpartitioning" not in pb
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
