@@ -1534,8 +1534,246 @@ ORACLES["retrieval_rrf_fusion"] = f"""
 """
 
 
+SUBDUP_L = 30  # duplicated-window length (chars)
+SUBDUP_STRIDE = 10  # sample every Nth start position
+
+
+def substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact repeated-substring exposure per document (the ExactSubstr
+    signal of Lee et al., "Deduplicating Training Data Makes Language
+    Models Better"): sample fixed-length char windows on a stride, keep
+    windows whose text occurs in ≥2 distinct documents, and merge each
+    doc's hit positions into maximal islands — ``dup_chars`` is the
+    char span covered by cross-doc-duplicated windows, the quantity a
+    substring-level dedup pass would cut.
+
+    Scale: the window explode is linear in corpus chars / STRIDE; the
+    only shuffles are the gram-key aggregate (map-side combinable,
+    same key shape as the dedup family) and the per-doc sort inside
+    the islands window — never doc×doc. A suffix-array build is the
+    exact-tool alternative; this relational form is the one that runs
+    at 100 TB without a specialized index."""
+    docs = load_table(spark, sf_dir, "documents")
+    pos = (
+        docs.where(F.length("text") >= SUBDUP_L)
+        .select(
+            "doc_id",
+            "text",
+            F.explode(
+                F.expr(
+                    f"sequence(1, length(text) - {SUBDUP_L - 1}, {SUBDUP_STRIDE})"
+                )
+            ).alias("pos"),
+        )
+        .select(
+            "doc_id", "pos", F.expr(f"substring(text, pos, {SUBDUP_L})").alias("gram")
+        )
+    )
+    shared = (
+        pos.groupBy("gram")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        .where(F.col("n_docs") >= 2)
+        .select("gram")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    hits = (
+        pos.join(shared, "gram")
+        .select("doc_id", "pos")
+        .withColumn(
+            "prev_end",
+            F.max(F.col("pos") + SUBDUP_L).over(
+                w.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+        )
+        .withColumn(
+            "is_new",
+            F.when(
+                F.col("prev_end").isNull() | (F.col("pos") > F.col("prev_end")), 1
+            ).otherwise(0),
+        )
+        .withColumn("island", F.sum("is_new").over(w))
+    )
+    islands = hits.groupBy("doc_id", "island").agg(
+        (F.max("pos") + SUBDUP_L - F.min("pos")).alias("covered"),
+        F.count(F.lit(1)).alias("hits"),
+    )
+    per_doc = islands.groupBy("doc_id").agg(
+        F.sum("hits").cast("bigint").alias("n_hits"),
+        F.count(F.lit(1)).cast("bigint").alias("n_islands"),
+        F.sum("covered").cast("bigint").alias("dup_chars"),
+    )
+    return (
+        docs.select("doc_id", "source", "n_chars")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            "n_chars",
+            F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),
+            F.coalesce("n_islands", F.lit(0)).cast("bigint").alias("n_islands"),
+            F.coalesce("dup_chars", F.lit(0)).cast("bigint").alias("dup_chars"),
+            F.expr(
+                "(2 * 1000 * coalesce(dup_chars, 0) + n_chars) div (2 * n_chars)"
+            ).alias("dup_permille"),
+        )
+    )
+
+
+ORACLES["text_substring_dedup"] = f"""
+    WITH pos AS (
+        SELECT doc_id,
+               CAST(i AS INTEGER) AS pos,
+               substr(text, CAST(i AS INTEGER), {SUBDUP_L}) AS gram
+        FROM (SELECT doc_id, text,
+                     unnest(range(1, length(text) - {SUBDUP_L - 1} + 1,
+                                  {SUBDUP_STRIDE})) AS i
+              FROM documents WHERE length(text) >= {SUBDUP_L})
+    ),
+    shared AS (
+        SELECT gram FROM pos GROUP BY gram
+        HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    marked AS (
+        SELECT doc_id, pos,
+               CASE WHEN MAX(pos + {SUBDUP_L}) OVER (
+                        PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    IS NULL
+                 OR pos > MAX(pos + {SUBDUP_L}) OVER (
+                        PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               THEN 1 ELSE 0 END AS is_new
+        FROM pos JOIN shared USING (gram)
+    ),
+    islands AS (
+        SELECT doc_id, island,
+               MAX(pos) + {SUBDUP_L} - MIN(pos) AS covered,
+               COUNT(*) AS hits
+        FROM (SELECT doc_id, pos,
+                     SUM(is_new) OVER (
+                         PARTITION BY doc_id ORDER BY pos) AS island
+              FROM marked)
+        GROUP BY doc_id, island
+    ),
+    per_doc AS (
+        SELECT doc_id,
+               CAST(SUM(hits) AS BIGINT) AS n_hits,
+               CAST(COUNT(*) AS BIGINT) AS n_islands,
+               CAST(SUM(covered) AS BIGINT) AS dup_chars
+        FROM islands GROUP BY doc_id
+    )
+    SELECT d.doc_id, d.source, d.n_chars,
+           CAST(COALESCE(p.n_hits, 0) AS BIGINT) AS n_hits,
+           CAST(COALESCE(p.n_islands, 0) AS BIGINT) AS n_islands,
+           CAST(COALESCE(p.dup_chars, 0) AS BIGINT) AS dup_chars,
+           (2 * 1000 * COALESCE(p.dup_chars, 0) + d.n_chars)
+               // (2 * d.n_chars) AS dup_permille
+    FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+"""
+
+
+def _encoding_enriched_text() -> F.Column:
+    """The synthetic corpus is pure ASCII, so raw text would exercise
+    the encoding audit only on all-zero counts. Deterministic keyed
+    injection (the ``_pii_enriched_text`` pattern, mirrored exactly in
+    the oracle): mojibake 'Ã©' into doc_id%7 (coprime with the %20 source
+    assignment so every source gets some), U+FFFD replacement chars
+    into doc_id%9, a BEL control char into doc_id%11."""
+    d = F.col("doc_id")
+    moji = F.when(d % 7 == 0, F.lit(" cafÃ©")).otherwise("")
+    repl = F.when(d % 9 == 0, F.lit(" �")).otherwise("")
+    ctrl = F.when(d % 11 == 0, F.lit(" x\x07y")).otherwise("")
+    return F.concat(F.col("text"), moji, repl, ctrl)
+
+
+def encoding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source text-encoding health: documents carrying mojibake
+    ('Ã' + continuation — the double-UTF-8 signature), U+FFFD
+    replacement chars (lossy transcoding), raw control chars, and the
+    non-ASCII char rate. The triage report that decides which crawl
+    sources need re-extraction before training. One scan + a
+    #sources-key aggregate — scan-speed at 100 TB."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = _encoding_enriched_text()
+    per_doc = docs.select(
+        "source",
+        F.regexp_count(t, F.lit("Ã[-¿]")).alias("n_moji"),
+        F.regexp_count(t, F.lit("�")).alias("n_repl"),
+        F.regexp_count(t, F.lit("[\\x01-\\x08\\x0b\\x0c\\x0e-\\x1f]")).alias("n_ctrl"),
+        F.regexp_count(t, F.lit("[^\\x00-\\x7f]")).alias("n_nonascii"),
+        F.length(t).alias("n_chars"),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum((F.col("n_moji") > 0).cast("bigint")).alias("mojibake_docs"),
+            F.sum((F.col("n_repl") > 0).cast("bigint")).alias("replacement_docs"),
+            F.sum("n_ctrl").cast("bigint").alias("ctrl_chars"),
+            F.sum("n_nonascii").cast("bigint").alias("nonascii_chars"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "mojibake_docs",
+            "replacement_docs",
+            "ctrl_chars",
+            "nonascii_chars",
+            "total_chars",
+            F.expr(
+                "(2 * 1000000 * nonascii_chars + total_chars)"
+                " div (2 * total_chars)"
+            ).alias("nonascii_ppm"),
+        )
+    )
+
+
+ORACLES["text_encoding_audit"] = """
+    WITH enriched AS (
+        SELECT source,
+               text
+               || CASE WHEN doc_id % 7 = 0
+                       THEN ' caf' || chr(195) || chr(169) ELSE '' END
+               || CASE WHEN doc_id % 9 = 0
+                       THEN ' ' || chr(65533) ELSE '' END
+               || CASE WHEN doc_id % 11 = 0
+                       THEN ' x' || chr(7) || 'y' ELSE '' END AS t
+        FROM documents
+    ),
+    per_doc AS (
+        SELECT source,
+               length(t) - length(regexp_replace(
+                   t, chr(195) || '[' || chr(128) || '-' || chr(191) || ']',
+                   '', 'g')) AS moji_span,
+               length(t) - length(replace(t, chr(65533), '')) AS n_repl,
+               length(t) - length(regexp_replace(
+                   t, '[\\x01-\\x08\\x0b\\x0c\\x0e-\\x1f]', '', 'g')) AS n_ctrl,
+               length(t) - length(regexp_replace(
+                   t, '[^\\x00-\\x7f]', '', 'g')) AS n_nonascii,
+               length(t) AS n_chars
+        FROM enriched
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN moji_span > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS mojibake_docs,
+           CAST(SUM(CASE WHEN n_repl > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS replacement_docs,
+           CAST(SUM(n_ctrl) AS BIGINT) AS ctrl_chars,
+           CAST(SUM(n_nonascii) AS BIGINT) AS nonascii_chars,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           (2 * 1000000 * CAST(SUM(n_nonascii) AS BIGINT)
+                + CAST(SUM(n_chars) AS BIGINT))
+               // (2 * CAST(SUM(n_chars) AS BIGINT)) AS nonascii_ppm
+    FROM per_doc GROUP BY source
+"""
+
+
 QUERIES = {
     # new-in-round-4 entries first: registry order = driver grading order
+    "text_substring_dedup": substring_dedup,
+    "text_encoding_audit": encoding_audit,
     "retrieval_rrf_fusion": rrf_fusion,
     "text_boilerplate_ngrams": boilerplate_ngrams,
     "text_bm25_search": bm25_search,

@@ -129,6 +129,9 @@ _GRADE_AFTER_REGRADES = frozenset(
         "lake_column_stats",
         "event_path_topk",
         "event_cooccurrence_lift",
+        # round-4e additions (this session)
+        "text_substring_dedup",
+        "text_encoding_audit",
     }
 )
 

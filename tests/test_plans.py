@@ -585,6 +585,8 @@ def test_registry_orders_unverified_queries_first():
         # new in round 4d (this session; deferred behind the regrades)
         "corpus_cross_source_overlap", "embedding_centroid_drift",
         "lake_column_stats", "event_path_topk", "event_cooccurrence_lift",
+        # new in round 4e (this session; deferred behind the regrades)
+        "text_substring_dedup", "text_encoding_audit",
     }
     # the driver's observed grading budget is 50 queries per round
     # (r02 and r03 both truncated there); the 11 VERDICT-r03-flagged

@@ -1,0 +1,119 @@
+"""Third-engine invariants for the substring-dedup and encoding-audit
+operators: pure-Python recomputation from the raw parquet, independent
+of both SQL engines (the DuckDB oracle parity runs separately in
+test_oracle_parity)."""
+
+from __future__ import annotations
+
+from collections import Counter, defaultdict
+
+import pandas as pd
+
+from big_data_2021_spark_streaming_spark.operators.text import (
+    SUBDUP_L,
+    SUBDUP_STRIDE,
+    encoding_audit,
+    substring_dedup,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs() -> pd.DataFrame:
+    return pd.read_parquet(f"{SF}/documents.parquet")
+
+
+def test_substring_dedup_matches_pure_python(spark):
+    docs = _docs()
+    # sampled windows, then grams shared across >=2 distinct docs
+    positions: list[tuple[int, int, str]] = []
+    for doc_id, text in zip(docs["doc_id"], docs["text"]):
+        if len(text) < SUBDUP_L:
+            continue
+        for pos in range(1, len(text) - SUBDUP_L + 2, SUBDUP_STRIDE):
+            positions.append((int(doc_id), pos, text[pos - 1 : pos - 1 + SUBDUP_L]))
+    docs_per_gram: dict[str, set[int]] = defaultdict(set)
+    for doc_id, _, gram in positions:
+        docs_per_gram[gram].add(doc_id)
+    shared = {g for g, ds in docs_per_gram.items() if len(ds) >= 2}
+
+    hits_by_doc: dict[int, list[int]] = defaultdict(list)
+    for doc_id, pos, gram in positions:
+        if gram in shared:
+            hits_by_doc[doc_id].append(pos)
+
+    expected: dict[int, tuple[int, int, int]] = {}
+    for doc_id, hit_list in hits_by_doc.items():
+        hit_list.sort()
+        islands = 0
+        covered = 0
+        start = end = None
+        for pos in hit_list:
+            if end is None or pos > end:
+                if end is not None:
+                    covered += end - start
+                islands += 1
+                start = pos
+            end = max(end or 0, pos + SUBDUP_L)
+        covered += end - start
+        expected[doc_id] = (len(hit_list), islands, covered)
+
+    rows = substring_dedup(spark, SF).collect()
+    assert len(rows) == len(docs)
+    n_with_dups = 0
+    for r in rows:
+        n_hits, n_islands, dup_chars = expected.get(r.doc_id, (0, 0, 0))
+        assert (r.n_hits, r.n_islands, r.dup_chars) == (n_hits, n_islands, dup_chars)
+        assert r.dup_permille == (2 * 1000 * dup_chars + r.n_chars) // (2 * r.n_chars)
+        assert 0 <= r.dup_permille <= 1000
+        n_with_dups += dup_chars > 0
+    # the synthetic word-soup corpus genuinely repeats across docs:
+    # the operator must find signal, not vacuously pass on zeros
+    assert n_with_dups > 0
+
+
+def test_encoding_audit_matches_pure_python(spark):
+    docs = _docs()
+    agg: dict[str, Counter] = defaultdict(Counter)
+    for doc_id, text, source in zip(docs["doc_id"], docs["text"], docs["source"]):
+        t = text
+        if doc_id % 7 == 0:
+            t += " cafÃ©"
+        if doc_id % 9 == 0:
+            t += " �"
+        if doc_id % 11 == 0:
+            t += " x\x07y"
+        c = agg[source]
+        c["n_docs"] += 1
+        c["mojibake_docs"] += "Ã©" in t
+        c["replacement_docs"] += "�" in t
+        c["ctrl_chars"] += sum(
+            1 for ch in t if ord(ch) < 0x20 and ch not in "\t\n\r"
+        )
+        c["nonascii_chars"] += sum(1 for ch in t if ord(ch) > 0x7F)
+        c["total_chars"] += len(t)
+
+    rows = encoding_audit(spark, SF).collect()
+    assert len(rows) == len(agg)
+    assert any(r.mojibake_docs > 0 for r in rows)
+    assert any(r.replacement_docs > 0 for r in rows)
+    assert any(r.ctrl_chars > 0 for r in rows)
+    for r in rows:
+        c = agg[r.source]
+        assert (
+            r.n_docs,
+            r.mojibake_docs,
+            r.replacement_docs,
+            r.ctrl_chars,
+            r.nonascii_chars,
+            r.total_chars,
+        ) == (
+            c["n_docs"],
+            c["mojibake_docs"],
+            c["replacement_docs"],
+            c["ctrl_chars"],
+            c["nonascii_chars"],
+            c["total_chars"],
+        )
+        num = 2 * 1_000_000 * c["nonascii_chars"] + c["total_chars"]
+        assert r.nonascii_ppm == num // (2 * c["total_chars"])
