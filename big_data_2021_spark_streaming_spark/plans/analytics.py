@@ -413,9 +413,16 @@ def peak_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     Each session emits a (+1 at start, −1 at end) boundary, a running
     sum over the boundary order is the live concurrency, and the peak
     is its max; ends sort before coincident starts so back-to-back
-    sessions don't double-count. One global-ordered window over
-    2·|sessions| boundary rows — tiny next to the events that made
-    them; the event scan itself stays partitioned."""
+    sessions don't double-count.
+
+    The prefix sum is two-phase so no task ever sees the whole
+    boundary stream: per-day partial running sums under a PARTITIONED
+    window, plus a day-level offset table (one row per day — the only
+    globally-ordered window, over a calendar-bounded frame) broadcast
+    back. date(ts) is monotone in ts, so (day, ts, delta) is the same
+    total order as (ts, delta) and the result is identical to the
+    single-partition form — this is the scan-scalable shape at 100 TB,
+    where 2·|sessions| boundary rows are themselves billions."""
     sessions = session_window_stats(spark, sf_dir)
     boundaries = sessions.select(
         F.col("session_start").alias("ts"), F.lit(1).alias("delta")
@@ -423,12 +430,25 @@ def peak_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         sessions.select(
             F.col("session_end").alias("ts"), F.lit(-1).alias("delta")
         )
-    )
-    w = Window.orderBy("ts", "delta").rowsBetween(
+    ).withColumn("day", F.to_date("ts"))
+    w_in = Window.partitionBy("day").orderBy("ts", "delta").rowsBetween(
         Window.unboundedPreceding, 0
     )
-    live = boundaries.select(
-        "ts", F.sum("delta").over(w).alias("concurrent")
+    partial = boundaries.select(
+        "day", "ts", F.sum("delta").over(w_in).alias("partial")
+    )
+    day_totals = boundaries.groupBy("day").agg(
+        F.sum("delta").alias("day_total")
+    )
+    w_off = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = day_totals.select(
+        "day",
+        F.coalesce(F.sum("day_total").over(w_off), F.lit(0)).alias("offset"),
+    )
+    live = partial.join(F.broadcast(offsets), "day").select(
+        "ts", (F.col("partial") + F.col("offset")).alias("concurrent")
     )
     peak = live.agg(F.max("concurrent").alias("peak_concurrent"))
     return (
