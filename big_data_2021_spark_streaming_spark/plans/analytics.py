@@ -679,6 +679,57 @@ def range_join_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ASOF_TOL_SEC = 7200  # attribution lookback window
+
+
+def asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stream as-of join with tolerance — last-touch attribution:
+    every purchase matched to the SAME user's most recent click at or
+    before it, provided the click is within ASOF_TOL_SEC. Contrast
+    with ``range_join_click_purchase``, which enumerates ALL pairs in
+    the window; as-of picks exactly one (or none).
+
+    The scalable shape is the union trick, not a join: tag both
+    streams, one window pass per user carries the latest click forward
+    (last over a struct, ignorenulls — id and ts move atomically so
+    ties can't split across columns), then purchases outside tolerance
+    null their match. Because backward as-of picks the GREATEST click
+    ts ≤ purchase ts, an out-of-tolerance latest click implies every
+    older click is also out — nulling equals the filtered as-of. One
+    user_id shuffle, linear in events; never clicks×purchases."""
+    events = load_table(spark, sf_dir, "events")
+    both = events.where(F.col("event_type").isin("click", "purchase")).select(
+        "event_id",
+        "user_id",
+        "ts",
+        # clicks sort before a same-instant purchase so it attributes
+        F.when(F.col("event_type") == "click", 0).otherwise(1).alias("tag"),
+        F.when(
+            F.col("event_type") == "click",
+            F.struct(F.col("event_id").alias("cid"), F.col("ts").alias("cts")),
+        ).alias("click"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "tag", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    matched = both.withColumn(
+        "last_click", F.last("click", ignorenulls=True).over(w)
+    ).where(F.col("tag") == 1)
+    in_tol = F.col("last_click").isNotNull() & (
+        _epoch_us("ts") - _epoch_us(F.col("last_click.cts"))
+        <= ASOF_TOL_SEC * 1_000_000
+    )
+    return matched.select(
+        F.col("event_id").alias("purchase_event_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.when(in_tol, F.col("last_click.cid")).alias("click_event_id"),
+        F.when(in_tol, F.col("last_click.cts")).alias("click_ts"),
+    )
+
+
 SALT_BUCKETS = 16
 
 
@@ -2360,6 +2411,7 @@ QUERIES: dict[str, object] = {
     "user_event_gaps": user_event_gaps,
     "sliding_window_stats": sliding_window_stats,
     "asof_last_signup": asof_last_signup,
+    "asof_attribution": asof_attribution,
     "range_join_click_purchase": range_join_click_purchase,
     "salted_type_totals": salted_type_totals,
     "promo_revenue_ratio": promo_revenue_ratio,

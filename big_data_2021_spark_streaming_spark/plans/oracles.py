@@ -643,6 +643,30 @@ ORACLES["asof_last_signup"] = """
     FROM events
 """
 
+# the oracle uses the naive per-purchase LATERAL lookup — the clear
+# declarative form of backward-as-of-with-tolerance; the Spark side's
+# union-trick window pass must reproduce it exactly (including the
+# max-event-id tie-break among same-instant clicks)
+ORACLES["asof_attribution"] = """
+    SELECT p.event_id AS purchase_event_id,
+           p.user_id,
+           p.ts AS purchase_ts,
+           c.cid AS click_event_id,
+           c.cts AS click_ts
+    FROM (SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'purchase') p
+    LEFT JOIN LATERAL (
+        SELECT event_id AS cid, ts AS cts
+        FROM events c
+        WHERE c.event_type = 'click'
+          AND c.user_id = p.user_id
+          AND c.ts <= p.ts
+          AND c.ts >= p.ts - INTERVAL 7200 SECOND
+        ORDER BY c.ts DESC, c.event_id DESC
+        LIMIT 1
+    ) c ON TRUE
+"""
+
 # the oracle uses the naive interval join — correct at oracle scale,
 # and exactly what the bucketed rewrite must reproduce
 ORACLES["range_join_click_purchase"] = """

@@ -132,6 +132,7 @@ _GRADE_AFTER_REGRADES = frozenset(
         # round-4e additions (this session)
         "text_substring_dedup",
         "text_encoding_audit",
+        "asof_attribution",
     }
 )
 

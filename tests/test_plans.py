@@ -91,6 +91,47 @@ def test_lsh_topk_is_equi_join_not_cross(spark):
     assert "CartesianProduct" not in p
 
 
+def test_asof_attribution_is_window_pass_not_join(spark):
+    # the union-trick as-of: one user_id exchange feeding a Window,
+    # and no join between the click and purchase streams at all
+    p = plan(spark, "asof_attribution")
+    assert "Window" in p
+    assert "Join" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_runtime_bloom_filter_injection_available(spark):
+    # the 100 TB scan-reduction knob: Catalyst injects a bloom filter
+    # built from a selective dim subset into the fact-side scan of a
+    # shuffle join. Local testdata sits under the default size
+    # thresholds, so pin the capability by lowering them — the assert
+    # is that this Spark build DOES plan BloomFilterMightContain /
+    # bloom_filter_agg when a production-sized plan qualifies.
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = spark.read.parquet(f"{SF}/lineitem.parquet")
+        orders = spark.read.parquet(f"{SF}/orders.parquet").where(
+            "o_orderpriority = '1-URGENT'"
+        )
+        j = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        p = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in p or "might_contain" in p
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+
+
 def test_clickers_single_shuffle(spark):
     p = plan(spark, "clickers_not_purchasers")
     # one conditional aggregation: exactly one exchange, no set-op trio
@@ -586,7 +627,7 @@ def test_registry_orders_unverified_queries_first():
         "corpus_cross_source_overlap", "embedding_centroid_drift",
         "lake_column_stats", "event_path_topk", "event_cooccurrence_lift",
         # new in round 4e (this session; deferred behind the regrades)
-        "text_substring_dedup", "text_encoding_audit",
+        "text_substring_dedup", "text_encoding_audit", "asof_attribution",
     }
     # the driver's observed grading budget is 50 queries per round
     # (r02 and r03 both truncated there); the 11 VERDICT-r03-flagged
