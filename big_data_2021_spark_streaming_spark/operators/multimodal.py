@@ -200,6 +200,102 @@ def multimodal_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dedup_enriched_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The synthetic corpus has no byte-exact duplicate documents at
+    the graded scale, so the dedup queries would verify vacuously on
+    zero rows. Deterministic keyed injection (the ``_pii_enriched_text``
+    pattern, mirrored exactly in the oracles): doc_id%41 collapses onto
+    3 canonical payloads (exact-dup groups); doc_id%43 gets a
+    chunk-structured payload whose first three quarters are shared and
+    whose last quarter varies by doc_id%2 — partial frame overlap for
+    the frame-level near-dup."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    canon = F.concat(F.lit("CANONICAL-ASSET-"), (d % 3).cast("string"))
+    framey = F.concat(
+        F.repeat(F.lit("frame-chunk-"), 25),
+        F.repeat(F.when(d % 2 == 0, "X").otherwise("Y"), 100),
+    )
+    text = (
+        F.when(d % 41 == 0, canon).when(d % 43 == 0, framey).otherwise(F.col("text"))
+    )
+    return docs.select(
+        "doc_id",
+        F.lit("text/plain").alias("media_type"),
+        F.encode(text, "utf-8").alias("payload"),
+        (F.length(text) % 1024).cast("int").alias("meta_width"),
+        (F.length(text) % 768).cast("int").alias("meta_height"),
+    )
+
+
+# the oracle twin of _dedup_enriched_assets' payload expression
+_ENRICHED_TEXT_SQL = """
+    CASE WHEN doc_id % 41 = 0
+         THEN 'CANONICAL-ASSET-' || CAST(doc_id % 3 AS VARCHAR)
+         WHEN doc_id % 43 = 0
+         THEN repeat('frame-chunk-', 25)
+              || repeat(CASE WHEN doc_id % 2 = 0 THEN 'X' ELSE 'Y' END, 100)
+         ELSE text END
+"""
+
+
+def multimodal_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-exact asset dedup — the image-dedup baseline every
+    multimodal corpus runs first: group assets by (content_md5,
+    n_bytes) from the Arrow decode pass, keep the lowest doc_id per
+    group, and report copy counts and the bytes a dedup pass would
+    reclaim. The md5 is computed inside ``mapInPandas`` (payload bytes
+    never leave the executors); the groupBy shuffles 16-byte digests,
+    not payloads — at 100 TB the shuffle is ~0.01% of the corpus."""
+    decoded = decode_assets(_dedup_enriched_assets(spark, sf_dir))
+    return (
+        decoded.groupBy("content_md5", "n_bytes")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_copies"),
+            F.min("doc_id").alias("keep_doc_id"),
+        )
+        .where(F.col("n_copies") >= 2)
+        .select(
+            "content_md5",
+            F.col("n_bytes").cast("bigint").alias("n_bytes"),
+            "n_copies",
+            "keep_doc_id",
+            ((F.col("n_copies") - 1) * F.col("n_bytes"))
+            .cast("bigint")
+            .alias("reclaimable_bytes"),
+        )
+    )
+
+
+def multimodal_frame_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-level near-dup: assets sharing ≥1 identical frame
+    signature (chunk md5 from the frame-sampling pass) — the video
+    near-dup primitive (re-encodes and containers differ, sampled
+    frames collide). Pair generation is an equi-join on frame_md5
+    within duplicated signatures only — LSH-bucket shape, never
+    asset×asset; per-pair agreement counts come from one aggregate."""
+    frames = sample_frames(_dedup_enriched_assets(spark, sf_dir))
+    # signatures seen in >=2 assets, pre-aggregated to (md5, doc) pairs
+    sig_docs = frames.select("frame_md5", "doc_id").distinct()
+    pairs = (
+        sig_docs.alias("a")
+        .join(sig_docs.alias("b"), "frame_md5")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("shared_frames"))
+    )
+    return pairs.select(
+        "doc_a",
+        "doc_b",
+        "shared_frames",
+        F.expr(
+            f"(2 * 1000 * shared_frames + {N_FRAMES}) div (2 * {N_FRAMES})"
+        ).alias("overlap_permille"),
+    )
+
+
 ORACLES: dict[str, str] = {
     # the documents text is plain ASCII in the fixtures, so utf-8 byte
     # features are computable from the text itself
@@ -252,7 +348,56 @@ ORACLES["multimodal_type_stats"] = """
     GROUP BY media_type
 """
 
+ORACLES["multimodal_exact_dedup"] = f"""
+    WITH enriched AS (
+        SELECT doc_id, {_ENRICHED_TEXT_SQL} AS text FROM documents
+    ),
+    decoded AS (
+        SELECT doc_id,
+               md5(text) AS content_md5,
+               octet_length(encode(text)) AS n_bytes
+        FROM enriched
+    )
+    SELECT content_md5,
+           CAST(n_bytes AS BIGINT) AS n_bytes,
+           CAST(COUNT(*) AS BIGINT) AS n_copies,
+           MIN(doc_id) AS keep_doc_id,
+           CAST((COUNT(*) - 1) * n_bytes AS BIGINT) AS reclaimable_bytes
+    FROM decoded
+    GROUP BY content_md5, n_bytes
+    HAVING COUNT(*) >= 2
+"""
+
+ORACLES["multimodal_frame_neardup"] = f"""
+    WITH documents_enriched AS (
+        SELECT doc_id, {_ENRICHED_TEXT_SQL} AS text FROM documents
+    ),
+    frames AS (
+        SELECT doc_id,
+               md5(substring(text, CAST(s + 1 AS INTEGER),
+                             CAST(e - s AS INTEGER))) AS frame_md5
+        FROM (SELECT doc_id, text,
+                     (length(text) * i) // {N_FRAMES} AS s,
+                     (length(text) * (i + 1)) // {N_FRAMES} AS e
+              FROM documents_enriched
+              CROSS JOIN (SELECT unnest(range({N_FRAMES})) AS i))
+        WHERE e > s
+    ),
+    sig_docs AS (SELECT DISTINCT frame_md5, doc_id FROM frames)
+    SELECT a.doc_id AS doc_a,
+           b.doc_id AS doc_b,
+           CAST(COUNT(*) AS BIGINT) AS shared_frames,
+           (2 * 1000 * CAST(COUNT(*) AS BIGINT) + {N_FRAMES})
+               // (2 * {N_FRAMES}) AS overlap_permille
+    FROM sig_docs a JOIN sig_docs b USING (frame_md5)
+    WHERE a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+"""
+
 QUERIES = {
+    # round-4e additions first (registry order = grading order)
+    "multimodal_exact_dedup": multimodal_exact_dedup,
+    "multimodal_frame_neardup": multimodal_frame_neardup,
     "multimodal_decode": multimodal_decode,
     "multimodal_frame_sample": multimodal_frame_sample,
     "multimodal_type_stats": multimodal_type_stats,

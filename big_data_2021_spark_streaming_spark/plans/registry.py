@@ -133,6 +133,8 @@ _GRADE_AFTER_REGRADES = frozenset(
         "text_substring_dedup",
         "text_encoding_audit",
         "asof_attribution",
+        "multimodal_exact_dedup",
+        "multimodal_frame_neardup",
     }
 )
 
