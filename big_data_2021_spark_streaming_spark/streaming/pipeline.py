@@ -194,6 +194,60 @@ def idempotent_parquet_batch_writer(out_dir: str):
     return write
 
 
+def upsert_state_batch_writer(out_dir: str, key_cols, order_cols):
+    """batch_fn for ``to_foreach_batch_sink``: streaming MERGE-upsert
+    without a table format — maintains a compacted latest-row-per-key
+    state table across micro-batches. State_N = latest-per-key of
+    (State_{N-1} ∪ batch_N), written whole to ``out_dir/v=N``; readers
+    take the highest committed version (``read_upsert_state``).
+
+    Versioned-overwrite makes batch replays idempotent: re-running
+    batch N recomputes v=N from the untouched v=N-1 and the replayed
+    rows — the same exactly-once-effect contract as
+    ``idempotent_parquet_batch_writer``, extended to keyed state.
+    ``order_cols`` break ties descending (newest wins; include a
+    unique id after the event time so replays are deterministic).
+
+    Scale: the merge is one key-partitioned window over
+    |state| + |batch| rows — the compact-on-write shape; nothing
+    collects to the driver. A lakehouse deployment swaps this for
+    MERGE INTO on a transactional table; the streaming contract
+    (foreachBatch + idempotent per batch_id) is identical."""
+    from pyspark.sql import Window
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        cols = batch_df.columns
+        merged = batch_df
+        if batch_id > 0:
+            prev = spark.read.parquet(f"{out_dir}/v={batch_id - 1}")
+            merged = prev.select(cols).unionByName(batch_df)
+        w = Window.partitionBy(*key_cols).orderBy(
+            *[F.col(c).desc() for c in order_cols]
+        )
+        (
+            merged.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
+            .write.mode("overwrite")
+            .parquet(f"{out_dir}/v={batch_id}")
+        )
+
+    return write
+
+
+def read_upsert_state(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Current state = the highest committed version dir."""
+    import os
+
+    versions = [
+        int(d.split("=", 1)[1])
+        for d in os.listdir(out_dir)
+        if d.startswith("v=")
+    ]
+    return spark.read.parquet(f"{out_dir}/v={max(versions)}")
+
+
 DRIFT_BUCKETS = 10
 
 

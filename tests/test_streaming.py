@@ -868,3 +868,78 @@ def test_sessionize_rocksdb_state_store_matches_default(
     s = out[0]
     assert s.user_id == 1 and s.n_events == 3 and s.total_value == 6.0
     assert s.session_start == t0 and s.session_end == t0 + timedelta(minutes=10)
+
+
+def test_upsert_state_writer_maintains_latest_per_key(spark, tmp_path):
+    """Streaming MERGE-upsert via foreachBatch: versioned compaction
+    keeps the latest row per key across micro-batches, and replaying a
+    batch_id rewrites its own version identically (idempotent under
+    the at-least-once delivery contract)."""
+    import json as _json
+
+    from big_data_2021_spark_streaming_spark.streaming.pipeline import (
+        read_upsert_state,
+        to_foreach_batch_sink,
+        upsert_state_batch_writer,
+    )
+
+    src = tmp_path / "ups_src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ups_ckpt")
+    out = str(tmp_path / "ups_out")
+    writer = upsert_state_batch_writer(
+        out, key_cols=["user_id"], order_cols=["ts", "event_id"]
+    )
+
+    def run():
+        stream = (
+            spark.readStream.schema(
+                "event_id LONG, ts STRING, user_id LONG, utype STRING"
+            )
+            .json(str(src))
+            .selectExpr(
+                "event_id", "CAST(ts AS TIMESTAMP) AS ts", "user_id", "utype"
+            )
+        )
+        q = to_foreach_batch_sink(stream, writer, ckpt, available_now=True)
+        q.awaitTermination()
+
+    (src / "b0.json").write_text(
+        "\n".join(
+            _json.dumps(e)
+            for e in [
+                {"event_id": 1, "ts": "2024-01-01 10:00:00", "user_id": 1, "utype": "A"},
+                {"event_id": 2, "ts": "2024-01-01 10:01:00", "user_id": 2, "utype": "B"},
+            ]
+        )
+    )
+    run()
+    state0 = {r.user_id: r.utype for r in read_upsert_state(spark, out).collect()}
+    assert state0 == {1: "A", 2: "B"}
+
+    # newer row for user 1, plus a LATE row older than user 2's current
+    # state — the upsert must take the newer ts, not the newer batch
+    (src / "b1.json").write_text(
+        "\n".join(
+            _json.dumps(e)
+            for e in [
+                {"event_id": 3, "ts": "2024-01-01 10:05:00", "user_id": 1, "utype": "C"},
+                {"event_id": 4, "ts": "2024-01-01 09:00:00", "user_id": 2, "utype": "STALE"},
+            ]
+        )
+    )
+    run()
+    state1 = {r.user_id: r.utype for r in read_upsert_state(spark, out).collect()}
+    assert state1 == {1: "C", 2: "B"}
+
+    # replay batch 1 by hand: identical inputs -> identical v=1 state
+    replay = spark.read.schema(
+        "event_id LONG, ts STRING, user_id LONG, utype STRING"
+    ).json(str(src / "b1.json")).selectExpr(
+        "event_id", "CAST(ts AS TIMESTAMP) AS ts", "user_id", "utype"
+    )
+    writer(replay, 1)
+    state_replayed = {
+        r.user_id: r.utype for r in read_upsert_state(spark, out).collect()
+    }
+    assert state_replayed == state1
