@@ -1770,8 +1770,110 @@ ORACLES["text_encoding_audit"] = """
 """
 
 
+HEAPS_BUCKETS = 20
+
+
+def heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-growth (Heaps-law) curve: cumulative distinct token
+    types vs cumulative token occurrences at HEAPS_BUCKETS ingest
+    checkpoints (doc_id order = ingest order). A flattening curve says
+    the corpus stopped contributing new vocabulary — the
+    diminishing-returns signal that complements ``text_ngram_novelty``
+    (which is per-document; this is the corpus-level fit input for
+    V = K·nᵝ).
+
+    Checkpoints are a deterministic arithmetic bucket of doc_id
+    (``doc_id·B div (max_id+1)``), not NTILE — identical integers in
+    both engines with no tile-distribution spec risk. Plan: one token
+    explode; a vocab-key groupBy for first-occurrence doc (map-side
+    combinable — the same shuffle the dedup family pays); per-doc new
+    -type counts come from aggregating that tiny frame again; the only
+    windows run over the B-row bucket frame."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(tokens_col(F.col("text"))).alias("tok")
+    ).where(F.col("tok") != "")
+    max_id = docs.agg(F.max("doc_id").alias("max_id"))
+    bucket_of = F.expr(f"int((doc_id * {HEAPS_BUCKETS}) div (max_id + 1))")
+    # token occurrences per doc
+    occ = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
+    # new vocabulary types introduced per doc (first-occurrence doc)
+    new_types = (
+        tok.groupBy("tok")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("new_types"))
+    )
+    per_doc = (
+        occ.join(new_types, "doc_id", "left")
+        .crossJoin(F.broadcast(max_id))
+        .select(
+            bucket_of.alias("bucket"),
+            "n_tok",
+            F.coalesce("new_types", F.lit(0)).alias("new_types"),
+        )
+    )
+    per_bucket = per_doc.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("bucket_tokens"),
+        F.sum("new_types").cast("bigint").alias("bucket_new_types"),
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return per_bucket.select(
+        "bucket",
+        "n_docs",
+        "bucket_tokens",
+        "bucket_new_types",
+        F.sum("bucket_tokens").over(w).cast("bigint").alias("cum_tokens"),
+        F.sum("bucket_new_types").over(w).cast("bigint").alias("cum_vocab"),
+    )
+
+
+ORACLES["text_heaps_law"] = f"""
+    WITH tok AS (
+        SELECT doc_id, unnest({_oracle_tokens()}) AS tok FROM documents
+    ),
+    tok_nz AS (SELECT doc_id, tok FROM tok WHERE tok <> ''),
+    m AS (SELECT MAX(doc_id) AS max_id FROM documents),
+    occ AS (
+        SELECT doc_id, COUNT(*) AS n_tok FROM tok_nz GROUP BY doc_id
+    ),
+    new_types AS (
+        SELECT doc_id, COUNT(*) AS new_types
+        FROM (SELECT tok, MIN(doc_id) AS doc_id FROM tok_nz GROUP BY tok)
+        GROUP BY doc_id
+    ),
+    per_doc AS (
+        SELECT CAST(occ.doc_id * {HEAPS_BUCKETS} // (m.max_id + 1) AS INTEGER)
+                   AS bucket,
+               occ.n_tok,
+               COALESCE(n.new_types, 0) AS new_types
+        FROM occ LEFT JOIN new_types n ON occ.doc_id = n.doc_id
+        CROSS JOIN m
+    ),
+    per_bucket AS (
+        SELECT bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tok) AS BIGINT) AS bucket_tokens,
+               CAST(SUM(new_types) AS BIGINT) AS bucket_new_types
+        FROM per_doc GROUP BY bucket
+    )
+    SELECT bucket, n_docs, bucket_tokens, bucket_new_types,
+           CAST(SUM(bucket_tokens) OVER (
+               ORDER BY bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum_tokens,
+           CAST(SUM(bucket_new_types) OVER (
+               ORDER BY bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum_vocab
+    FROM per_bucket
+"""
+
+
 QUERIES = {
     # new-in-round-4 entries first: registry order = driver grading order
+    "text_heaps_law": heaps_law,
     "text_substring_dedup": substring_dedup,
     "text_encoding_audit": encoding_audit,
     "retrieval_rrf_fusion": rrf_fusion,

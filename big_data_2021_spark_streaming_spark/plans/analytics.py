@@ -1684,6 +1684,102 @@ def value_equidepth_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RFM_BANDS = 1024
+
+
+def _exact_global_rank(df: DataFrame, metric: str, tiebreak: str, out: str) -> DataFrame:
+    """Exact global dense row-number by (metric, tiebreak) WITHOUT a
+    single-partition sort: deterministic arithmetic value-bands (a pure
+    function of the value, so ties never straddle bands), row_number
+    within each band, then band offsets from a ≤RFM_BANDS-row cumsum
+    broadcast back — the same two-phase prefix shape as
+    ``peak_concurrent_sessions``. Integer metrics only."""
+    ext = df.agg(
+        F.max(metric).alias("_mx"), F.min(metric).alias("_mn")
+    )
+    banded = df.crossJoin(F.broadcast(ext)).withColumn(
+        "_band",
+        F.expr(
+            f"int((({metric} - _mn) * {RFM_BANDS}) div ((_mx - _mn) + 1))"
+        ),
+    )
+    w_in = Window.partitionBy("_band").orderBy(metric, tiebreak)
+    ranked = banded.withColumn("_r_in", F.row_number().over(w_in))
+    w_off = Window.orderBy("_band").rowsBetween(Window.unboundedPreceding, -1)
+    offs = (
+        ranked.groupBy("_band")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .select(
+            "_band",
+            F.coalesce(F.sum("_c").over(w_off), F.lit(0)).alias("_off"),
+        )
+    )
+    return (
+        ranked.join(F.broadcast(offs), "_band")
+        .withColumn(out, (F.col("_off") + F.col("_r_in")).cast("bigint"))
+        .drop("_band", "_r_in", "_mx", "_mn", "_off")
+    )
+
+
+def customer_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation — the classic lifecycle-marketing cut: per
+    customer, Recency (days from last order to the corpus's latest
+    order), Frequency (order count), Monetary (exact lifetime cents),
+    each scored 1–5 by exact global equi-depth rank
+    (``score = 1 + 5·(rank−1) div n``; recency inverted so 5 = most
+    recent) and concatenated into the familiar 'RFM' cell label.
+
+    Ranks come from ``_exact_global_rank`` — the two-phase banded
+    form, so the 100 TB plan never funnels the customer dimension
+    through one sort task. All arithmetic is integer (days, counts,
+    micro-unit cents): the oracle's plain ROW_NUMBER over the same
+    total order must agree bit-for-bit."""
+    orders = load_table(spark, sf_dir, "orders")
+    corpus_max = orders.agg(F.max("o_orderdate").alias("corpus_max"))
+    per_cust = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count(F.lit(1)).cast("bigint").alias("frequency"),
+            F.sum(
+                F.expr("cast(round(o_totalprice * 1000000) as bigint)")
+            ).alias("micro"),
+        )
+        .crossJoin(F.broadcast(corpus_max))
+        .select(
+            "o_custkey",
+            F.datediff(F.to_date("corpus_max"), F.to_date("last_order"))
+            .cast("bigint")
+            .alias("recency_days"),
+            "frequency",
+            F.expr("(2 * micro + 10000) div 20000").alias("monetary_cents"),
+        )
+    )
+    n_frame = per_cust.agg(F.count(F.lit(1)).alias("n"))
+    ranked = _exact_global_rank(
+        per_cust, "recency_days", "o_custkey", "r_rank"
+    )
+    ranked = _exact_global_rank(ranked, "frequency", "o_custkey", "f_rank")
+    ranked = _exact_global_rank(
+        ranked, "monetary_cents", "o_custkey", "m_rank"
+    )
+    scored = ranked.crossJoin(F.broadcast(n_frame)).select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        "monetary_cents",
+        F.expr("5 - ((r_rank - 1) * 5) div n").cast("int").alias("r_score"),
+        F.expr("1 + ((f_rank - 1) * 5) div n").cast("int").alias("f_score"),
+        F.expr("1 + ((m_rank - 1) * 5) div n").cast("int").alias("m_score"),
+    )
+    return scored.withColumn(
+        "rfm_cell",
+        F.concat_ws(
+            "", F.col("r_score"), F.col("f_score"), F.col("m_score")
+        ),
+    )
+
+
 def forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q6 pattern (shipdate year shifted to the fixture's 1995-
     2001 range): the what-if revenue delta from dropping small-quantity
@@ -2412,6 +2508,7 @@ QUERIES: dict[str, object] = {
     "sliding_window_stats": sliding_window_stats,
     "asof_last_signup": asof_last_signup,
     "asof_attribution": asof_attribution,
+    "customer_rfm_scores": customer_rfm_scores,
     "range_join_click_purchase": range_join_click_purchase,
     "salted_type_totals": salted_type_totals,
     "promo_revenue_ratio": promo_revenue_ratio,

@@ -647,6 +647,47 @@ ORACLES["asof_last_signup"] = """
 # declarative form of backward-as-of-with-tolerance; the Spark side's
 # union-trick window pass must reproduce it exactly (including the
 # max-event-id tie-break among same-instant clicks)
+ORACLES["customer_rfm_scores"] = """
+    WITH per_cust AS (
+        SELECT o_custkey,
+               MAX(o_orderdate) AS last_order,
+               CAST(COUNT(*) AS BIGINT) AS frequency,
+               CAST(SUM(CAST(ROUND(o_totalprice * 1000000) AS BIGINT))
+                    AS BIGINT) AS micro
+        FROM orders GROUP BY o_custkey
+    ),
+    m AS (SELECT MAX(o_orderdate) AS corpus_max FROM orders),
+    base AS (
+        SELECT o_custkey,
+               CAST(date_diff('day', CAST(last_order AS DATE),
+                              CAST(corpus_max AS DATE)) AS BIGINT)
+                   AS recency_days,
+               frequency,
+               (2 * micro + 10000) // 20000 AS monetary_cents
+        FROM per_cust CROSS JOIN m
+    ),
+    ranked AS (
+        SELECT *,
+               ROW_NUMBER() OVER (ORDER BY recency_days, o_custkey) AS r_rank,
+               ROW_NUMBER() OVER (ORDER BY frequency, o_custkey) AS f_rank,
+               ROW_NUMBER() OVER (ORDER BY monetary_cents, o_custkey)
+                   AS m_rank,
+               COUNT(*) OVER () AS n
+        FROM base
+    ),
+    scored AS (
+        SELECT o_custkey, recency_days, frequency, monetary_cents,
+               CAST(5 - ((r_rank - 1) * 5) // n AS INTEGER) AS r_score,
+               CAST(1 + ((f_rank - 1) * 5) // n AS INTEGER) AS f_score,
+               CAST(1 + ((m_rank - 1) * 5) // n AS INTEGER) AS m_score
+        FROM ranked
+    )
+    SELECT *,
+           CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
+               || CAST(m_score AS VARCHAR) AS rfm_cell
+    FROM scored
+"""
+
 ORACLES["asof_attribution"] = """
     SELECT p.event_id AS purchase_event_id,
            p.user_id,

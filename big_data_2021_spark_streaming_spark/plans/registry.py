@@ -135,6 +135,8 @@ _GRADE_AFTER_REGRADES = frozenset(
         "asof_attribution",
         "multimodal_exact_dedup",
         "multimodal_frame_neardup",
+        "text_heaps_law",
+        "customer_rfm_scores",
     }
 )
 

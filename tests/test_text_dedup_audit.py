@@ -117,3 +117,41 @@ def test_encoding_audit_matches_pure_python(spark):
         )
         num = 2 * 1_000_000 * c["nonascii_chars"] + c["total_chars"]
         assert r.nonascii_ppm == num // (2 * c["total_chars"])
+
+
+def test_rfm_scores_match_pure_python(spark):
+    """The banded two-phase global rank must equal a plain sorted rank:
+    recompute RFM from raw orders in pandas and compare exactly."""
+    orders = pd.read_parquet(f"{SF}/orders.parquet")
+    corpus_max = orders["o_orderdate"].max().date()
+    g = orders.groupby("o_custkey")
+    base = {}
+    for ck, sub in g:
+        last = sub["o_orderdate"].max().date()
+        micro = int(sum(round(p * 1_000_000) for p in sub["o_totalprice"]))
+        base[int(ck)] = (
+            (corpus_max - last).days,
+            len(sub),
+            (2 * micro + 10_000) // 20_000,
+        )
+    n = len(base)
+
+    def ranks(metric_idx):
+        order = sorted(base, key=lambda ck: (base[ck][metric_idx], ck))
+        return {ck: i + 1 for i, ck in enumerate(order)}
+
+    r_rank, f_rank, m_rank = ranks(0), ranks(1), ranks(2)
+    from big_data_2021_spark_streaming_spark.plans.analytics import (
+        customer_rfm_scores,
+    )
+
+    rows = customer_rfm_scores(spark, SF).collect()
+    assert len(rows) == n
+    assert {r.rfm_cell for r in rows} > {"555"} or n < 25  # real spread
+    for r in rows:
+        rec, freq, mon = base[r.o_custkey]
+        assert (r.recency_days, r.frequency, r.monetary_cents) == (rec, freq, mon)
+        assert r.r_score == 5 - ((r_rank[r.o_custkey] - 1) * 5) // n
+        assert r.f_score == 1 + ((f_rank[r.o_custkey] - 1) * 5) // n
+        assert r.m_score == 1 + ((m_rank[r.o_custkey] - 1) * 5) // n
+        assert r.rfm_cell == f"{r.r_score}{r.f_score}{r.m_score}"
