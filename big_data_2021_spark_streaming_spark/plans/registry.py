@@ -137,6 +137,7 @@ _GRADE_AFTER_REGRADES = frozenset(
         "multimodal_frame_neardup",
         "text_heaps_law",
         "customer_rfm_scores",
+        "text_bpe_train",
     }
 )
 

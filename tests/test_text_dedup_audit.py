@@ -155,3 +155,46 @@ def test_rfm_scores_match_pure_python(spark):
         assert r.f_score == 1 + ((f_rank[r.o_custkey] - 1) * 5) // n
         assert r.m_score == 1 + ((m_rank[r.o_custkey] - 1) * 5) // n
         assert r.rfm_cell == f"{r.r_score}{r.f_score}{r.m_score}"
+
+
+def test_bpe_train_matches_pure_python(spark):
+    """Textbook BPE (chars -> 4 greedy merges, left-to-right
+    non-overlapping) recomputed in pure Python must give the same
+    merge table."""
+    from big_data_2021_spark_streaming_spark.operators.text import (
+        BPE_ROUNDS,
+        bpe_train,
+    )
+
+    docs = _docs()
+    toks = []
+    for text in docs["text"]:
+        toks.extend(tuple(t) for t in text.strip().split() if t)
+
+    expected = []
+    for _ in range(BPE_ROUNDS):
+        counts: Counter = Counter()
+        for t in toks:
+            for i in range(len(t) - 1):
+                counts[(t[i], t[i + 1])] += 1
+        (a, b), n = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        expected.append((a, b, a + b, n))
+        merged_toks = []
+        for t in toks:
+            out = []
+            i = 0
+            while i < len(t):
+                if i + 1 < len(t) and t[i] == a and t[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(t[i])
+                    i += 1
+            merged_toks.append(tuple(out))
+        toks = merged_toks
+
+    rows = sorted(bpe_train(spark, SF).collect(), key=lambda r: r.round)
+    assert [(r.a, r.b, r.merged, r.n_occ) for r in rows] == expected
+    assert [r.round for r in rows] == list(range(1, BPE_ROUNDS + 1))
