@@ -272,6 +272,38 @@ def event_type_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.union(b).distinct()
 
 
+def user_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral diversity per user as the exact Simpson index: the
+    probability two of the user's events (drawn without replacement)
+    share a type, D = Σnᵢ(nᵢ−1) / (N(N−1)), reported in micro-units
+    (0 = all types distinct, 1e6 = single-type user). The entropy-free
+    diversity measure — Shannon needs ln(), whose last-ulp libm
+    differences aren't IEEE-pinned across engines; Simpson is exact
+    integer rational. Two map-side-combinable aggregates on
+    (user, type) then (user); no joins, scan-speed at 100 TB."""
+    events = load_table(spark, sf_dir, "events")
+    per_type = events.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    agg = per_type.groupBy("user_id").agg(
+        F.sum("c").alias("n_events"),
+        F.count(F.lit(1)).cast("bigint").alias("n_types"),
+        F.sum(F.expr("c * (c - 1)")).alias("num"),
+    )
+    return agg.select(
+        "user_id",
+        F.col("n_events").cast("bigint").alias("n_events"),
+        "n_types",
+        F.when(
+            F.col("n_events") >= 2,
+            F.expr(
+                "(2 * 1000000 * num + n_events * (n_events - 1))"
+                " div (2 * n_events * (n_events - 1))"
+            ),
+        ).alias("simpson_micro"),
+    )
+
+
 def distinct_users_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact distinct aggregation (expand + two-phase agg physically)."""
     events = load_table(spark, sf_dir, "events")
@@ -2498,6 +2530,7 @@ QUERIES: dict[str, object] = {
     "clickers_not_purchasers": clickers_not_purchasers,
     "event_type_union": event_type_union,
     "distinct_users_per_type": distinct_users_per_type,
+    "user_simpson_diversity": user_simpson_diversity,
     "rollup_order_status": rollup_order_status,
     "cube_event_stats": cube_event_stats,
     "pivot_user_event_values": pivot_user_event_values,

@@ -647,6 +647,26 @@ ORACLES["asof_last_signup"] = """
 # declarative form of backward-as-of-with-tolerance; the Spark side's
 # union-trick window pass must reproduce it exactly (including the
 # max-event-id tie-break among same-instant clicks)
+ORACLES["user_simpson_diversity"] = """
+    WITH per_type AS (
+        SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY user_id, event_type
+    ),
+    agg AS (
+        SELECT user_id,
+               CAST(SUM(c) AS BIGINT) AS n_events,
+               CAST(COUNT(*) AS BIGINT) AS n_types,
+               CAST(SUM(c * (c - 1)) AS BIGINT) AS num
+        FROM per_type GROUP BY user_id
+    )
+    SELECT user_id, n_events, n_types,
+           CASE WHEN n_events >= 2
+                THEN (2 * 1000000 * num + n_events * (n_events - 1))
+                     // (2 * n_events * (n_events - 1))
+           END AS simpson_micro
+    FROM agg
+"""
+
 ORACLES["customer_rfm_scores"] = """
     WITH per_cust AS (
         SELECT o_custkey,

@@ -138,6 +138,7 @@ _GRADE_AFTER_REGRADES = frozenset(
         "text_heaps_law",
         "customer_rfm_scores",
         "text_bpe_train",
+        "user_simpson_diversity",
     }
 )
 
