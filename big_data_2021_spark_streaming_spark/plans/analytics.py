@@ -1812,6 +1812,54 @@ def customer_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def value_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization report — the outlier-clipping preprocessor robust
+    training statistics start from: exact 1st/99th percentile bounds
+    (discrete: value at rank ⌈q·n⌉ in (value, event_id) order) and the
+    corpus totals before/after clipping, all in integer micro-units.
+
+    The percentile ranks come from ``_exact_global_rank`` (banded
+    two-phase row-number — no single-partition sort of the fact
+    table); the two bound rows broadcast back into one clipping scan.
+    approx_percentile is the classic shortcut, but its results aren't
+    reproducible across engines or cluster layouts — a winsorized
+    training corpus must clip at the SAME values everywhere."""
+    events = load_table(spark, sf_dir, "events")
+    base = events.select(
+        "event_id", F.expr("cast(round(value * 1000000) as bigint)").alias("m")
+    )
+    ranked = _exact_global_rank(base, "m", "event_id", "rnk")
+    n_frame = base.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    bounds = (
+        ranked.crossJoin(F.broadcast(n_frame))
+        .where(
+            (F.col("rnk") == F.expr("(n + 99) div 100"))
+            | (F.col("rnk") == F.expr("(99 * n + 99) div 100"))
+        )
+        .groupBy()
+        .agg(
+            F.min("m").alias("lo_micro"),
+            F.max("m").alias("hi_micro"),
+        )
+    )
+    clipped = base.crossJoin(F.broadcast(bounds)).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.first("lo_micro").alias("lo_micro"),
+        F.first("hi_micro").alias("hi_micro"),
+        F.sum((F.col("m") < F.col("lo_micro")).cast("bigint")).alias(
+            "n_clipped_lo"
+        ),
+        F.sum((F.col("m") > F.col("hi_micro")).cast("bigint")).alias(
+            "n_clipped_hi"
+        ),
+        F.sum("m").alias("sum_micro"),
+        F.sum(
+            F.greatest(F.col("lo_micro"), F.least(F.col("hi_micro"), F.col("m")))
+        ).alias("winsorized_sum_micro"),
+    )
+    return clipped
+
+
 def forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q6 pattern (shipdate year shifted to the fixture's 1995-
     2001 range): the what-if revenue delta from dropping small-quantity
@@ -2531,6 +2579,7 @@ QUERIES: dict[str, object] = {
     "event_type_union": event_type_union,
     "distinct_users_per_type": distinct_users_per_type,
     "user_simpson_diversity": user_simpson_diversity,
+    "value_winsorize": value_winsorize,
     "rollup_order_status": rollup_order_status,
     "cube_event_stats": cube_event_stats,
     "pivot_user_event_values": pivot_user_event_values,

@@ -647,6 +647,37 @@ ORACLES["asof_last_signup"] = """
 # declarative form of backward-as-of-with-tolerance; the Spark side's
 # union-trick window pass must reproduce it exactly (including the
 # max-event-id tie-break among same-instant clicks)
+ORACLES["value_winsorize"] = """
+    WITH base AS (
+        SELECT event_id,
+               CAST(ROUND(value * 1000000) AS BIGINT) AS m
+        FROM events
+    ),
+    ranked AS (
+        SELECT m,
+               ROW_NUMBER() OVER (ORDER BY m, event_id) AS rnk,
+               COUNT(*) OVER () AS n
+        FROM base
+    ),
+    bounds AS (
+        SELECT MIN(m) AS lo_micro, MAX(m) AS hi_micro
+        FROM ranked
+        WHERE rnk = (n + 99) // 100 OR rnk = (99 * n + 99) // 100
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_events,
+           b.lo_micro,
+           b.hi_micro,
+           CAST(SUM(CASE WHEN m < b.lo_micro THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_clipped_lo,
+           CAST(SUM(CASE WHEN m > b.hi_micro THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_clipped_hi,
+           CAST(SUM(m) AS BIGINT) AS sum_micro,
+           CAST(SUM(GREATEST(b.lo_micro, LEAST(b.hi_micro, m))) AS BIGINT)
+               AS winsorized_sum_micro
+    FROM base CROSS JOIN bounds b
+    GROUP BY b.lo_micro, b.hi_micro
+"""
+
 ORACLES["user_simpson_diversity"] = """
     WITH per_type AS (
         SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS c

@@ -139,6 +139,7 @@ _GRADE_AFTER_REGRADES = frozenset(
         "customer_rfm_scores",
         "text_bpe_train",
         "user_simpson_diversity",
+        "value_winsorize",
     }
 )
 
