@@ -1812,6 +1812,55 @@ def customer_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BOT_MIN_GAPS = 5
+
+
+def user_bot_periodicity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bot-likeness signal: the share of a user's inter-event gaps that
+    equal their single most common gap (bucketed to whole seconds).
+    Organic users have dispersed gaps; schedulers and replay bots emit
+    near-identical ones, so a high modal share flags automation — the
+    variance-free periodicity heuristic (entropy/variance need
+    float math; this is exact integers end to end).
+
+    One user-partitioned lag window (same shuffle as
+    ``user_event_gaps``), a (user, gap) count, and a per-user argmax
+    via max_by with a deterministic smallest-gap tie-break."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = (
+        events.withColumn(
+            "gap_us", _epoch_us("ts") - _epoch_us(F.lag("ts").over(w))
+        )
+        .where(F.col("gap_us").isNotNull())
+        .select("user_id", F.expr("gap_us div 1000000").alias("gap_s"))
+    )
+    per_gap = gaps.groupBy("user_id", "gap_s").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    return (
+        per_gap.groupBy("user_id")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_gaps"),
+            F.count(F.lit(1)).cast("bigint").alias("n_distinct_gaps"),
+            F.max(F.struct(F.col("c"), (-F.col("gap_s")).alias("ng"))).alias(
+                "top"
+            ),
+        )
+        .where(F.col("n_gaps") >= BOT_MIN_GAPS)
+        .select(
+            "user_id",
+            "n_gaps",
+            "n_distinct_gaps",
+            (-F.col("top.ng")).cast("bigint").alias("modal_gap_s"),
+            F.col("top.c").alias("modal_n"),
+            F.expr(
+                "(2 * 1000000 * top.c + n_gaps) div (2 * n_gaps)"
+            ).alias("periodicity_micro"),
+        )
+    )
+
+
 def value_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winsorization report — the outlier-clipping preprocessor robust
     training statistics start from: exact 1st/99th percentile bounds
@@ -2580,6 +2629,7 @@ QUERIES: dict[str, object] = {
     "distinct_users_per_type": distinct_users_per_type,
     "user_simpson_diversity": user_simpson_diversity,
     "value_winsorize": value_winsorize,
+    "user_bot_periodicity": user_bot_periodicity,
     "rollup_order_status": rollup_order_status,
     "cube_event_stats": cube_event_stats,
     "pivot_user_event_values": pivot_user_event_values,

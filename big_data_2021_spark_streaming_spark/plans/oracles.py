@@ -647,6 +647,36 @@ ORACLES["asof_last_signup"] = """
 # declarative form of backward-as-of-with-tolerance; the Spark side's
 # union-trick window pass must reproduce it exactly (including the
 # max-event-id tie-break among same-instant clicks)
+ORACLES["user_bot_periodicity"] = """
+    WITH gaps AS (
+        SELECT user_id,
+               (epoch_us(ts) - epoch_us(LAG(ts) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id)))
+                   // 1000000 AS gap_s
+        FROM events
+    ),
+    per_gap AS (
+        SELECT user_id, gap_s, CAST(COUNT(*) AS BIGINT) AS c
+        FROM gaps WHERE gap_s IS NOT NULL
+        GROUP BY user_id, gap_s
+    ),
+    ranked AS (
+        SELECT *,
+               CAST(SUM(c) OVER (PARTITION BY user_id) AS BIGINT) AS n_gaps,
+               CAST(COUNT(*) OVER (PARTITION BY user_id) AS BIGINT)
+                   AS n_distinct_gaps,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY c DESC, gap_s) AS rn
+        FROM per_gap
+    )
+    SELECT user_id, n_gaps, n_distinct_gaps,
+           CAST(gap_s AS BIGINT) AS modal_gap_s,
+           c AS modal_n,
+           (2 * 1000000 * c + n_gaps) // (2 * n_gaps) AS periodicity_micro
+    FROM ranked
+    WHERE rn = 1 AND n_gaps >= 5
+"""
+
 ORACLES["value_winsorize"] = """
     WITH base AS (
         SELECT event_id,

@@ -140,6 +140,7 @@ _GRADE_AFTER_REGRADES = frozenset(
         "text_bpe_train",
         "user_simpson_diversity",
         "value_winsorize",
+        "user_bot_periodicity",
     }
 )
 

@@ -630,7 +630,7 @@ def test_registry_orders_unverified_queries_first():
         "text_substring_dedup", "text_encoding_audit", "asof_attribution",
         "multimodal_exact_dedup", "multimodal_frame_neardup",
         "text_heaps_law", "customer_rfm_scores", "text_bpe_train",
-        "user_simpson_diversity", "value_winsorize",
+        "user_simpson_diversity", "value_winsorize", "user_bot_periodicity",
     }
     # the driver's observed grading budget is 50 queries per round
     # (r02 and r03 both truncated there); the 11 VERDICT-r03-flagged
