@@ -168,6 +168,10 @@ _BNLJ_INTENDED = frozenset(
         "join_cardinality_estimate",  # 1-row ground-truth count onto 1-row estimate
         "corpus_cross_source_overlap",  # |sources|-row totals × totals pair grid
         "event_cooccurrence_lift",    # 1-row distinct-user total onto the pair frame
+        "text_heaps_law",             # 1-row max-doc-id scalar onto the doc frame
+        "customer_rfm_scores",        # 1-row min/max + n scalars onto the customer frame
+        "text_bpe_train",             # 1-row winning-pair scalar into each round's fold
+        "value_winsorize",            # 1-row n + percentile-bounds scalars onto the scan
     }
 )
 
