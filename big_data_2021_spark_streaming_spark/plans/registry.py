@@ -141,6 +141,7 @@ _GRADE_AFTER_REGRADES = frozenset(
         "user_simpson_diversity",
         "value_winsorize",
         "user_bot_periodicity",
+        "epoch_shuffle_plan",
     }
 )
 

@@ -172,6 +172,7 @@ _BNLJ_INTENDED = frozenset(
         "customer_rfm_scores",        # 1-row min/max + n scalars onto the customer frame
         "text_bpe_train",             # 1-row winning-pair scalar into each round's fold
         "value_winsorize",            # 1-row n + percentile-bounds scalars onto the scan
+        "epoch_shuffle_plan",         # 3-row epochs frame fanned onto the doc scan
     }
 )
 
@@ -635,6 +636,7 @@ def test_registry_orders_unverified_queries_first():
         "multimodal_exact_dedup", "multimodal_frame_neardup",
         "text_heaps_law", "customer_rfm_scores", "text_bpe_train",
         "user_simpson_diversity", "value_winsorize", "user_bot_periodicity",
+        "epoch_shuffle_plan",
     }
     # the driver's observed grading budget is 50 queries per round
     # (r02 and r03 both truncated there); the 11 VERDICT-r03-flagged
