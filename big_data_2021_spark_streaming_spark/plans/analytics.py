@@ -456,13 +456,16 @@ def peak_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-partition form — this is the scan-scalable shape at 100 TB,
     where 2·|sessions| boundary rows are themselves billions."""
     sessions = session_window_stats(spark, sf_dir)
+    # persisted: referenced by both the partial-sum pass and the
+    # day-total pass — without the barrier the sessionization lineage
+    # (the expensive part) would recompute once per reference
     boundaries = sessions.select(
         F.col("session_start").alias("ts"), F.lit(1).alias("delta")
     ).union(
         sessions.select(
             F.col("session_end").alias("ts"), F.lit(-1).alias("delta")
         )
-    ).withColumn("day", F.to_date("ts"))
+    ).withColumn("day", F.to_date("ts")).persist()
     w_in = Window.partitionBy("day").orderBy("ts", "delta").rowsBetween(
         Window.unboundedPreceding, 0
     )
