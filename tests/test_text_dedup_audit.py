@@ -198,3 +198,66 @@ def test_bpe_train_matches_pure_python(spark):
     rows = sorted(bpe_train(spark, SF).collect(), key=lambda r: r.round)
     assert [(r.a, r.b, r.merged, r.n_occ) for r in rows] == expected
     assert [r.round for r in rows] == list(range(1, BPE_ROUNDS + 1))
+
+
+def test_multimodal_dedup_matches_pure_python(spark):
+    """Byte-exact asset dedup and frame-signature near-dup recomputed
+    from the raw parquet with the same keyed payload injection."""
+    import hashlib
+
+    from big_data_2021_spark_streaming_spark.operators.multimodal import (
+        N_FRAMES,
+        multimodal_exact_dedup,
+        multimodal_frame_neardup,
+    )
+
+    docs = _docs()
+    payloads = {}
+    for doc_id, text in zip(docs["doc_id"], docs["text"]):
+        d = int(doc_id)
+        if d % 41 == 0:
+            t = f"CANONICAL-ASSET-{d % 3}"
+        elif d % 43 == 0:
+            t = "frame-chunk-" * 25 + ("X" if d % 2 == 0 else "Y") * 100
+        else:
+            t = text
+        payloads[d] = t.encode()
+
+    groups = defaultdict(list)
+    for d, b in payloads.items():
+        groups[(hashlib.md5(b).hexdigest(), len(b))].append(d)
+    expected_dups = {
+        k: (len(v), min(v), (len(v) - 1) * k[1])
+        for k, v in groups.items()
+        if len(v) >= 2
+    }
+    rows = multimodal_exact_dedup(spark, SF).collect()
+    got = {
+        (r.content_md5, r.n_bytes): (r.n_copies, r.keep_doc_id, r.reclaimable_bytes)
+        for r in rows
+    }
+    assert got == expected_dups
+    assert len(got) > 0  # injection must produce real duplicate groups
+
+    sig_docs = defaultdict(set)
+    for d, b in payloads.items():
+        L = len(b)
+        for i in range(N_FRAMES):
+            s, e = i * L // N_FRAMES, (i + 1) * L // N_FRAMES
+            if e > s:
+                sig_docs[hashlib.md5(b[s:e]).hexdigest()].add(d)
+    pair_shared = Counter()
+    for ds in sig_docs.values():
+        ds = sorted(ds)
+        for i, a in enumerate(ds):
+            for b2 in ds[i + 1 :]:
+                pair_shared[(a, b2)] += 1
+    rows = multimodal_frame_neardup(spark, SF).collect()
+    assert len(rows) == len(pair_shared)
+    partial = 0
+    for r in rows:
+        n = pair_shared[(r.doc_a, r.doc_b)]
+        assert r.shared_frames == n
+        assert r.overlap_permille == (2 * 1000 * n + N_FRAMES) // (2 * N_FRAMES)
+        partial += 0 < n < N_FRAMES
+    assert partial > 0  # the X/Y variants share exactly 3 of 4 frames
