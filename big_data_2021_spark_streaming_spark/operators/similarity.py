@@ -1789,8 +1789,270 @@ ORACLES["embedding_centroid_drift"] = """
 """
 
 
+# ---------------------------------------------------------------------
+# Binary quantization (BQ): 1 bit/dim sign codes + Hamming candidates
+# ---------------------------------------------------------------------
+
+BQ_WORD_BITS = 32  # dims per packed word (BIGINT-safe, always positive)
+BQ_WORDS = DIM // BQ_WORD_BITS
+BQ_CANDIDATES = 20  # Hamming short-list size before exact rerank
+
+
+def _bq_word_spark(w: int) -> F.Column:
+    """Packed sign word w: bit i set iff milli(v[32w+i]) >= 0. The
+    aggregate-over-sequence form stays one codegen'd expression (the
+    unrolled 32-term sum was measured slower — see _milli note)."""
+    off = w * BQ_WORD_BITS
+    return F.expr(
+        f"aggregate(sequence(0, {BQ_WORD_BITS - 1}), 0L, (acc, i) -> "
+        f"acc + IF(CAST(ROUND(element_at(v, i + {off + 1}) * 1000) AS BIGINT)"
+        f" >= 0, shiftleft(1L, i), 0L))"
+    )
+
+
+def _bq_word_sql(w: int) -> str:
+    off = w * BQ_WORD_BITS
+    return (
+        f"list_sum(list_transform(range(0, {BQ_WORD_BITS}), i -> "
+        f"CASE WHEN CAST(ROUND(v[i + {off + 1}] * 1000) AS BIGINT) >= 0 "
+        f"THEN CAST(1 AS BIGINT) << i ELSE CAST(0 AS BIGINT) END))"
+    )
+
+
+def bq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-quantized top-5: each vector compressed to DIM sign bits
+    (1 bit/dim, packed 32 dims per BIGINT word — 8 bytes total vs 256
+    for float32, the most aggressive quantization tier below SQ8/PQ),
+    candidates short-listed by Hamming distance (bit_count of XOR, two
+    word ops per comparison), then the short-list ONLY reranked by
+    exact cosine.
+
+    Scale: the corpus is touched once to build the 2-word code table
+    (at 100 TB of vectors that table is ~0.4% of corpus bytes and the
+    Hamming scan is SIMD bit-math — the memory-bandwidth-optimal first
+    pass every vector database runs); the rerank joins the 20×20
+    candidate ids back to full vectors, touching only |queries|·C rows.
+    Sign bits are taken on exact integer milli-units so both engines
+    agree at the 0-boundary; Hamming and ranks are exact integers, and
+    only the final rerank cosine is float (sequential-sum, identical
+    in both engines — the similarity_topk contract)."""
+    vecs = _vectors(spark, sf_dir)
+    codes = vecs.select(
+        "vec_id",
+        *[_bq_word_spark(w).alias(f"w{w}") for w in range(BQ_WORDS)],
+    )
+    qcodes = codes.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        *[F.col(f"w{w}").alias(f"q{w}") for w in range(BQ_WORDS)],
+    )
+    ham = sum(
+        F.bit_count(F.expr(f"w{w} ^ q{w}"))
+        for w in range(BQ_WORDS)
+    ).alias("hamming")
+    cand_w = Window.partitionBy("query_id").orderBy("hamming", "vec_id")
+    cands = (
+        codes.crossJoin(F.broadcast(qcodes))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", ham)
+        .withColumn("crank", F.row_number().over(cand_w))
+        .where(F.col("crank") <= BQ_CANDIDATES)
+    )
+    queries = vecs.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("q")
+    )
+    rer_w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("vec_id")
+    )
+    return (
+        cands.join(vecs.select("vec_id", "v"), "vec_id")
+        .join(F.broadcast(queries), "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            "hamming",
+            _cos(F.col("q"), F.col("v")).alias("cos"),
+        )
+        .withColumn("rank", F.row_number().over(rer_w))
+        .where(F.col("rank") <= TOPK)
+        .select(
+            "query_id",
+            F.col("rank").cast("int").alias("rank"),
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("hamming").cast("int").alias("hamming"),
+            F.round("cos", 6).alias("cos_sim"),
+        )
+    )
+
+
+ORACLES["similarity_bq_topk"] = f"""
+    WITH vecs AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    codes AS (
+        SELECT vec_id,
+               {", ".join(f"{_bq_word_sql(w)} AS w{w}" for w in range(BQ_WORDS))}
+        FROM vecs
+    ),
+    qcodes AS (
+        SELECT vec_id AS query_id,
+               {", ".join(f"w{w} AS q{w}" for w in range(BQ_WORDS))}
+        FROM codes WHERE vec_id < {N_QUERIES}
+    ),
+    cands AS (
+        SELECT query_id, vec_id, hamming,
+               row_number() OVER (
+                   PARTITION BY query_id ORDER BY hamming, vec_id
+               ) AS crank
+        FROM (
+            SELECT q.query_id, c.vec_id,
+                   {" + ".join(
+                       f"bit_count(xor(c.w{w}, q.q{w}))"
+                       for w in range(BQ_WORDS)
+                   )} AS hamming
+            FROM codes c CROSS JOIN qcodes q
+            WHERE c.vec_id <> q.query_id
+        )
+    )
+    SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id,
+           CAST(hamming AS INTEGER) AS hamming, ROUND(cos, 6) AS cos_sim
+    FROM (
+        SELECT ca.query_id, ca.vec_id AS neighbor_id, ca.hamming,
+               list_cosine_similarity(qv.v, cv.v) AS cos,
+               row_number() OVER (
+                   PARTITION BY ca.query_id
+                   ORDER BY list_cosine_similarity(qv.v, cv.v) DESC,
+                            ca.vec_id
+               ) AS rank
+        FROM cands ca
+        JOIN vecs cv ON cv.vec_id = ca.vec_id
+        JOIN vecs qv ON qv.vec_id = ca.query_id
+        WHERE ca.crank <= {BQ_CANDIDATES}
+    ) WHERE rank <= {TOPK}
+"""
+
+
+# ---------------------------------------------------------------------
+# Matryoshka (MRL) prefix-dimension recall
+# ---------------------------------------------------------------------
+
+MRL_DIM = 16  # prefix dims used for the cheap first-stage search
+
+
+def matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of top-k search on the first MRL_DIM of DIM dimensions
+    vs full-dimension exact top-k — the acceptance metric for
+    Matryoshka-style truncation, where a prefix of the embedding is
+    itself a valid lower-dim embedding and the index stores only that
+    prefix (4× memory cut at MRL_DIM=16/64 before any quantization).
+
+    Both stages are broadcast-queries × one corpus scan; at 100 TB the
+    prefix pass reads MRL_DIM/DIM of the vector bytes (column pruning
+    does NOT help inside an array, which is exactly why a real MRL
+    layout stores the prefix as its own column/file — this operator is
+    the audit that says whether that layout change pays). Per-query
+    output joins the two 5-row top-k sets; recall is half-up exact
+    2-decimal division (the ann_recall contract)."""
+    vecs = _vectors(spark, sf_dir)
+    queries = vecs.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("q")
+    )
+
+    def _topk(score_col: F.Column) -> DataFrame:
+        w = Window.partitionBy("query_id").orderBy(
+            score_col.desc(), F.col("vec_id")
+        )
+        return (
+            vecs.crossJoin(F.broadcast(queries))
+            .where(F.col("vec_id") != F.col("query_id"))
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= TOPK)
+            .select("query_id", F.col("vec_id").alias("neighbor_id"))
+        )
+
+    exact = _topk(_cos(F.col("q"), F.col("v")))
+    prefix = _topk(
+        _cos(F.slice(F.col("q"), 1, MRL_DIM), F.slice(F.col("v"), 1, MRL_DIM))
+    )
+    return (
+        exact.alias("e")
+        .join(
+            prefix.alias("p"),
+            (F.col("e.query_id") == F.col("p.query_id"))
+            & (F.col("e.neighbor_id") == F.col("p.neighbor_id")),
+            "left",
+        )
+        .groupBy(F.col("e.query_id").alias("query_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.sum(
+                F.when(F.col("p.neighbor_id").isNotNull(), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_hits"),
+        )
+        .select(
+            "query_id",
+            "n_exact",
+            "n_hits",
+            (
+                F.expr("(2 * n_hits * 100 + n_exact) div (2 * n_exact)")
+                / 100.0
+            ).alias("recall"),
+        )
+    )
+
+
+ORACLES["similarity_matryoshka_recall"] = f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        FROM embeddings WHERE vec_id < {N_QUERIES}
+    ),
+    exact AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT q.query_id, e.vec_id AS neighbor_id,
+                   row_number() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY list_cosine_similarity(
+                                    q.qv, CAST(e.embedding AS DOUBLE[])) DESC,
+                                e.vec_id
+                   ) AS rank
+            FROM embeddings e CROSS JOIN q
+            WHERE e.vec_id <> q.query_id
+        ) WHERE rank <= {TOPK}
+    ),
+    approx AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT q.query_id, e.vec_id AS neighbor_id,
+                   row_number() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY list_cosine_similarity(
+                                    q.qv[1:{MRL_DIM}],
+                                    CAST(e.embedding AS DOUBLE[])[1:{MRL_DIM}]
+                                ) DESC,
+                                e.vec_id
+                   ) AS rank
+            FROM embeddings e CROSS JOIN q
+            WHERE e.vec_id <> q.query_id
+        ) WHERE rank <= {TOPK}
+    )
+    SELECT e.query_id,
+           COUNT(*) AS n_exact,
+           CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+           ((2 * CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL
+                               THEN 1 ELSE 0 END) AS BIGINT) * 100
+             + COUNT(*)) // (2 * COUNT(*))) / 100.0 AS recall
+    FROM exact e
+    LEFT JOIN approx a
+        ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+    GROUP BY e.query_id
+"""
+
+
 QUERIES = {
     # new-in-round-4 entries first: registry order = driver grading order
+    "similarity_bq_topk": bq_topk,
+    "similarity_matryoshka_recall": matryoshka_recall,
     "embedding_centroid_drift": centroid_drift,
     "similarity_range_search": range_search,
     "similarity_diverse_topk": diverse_topk,

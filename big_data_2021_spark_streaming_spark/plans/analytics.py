@@ -2591,6 +2591,193 @@ def snapshot_asof_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MAD_K = 3  # anomaly threshold: |x - median| > MAD_K * MAD
+
+
+def _exact_group_rank(
+    df: DataFrame, key: str, metric: str, tiebreak: str, out: str
+) -> DataFrame:
+    """Per-key variant of ``_exact_global_rank``: exact row-number by
+    (metric, tiebreak) within each key WITHOUT one monolithic sort
+    partition per key — deterministic value-bands within the key, rank
+    inside (key, band), then per-key band-offset cumsum (≤|keys|·BANDS
+    rows, broadcast back). A plain ``Window.partitionBy(key)`` funnels
+    each key's entire fact slice through one task; at 100 TB a hot key
+    IS the corpus, so the banded two-phase shape is the difference
+    between a sort that spills one executor and one that spreads over
+    the cluster. Integer metrics only."""
+    ext = df.groupBy(key).agg(
+        F.max(metric).alias("_mx"), F.min(metric).alias("_mn")
+    )
+    banded = df.join(F.broadcast(ext), key).withColumn(
+        "_band",
+        F.expr(
+            f"int((({metric} - _mn) * {RFM_BANDS}) div ((_mx - _mn) + 1))"
+        ),
+    )
+    w_in = Window.partitionBy(key, "_band").orderBy(metric, tiebreak)
+    ranked = banded.withColumn("_r_in", F.row_number().over(w_in))
+    w_off = Window.partitionBy(key).orderBy("_band").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offs = (
+        banded.groupBy(key, "_band")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .select(
+            key,
+            "_band",
+            F.coalesce(F.sum("_c").over(w_off), F.lit(0)).alias("_off"),
+        )
+    )
+    return (
+        ranked.join(F.broadcast(offs), [key, "_band"])
+        .withColumn(out, (F.col("_off") + F.col("_r_in")).cast("bigint"))
+        .drop("_band", "_r_in", "_mx", "_mn", "_off")
+    )
+
+
+def value_mad_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly report per event type: exact median and median-
+    absolute-deviation (both discrete — the element at rank ⌈n/2⌉ in
+    (value, event_id) order, in integer micro-units) and the count of
+    events deviating more than MAD_K·MAD. The z-score variant
+    (value_zscore_anomalies) breaks down when the outliers themselves
+    inflate the σ estimate; MAD has a 50% breakdown point — the robust
+    twin every data-QC stack wants next to it.
+
+    Both selection passes use ``_exact_group_rank`` (banded two-phase
+    row-number), so no event type — however hot — is sorted in one
+    task. approx_percentile would be cheaper but isn't reproducible
+    across engines/layouts, and an anomaly GATE must flag the same
+    rows everywhere. The base and deviation frames are persisted:
+    each feeds a rank (which references its input ~4×) plus the final
+    aggregate."""
+    events = load_table(spark, sf_dir, "events")
+    base = events.select(
+        "event_type",
+        "event_id",
+        F.expr("cast(round(value * 1000000) as bigint)").alias("m"),
+    ).persist()
+    ns = base.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    ranked = _exact_group_rank(base, "event_type", "m", "event_id", "rnk")
+    med = (
+        ranked.join(F.broadcast(ns), "event_type")
+        .where(F.col("rnk") == F.expr("(n + 1) div 2"))
+        .select("event_type", F.col("m").alias("med"))
+    )
+    dev = (
+        base.join(F.broadcast(med), "event_type")
+        .select(
+            "event_type",
+            "event_id",
+            "med",
+            F.abs(F.col("m") - F.col("med")).alias("d"),
+        )
+        .persist()
+    )
+    dranked = _exact_group_rank(
+        dev.select("event_type", "event_id", "d"),
+        "event_type",
+        "d",
+        "event_id",
+        "rnk",
+    )
+    mad = (
+        dranked.join(F.broadcast(ns), "event_type")
+        .where(F.col("rnk") == F.expr("(n + 1) div 2"))
+        .select("event_type", F.col("d").alias("mad"))
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.min("med").alias("median_micro"),
+            F.min("mad").alias("mad_micro"),
+            F.sum(
+                (F.col("d") > MAD_K * F.col("mad")).cast("bigint")
+            ).alias("n_anomalies"),
+            F.max("d").alias("max_dev_micro"),
+        )
+    )
+
+
+AGING_LABELS = ((30, "0-30"), (60, "31-60"), (90, "61-90"))
+
+
+def orders_aging_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order aging — the receivables/backlog report: non-finished
+    orders bucketed by days outstanding as of the corpus's latest
+    order date, with counts and exact open value in cents per
+    (status, bucket). One scan with the status filter pushed to
+    parquet, a 1-row as-of scalar broadcast onto it, and a ≤|status|·4-
+    key aggregate; value goes through the established micro→cents
+    half-up integer path so both engines agree to the cent."""
+    orders = load_table(spark, sf_dir, "orders")
+    asof = orders.agg(F.max("o_orderdate").alias("asof"))
+    bucket = F.when(F.col("age_days") <= AGING_LABELS[0][0], AGING_LABELS[0][1])
+    for days, label in AGING_LABELS[1:]:
+        bucket = bucket.when(F.col("age_days") <= days, label)
+    bucket = bucket.otherwise("90+")
+    return (
+        orders.where(F.col("o_orderstatus") != "F")
+        .crossJoin(F.broadcast(asof))
+        .select(
+            "o_orderstatus",
+            F.datediff(F.to_date("asof"), F.to_date("o_orderdate")).alias(
+                "age_days"
+            ),
+            F.expr("cast(round(o_totalprice * 1000000) as bigint)").alias(
+                "micro"
+            ),
+        )
+        .select("o_orderstatus", bucket.alias("age_bucket"), "micro")
+        .groupBy("o_orderstatus", "age_bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.expr("(2 * sum(micro) + 10000) div 20000").alias(
+                "open_value_cents"
+            ),
+        )
+    )
+
+
+def event_dow_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality per event type: counts and the exact
+    within-type share (micro-units) for each weekday — the profile
+    that separates weekday-peaked business traffic from flat bot
+    traffic and drives day-aware forecast baselines. Weekday comes
+    from pure epoch arithmetic ((days + 4) mod 7, 0 = Sunday) rather
+    than either engine's dow() so the bucketing is engine- and
+    locale-independent. One scan, one |types|·7-key aggregate, one
+    broadcast-back of per-type totals."""
+    events = load_table(spark, sf_dir, "events")
+    counted = (
+        events.select(
+            "event_type", _epoch_us("ts").alias("_us")
+        )
+        .select(
+            "event_type",
+            F.expr("cast((_us div 86400000000 + 4) % 7 as int)").alias("dow"),
+        )
+        .groupBy("event_type", "dow")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+    )
+    totals = counted.groupBy("event_type").agg(
+        F.sum("n_events").alias("total")
+    )
+    return counted.join(F.broadcast(totals), "event_type").select(
+        "event_type",
+        "dow",
+        "n_events",
+        F.expr("(2 * 1000000 * n_events + total) div (2 * total)").alias(
+            "share_micro"
+        ),
+    )
+
+
 QUERIES: dict[str, object] = {
     # dict order = registry order = driver grading order (its gate has
     # a budget; see plans/registry.py) — entries added or re-planned

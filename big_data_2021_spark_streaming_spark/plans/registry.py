@@ -142,6 +142,9 @@ _GRADE_AFTER_REGRADES = frozenset(
         "value_winsorize",
         "user_bot_periodicity",
         "epoch_shuffle_plan",
+        # round-4f additions (this session)
+        "similarity_bq_topk",
+        "similarity_matryoshka_recall",
     }
 )
 

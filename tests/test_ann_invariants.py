@@ -238,3 +238,119 @@ def test_centroid_drift_matches_pure_python(spark):
         assert (r.n_vecs_a, r.n_vecs_b) == (n_a, n_b)
         assert r.centroid_shift >= 0
         assert abs(r.centroid_shift - shift) < 1e-9, (r.label, r.centroid_shift, shift)
+
+
+def test_bq_topk_invariants_and_pure_python_codes(spark):
+    """BQ top-k: ranks contiguous / rerank-cosine ordered, Hamming
+    distances in [0, DIM], and the packed sign words recomputed by a
+    pure-Python third engine from the raw parquet agree with what the
+    candidate stage must have used (any (q, n) pair the operator
+    returns must be inside the top-BQ_CANDIDATES Hamming short-list
+    recomputed independently)."""
+    import math
+
+    import pandas as pd
+
+    from big_data_2021_spark_streaming_spark.operators.similarity import (
+        BQ_CANDIDATES,
+        DIM,
+        N_QUERIES,
+        bq_topk,
+    )
+
+    rows = bq_topk(spark, SF).collect()
+    _check_topk_frame(rows, "cos_sim", ascending=False)
+    assert all(0 <= r.hamming <= DIM for r in rows)
+
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet")
+
+    def milli(x: float) -> int:
+        xq = int(math.floor(abs(float(x)) * 1000 + 0.5))
+        return xq if x >= 0 else -xq
+
+    bits = {
+        int(r["vec_id"]): [milli(x) >= 0 for x in r["embedding"]]
+        for _, r in emb.iterrows()
+    }
+
+    def ham(a: int, b: int) -> int:
+        return sum(x != y for x, y in zip(bits[a], bits[b]))
+
+    shortlist: dict[int, set[int]] = {}
+    for q in range(N_QUERIES):
+        others = sorted(
+            (v for v in bits if v != q), key=lambda v: (ham(q, v), v)
+        )
+        shortlist[q] = set(others[:BQ_CANDIDATES])
+
+    for r in rows:
+        assert r.hamming == ham(r.query_id, r.neighbor_id)
+        assert r.neighbor_id in shortlist[r.query_id], (
+            r.query_id,
+            r.neighbor_id,
+        )
+
+
+def test_matryoshka_recall_matches_pure_python(spark):
+    """Third-engine recomputation of prefix-vs-full top-k recall from
+    the raw parquet: exact cosine in Python floats (sequential sum —
+    the engines' contract), half-up 2-decimal recall division."""
+    import math
+
+    import pandas as pd
+
+    from big_data_2021_spark_streaming_spark.operators.similarity import (
+        MRL_DIM,
+        N_QUERIES,
+        TOPK,
+        matryoshka_recall,
+    )
+
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet")
+    vecs = {
+        int(r["vec_id"]): [float(x) for x in r["embedding"]]
+        for _, r in emb.iterrows()
+    }
+
+    def cos(a, b):
+        dot = 0.0
+        for x, y in zip(a, b):
+            dot += x * y
+        na = 0.0
+        nb = 0.0
+        for x in a:
+            na += x * x
+        for y in b:
+            nb += y * y
+        return dot / (math.sqrt(na) * math.sqrt(nb))
+
+    def topk(q: int, dims: int) -> set[int]:
+        scored = sorted(
+            (
+                (-cos(vecs[q][:dims], vecs[v][:dims]), v)
+                for v in vecs
+                if v != q
+            ),
+        )[:TOPK]
+        return {v for _, v in scored}
+
+    expected = {}
+    for q in range(N_QUERIES):
+        exact = topk(q, len(vecs[q]))
+        prefix = topk(q, MRL_DIM)
+        n_hits = len(exact & prefix)
+        expected[q] = (
+            len(exact),
+            n_hits,
+            ((2 * n_hits * 100 + len(exact)) // (2 * len(exact))) / 100.0,
+        )
+
+    rows = matryoshka_recall(spark, SF).collect()
+    assert {r.query_id for r in rows} == set(expected)
+    for r in rows:
+        n_exact, n_hits, recall = expected[r.query_id]
+        assert (r.n_exact, r.n_hits, float(r.recall)) == (
+            n_exact,
+            n_hits,
+            recall,
+        ), (r.query_id, r.n_hits, n_hits)

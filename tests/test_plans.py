@@ -173,6 +173,8 @@ _BNLJ_INTENDED = frozenset(
         "text_bpe_train",             # 1-row winning-pair scalar into each round's fold
         "value_winsorize",            # 1-row n + percentile-bounds scalars onto the scan
         "epoch_shuffle_plan",         # 3-row epochs frame fanned onto the doc scan
+        "similarity_bq_topk",         # ≤20-row packed-code query set × corpus codes
+        "similarity_matryoshka_recall",  # exact baseline twice: queries × corpus
     }
 )
 
@@ -637,6 +639,8 @@ def test_registry_orders_unverified_queries_first():
         "text_heaps_law", "customer_rfm_scores", "text_bpe_train",
         "user_simpson_diversity", "value_winsorize", "user_bot_periodicity",
         "epoch_shuffle_plan",
+        # new in round 4f (this session; deferred behind the regrades)
+        "similarity_bq_topk", "similarity_matryoshka_recall",
     }
     # the driver's observed grading budget is 50 queries per round
     # (r02 and r03 both truncated there); the 11 VERDICT-r03-flagged
