@@ -2783,6 +2783,9 @@ QUERIES: dict[str, object] = {
     # a budget; see plans/registry.py) — entries added or re-planned
     # most recently go FIRST so they are graded before the suite that
     # already has multiple green rounds on record.
+    "value_mad_anomalies": value_mad_anomalies,
+    "orders_aging_buckets": orders_aging_buckets,
+    "event_dow_profile": event_dow_profile,
     "event_path_topk": event_path_topk,
     "event_cooccurrence_lift": event_cooccurrence_lift,
     "snapshot_asof_diff": snapshot_asof_diff,

@@ -1348,3 +1348,88 @@ ORACLES["excess_quantity_suppliers"] = """
         WHERE 8 * sq > tq
     )
 """
+
+ORACLES["value_mad_anomalies"] = """
+    WITH base AS (
+        SELECT event_type, event_id,
+               CAST(ROUND(value * 1000000) AS BIGINT) AS m
+        FROM events
+    ),
+    ranked AS (
+        SELECT event_type, m,
+               ROW_NUMBER() OVER (
+                   PARTITION BY event_type ORDER BY m, event_id
+               ) AS rnk,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM base
+    ),
+    med AS (
+        SELECT event_type, m AS med FROM ranked WHERE rnk = (n + 1) // 2
+    ),
+    dev AS (
+        SELECT b.event_type, b.event_id, med.med,
+               abs(b.m - med.med) AS d
+        FROM base b JOIN med USING (event_type)
+    ),
+    dranked AS (
+        SELECT event_type, d,
+               ROW_NUMBER() OVER (
+                   PARTITION BY event_type ORDER BY d, event_id
+               ) AS rnk,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM dev
+    ),
+    mad AS (
+        SELECT event_type, d AS mad FROM dranked WHERE rnk = (n + 1) // 2
+    )
+    SELECT dev.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(MIN(med) AS BIGINT) AS median_micro,
+           CAST(MIN(mad) AS BIGINT) AS mad_micro,
+           CAST(SUM(CASE WHEN d > 3 * mad THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_anomalies,
+           CAST(MAX(d) AS BIGINT) AS max_dev_micro
+    FROM dev JOIN mad USING (event_type)
+    GROUP BY dev.event_type
+"""
+
+ORACLES["orders_aging_buckets"] = """
+    WITH latest AS (SELECT MAX(o_orderdate) AS max_date FROM orders),
+    aged AS (
+        SELECT o_orderstatus,
+               date_diff('day', CAST(o_orderdate AS DATE),
+                         CAST(max_date AS DATE)) AS age_days,
+               CAST(ROUND(o_totalprice * 1000000) AS BIGINT) AS micro
+        FROM orders CROSS JOIN latest
+        WHERE o_orderstatus <> 'F'
+    )
+    SELECT o_orderstatus,
+           CASE WHEN age_days <= 30 THEN '0-30'
+                WHEN age_days <= 60 THEN '31-60'
+                WHEN age_days <= 90 THEN '61-90'
+                ELSE '90+' END AS age_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           (2 * CAST(SUM(micro) AS BIGINT) + 10000) // 20000
+               AS open_value_cents
+    FROM aged
+    GROUP BY 1, 2
+"""
+
+ORACLES["event_dow_profile"] = """
+    WITH counted AS (
+        SELECT event_type,
+               CAST((CAST(epoch(ts) AS BIGINT) // 86400 + 4) % 7
+                    AS INTEGER) AS dow,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM events
+        GROUP BY 1, 2
+    ),
+    totals AS (
+        SELECT event_type, CAST(SUM(n_events) AS BIGINT) AS total
+        FROM counted GROUP BY event_type
+    )
+    SELECT c.event_type, c.dow, c.n_events,
+           (2 * 1000000 * c.n_events + t.total) // (2 * t.total)
+               AS share_micro
+    FROM counted c JOIN totals t USING (event_type)
+"""

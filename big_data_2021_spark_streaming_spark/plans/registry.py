@@ -145,6 +145,9 @@ _GRADE_AFTER_REGRADES = frozenset(
         # round-4f additions (this session)
         "similarity_bq_topk",
         "similarity_matryoshka_recall",
+        "value_mad_anomalies",
+        "orders_aging_buckets",
+        "event_dow_profile",
     }
 )
 

@@ -175,6 +175,8 @@ _BNLJ_INTENDED = frozenset(
         "epoch_shuffle_plan",         # 3-row epochs frame fanned onto the doc scan
         "similarity_bq_topk",         # ≤20-row packed-code query set × corpus codes
         "similarity_matryoshka_recall",  # exact baseline twice: queries × corpus
+        "orders_aging_buckets",       # 1-row as-of scalar onto the filtered scan
+        "value_mad_anomalies",        # 1-row-per-type extremes/median/MAD scalars
     }
 )
 
@@ -641,6 +643,8 @@ def test_registry_orders_unverified_queries_first():
         "epoch_shuffle_plan",
         # new in round 4f (this session; deferred behind the regrades)
         "similarity_bq_topk", "similarity_matryoshka_recall",
+        "value_mad_anomalies", "orders_aging_buckets",
+        "event_dow_profile",
     }
     # the driver's observed grading budget is 50 queries per round
     # (r02 and r03 both truncated there); the 11 VERDICT-r03-flagged

@@ -1,0 +1,120 @@
+"""Engine-independent pins for the round-4f analytics additions:
+pure-Python third-engine recomputation of the MAD anomaly report, and
+structural invariants for order aging and day-of-week seasonality —
+if Spark and the DuckDB oracle ever shared a bug, parity would still
+pass; these would not."""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from big_data_2021_spark_streaming_spark.plans.analytics import (
+    MAD_K,
+    event_dow_profile,
+    orders_aging_buckets,
+    value_mad_anomalies,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _micro(x: float) -> int:
+    # ROUND half-away-from-zero, matching both engines
+    import math
+
+    m = int(math.floor(abs(float(x)) * 1_000_000 + 0.5))
+    return m if x >= 0 else -m
+
+
+def test_value_mad_anomalies_matches_pure_python(spark):
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    expected = {}
+    for etype, grp in ev.groupby("event_type"):
+        ms = sorted(_micro(v) for v in grp["value"])
+        n = len(ms)
+        med = ms[(n + 1) // 2 - 1]
+        devs = sorted(abs(m - med) for m in ms)
+        mad = devs[(n + 1) // 2 - 1]
+        expected[etype] = (
+            n,
+            med,
+            mad,
+            sum(1 for d in devs if d > MAD_K * mad),
+            devs[-1],
+        )
+
+    rows = value_mad_anomalies(spark, SF).collect()
+    assert {r.event_type for r in rows} == set(expected)
+    for r in rows:
+        n, med, mad, n_anom, max_dev = expected[r.event_type]
+        assert (
+            r.n_events,
+            r.median_micro,
+            r.mad_micro,
+            r.n_anomalies,
+            r.max_dev_micro,
+        ) == (n, med, mad, n_anom, max_dev), r.event_type
+
+
+def test_mad_anomaly_counts_bounded_by_robustness(spark):
+    # MAD's 50% breakdown point: strictly fewer than half of any
+    # type's events can sit beyond the MAD_K band (for MAD_K >= 1)
+    for r in value_mad_anomalies(spark, SF).collect():
+        assert r.n_anomalies * 2 < r.n_events
+        assert 0 <= r.mad_micro <= r.max_dev_micro
+
+
+def test_orders_aging_buckets_matches_pure_python(spark):
+    orders = pd.read_parquet(f"{SF}/orders.parquet")
+    asof = orders["o_orderdate"].max()
+    open_orders = orders[orders["o_orderstatus"] != "F"]
+    expected: dict[tuple[str, str], list[int]] = {}
+    for _, row in open_orders.iterrows():
+        age = (asof.normalize() - row["o_orderdate"].normalize()).days
+        bucket = (
+            "0-30"
+            if age <= 30
+            else "31-60" if age <= 60 else "61-90" if age <= 90 else "90+"
+        )
+        key = (row["o_orderstatus"], bucket)
+        cur = expected.setdefault(key, [0, 0])
+        cur[0] += 1
+        cur[1] += _micro(row["o_totalprice"])
+    rows = orders_aging_buckets(spark, SF).collect()
+    assert {(r.o_orderstatus, r.age_bucket) for r in rows} == set(expected)
+    for r in rows:
+        n, micro = expected[(r.o_orderstatus, r.age_bucket)]
+        assert r.n_orders == n
+        assert r.open_value_cents == (2 * micro + 10_000) // 20_000
+
+
+def test_event_dow_profile_shares_sum_to_one(spark):
+    rows = event_dow_profile(spark, SF).collect()
+    assert rows
+    by_type: dict[str, list] = {}
+    for r in rows:
+        assert 0 <= r.dow <= 6
+        by_type.setdefault(r.event_type, []).append(r)
+    for etype, rs in by_type.items():
+        total_share = sum(r.share_micro for r in rs)
+        # half-up rounding: per-type shares reassemble to 1e6 ± |rows|
+        assert abs(total_share - 1_000_000) <= len(rs), etype
+
+
+def test_event_dow_profile_weekday_arithmetic(spark):
+    # spot-pin the (days + 4) % 7 convention against pandas' weekday
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    ev = ev.assign(
+        dow=(ev["ts"].values.astype("datetime64[D]").astype(int) + 4) % 7
+    )
+    # pandas dayofweek: Monday=0..Sunday=6 → ours: Sunday=0..Saturday=6
+    alt = (ev["ts"].dt.dayofweek + 1) % 7
+    assert (ev["dow"] == alt).all()
+    expected = (
+        ev.groupby(["event_type", "dow"]).size().to_dict()
+    )
+    got = {
+        (r.event_type, r.dow): r.n_events
+        for r in event_dow_profile(spark, SF).collect()
+    }
+    assert got == {k: v for k, v in expected.items()}
