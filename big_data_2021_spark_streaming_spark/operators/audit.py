@@ -799,6 +799,178 @@ ORACLES["user_erasure_audit"] = f"""
     FROM counts
 """
 
+T_CLOSE_MICRO = 200_000  # t-closeness threshold t = 0.2 (micro-units)
+
+
+def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness profile — the distribution-disclosure complement to
+    ``k_anonymity_audit``/``l_diversity_audit``: a QI group can be
+    k-anonymous AND l-diverse yet still leak if its sensitive-value
+    DISTRIBUTION differs sharply from the table's (e.g. one segment
+    skews to the top balance band). For the same QI pair
+    (nation, market segment) and the same sensitive attribute
+    (1000-unit account-balance band), report each group's Earth
+    Mover's Distance to the global band distribution — for ordered
+    1-D categories, EMD = Σ|cumP − cumQ| / (B−1) — and flag groups
+    exceeding T_CLOSE. All arithmetic is exact integers on the common
+    denominator group_size·N (micro-unit half-up only at the final
+    division), so both engines agree bit-for-bit.
+
+    Scale: one scan → (QI, band) partial-aggregate groupBy; everything
+    after runs on the ≤|QI|·|bands| frame — the dense group×band grid
+    is a broadcast of the ≤|bands|-row global frame onto the ≤|QI|-row
+    group frame, and the cumsum window partitions by QI group, never
+    by anything that grows with the table."""
+    cust = load_table(spark, sf_dir, "customer")
+    by_band = (
+        cust.select(
+            "c_nationkey",
+            "c_mktsegment",
+            F.floor(F.col("c_acctbal") / 1000).cast("int").alias("band"),
+        )
+        .groupBy("c_nationkey", "c_mktsegment", "band")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    glob = by_band.groupBy("band").agg(
+        F.sum("n").cast("bigint").alias("g")
+    )
+    groups = by_band.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.sum("n").cast("bigint").alias("group_size")
+    )
+    # dense grid: every group × every band present anywhere
+    grid = (
+        groups.crossJoin(F.broadcast(glob))
+        .join(
+            by_band, ["c_nationkey", "c_mktsegment", "band"], "left"
+        )
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            "band",
+            "group_size",
+            "g",
+            F.coalesce("n", F.lit(0)).alias("n"),
+        )
+    )
+    w = (
+        Window.partitionBy("c_nationkey", "c_mktsegment")
+        .orderBy("band")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    totals = grid.select(
+        "c_nationkey",
+        "c_mktsegment",
+        "group_size",
+        F.sum("n").over(w).alias("cum_n"),
+        F.sum("g").over(w).alias("cum_g"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("c_nationkey", "c_mktsegment"))
+        .alias("n_bands"),
+        F.sum("g")
+        .over(Window.partitionBy("c_nationkey", "c_mktsegment"))
+        .alias("n_total"),
+    )
+    return (
+        totals.groupBy("c_nationkey", "c_mktsegment", "group_size")
+        .agg(
+            # decimal(38,0): cum_n·n_total is ~N·N — past int64 at
+            # ~3e9 rows; the oracle twin sums on HUGEINT
+            F.sum(
+                F.abs(
+                    F.col("cum_n").cast("decimal(19,0)")
+                    * F.col("n_total").cast("decimal(19,0)")
+                    - F.col("cum_g").cast("decimal(19,0)")
+                    * F.col("group_size").cast("decimal(19,0)")
+                ).cast("decimal(38,0)")
+            ).alias("absdiff"),
+            F.max("n_bands").alias("n_bands"),
+            F.max("n_total").alias("n_total"),
+        )
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            "group_size",
+            F.expr(
+                "cast((2 * absdiff * 1000000"
+                " + cast(group_size as decimal(19,0)) * n_total * (n_bands - 1))"
+                " div (2 * cast(group_size as decimal(19,0)) * n_total"
+                "      * (n_bands - 1)) as bigint)"
+            ).alias("emd_micro"),
+        )
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            "group_size",
+            "emd_micro",
+            (F.col("emd_micro") > T_CLOSE_MICRO).alias("breached"),
+        )
+    )
+
+
+ORACLES["t_closeness_audit"] = f"""
+    WITH by_band AS (
+        SELECT c_nationkey, c_mktsegment,
+               CAST(floor(c_acctbal / 1000) AS INTEGER) AS band,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM customer GROUP BY 1, 2, 3
+    ),
+    gdist AS (
+        SELECT band, CAST(SUM(n) AS BIGINT) AS g FROM by_band GROUP BY band
+    ),
+    groups AS (
+        SELECT c_nationkey, c_mktsegment,
+               CAST(SUM(n) AS BIGINT) AS group_size
+        FROM by_band GROUP BY 1, 2
+    ),
+    grid AS (
+        SELECT gr.c_nationkey, gr.c_mktsegment, gl.band,
+               gr.group_size, gl.g, COALESCE(b.n, 0) AS n
+        FROM groups gr
+        CROSS JOIN gdist gl
+        LEFT JOIN by_band b
+          ON b.c_nationkey = gr.c_nationkey
+         AND b.c_mktsegment = gr.c_mktsegment
+         AND b.band = gl.band
+    ),
+    totals AS (
+        SELECT c_nationkey, c_mktsegment, group_size,
+               SUM(n) OVER (
+                   PARTITION BY c_nationkey, c_mktsegment
+                   ORDER BY band ROWS UNBOUNDED PRECEDING
+               ) AS cum_n,
+               SUM(g) OVER (
+                   PARTITION BY c_nationkey, c_mktsegment
+                   ORDER BY band ROWS UNBOUNDED PRECEDING
+               ) AS cum_g,
+               COUNT(*) OVER (
+                   PARTITION BY c_nationkey, c_mktsegment
+               ) AS n_bands,
+               SUM(g) OVER (
+                   PARTITION BY c_nationkey, c_mktsegment
+               ) AS n_total
+        FROM grid
+    ),
+    agg AS (
+        SELECT c_nationkey, c_mktsegment, group_size,
+               CAST(SUM(abs(cum_n * n_total - cum_g * group_size))
+                    AS HUGEINT) AS absdiff,
+               MAX(n_bands) AS n_bands,
+               MAX(n_total) AS n_total
+        FROM totals GROUP BY 1, 2, 3
+    )
+    SELECT c_nationkey, c_mktsegment, group_size,
+           CAST((2 * absdiff * 1000000
+                 + group_size * n_total * (n_bands - 1))
+                // (2 * group_size * n_total * (n_bands - 1))
+               AS BIGINT) AS emd_micro,
+           CAST((2 * absdiff * 1000000
+                 + group_size * n_total * (n_bands - 1))
+                // (2 * group_size * n_total * (n_bands - 1))
+               AS BIGINT) > {T_CLOSE_MICRO} AS breached
+    FROM agg
+"""
+
+
 ORACLES["l_diversity_audit"] = f"""
     WITH bands AS (
         SELECT c_nationkey, c_mktsegment,
@@ -821,7 +993,9 @@ ORACLES["l_diversity_audit"] = f"""
 """
 
 QUERIES = {
-    # new-in-round-4d entry first: registry order = driver grading order
+    # new-in-round-4f entry first: registry order = driver grading order
+    "t_closeness_audit": t_closeness_audit,
+    # round-4d entry
     "lake_column_stats": lake_column_stats,
     # round-4c entry
     "l_diversity_audit": l_diversity_audit,

@@ -348,6 +348,107 @@ ORACLES["multimodal_type_stats"] = """
     GROUP BY media_type
 """
 
+RESIZE_TARGET = 224  # square model-input side (ViT/CNN convention)
+
+
+def multimodal_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-preserving letterbox geometry for every image asset: the
+    output dimensions (half-up scale of the longer side to
+    RESIZE_TARGET) and the left/top padding that centers the result in
+    the square model input. This is the PLANNING half of a resize
+    fleet — pure relational integer math both engines agree on
+    bit-for-bit; the pixel kernel itself would consume these rows
+    inside the same ``mapInPandas`` shape as ``decode_assets``
+    (geometry in the frame, bytes in the payload column, Arrow both
+    directions). One scan, media-type filter pushed to parquet-derived
+    columns, no shuffle, no UDF. Zero-dimension metadata rows are
+    surfaced with a skip flag instead of being silently dropped —
+    at 100 TB a resize fleet must know its undecodable count."""
+    docs = load_table(spark, sf_dir, "documents")
+    assets = docs.where(F.col("doc_id") % 3 == 0).select(
+        "doc_id",
+        (F.length("text") % 1024).cast("int").alias("meta_width"),
+        (F.length("text") % 768).cast("int").alias("meta_height"),
+    )
+    degenerate = (F.col("meta_width") <= 0) | (F.col("meta_height") <= 0)
+    geo = assets.select(
+        "doc_id",
+        "meta_width",
+        "meta_height",
+        degenerate.alias("skip"),
+        F.when(
+            degenerate, F.lit(None).cast("int")
+        )
+        .otherwise(
+            F.expr(
+                f"cast((2 * meta_width * {RESIZE_TARGET}"
+                f" + greatest(meta_width, meta_height))"
+                f" div (2 * greatest(meta_width, meta_height)) as int)"
+            )
+        )
+        .alias("out_w"),
+        F.when(
+            degenerate, F.lit(None).cast("int")
+        )
+        .otherwise(
+            F.expr(
+                f"cast((2 * meta_height * {RESIZE_TARGET}"
+                f" + greatest(meta_width, meta_height))"
+                f" div (2 * greatest(meta_width, meta_height)) as int)"
+            )
+        )
+        .alias("out_h"),
+    )
+    return geo.select(
+        "doc_id",
+        "meta_width",
+        "meta_height",
+        "out_w",
+        "out_h",
+        F.expr(f"cast(({RESIZE_TARGET} - out_w) div 2 as int)").alias(
+            "pad_left"
+        ),
+        F.expr(f"cast(({RESIZE_TARGET} - out_h) div 2 as int)").alias(
+            "pad_top"
+        ),
+        "skip",
+    )
+
+
+ORACLES["multimodal_resize_plan"] = f"""
+    WITH assets AS (
+        SELECT doc_id,
+               CAST(length(text) % 1024 AS INTEGER) AS meta_width,
+               CAST(length(text) % 768 AS INTEGER) AS meta_height
+        FROM documents WHERE doc_id % 3 = 0
+    ),
+    geo AS (
+        SELECT doc_id, meta_width, meta_height,
+               meta_width <= 0 OR meta_height <= 0 AS skip,
+               CAST((2 * meta_width * {RESIZE_TARGET}
+                     + GREATEST(meta_width, meta_height))
+                    // (2 * GREATEST(meta_width, meta_height))
+                   AS INTEGER) AS ow,
+               CAST((2 * meta_height * {RESIZE_TARGET}
+                     + GREATEST(meta_width, meta_height))
+                    // (2 * GREATEST(meta_width, meta_height))
+                   AS INTEGER) AS oh
+        FROM assets
+    )
+    SELECT doc_id, meta_width, meta_height,
+           CASE WHEN skip THEN NULL ELSE ow END AS out_w,
+           CASE WHEN skip THEN NULL ELSE oh END AS out_h,
+           CASE WHEN skip THEN NULL
+                ELSE CAST(({RESIZE_TARGET} - ow) // 2 AS INTEGER)
+           END AS pad_left,
+           CASE WHEN skip THEN NULL
+                ELSE CAST(({RESIZE_TARGET} - oh) // 2 AS INTEGER)
+           END AS pad_top,
+           skip
+    FROM geo
+"""
+
+
 ORACLES["multimodal_exact_dedup"] = f"""
     WITH enriched AS (
         SELECT doc_id, {_ENRICHED_TEXT_SQL} AS text FROM documents
@@ -395,7 +496,9 @@ ORACLES["multimodal_frame_neardup"] = f"""
 """
 
 QUERIES = {
-    # round-4e additions first (registry order = grading order)
+    # round-4f addition first (registry order = grading order)
+    "multimodal_resize_plan": multimodal_resize_plan,
+    # round-4e additions
     "multimodal_exact_dedup": multimodal_exact_dedup,
     "multimodal_frame_neardup": multimodal_frame_neardup,
     "multimodal_decode": multimodal_decode,

@@ -38,7 +38,7 @@ from __future__ import annotations
 import math
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..sources.batch import load_table
 
@@ -372,10 +372,168 @@ def sketch_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------
+# Histogram quantile sketch
+# ---------------------------------------------------------------------
+
+HQ_BUCKETS = 1024  # equi-width histogram cells
+HQ_QUANTILES = (50, 90, 99)
+
+
+def sketch_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable equi-width-histogram quantile estimator, with its own
+    acceptance metric: estimate q50/q90/q99 of events.value from a
+    HQ_BUCKETS-cell histogram (estimate = midpoint of the first cell
+    whose cumulative count reaches rank ⌈q·n/100⌉) next to the EXACT
+    rank-statistic and the absolute error. This is the sketch behind
+    every engine's ANALYZE/EXPLAIN statistics: per-partition histograms
+    merge by cell-wise addition (unlike exact quantiles), so at 100 TB
+    the fact scan reduces map-side to ≤HQ_BUCKETS cells per partition
+    and one tiny final merge — the error report says what that buys.
+
+    The exact side reuses ``_exact_global_rank`` (banded two-phase
+    row-number — no single-partition fact sort); every division runs
+    on non-negative offsets from the global min so Spark's
+    truncate-toward-zero ``div`` and DuckDB's floor ``//`` agree even
+    for negative values."""
+    from ..plans.analytics import _exact_global_rank
+
+    events = load_table(spark, sf_dir, "events")
+    base = events.select(
+        "event_id",
+        F.expr("cast(round(value * 1000000) as bigint)").alias("m"),
+    ).persist()
+    ext = base.agg(
+        F.min("m").alias("mn"),
+        F.max("m").alias("mx"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    cells = (
+        base.crossJoin(F.broadcast(ext))
+        .select(
+            F.expr(
+                f"cast(((m - mn) * {HQ_BUCKETS}) div (mx - mn + 1) as int)"
+            ).alias("cell")
+        )
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    w_cum = Window.orderBy("cell").rowsBetween(Window.unboundedPreceding, 0)
+    cum = cells.select(
+        "cell", F.sum("c").over(w_cum).alias("cum")
+    )  # ≤HQ_BUCKETS rows: the single-partition window is bounded
+    qs = spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(q) for q in HQ_QUANTILES])
+        ).alias("q")
+    )
+    targets = qs.crossJoin(F.broadcast(ext)).select(
+        "q",
+        "mn",
+        "mx",
+        "n",
+        F.expr("(q * n + 99) div 100").alias("r"),
+    )
+    picked = (
+        targets.join(F.broadcast(cum), F.col("cum") >= F.col("r"))
+        .groupBy("q", "mn", "mx", "n", "r")
+        .agg(F.min("cell").alias("cell"))
+        .select(
+            "q",
+            "n",
+            "r",
+            (
+                F.col("mn")
+                + F.expr(
+                    # hi_off−1 can dip to −1 when a cell's width rounds
+                    # to zero; greatest() keeps every div non-negative
+                    # (Spark truncates, DuckDB floors — they differ
+                    # below zero)
+                    f"((cell * (mx - mn + 1)) div {HQ_BUCKETS}"
+                    f" + greatest((cell * (mx - mn + 1)) div {HQ_BUCKETS},"
+                    f" ((cell + 1) * (mx - mn + 1)) div {HQ_BUCKETS} - 1))"
+                    " div 2"
+                )
+            ).alias("est_micro"),
+        )
+    )
+    ranked = _exact_global_rank(base, "m", "event_id", "rnk")
+    exact = (
+        ranked.join(
+            F.broadcast(picked.select("q", "r")),
+            F.col("rnk") == F.col("r"),
+        )
+        .groupBy("q")
+        .agg(F.min("m").alias("exact_micro"))
+    )
+    return picked.join(exact, "q").select(
+        "q",
+        "n",
+        "est_micro",
+        "exact_micro",
+        F.abs(F.col("est_micro") - F.col("exact_micro")).alias(
+            "abs_err_micro"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------
 # Oracles
 # ---------------------------------------------------------------------
 
 ORACLES: dict[str, str] = {}
+
+ORACLES["sketch_histogram_quantiles"] = f"""
+    WITH base AS (
+        SELECT event_id, CAST(ROUND(value * 1000000) AS BIGINT) AS m
+        FROM events
+    ),
+    ext AS (
+        SELECT MIN(m) AS mn, MAX(m) AS mx,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM base
+    ),
+    cells AS (
+        SELECT CAST(((m - mn) * {HQ_BUCKETS}) // (mx - mn + 1) AS INTEGER)
+                   AS cell,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM base CROSS JOIN ext
+        GROUP BY 1
+    ),
+    cum AS (
+        SELECT cell,
+               SUM(c) OVER (ORDER BY cell ROWS UNBOUNDED PRECEDING) AS cum
+        FROM cells
+    ),
+    targets AS (
+        SELECT q, mn, mx, n, (q * n + 99) // 100 AS r
+        FROM (VALUES {", ".join(f"({q})" for q in HQ_QUANTILES)}) AS qs(q)
+        CROSS JOIN ext
+    ),
+    picked AS (
+        SELECT q, n, r,
+               mn + ((MIN(cell) * (mx - mn + 1)) // {HQ_BUCKETS}
+                     + GREATEST((MIN(cell) * (mx - mn + 1)) // {HQ_BUCKETS},
+                                ((MIN(cell) + 1) * (mx - mn + 1))
+                                    // {HQ_BUCKETS} - 1))
+                    // 2 AS est_micro
+        FROM targets JOIN cum ON cum >= r
+        GROUP BY q, mn, mx, n, r
+    ),
+    ranked AS (
+        SELECT m, ROW_NUMBER() OVER (ORDER BY m, event_id) AS rnk
+        FROM base
+    ),
+    exact AS (
+        SELECT p.q, CAST(MIN(m) AS BIGINT) AS exact_micro
+        FROM ranked JOIN picked p ON rnk = p.r
+        GROUP BY p.q
+    )
+    SELECT p.q, p.n, CAST(p.est_micro AS BIGINT) AS est_micro,
+           e.exact_micro,
+           CAST(abs(p.est_micro - e.exact_micro) AS BIGINT)
+               AS abs_err_micro
+    FROM picked p JOIN exact e ON p.q = e.q
+"""
 
 _LC_CASE_SQL = (
     "CASE zero_regs "
@@ -564,6 +722,8 @@ ORACLES["sketch_cms_heavy_hitters"] = f"""
 """
 
 QUERIES = {
+    # new-in-round-4f entry first: registry order = driver grading order
+    "sketch_histogram_quantiles": sketch_histogram_quantiles,
     "sketch_hll_users": sketch_hll_users,
     "sketch_hll_merge": sketch_hll_merge,
     "sketch_bloom_reduction": sketch_bloom_reduction,

@@ -2028,7 +2028,152 @@ def _bpe_sql() -> str:
 ORACLES["text_bpe_train"] = _bpe_sql()
 
 
+# ---------------------------------------------------------------------
+# RAKE keyword extraction
+# ---------------------------------------------------------------------
+
+RAKE_MAX_WORDS = 4  # longest candidate phrase
+RAKE_TOPN = 25  # corpus keywords reported
+
+
+def rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE (Rapid Automatic Keyword Extraction) over the corpus:
+    candidate phrases are maximal stopword-free token runs (≤
+    RAKE_MAX_WORDS); each word scores degree/frequency where degree
+    sums the lengths of every phrase containing it; a phrase scores the
+    sum of its words' scores. Reports the RAKE_TOPN highest-scoring
+    distinct phrases with their occurrence counts — the unsupervised
+    keyword surface a corpus card is built from.
+
+    Exactness: each word score is one half-up micro-division; phrase
+    scores then SUM INTEGERS (never floats), so both engines rank
+    identically. Scale: tokenization explodes once; the segment id is
+    a per-document running stopword count (document-partitioned window
+    — bounded partitions); word stats are one vocabulary-keyed
+    aggregate; scores rejoin member rows on the word key (hash join,
+    stopwords already dropped so the heaviest keys are gone); the
+    final top-N is sort+limit (TakeOrderedAndProject — distributed
+    partial top-k, no global sort)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        docs.select(
+            "doc_id",
+            F.posexplode(tokens_col(F.col("text"))).alias("pos", "raw"),
+        )
+        .where(F.col("raw") != "")
+        .select("doc_id", "pos", F.lower("raw").alias("tok"))
+    )
+    w_seg = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    segged = toks.select(
+        "doc_id",
+        "pos",
+        "tok",
+        F.sum(F.col("tok").isin(*STOPWORDS).cast("int"))
+        .over(w_seg)
+        .alias("seg"),
+    ).where(~F.col("tok").isin(*STOPWORDS))
+    w_phrase = Window.partitionBy("doc_id", "seg")
+    members = segged.select(
+        "doc_id",
+        "seg",
+        "pos",
+        "tok",
+        F.count(F.lit(1)).over(w_phrase).alias("phrase_len"),
+    ).where(F.col("phrase_len") <= RAKE_MAX_WORDS)
+    words = members.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("freq"),
+        F.sum("phrase_len").cast("bigint").alias("degree"),
+    )
+    scored_members = members.join(
+        words.select(
+            "tok",
+            F.expr("(2 * degree * 1000000 + freq) div (2 * freq)").alias(
+                "word_score_micro"
+            ),
+        ),
+        "tok",
+    )
+    phrases = scored_members.groupBy("doc_id", "seg").agg(
+        F.sum("word_score_micro").cast("bigint").alias("score_micro"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s.tok,
+            ),
+            " ",
+        ).alias("phrase"),
+    )
+    return (
+        phrases.groupBy("phrase")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
+            F.min("score_micro").alias("score_micro"),
+        )
+        .orderBy(F.col("score_micro").desc(), "phrase")
+        .limit(RAKE_TOPN)
+    )
+
+
+ORACLES["text_rake_keywords"] = f"""
+    WITH raw AS (
+        SELECT doc_id,
+               unnest(range(0, len({_oracle_tokens()}))) AS pos,
+               unnest({_oracle_tokens()}) AS rawtok
+        FROM documents
+    ),
+    toks AS (
+        SELECT doc_id, CAST(pos AS INTEGER) AS pos, lower(rawtok) AS tok
+        FROM raw WHERE rawtok <> ''
+    ),
+    segged AS (
+        SELECT doc_id, pos, tok,
+               SUM(CASE WHEN tok IN ({_STOP_LIST}) THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY pos
+                         ROWS UNBOUNDED PRECEDING) AS seg
+        FROM toks
+    ),
+    nonstop AS (
+        SELECT * FROM segged WHERE tok NOT IN ({_STOP_LIST})
+    ),
+    members AS (
+        SELECT doc_id, seg, pos, tok,
+               COUNT(*) OVER (PARTITION BY doc_id, seg) AS phrase_len
+        FROM nonstop
+        QUALIFY phrase_len <= {RAKE_MAX_WORDS}
+    ),
+    words AS (
+        SELECT tok, CAST(COUNT(*) AS BIGINT) AS freq,
+               CAST(SUM(phrase_len) AS BIGINT) AS degree
+        FROM members GROUP BY tok
+    ),
+    scored AS (
+        SELECT m.doc_id, m.seg, m.pos, m.tok,
+               (2 * w.degree * 1000000 + w.freq) // (2 * w.freq)
+                   AS word_score_micro
+        FROM members m JOIN words w USING (tok)
+    ),
+    phrases AS (
+        SELECT doc_id, seg,
+               CAST(SUM(word_score_micro) AS BIGINT) AS score_micro,
+               string_agg(tok, ' ' ORDER BY pos) AS phrase
+        FROM scored GROUP BY doc_id, seg
+    )
+    SELECT phrase, CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+           CAST(MIN(score_micro) AS BIGINT) AS score_micro
+    FROM phrases
+    GROUP BY phrase
+    ORDER BY score_micro DESC, phrase
+    LIMIT {RAKE_TOPN}
+"""
+
+
 QUERIES = {
+    # round-4f addition first: registry order = driver grading order
+    "text_rake_keywords": rake_keywords,
     # new-in-round-4 entries first: registry order = driver grading order
     "text_bpe_train": bpe_train,
     "text_heaps_law": heaps_law,

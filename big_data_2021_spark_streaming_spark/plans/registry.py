@@ -148,6 +148,10 @@ _GRADE_AFTER_REGRADES = frozenset(
         "value_mad_anomalies",
         "orders_aging_buckets",
         "event_dow_profile",
+        "t_closeness_audit",
+        "sketch_histogram_quantiles",
+        "multimodal_resize_plan",
+        "text_rake_keywords",
     }
 )
 

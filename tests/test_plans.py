@@ -177,6 +177,8 @@ _BNLJ_INTENDED = frozenset(
         "similarity_matryoshka_recall",  # exact baseline twice: queries × corpus
         "orders_aging_buckets",       # 1-row as-of scalar onto the filtered scan
         "value_mad_anomalies",        # 1-row-per-type extremes/median/MAD scalars
+        "sketch_histogram_quantiles",  # 1-row bounds + ≤1024-row cum-histogram scalars
+        "t_closeness_audit",          # ≤|bands|-row global distribution onto QI groups
     }
 )
 
@@ -644,7 +646,9 @@ def test_registry_orders_unverified_queries_first():
         # new in round 4f (this session; deferred behind the regrades)
         "similarity_bq_topk", "similarity_matryoshka_recall",
         "value_mad_anomalies", "orders_aging_buckets",
-        "event_dow_profile",
+        "event_dow_profile", "t_closeness_audit",
+        "sketch_histogram_quantiles", "multimodal_resize_plan",
+        "text_rake_keywords",
     }
     # the driver's observed grading budget is 50 queries per round
     # (r02 and r03 both truncated there); the 11 VERDICT-r03-flagged

@@ -1,0 +1,165 @@
+"""Engine-independent pins for the round-4f operator batch: pure-
+Python third-engine recomputation (histogram quantiles, t-closeness,
+RAKE) and geometry invariants (resize plan) — guards against a bug
+shared by both SQL engines that parity checking cannot see."""
+
+from __future__ import annotations
+
+import math
+from collections import Counter, defaultdict
+
+import pandas as pd
+
+SF = "/root/testdata/sf0.001"
+
+
+def _micro(x: float) -> int:
+    m = int(math.floor(abs(float(x)) * 1_000_000 + 0.5))
+    return m if x >= 0 else -m
+
+
+def test_histogram_quantiles_match_pure_python(spark):
+    from big_data_2021_spark_streaming_spark.operators.sketches import (
+        HQ_BUCKETS,
+        HQ_QUANTILES,
+        sketch_histogram_quantiles,
+    )
+
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    ms = sorted(_micro(v) for v in ev["value"])
+    n = len(ms)
+    mn, mx = ms[0], ms[-1]
+    rng = mx - mn + 1
+    cells = Counter((m - mn) * HQ_BUCKETS // rng for m in ms)
+    expected = {}
+    for q in HQ_QUANTILES:
+        r = (q * n + 99) // 100
+        cum = 0
+        for cell in sorted(cells):
+            cum += cells[cell]
+            if cum >= r:
+                break
+        lo = cell * rng // HQ_BUCKETS
+        hi = max(lo, (cell + 1) * rng // HQ_BUCKETS - 1)
+        est = mn + (lo + hi) // 2
+        exact = ms[r - 1]
+        expected[q] = (n, est, exact, abs(est - exact))
+
+    rows = sketch_histogram_quantiles(spark, SF).collect()
+    assert {r.q for r in rows} == set(expected)
+    for r in rows:
+        assert (r.n, r.est_micro, r.exact_micro, r.abs_err_micro) == expected[
+            r.q
+        ], r.q
+
+
+def test_t_closeness_matches_pure_python(spark):
+    from big_data_2021_spark_streaming_spark.operators.audit import (
+        T_CLOSE_MICRO,
+        t_closeness_audit,
+    )
+
+    cust = pd.read_parquet(f"{SF}/customer.parquet")
+    cust = cust.assign(band=(cust["c_acctbal"] / 1000).apply(math.floor))
+    glob = Counter(cust["band"])
+    bands = sorted(glob)
+    n_total = len(cust)
+    expected = {}
+    for (nk, seg), grp in cust.groupby(["c_nationkey", "c_mktsegment"]):
+        gcnt = Counter(grp["band"])
+        gsize = len(grp)
+        cum_n = cum_g = absdiff = 0
+        for b in bands:
+            cum_n += gcnt.get(b, 0)
+            cum_g += glob[b]
+            absdiff += abs(cum_n * n_total - cum_g * gsize)
+        denom = gsize * n_total * (len(bands) - 1)
+        emd = (2 * absdiff * 1_000_000 + denom) // (2 * denom)
+        expected[(nk, seg)] = (gsize, emd, emd > T_CLOSE_MICRO)
+
+    rows = t_closeness_audit(spark, SF).collect()
+    assert {(r.c_nationkey, r.c_mktsegment) for r in rows} == set(expected)
+    for r in rows:
+        gsize, emd, breached = expected[(r.c_nationkey, r.c_mktsegment)]
+        assert (r.group_size, r.emd_micro, r.breached) == (
+            gsize,
+            emd,
+            breached,
+        ), (r.c_nationkey, r.c_mktsegment)
+
+
+def test_resize_plan_geometry_invariants(spark):
+    from big_data_2021_spark_streaming_spark.operators.multimodal import (
+        RESIZE_TARGET,
+        multimodal_resize_plan,
+    )
+
+    rows = multimodal_resize_plan(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.doc_id % 3 == 0  # image assets only
+        if r.skip:
+            assert r.out_w is None and r.out_h is None
+            continue
+        # the longer side lands exactly on the target; nothing exceeds it
+        assert max(r.out_w, r.out_h) == RESIZE_TARGET
+        assert 0 < r.out_w <= RESIZE_TARGET
+        assert 0 < r.out_h <= RESIZE_TARGET
+        # centering pad: non-negative, and pad*2 within 1 of the slack
+        assert r.pad_left >= 0 and r.pad_top >= 0
+        assert 0 <= (RESIZE_TARGET - r.out_w) - 2 * r.pad_left <= 1
+        assert 0 <= (RESIZE_TARGET - r.out_h) - 2 * r.pad_top <= 1
+        # aspect preserved to half-up rounding of the scaled short side
+        mx = max(r.meta_width, r.meta_height)
+        assert r.out_w == (2 * r.meta_width * RESIZE_TARGET + mx) // (2 * mx)
+        assert r.out_h == (2 * r.meta_height * RESIZE_TARGET + mx) // (2 * mx)
+
+
+def test_rake_keywords_match_pure_python(spark):
+    from big_data_2021_spark_streaming_spark.operators.text import (
+        RAKE_MAX_WORDS,
+        RAKE_TOPN,
+        STOPWORDS,
+        rake_keywords,
+    )
+
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    phrases = []  # (doc, list-of-words)
+    for _, row in docs.iterrows():
+        toks = [t.lower() for t in row["text"].strip().split() if t]
+        cur: list[str] = []
+        for t in toks:
+            if t in STOPWORDS:
+                if cur:
+                    phrases.append(cur)
+                cur = []
+            else:
+                cur.append(t)
+        if cur:
+            phrases.append(cur)
+    phrases = [p for p in phrases if len(p) <= RAKE_MAX_WORDS]
+    freq: Counter = Counter()
+    degree: Counter = Counter()
+    for p in phrases:
+        for w in p:
+            freq[w] += 1
+            degree[w] += len(p)
+    word_score = {
+        w: (2 * degree[w] * 1_000_000 + freq[w]) // (2 * freq[w])
+        for w in freq
+    }
+    by_text: dict[str, list[int]] = defaultdict(list)
+    for p in phrases:
+        by_text[" ".join(p)].append(sum(word_score[w] for w in p))
+    ranked = sorted(
+        ((min(ss), t, len(ss)) for t, ss in by_text.items()),
+        key=lambda x: (-x[0], x[1]),
+    )[:RAKE_TOPN]
+    expected = {t: (n, s) for s, t, n in ranked}
+
+    rows = rake_keywords(spark, SF).collect()
+    assert len(rows) == min(RAKE_TOPN, len(by_text))
+    assert {r.phrase for r in rows} == set(expected)
+    for r in rows:
+        n, s = expected[r.phrase]
+        assert (r.n_occurrences, r.score_micro) == (n, s), r.phrase
