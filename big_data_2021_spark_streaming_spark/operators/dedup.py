@@ -1547,8 +1547,109 @@ def _triangles_sql() -> str:
 ORACLES["dedup_graph_triangles"] = _triangles_sql()
 
 
+KCORE_K = 2  # minimum in-core degree
+KCORE_ROUNDS = 4  # fixed peeling rounds (oracle unrolls the same)
+
+
+def kcore_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core of the near-dup pair graph: iteratively peel nodes of
+    degree < KCORE_K for KCORE_ROUNDS rounds and report the survivors
+    with their in-core degree. The k-core is the third graph QC next
+    to triangles (local density) and PageRank (centrality): chains and
+    pendant LSH hits peel away, so what remains is the dense template
+    families worth aggressive dedup — and a node that survives with
+    high core degree is a better canonical pick than a min-id.
+
+    Fixed rounds keep the operator deterministic and let the oracle
+    unroll identical CTE stages; on this graph 4 rounds converge (the
+    pinned test checks a fixed point). Each round is one degree
+    aggregate + two semi-joins of the edge frame against the surviving
+    node set — all bounded by the pair graph, corpus never rescanned;
+    rounds are ``localCheckpoint``-ed like the sibling iterative
+    operators so plan depth stays constant."""
+    pairs = minhash_lsh_pairs(spark, sf_dir).select("doc_id_a", "doc_id_b")
+    edges = (
+        pairs.union(pairs.select("doc_id_b", "doc_id_a"))
+        .toDF("src", "dst")
+        .localCheckpoint()
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    surv = deg.where(F.col("deg") >= KCORE_K).select(
+        F.col("src").alias("doc_id")
+    ).localCheckpoint()
+    for _ in range(KCORE_ROUNDS - 1):
+        live = (
+            edges.join(surv.select(F.col("doc_id").alias("src")), "src")
+            .join(surv.select(F.col("doc_id").alias("dst")), "dst")
+        )
+        deg = live.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+        surv = (
+            deg.where(F.col("deg") >= KCORE_K)
+            .select(F.col("src").alias("doc_id"))
+            .localCheckpoint()
+        )
+    final = (
+        edges.join(surv.select(F.col("doc_id").alias("src")), "src")
+        .join(surv.select(F.col("doc_id").alias("dst")), "dst")
+        .groupBy("src")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("core_deg"))
+    )
+    return final.select(F.col("src").alias("doc_id"), "core_deg")
+
+
+def _kcore_sql() -> str:
+    stages = []
+    prev_edges = "edges"
+    prev_surv = None
+    for i in range(KCORE_ROUNDS):
+        src_filter = (
+            f"JOIN {prev_surv} sa ON sa.doc_id = e.src\n"
+            f"        JOIN {prev_surv} sb ON sb.doc_id = e.dst"
+            if prev_surv
+            else ""
+        )
+        stages.append(
+            f"""deg{i} AS (
+        SELECT e.src AS doc_id, CAST(COUNT(*) AS BIGINT) AS deg
+        FROM {prev_edges} e
+        {src_filter}
+        GROUP BY e.src
+    ),
+    surv{i} AS (
+        SELECT doc_id FROM deg{i} WHERE deg >= {KCORE_K}
+    )"""
+        )
+        prev_surv = f"surv{i}"
+    chained = ",\n    ".join(stages)
+    return f"""
+    WITH {_MH_CTE},
+    {_BANDS_CTE},
+    pairs AS (
+        SELECT cand.doc_id_a, cand.doc_id_b FROM cand
+        JOIN mh a ON a.doc_id = cand.doc_id_a
+        JOIN mh b ON b.doc_id = cand.doc_id_b
+        WHERE ({_MATCHES}) / {float(NUM_PERM)} >= {EST_THRESHOLD}
+    ),
+    edges AS (
+        SELECT doc_id_a AS src, doc_id_b AS dst FROM pairs
+        UNION ALL
+        SELECT doc_id_b, doc_id_a FROM pairs
+    ),
+    {chained}
+    SELECT e.src AS doc_id, CAST(COUNT(*) AS BIGINT) AS core_deg
+    FROM edges e
+    JOIN surv{KCORE_ROUNDS - 1} sa ON sa.doc_id = e.src
+    JOIN surv{KCORE_ROUNDS - 1} sb ON sb.doc_id = e.dst
+    GROUP BY e.src
+    """
+
+
+ORACLES["dedup_kcore"] = _kcore_sql()
+
+
 QUERIES = {
     # new-in-round-4 entries first: registry order = driver grading order
+    "dedup_kcore": kcore_nodes,
     "dedup_graph_triangles": graph_triangles,
     "dedup_pagerank": pagerank_centrality,
     "dedup_keep_manifest": keep_manifest,

@@ -152,6 +152,7 @@ _GRADE_AFTER_REGRADES = frozenset(
         "sketch_histogram_quantiles",
         "multimodal_resize_plan",
         "text_rake_keywords",
+        "dedup_kcore",
     }
 )
 

@@ -648,7 +648,7 @@ def test_registry_orders_unverified_queries_first():
         "value_mad_anomalies", "orders_aging_buckets",
         "event_dow_profile", "t_closeness_audit",
         "sketch_histogram_quantiles", "multimodal_resize_plan",
-        "text_rake_keywords",
+        "text_rake_keywords", "dedup_kcore",
     }
     # the driver's observed grading budget is 50 queries per round
     # (r02 and r03 both truncated there); the 11 VERDICT-r03-flagged

@@ -163,3 +163,41 @@ def test_rake_keywords_match_pure_python(spark):
     for r in rows:
         n, s = expected[r.phrase]
         assert (r.n_occurrences, r.score_micro) == (n, s), r.phrase
+
+
+def test_kcore_fixed_point_and_pure_python_peel(spark):
+    """Recompute the peeling in pure Python from the operator's own
+    pair frame (pins the iteration logic independently of both SQL
+    engines), and assert the fixed rounds actually converged — every
+    survivor keeps degree >= KCORE_K inside the final core."""
+    from big_data_2021_spark_streaming_spark.operators.dedup import (
+        KCORE_K,
+        KCORE_ROUNDS,
+        kcore_nodes,
+        minhash_lsh_pairs,
+    )
+
+    pairs = [
+        (r.doc_id_a, r.doc_id_b)
+        for r in minhash_lsh_pairs(spark, SF)
+        .select("doc_id_a", "doc_id_b")
+        .collect()
+    ]
+    edges = pairs + [(b, a) for a, b in pairs]
+    surv = None
+    for _ in range(KCORE_ROUNDS):
+        deg = Counter()
+        for s, d in edges:
+            if surv is None or (s in surv and d in surv):
+                deg[s] += 1
+        surv = {n for n, c in deg.items() if c >= KCORE_K}
+    final = Counter()
+    for s, d in edges:
+        if s in surv and d in surv:
+            final[s] += 1
+
+    rows = kcore_nodes(spark, SF).collect()
+    got = {r.doc_id: r.core_deg for r in rows}
+    assert got == dict(final)
+    # convergence: one more peel changes nothing
+    assert all(c >= KCORE_K for c in final.values()), "rounds did not converge"
