@@ -2778,11 +2778,219 @@ def event_dow_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def event_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection per event type over the daily count
+    series: the day where the cumulative deviation from the overall
+    daily mean peaks — the classic level-shift detector a traffic
+    monitor runs (a bot ramp-up or logging regression bends the cumsum
+    into a V whose vertex IS the changepoint). Exactness: the mean is
+    never materialized — S_k = n·cum_k − k·total clears the rational,
+    so the statistic, the argmax day, and the normalized peak are all
+    exact integers both engines agree on.
+
+    Scale: one scan → (type, day) partial aggregate; the cumsum window
+    partitions by type over DAYS (bounded by the calendar, not the
+    corpus — a 100 TB year is still 365 rows per type). Missing days
+    enter as explicit zeros via a sequence-explode of the global day
+    span (broadcast 1-row bounds), so quiet days pull the cumsum down
+    instead of being invisible."""
+    events = load_table(spark, sf_dir, "events")
+    daily = (
+        events.select("event_type", _epoch_us("ts").alias("_us"))
+        .select("event_type", F.expr("_us div 86400000000").alias("day"))
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    bounds = daily.agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    grid = (
+        daily.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type", F.explode(F.sequence("d0", "d1")).alias("day")
+        )
+    )
+    dense = grid.join(daily, ["event_type", "day"], "left").select(
+        "event_type", "day", F.coalesce("c", F.lit(0)).alias("c")
+    )
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy("event_type")
+    cum = dense.select(
+        "event_type",
+        "day",
+        F.sum("c").over(w_cum).alias("cum"),
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy("day"))
+        .cast("bigint")
+        .alias("k"),
+        F.sum("c").over(w_all).alias("total"),
+        F.count(F.lit(1)).over(w_all).cast("bigint").alias("n_days"),
+    )
+    scored = cum.select(
+        "event_type",
+        "day",
+        "total",
+        "n_days",
+        F.abs(
+            F.col("n_days") * F.col("cum") - F.col("k") * F.col("total")
+        ).alias("s_abs"),
+    )
+    return (
+        scored.groupBy("event_type")
+        .agg(
+            F.max("n_days").alias("n_days"),
+            F.max("total").alias("total_events"),
+            F.max(
+                F.struct(F.col("s_abs"), (-F.col("day")).alias("nd"))
+            ).alias("top"),
+        )
+        .select(
+            "event_type",
+            "n_days",
+            "total_events",
+            (-F.col("top.nd")).cast("bigint").alias("changepoint_day"),
+            F.col("top.s_abs").alias("cusum_peak"),
+            F.expr(
+                "(2 * top.s_abs * 1000000 + n_days * total_events)"
+                " div (2 * n_days * total_events)"
+            ).alias("peak_micro"),
+        )
+    )
+
+
+def order_fulfillment_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship latency distribution per order priority: exact
+    median and p90 of (l_shipdate − o_orderdate) days over the
+    orders⋈lineitem join — the fulfillment SLA report, and the classic
+    big-fact⋈big-fact shuffle shape. Percentiles are discrete rank
+    statistics from ``_exact_group_rank`` (banded two-phase row-number
+    — a hot priority never funnels through one sort task), so both
+    engines and any cluster layout pick the same element.
+
+    At 100 TB the join is the dominant cost: equi-join on l_orderkey
+    with both sides shuffle-partitioned (or co-bucketed in a real
+    lake); everything downstream runs on (priority, latency) pairs."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_orderdate"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"),
+        "l_linenumber",
+        "l_shipdate",
+    )
+    lat = orders.join(li, "o_orderkey").select(
+        "o_orderpriority",
+        # unique per (order, line): deterministic rank tiebreak
+        (F.col("o_orderkey") * 8 + F.col("l_linenumber")).alias("rid"),
+        F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate"))
+        .cast("bigint")
+        .alias("lat_days"),
+    ).persist()
+    ranked = _exact_group_rank(
+        lat, "o_orderpriority", "lat_days", "rid", "rnk"
+    )
+    ns = lat.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    picked = ranked.join(F.broadcast(ns), "o_orderpriority").where(
+        (F.col("rnk") == F.expr("(n + 1) div 2"))
+        | (F.col("rnk") == F.expr("(9 * n + 9) div 10"))
+    )
+    meds = picked.groupBy("o_orderpriority", "n").agg(
+        F.min(
+            F.when(F.col("rnk") == F.expr("(n + 1) div 2"), F.col("lat_days"))
+        ).alias("median_days"),
+        F.min(
+            F.when(F.col("rnk") == F.expr("(9 * n + 9) div 10"), F.col("lat_days"))
+        ).alias("p90_days"),
+    )
+    extremes = lat.groupBy("o_orderpriority").agg(
+        F.min("lat_days").alias("min_days"),
+        F.max("lat_days").alias("max_days"),
+    )
+    return meds.join(extremes, "o_orderpriority").select(
+        "o_orderpriority",
+        F.col("n").alias("n_lineitems"),
+        "median_days",
+        "p90_days",
+        "min_days",
+        "max_days",
+    )
+
+
+BITMAP_WORDS = 1024  # user-presence bitmap words
+BITMAP_BITS_PER_WORD = 60  # bits used per BIGINT word: bit 63 would
+# wrap Spark's shiftleft negative and overflow DuckDB's checked <<,
+# so words carry 60 bits and stay positive in both engines
+
+
+def event_user_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitmap-index distinct-user counting per event type: each user
+    hashes to one bit of a BITMAP_WORDS×64-bit presence bitmap; words
+    OR together map-side, and the exact popcount of the OR'd bitmap is
+    the distinct estimate (exact until buckets collide — the report
+    carries the exact distinct count and the collision shortfall).
+    This is the roaring-bitmap/BITMAP index pattern every OLAP engine
+    uses for COUNT(DISTINCT) acceleration: per-partition bitmaps are
+    tiny, merging is bitwise-OR (associative, shuffle-free partials),
+    and the final count never rescans.
+
+    One scan → (type, word) OR-aggregate (≤types·BITMAP_WORDS rows)
+    → per-type popcount sum; the exact side is the one count-distinct
+    shuffle this sketch exists to avoid — kept here as the acceptance
+    metric, same as the HLL/CMS siblings."""
+    from ..operators.sketches import _h
+
+    events = load_table(spark, sf_dir, "events")
+    uid = F.col("user_id").cast("string")
+    slots = events.select(
+        "event_type",
+        (_h("bmw", uid) % (BITMAP_WORDS * BITMAP_BITS_PER_WORD)).alias(
+            "slot"
+        ),
+    ).select(
+        "event_type",
+        F.expr(f"slot div {BITMAP_BITS_PER_WORD}").alias("word"),
+        F.expr(
+            f"shiftleft(cast(1 as bigint),"
+            f" cast(slot % {BITMAP_BITS_PER_WORD} as int))"
+        ).alias("bit"),
+    )
+    words = slots.groupBy("event_type", "word").agg(
+        F.expr("bit_or(bit)").alias("mask")
+    )
+    counts = words.groupBy("event_type").agg(
+        F.sum(F.bit_count("mask")).cast("bigint").alias("bitmap_count"),
+        F.count(F.lit(1)).cast("bigint").alias("words_used"),
+    )
+    exact = events.groupBy("event_type").agg(
+        F.count_distinct("user_id").cast("bigint").alias("exact_distinct")
+    )
+    return counts.join(exact, "event_type").select(
+        "event_type",
+        "words_used",
+        "bitmap_count",
+        "exact_distinct",
+        (F.col("exact_distinct") - F.col("bitmap_count")).alias(
+            "collision_loss"
+        ),
+    )
+
+
 QUERIES: dict[str, object] = {
     # dict order = registry order = driver grading order (its gate has
     # a budget; see plans/registry.py) — entries added or re-planned
     # most recently go FIRST so they are graded before the suite that
     # already has multiple green rounds on record.
+    "event_cusum_changepoint": event_cusum_changepoint,
+    "order_fulfillment_latency": order_fulfillment_latency,
+    "event_user_bitmap": event_user_bitmap,
     "value_mad_anomalies": value_mad_anomalies,
     "orders_aging_buckets": orders_aging_buckets,
     "event_dow_profile": event_dow_profile,

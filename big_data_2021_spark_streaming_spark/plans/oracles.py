@@ -1433,3 +1433,123 @@ ORACLES["event_dow_profile"] = """
                AS share_micro
     FROM counted c JOIN totals t USING (event_type)
 """
+
+ORACLES["event_cusum_changepoint"] = """
+    WITH daily AS (
+        SELECT event_type,
+               CAST(epoch(ts) AS BIGINT) // 86400 AS day,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    bounds AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM daily),
+    grid AS (
+        SELECT t.event_type, CAST(g.day AS BIGINT) AS day
+        FROM (SELECT DISTINCT event_type FROM daily) t
+        CROSS JOIN bounds
+        CROSS JOIN LATERAL (
+            SELECT unnest(range(d0, d1 + 1)) AS day
+        ) g
+    ),
+    dense AS (
+        SELECT g.event_type, g.day, COALESCE(d.c, 0) AS c
+        FROM grid g
+        LEFT JOIN daily d
+          ON d.event_type = g.event_type AND d.day = g.day
+    ),
+    cum AS (
+        SELECT event_type, day,
+               SUM(c) OVER (PARTITION BY event_type ORDER BY day
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+               CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+                                       ORDER BY day) AS BIGINT) AS k,
+               SUM(c) OVER (PARTITION BY event_type) AS total,
+               CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT)
+                   AS n_days
+        FROM dense
+    ),
+    scored AS (
+        SELECT event_type, day, total, n_days,
+               abs(n_days * cum - k * total) AS s_abs
+        FROM cum
+    ),
+    top AS (
+        SELECT event_type, n_days, total, day, s_abs,
+               ROW_NUMBER() OVER (
+                   PARTITION BY event_type ORDER BY s_abs DESC, day
+               ) AS rk
+        FROM scored
+    )
+    SELECT event_type,
+           n_days,
+           CAST(total AS BIGINT) AS total_events,
+           day AS changepoint_day,
+           CAST(s_abs AS BIGINT) AS cusum_peak,
+           CAST((2 * CAST(s_abs AS BIGINT) * 1000000 + n_days * total)
+                // (2 * n_days * total) AS BIGINT) AS peak_micro
+    FROM top WHERE rk = 1
+"""
+
+ORACLES["order_fulfillment_latency"] = """
+    WITH lat AS (
+        SELECT o_orderpriority,
+               o_orderkey * 8 + l_linenumber AS rid,
+               CAST(date_diff('day', CAST(o_orderdate AS DATE),
+                              CAST(l_shipdate AS DATE)) AS BIGINT)
+                   AS lat_days
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ),
+    ranked AS (
+        SELECT o_orderpriority, lat_days,
+               ROW_NUMBER() OVER (
+                   PARTITION BY o_orderpriority ORDER BY lat_days, rid
+               ) AS rnk,
+               CAST(COUNT(*) OVER (PARTITION BY o_orderpriority) AS BIGINT)
+                   AS n
+        FROM lat
+    ),
+    meds AS (
+        SELECT o_orderpriority, n,
+               MIN(CASE WHEN rnk = (n + 1) // 2 THEN lat_days END)
+                   AS median_days,
+               MIN(CASE WHEN rnk = (9 * n + 9) // 10 THEN lat_days END)
+                   AS p90_days
+        FROM ranked GROUP BY o_orderpriority, n
+    ),
+    extremes AS (
+        SELECT o_orderpriority,
+               MIN(lat_days) AS min_days, MAX(lat_days) AS max_days
+        FROM lat GROUP BY o_orderpriority
+    )
+    SELECT m.o_orderpriority, m.n AS n_lineitems,
+           m.median_days, m.p90_days, e.min_days, e.max_days
+    FROM meds m JOIN extremes e USING (o_orderpriority)
+"""
+
+ORACLES["event_user_bitmap"] = """
+    WITH slots AS (
+        SELECT event_type,
+               CAST('0x' || substr(md5('bmw:' || CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) % 61440
+                   AS slot
+        FROM events
+    ),
+    words AS (
+        SELECT event_type, slot // 60 AS word,
+               bit_or(CAST(1 AS BIGINT) << CAST(slot % 60 AS INTEGER))
+                   AS mask
+        FROM slots GROUP BY 1, 2
+    ),
+    counts AS (
+        SELECT event_type,
+               CAST(SUM(bit_count(mask)) AS BIGINT) AS bitmap_count,
+               CAST(COUNT(*) AS BIGINT) AS words_used
+        FROM words GROUP BY event_type
+    ),
+    exact AS (
+        SELECT event_type,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct
+        FROM events GROUP BY event_type
+    )
+    SELECT c.event_type, c.words_used, c.bitmap_count, e.exact_distinct,
+           e.exact_distinct - c.bitmap_count AS collision_loss
+    FROM counts c JOIN exact e USING (event_type)
+"""

@@ -153,6 +153,9 @@ _GRADE_AFTER_REGRADES = frozenset(
         "multimodal_resize_plan",
         "text_rake_keywords",
         "dedup_kcore",
+        "event_cusum_changepoint",
+        "order_fulfillment_latency",
+        "event_user_bitmap",
     }
 )
 

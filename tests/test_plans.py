@@ -179,6 +179,7 @@ _BNLJ_INTENDED = frozenset(
         "value_mad_anomalies",        # 1-row-per-type extremes/median/MAD scalars
         "sketch_histogram_quantiles",  # 1-row bounds + ≤1024-row cum-histogram scalars
         "t_closeness_audit",          # ≤|bands|-row global distribution onto QI groups
+        "event_cusum_changepoint",    # 1-row day-span bounds onto the |types| frame
     }
 )
 
@@ -648,7 +649,8 @@ def test_registry_orders_unverified_queries_first():
         "value_mad_anomalies", "orders_aging_buckets",
         "event_dow_profile", "t_closeness_audit",
         "sketch_histogram_quantiles", "multimodal_resize_plan",
-        "text_rake_keywords", "dedup_kcore",
+        "text_rake_keywords", "dedup_kcore", "event_cusum_changepoint",
+        "order_fulfillment_latency", "event_user_bitmap",
     }
     # the driver's observed grading budget is 50 queries per round
     # (r02 and r03 both truncated there); the 11 VERDICT-r03-flagged

@@ -118,3 +118,97 @@ def test_event_dow_profile_weekday_arithmetic(spark):
         for r in event_dow_profile(spark, SF).collect()
     }
     assert got == {k: v for k, v in expected.items()}
+
+
+def test_cusum_changepoint_matches_pure_python(spark):
+    from collections import Counter
+
+    from big_data_2021_spark_streaming_spark.plans.analytics import (
+        event_cusum_changepoint,
+    )
+
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    days = ev["ts"].values.astype("datetime64[D]").astype(int)
+    d0, d1 = days.min(), days.max()
+    expected = {}
+    for etype in ev["event_type"].unique():
+        cnt = Counter(days[(ev["event_type"] == etype).values])
+        xs = [cnt.get(d, 0) for d in range(d0, d1 + 1)]
+        n, total = len(xs), sum(xs)
+        cum = 0
+        best = None
+        for k, x in enumerate(xs, start=1):
+            cum += x
+            s = abs(n * cum - k * total)
+            day = d0 + k - 1
+            if best is None or s > best[0]:
+                best = (s, day)
+        s_abs, day = best
+        peak_micro = (2 * s_abs * 1_000_000 + n * total) // (2 * n * total)
+        expected[etype] = (n, total, day, s_abs, peak_micro)
+
+    rows = event_cusum_changepoint(spark, SF).collect()
+    assert {r.event_type for r in rows} == set(expected)
+    for r in rows:
+        n, total, day, s_abs, peak = expected[r.event_type]
+        assert (
+            r.n_days,
+            r.total_events,
+            r.changepoint_day,
+            r.cusum_peak,
+            r.peak_micro,
+        ) == (n, total, day, s_abs, peak), r.event_type
+
+
+def test_fulfillment_latency_matches_pure_python(spark):
+    from big_data_2021_spark_streaming_spark.plans.analytics import (
+        order_fulfillment_latency,
+    )
+
+    orders = pd.read_parquet(f"{SF}/orders.parquet")
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")
+    j = li.merge(orders, left_on="l_orderkey", right_on="o_orderkey")
+    lat = (
+        j["l_shipdate"].values.astype("datetime64[D]").astype(int)
+        - j["o_orderdate"].values.astype("datetime64[D]").astype(int)
+    )
+    j = j.assign(lat=lat, rid=j["o_orderkey"] * 8 + j["l_linenumber"])
+    expected = {}
+    for pri, grp in j.groupby("o_orderpriority"):
+        vals = [v for v, _ in sorted(zip(grp["lat"], grp["rid"]))]
+        n = len(vals)
+        expected[pri] = (
+            n,
+            vals[(n + 1) // 2 - 1],
+            vals[(9 * n + 9) // 10 - 1],
+            min(vals),
+            max(vals),
+        )
+    rows = order_fulfillment_latency(spark, SF).collect()
+    assert {r.o_orderpriority for r in rows} == set(expected)
+    for r in rows:
+        n, med, p90, mn, mx = expected[r.o_orderpriority]
+        assert (
+            r.n_lineitems,
+            r.median_days,
+            r.p90_days,
+            r.min_days,
+            r.max_days,
+        ) == (n, med, p90, mn, mx), r.o_orderpriority
+
+
+def test_bitmap_sketch_counts_bounded_by_exact(spark):
+    from big_data_2021_spark_streaming_spark.plans.analytics import (
+        BITMAP_BITS_PER_WORD,
+        BITMAP_WORDS,
+        event_user_bitmap,
+    )
+
+    rows = event_user_bitmap(spark, SF).collect()
+    assert rows
+    for r in rows:
+        # a bitmap can only undercount (collisions), never overcount
+        assert 0 <= r.collision_loss == r.exact_distinct - r.bitmap_count
+        assert r.bitmap_count <= r.exact_distinct
+        assert r.words_used <= BITMAP_WORDS
+        assert r.bitmap_count <= r.words_used * BITMAP_BITS_PER_WORD
