@@ -2049,8 +2049,209 @@ ORACLES["similarity_matryoshka_recall"] = f"""
 """
 
 
+# ---------------------------------------------------------------------
+# Power-iteration PCA (top principal component)
+# ---------------------------------------------------------------------
+
+PCA_DIMS = 16  # leading dims the component is fit over
+PCA_ROUNDS = 3  # fixed matvec rounds (oracle unrolls the same)
+
+
+def power_iteration_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding covariance by fixed-
+    round power iteration, entirely declarative — the whitening/
+    compression prep that tells a pipeline which direction dominates
+    its embedding space (a runaway top eigenvalue means the encoder
+    collapsed and every cosine similarity is measuring one feature).
+
+    Exactness: components in integer milli-units; the covariance
+    NUMERATOR M_ij = n·Σx_i x_j − s_i s_j is exact (scaling by the
+    common n² denominator doesn't move the eigenvector); each round is
+    w = M·v in DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) — products
+    reach ~1e19, past int64 — renormalized to v' = half-away(1e6·w /
+    max|w|). Fixed v0 = 1e6·1 and identical arithmetic make the sign
+    and every intermediate bit-equal across engines; the oracle
+    unrolls the same PCA_ROUNDS CTE stages. λ is the exact Rayleigh
+    quotient vᵀMv/vᵀv on the final v (same M scale).
+
+    Scale: ONE corpus scan builds the PCA_DIMS²-row moment matrix
+    (map-side combinable: Σx_i x_j per (i,j) key); every round after
+    that is a join of two ≤PCA_DIMS²-row frames — corpus size only
+    touches the first aggregate, exactly MLlib's computeSVD shape.
+    Rounds are localCheckpoint-ed so plan depth stays constant."""
+    vecs = _vectors(spark, sf_dir)
+    comp = (
+        vecs.select("vec_id", F.posexplode("v").alias("gd", "x"))
+        .where(F.col("gd") < PCA_DIMS)
+        .select("vec_id", "gd", _milli(F.col("x")).alias("xq"))
+        .persist()
+    )
+    nn = comp.agg(
+        (F.count_distinct("vec_id")).cast("bigint").alias("n")
+    )
+    sums = comp.groupBy("gd").agg(F.sum("xq").cast("bigint").alias("s"))
+    prod = (
+        comp.alias("a")
+        .join(comp.alias("b"), "vec_id")
+        .groupBy(
+            F.col("a.gd").alias("gd1"), F.col("b.gd").alias("gd2")
+        )
+        .agg(F.sum(F.col("a.xq") * F.col("b.xq")).cast("bigint").alias("sxy"))
+    )
+    m = (
+        prod.join(
+            F.broadcast(sums.select(F.col("gd").alias("gd1"), F.col("s").alias("s1"))),
+            "gd1",
+        )
+        .join(
+            F.broadcast(sums.select(F.col("gd").alias("gd2"), F.col("s").alias("s2"))),
+            "gd2",
+        )
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "gd1",
+            "gd2",
+            (
+                F.col("n").cast("decimal(38,0)") * F.col("sxy").cast("decimal(38,0)")
+                - F.col("s1").cast("decimal(38,0)") * F.col("s2").cast("decimal(38,0)")
+            ).alias("m"),
+        )
+        .localCheckpoint()
+    )
+    v = spark.range(PCA_DIMS).select(
+        F.col("id").cast("int").alias("gd"),
+        F.lit(1_000_000).cast("bigint").alias("v"),
+    )
+    half_away = (
+        "CASE WHEN w < 0 THEN"
+        " -cast((2 * (-w) * 1000000 + mx) div (2 * mx) as bigint)"
+        " ELSE cast((2 * w * 1000000 + mx) div (2 * mx) as bigint) END"
+    )
+    for _ in range(PCA_ROUNDS):
+        w = (
+            m.join(v.select(F.col("gd").alias("gd2"), "v"), "gd2")
+            .groupBy("gd1")
+            .agg(F.sum(F.col("m") * F.col("v")).alias("w"))
+        )
+        mx = w.agg(F.max(F.abs(F.col("w"))).alias("mx"))
+        v = (
+            w.crossJoin(F.broadcast(mx))
+            .select(
+                F.col("gd1").alias("gd"), F.expr(half_away).alias("v")
+            )
+            .localCheckpoint()
+        )
+    w_final = (
+        m.join(v.select(F.col("gd").alias("gd2"), "v"), "gd2")
+        .groupBy("gd1")
+        .agg(F.sum(F.col("m") * F.col("v")).alias("w"))
+    )
+    ray = (
+        w_final.join(v.select(F.col("gd").alias("gd1"), "v"), "gd1")
+        .agg(
+            F.sum(F.col("v").cast("decimal(38,0)") * F.col("w")).alias("num"),
+            F.sum(
+                F.col("v").cast("decimal(38,0)") * F.col("v").cast("decimal(38,0)")
+            ).alias("den"),
+        )
+        .select(
+            F.expr(
+                "CASE WHEN num < 0 THEN"
+                " -cast((2 * (-num) + den) div (2 * den) as bigint)"
+                " ELSE cast((2 * num + den) div (2 * den) as bigint) END"
+            ).alias("lambda_scaled")
+        )
+    )
+    return v.crossJoin(F.broadcast(ray)).select(
+        "gd", F.col("v").alias("loading_micro"), "lambda_scaled"
+    )
+
+
+def _power_iteration_sql() -> str:
+    half_away = (
+        "CASE WHEN w < 0 THEN"
+        " -CAST((2 * (-w) * 1000000 + mx) // (2 * mx) AS BIGINT)"
+        " ELSE CAST((2 * w * 1000000 + mx) // (2 * mx) AS BIGINT) END"
+    )
+    stages = []
+    prev = "r0"
+    for i in range(1, PCA_ROUNDS + 1):
+        stages.append(
+            f"""w{i} AS (
+        SELECT m.gd1 AS gd, CAST(SUM(m.m * p.v) AS HUGEINT) AS w
+        FROM m JOIN {prev} p ON p.gd = m.gd2
+        GROUP BY m.gd1
+    ),
+    r{i} AS (
+        SELECT gd, {half_away} AS v
+        FROM w{i} CROSS JOIN (SELECT MAX(abs(w)) AS mx FROM w{i})
+    )"""
+        )
+        prev = f"r{i}"
+    chained = ",\n    ".join(stages)
+    return f"""
+    WITH comp0 AS (
+        SELECT vec_id,
+               unnest(range(0, len(embedding))) AS gd,
+               unnest(CAST(embedding AS DOUBLE[])) AS x
+        FROM embeddings
+    ),
+    comp AS (
+        SELECT vec_id, CAST(gd AS INTEGER) AS gd,
+               CAST(ROUND(x * 1000) AS BIGINT) AS xq
+        FROM comp0 WHERE gd < {PCA_DIMS}
+    ),
+    nn AS (SELECT CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n FROM comp),
+    sums AS (
+        SELECT gd, CAST(SUM(xq) AS BIGINT) AS s FROM comp GROUP BY gd
+    ),
+    prod AS (
+        SELECT a.gd AS gd1, b.gd AS gd2,
+               CAST(SUM(a.xq * b.xq) AS BIGINT) AS sxy
+        FROM comp a JOIN comp b USING (vec_id)
+        GROUP BY 1, 2
+    ),
+    m AS (
+        SELECT gd1, gd2,
+               CAST(n AS HUGEINT) * sxy
+               - CAST(s1.s AS HUGEINT) * s2.s AS m
+        FROM prod
+        JOIN sums s1 ON s1.gd = prod.gd1
+        JOIN sums s2 ON s2.gd = prod.gd2
+        CROSS JOIN nn
+    ),
+    r0 AS (
+        SELECT CAST(g.gd AS INTEGER) AS gd, CAST(1000000 AS BIGINT) AS v
+        FROM (SELECT unnest(range({PCA_DIMS})) AS gd) g
+    ),
+    {chained},
+    wf AS (
+        SELECT m.gd1 AS gd, CAST(SUM(m.m * p.v) AS HUGEINT) AS w
+        FROM m JOIN r{PCA_ROUNDS} p ON p.gd = m.gd2
+        GROUP BY m.gd1
+    ),
+    ray AS (
+        SELECT CASE WHEN num < 0 THEN
+                   -CAST((2 * (-num) + den) // (2 * den) AS BIGINT)
+               ELSE CAST((2 * num + den) // (2 * den) AS BIGINT) END
+                   AS lambda_scaled
+        FROM (
+            SELECT CAST(SUM(CAST(p.v AS HUGEINT) * w.w) AS HUGEINT) AS num,
+                   CAST(SUM(CAST(p.v AS HUGEINT) * p.v) AS HUGEINT) AS den
+            FROM wf w JOIN r{PCA_ROUNDS} p USING (gd)
+        )
+    )
+    SELECT p.gd, p.v AS loading_micro, ray.lambda_scaled
+    FROM r{PCA_ROUNDS} p CROSS JOIN ray
+    """
+
+
+ORACLES["embedding_power_iteration"] = _power_iteration_sql()
+
+
 QUERIES = {
     # new-in-round-4 entries first: registry order = driver grading order
+    "embedding_power_iteration": power_iteration_pca,
     "similarity_bq_topk": bq_topk,
     "similarity_matryoshka_recall": matryoshka_recall,
     "embedding_centroid_drift": centroid_drift,

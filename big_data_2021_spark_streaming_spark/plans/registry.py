@@ -156,6 +156,7 @@ _GRADE_AFTER_REGRADES = frozenset(
         "event_cusum_changepoint",
         "order_fulfillment_latency",
         "event_user_bitmap",
+        "embedding_power_iteration",
     }
 )
 

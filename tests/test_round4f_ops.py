@@ -201,3 +201,62 @@ def test_kcore_fixed_point_and_pure_python_peel(spark):
     assert got == dict(final)
     # convergence: one more peel changes nothing
     assert all(c >= KCORE_K for c in final.values()), "rounds did not converge"
+
+
+def test_power_iteration_matches_pure_python(spark):
+    """Full third-engine recomputation: exact integer covariance
+    numerator, 3 fixed HUGEINT matvec rounds with half-away
+    renormalization, Rayleigh quotient — pins every intermediate bit
+    independently of both SQL engines."""
+    from big_data_2021_spark_streaming_spark.operators.similarity import (
+        PCA_DIMS,
+        PCA_ROUNDS,
+        power_iteration_pca,
+    )
+
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet")
+
+    def milli(x: float) -> int:
+        m = int(math.floor(abs(float(x)) * 1000 + 0.5))
+        return m if x >= 0 else -m
+
+    comps = [
+        [milli(x) for x in row["embedding"][:PCA_DIMS]]
+        for _, row in emb.iterrows()
+    ]
+    n = len(comps)
+    s = [sum(c[i] for c in comps) for i in range(PCA_DIMS)]
+    M = [
+        [
+            n * sum(c[i] * c[j] for c in comps) - s[i] * s[j]
+            for j in range(PCA_DIMS)
+        ]
+        for i in range(PCA_DIMS)
+    ]
+
+    def half_away(w: int, mx: int) -> int:
+        if w < 0:
+            return -((2 * (-w) * 1_000_000 + mx) // (2 * mx))
+        return (2 * w * 1_000_000 + mx) // (2 * mx)
+
+    v = [1_000_000] * PCA_DIMS
+    for _ in range(PCA_ROUNDS):
+        w = [sum(M[i][j] * v[j] for j in range(PCA_DIMS)) for i in range(PCA_DIMS)]
+        mx = max(abs(x) for x in w)
+        v = [half_away(x, mx) for x in w]
+    w = [sum(M[i][j] * v[j] for j in range(PCA_DIMS)) for i in range(PCA_DIMS)]
+    num = sum(v[i] * w[i] for i in range(PCA_DIMS))
+    den = sum(v[i] * v[i] for i in range(PCA_DIMS))
+    lam = (
+        -((2 * (-num) + den) // (2 * den))
+        if num < 0
+        else (2 * num + den) // (2 * den)
+    )
+
+    rows = power_iteration_pca(spark, SF).collect()
+    assert len(rows) == PCA_DIMS
+    for r in rows:
+        assert r.loading_micro == v[r.gd], r.gd
+        assert r.lambda_scaled == lam
+    # the dominant eigenvalue of a covariance numerator is positive
+    assert lam > 0
