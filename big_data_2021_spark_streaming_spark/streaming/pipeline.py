@@ -541,6 +541,43 @@ def streaming_topk(events: DataFrame, k: int = 3) -> DataFrame:
     )
 
 
+def stream_user_bitmap(
+    events: DataFrame, words: int = 1024, bits_per_word: int = 60
+) -> DataFrame:
+    """Streaming twin of ``analytics.event_user_bitmap``: per
+    (event_type, word) presence-bit OR over an unbounded user stream.
+    bit_or is associative+idempotent, so the streaming state is EXACTLY
+    the batch sketch at every micro-batch boundary — replays and
+    at-least-once sources cannot corrupt it (re-OR-ing a bit is a
+    no-op), which is the property that makes bitmap/HLL-class sketches
+    the right distinct counters for streams while exact
+    count_distinct state grows without bound. State is bounded at
+    |types|·words rows regardless of stream length; 60 bits per word
+    keep the mask positive in int64 (bit 63 would wrap).
+
+    Complete/update output both work; the pinned test ORs a prefix
+    emission into a later one to prove mergeability."""
+    from ..operators.sketches import _h
+
+    uid = F.col("user_id").cast("string")
+    return (
+        events.select(
+            "event_type",
+            (_h("bmw", uid) % (words * bits_per_word)).alias("slot"),
+        )
+        .select(
+            "event_type",
+            F.expr(f"slot div {bits_per_word}").alias("word"),
+            F.expr(
+                f"shiftleft(cast(1 as bigint),"
+                f" cast(slot % {bits_per_word} as int))"
+            ).alias("bit"),
+        )
+        .groupBy("event_type", "word")
+        .agg(F.expr("bit_or(bit)").alias("mask"))
+    )
+
+
 def merge_session_events(
     open_session: tuple | None, events, gap_us: int
 ) -> tuple[list[tuple], tuple]:

@@ -95,3 +95,65 @@ def test_stream_drift_monitor_per_batch_tvd(spark, sf_dir, tmp_path):
     # the shifted batch must alarm much harder than the clean one
     assert max(got) > 10 * max(1, min(got))
     assert not math.isnan(max(got))
+
+
+def test_stream_user_bitmap_equals_batch_and_merges(spark, tmp_path):
+    """The streaming bitmap sketch must equal the batch sketch over the
+    same rows at every boundary, and a stale emission OR-merged into a
+    later one must be absorbed (idempotent, monotone) — the property
+    that makes it replay-safe."""
+    import json as _json
+
+    from big_data_2021_spark_streaming_spark.streaming.pipeline import (
+        stream_user_bitmap,
+        to_memory_sink,
+    )
+
+    d = tmp_path / "ev"
+    d.mkdir()
+    batch1 = [
+        {"event_id": i, "user_id": 100 + i % 7, "event_type": "click"}
+        for i in range(20)
+    ]
+    (d / "b0.json").write_text("\n".join(_json.dumps(r) for r in batch1))
+    schema = "event_id LONG, user_id LONG, event_type STRING"
+    stream = spark.readStream.schema(schema).json(str(d))
+    q = to_memory_sink(
+        stream_user_bitmap(stream, words=8), "bm_sink", output_mode="complete"
+    )
+    try:
+        q.processAllAvailable()
+        first = {
+            (r.event_type, r.word): r.mask
+            for r in spark.table("bm_sink").collect()
+        }
+        batch2 = [
+            {"event_id": 100 + i, "user_id": 200 + i, "event_type": "click"}
+            for i in range(5)
+        ] + [{"event_id": 200, "user_id": 1, "event_type": "purchase"}]
+        (d / "b1.json").write_text("\n".join(_json.dumps(r) for r in batch2))
+        q.processAllAvailable()
+        final = {
+            (r.event_type, r.word): r.mask
+            for r in spark.table("bm_sink").collect()
+        }
+    finally:
+        q.stop()
+
+    batch_df = spark.createDataFrame(
+        [(r["event_id"], r["user_id"], r["event_type"]) for r in batch1 + batch2],
+        schema,
+    )
+    expected = {
+        (r.event_type, r.word): r.mask
+        for r in stream_user_bitmap(batch_df, words=8).collect()
+    }
+    assert final == expected
+    # monotone: every first-boundary mask is a submask of the final
+    for k, m in first.items():
+        assert (m | final[k]) == final[k], k
+    # idempotent merge: OR-ing the stale emission changes nothing
+    merged = dict(final)
+    for k, m in first.items():
+        merged[k] = merged[k] | m
+    assert merged == final
