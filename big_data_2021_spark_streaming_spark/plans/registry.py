@@ -157,6 +157,7 @@ _GRADE_AFTER_REGRADES = frozenset(
         "order_fulfillment_latency",
         "event_user_bitmap",
         "embedding_power_iteration",
+        "corpus_shard_plan",
     }
 )
 

@@ -652,7 +652,7 @@ def test_registry_orders_unverified_queries_first():
         "sketch_histogram_quantiles", "multimodal_resize_plan",
         "text_rake_keywords", "dedup_kcore", "event_cusum_changepoint",
         "order_fulfillment_latency", "event_user_bitmap",
-        "embedding_power_iteration",
+        "embedding_power_iteration", "corpus_shard_plan",
     }
     # the driver's observed grading budget is 50 queries per round
     # (r02 and r03 both truncated there); the 11 VERDICT-r03-flagged

@@ -260,3 +260,46 @@ def test_power_iteration_matches_pure_python(spark):
         assert r.lambda_scaled == lam
     # the dominant eigenvalue of a covariance numerator is positive
     assert lam > 0
+
+
+def test_shard_plan_matches_pure_python(spark):
+    """Third-engine recomputation of the hash-order bin packing, plus
+    the packing invariants: payload conservation and every shard except
+    possibly the last cut at/after the target boundary."""
+    import hashlib
+
+    from big_data_2021_spark_streaming_spark.operators.curation import (
+        SHARD_BYTES,
+        corpus_shard_plan,
+    )
+
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+
+    def h60(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    rows = sorted(
+        (
+            (h60(f"shard:{r.doc_id}"), r.doc_id, r.source, int(r.n_chars))
+            for r in docs.itertuples()
+        )
+    )
+    expected: dict[int, list] = {}
+    cum = 0
+    for _, doc_id, source, nb in rows:
+        sid = cum // SHARD_BYTES
+        e = expected.setdefault(sid, [0, 0, set()])
+        e[0] += 1
+        e[1] += nb
+        e[2].add(source)
+        cum += nb
+
+    got = {
+        r.shard_id: (r.n_docs, r.payload_chars, r.n_sources)
+        for r in corpus_shard_plan(spark, SF).collect()
+    }
+    assert got == {
+        sid: (n, p, len(srcs)) for sid, (n, p, srcs) in expected.items()
+    }
+    # conservation: payloads reassemble the corpus
+    assert sum(p for _, p, _ in got.values()) == int(docs["n_chars"].sum())
