@@ -1151,8 +1151,99 @@ ORACLES["corpus_shard_plan"] = f"""
 """
 
 
+QD_DECILES = 10
+
+
+def quality_dup_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-decile × duplication correlation: bucket the corpus into
+    exact global quality deciles and report each decile's near-dup
+    rate — the analysis behind the curation folk theorem that low-
+    quality text is disproportionately boilerplate/template duplicates.
+    If the bottom decile's dup rate ISN'T elevated, the quality bar and
+    the dedup pass are pruning independent populations and the funnel
+    order doesn't matter; if it is, dedup-first saves quality-scoring
+    compute.
+
+    Deciles come from ``_exact_global_rank`` on the exact micro
+    quality (banded two-phase — no single-partition sort); the dup
+    flag joins in from the memoized cluster-label frame (pair-graph
+    sized). One corpus scan + one bounded join + a 10-key aggregate."""
+    from ..plans.analytics import _exact_global_rank
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    qm = quality_lineage(docs).select(
+        "doc_id",
+        F.expr("cast(round(quality * 1000000) as bigint)").alias("qm"),
+    )
+    ranked = _exact_global_rank(qm, "qm", "doc_id", "rnk")
+    n_frame = qm.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    deciled = ranked.crossJoin(F.broadcast(n_frame)).select(
+        "doc_id",
+        F.expr(f"cast(1 + ((rnk - 1) * {QD_DECILES}) div n as int)").alias(
+            "decile"
+        ),
+    )
+    clusters = _dedup.near_dup_clusters(spark, sf_dir).select(
+        "doc_id", "is_canonical"
+    )
+    return (
+        deciled.join(clusters, "doc_id")
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum((~F.col("is_canonical")).cast("bigint")).alias("n_dups"),
+        )
+        .select(
+            "decile",
+            "n_docs",
+            "n_dups",
+            F.expr(
+                "(2 * n_dups * 1000000 + n_docs) div (2 * n_docs)"
+            ).alias("dup_micro"),
+        )
+    )
+
+
+def _quality_sub() -> str:
+    from ..operators.text import ORACLES as _TEXT_ORACLES
+
+    return _TEXT_ORACLES["text_quality_score"]
+
+
+ORACLES["quality_dup_profile"] = f"""
+    WITH qm AS (
+        SELECT doc_id, CAST(ROUND(quality * 1000000) AS BIGINT) AS qm
+        FROM ({_quality_sub()}) q
+    ),
+    ranked AS (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY qm, doc_id) AS rnk,
+               CAST(COUNT(*) OVER () AS BIGINT) AS n
+        FROM qm
+    ),
+    deciled AS (
+        SELECT doc_id,
+               CAST(1 + ((rnk - 1) * {QD_DECILES}) // n AS INTEGER)
+                   AS decile
+        FROM ranked
+    ),
+    clusters AS (
+        SELECT doc_id, is_canonical FROM ({_clusters_sub()}) c
+    )
+    SELECT decile,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN is_canonical THEN 0 ELSE 1 END) AS BIGINT)
+               AS n_dups,
+           CAST((2 * SUM(CASE WHEN is_canonical THEN 0 ELSE 1 END) * 1000000
+                 + COUNT(*)) // (2 * COUNT(*)) AS BIGINT) AS dup_micro
+    FROM deciled JOIN clusters USING (doc_id)
+    GROUP BY decile
+"""
+
+
 QUERIES = {
     # new-in-round-4 entries first: registry order = driver grading order
+    "quality_dup_profile": quality_dup_profile,
     "corpus_shard_plan": corpus_shard_plan,
     "epoch_shuffle_plan": epoch_shuffle_plan,
     "corpus_cross_source_overlap": cross_source_overlap,

@@ -158,6 +158,7 @@ _GRADE_AFTER_REGRADES = frozenset(
         "event_user_bitmap",
         "embedding_power_iteration",
         "corpus_shard_plan",
+        "quality_dup_profile",
     }
 )
 

@@ -181,6 +181,7 @@ _BNLJ_INTENDED = frozenset(
         "t_closeness_audit",          # ≤|bands|-row global distribution onto QI groups
         "event_cusum_changepoint",    # 1-row day-span bounds onto the |types| frame
         "embedding_power_iteration",  # 1-row n/max/Rayleigh scalars onto ≤DIM²-row frames
+        "quality_dup_profile",        # 1-row corpus-count scalar onto the ranked frame
     }
 )
 
@@ -653,6 +654,7 @@ def test_registry_orders_unverified_queries_first():
         "text_rake_keywords", "dedup_kcore", "event_cusum_changepoint",
         "order_fulfillment_latency", "event_user_bitmap",
         "embedding_power_iteration", "corpus_shard_plan",
+        "quality_dup_profile",
     }
     # the driver's observed grading budget is 50 queries per round
     # (r02 and r03 both truncated there); the 11 VERDICT-r03-flagged

@@ -303,3 +303,34 @@ def test_shard_plan_matches_pure_python(spark):
     }
     # conservation: payloads reassemble the corpus
     assert sum(p for _, p, _ in got.values()) == int(docs["n_chars"].sum())
+
+
+def test_quality_dup_profile_invariants(spark):
+    """Deciles cover the corpus evenly (±1), dup counts bound by doc
+    counts, and the decile totals reassemble the corpus and its
+    non-canonical population exactly."""
+    from big_data_2021_spark_streaming_spark.operators.curation import (
+        QD_DECILES,
+        quality_dup_profile,
+    )
+    from big_data_2021_spark_streaming_spark.operators.dedup import (
+        near_dup_clusters,
+    )
+
+    rows = quality_dup_profile(spark, SF).collect()
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    n = len(docs)
+    assert sum(r.n_docs for r in rows) == n
+    assert {r.decile for r in rows} <= set(range(1, QD_DECILES + 1))
+    lo, hi = n // QD_DECILES, n // QD_DECILES + 1
+    for r in rows:
+        assert lo <= r.n_docs <= hi, r.decile
+        assert 0 <= r.n_dups <= r.n_docs
+        assert r.dup_micro == (2 * r.n_dups * 1_000_000 + r.n_docs) // (
+            2 * r.n_docs
+        )
+    n_dups_total = sum(
+        0 if r.is_canonical else 1
+        for r in near_dup_clusters(spark, SF).collect()
+    )
+    assert sum(r.n_dups for r in rows) == n_dups_total
