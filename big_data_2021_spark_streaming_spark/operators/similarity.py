@@ -2249,8 +2249,155 @@ def _power_iteration_sql() -> str:
 ORACLES["embedding_power_iteration"] = _power_iteration_sql()
 
 
+# ---------------------------------------------------------------------
+# Cross-method recall sweep
+# ---------------------------------------------------------------------
+
+_SWEEP_METHODS = (
+    "lsh",
+    "ivf",
+    "pq",
+    "ivf_pq",
+    "sq",
+    "bq",
+    "mrl",
+)
+
+
+def recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One acceptance dashboard for the whole ANN stack: recall@5 of
+    every index strategy (hyperplane LSH, IVF, PQ, IVF-PQ, SQ8, 1-bit
+    BQ, Matryoshka prefix) against the same exact top-k — the table an
+    engineer reads to pick the memory/recall point before a 100 TB
+    index build. Each method's candidate pipeline is the SAME builder
+    the standalone query uses (shared persisted code tables and
+    centroids are materialized once per session), so this is a cheap
+    union over already-cached frames plus one exact baseline.
+
+    The aggregate recall is micro-exact: hits and the |queries|·k
+    denominator are integers; per-method rows are independent, so the
+    plan is a union of bounded per-method joins against the broadcast
+    5·|queries|-row exact set."""
+    exact = topk_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
+
+    def pairs(df: DataFrame) -> DataFrame:
+        return df.select("query_id", "neighbor_id")
+
+    approx = {
+        "lsh": pairs(lsh_topk(spark, sf_dir)),
+        "ivf": pairs(ivf_topk(spark, sf_dir)),
+        "pq": pairs(pq_topk(spark, sf_dir)),
+        "ivf_pq": pairs(ivf_pq_topk(spark, sf_dir)),
+        "sq": pairs(sq_topk(spark, sf_dir)),
+        "bq": pairs(bq_topk(spark, sf_dir)),
+        "mrl": _mrl_prefix_pairs(spark, sf_dir),
+    }
+    frames = []
+    for method in _SWEEP_METHODS:
+        a = approx[method]
+        frames.append(
+            exact.alias("e")
+            .join(
+                a.alias("a"),
+                (F.col("e.query_id") == F.col("a.query_id"))
+                & (F.col("e.neighbor_id") == F.col("a.neighbor_id")),
+                "left",
+            )
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_exact_pairs"),
+                F.sum(
+                    F.when(F.col("a.neighbor_id").isNotNull(), 1).otherwise(0)
+                )
+                .cast("bigint")
+                .alias("n_hits"),
+            )
+            .select(
+                F.lit(method).alias("method"),
+                "n_exact_pairs",
+                "n_hits",
+                F.expr(
+                    "(2 * n_hits * 1000000 + n_exact_pairs)"
+                    " div (2 * n_exact_pairs)"
+                ).alias("recall_micro"),
+            )
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
+
+
+def _mrl_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-dim top-k pairs (the matryoshka_recall approx side)."""
+    vecs = _vectors(spark, sf_dir)
+    queries = vecs.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("q")
+    )
+    score = _cos(
+        F.slice(F.col("q"), 1, MRL_DIM), F.slice(F.col("v"), 1, MRL_DIM)
+    )
+    w = Window.partitionBy("query_id").orderBy(score.desc(), F.col("vec_id"))
+    return (
+        vecs.crossJoin(F.broadcast(queries))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOPK)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+    )
+
+
+def _recall_sweep_sql() -> str:
+    method_sub = {
+        "lsh": ORACLES["similarity_lsh_topk"],
+        "ivf": ORACLES["similarity_ivf_topk"],
+        "pq": ORACLES["similarity_pq_topk"],
+        "ivf_pq": ORACLES["similarity_ivf_pq_topk"],
+        "sq": ORACLES["similarity_sq_topk"],
+        "bq": ORACLES["similarity_bq_topk"],
+        "mrl": f"""
+            WITH q AS (
+                SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+                FROM embeddings WHERE vec_id < {N_QUERIES}
+            )
+            SELECT query_id, neighbor_id FROM (
+                SELECT q.query_id, e.vec_id AS neighbor_id,
+                       row_number() OVER (
+                           PARTITION BY q.query_id
+                           ORDER BY list_cosine_similarity(
+                                        q.qv[1:{MRL_DIM}],
+                                        CAST(e.embedding AS DOUBLE[])[1:{MRL_DIM}]
+                                    ) DESC,
+                                    e.vec_id
+                       ) AS rank
+                FROM embeddings e CROSS JOIN q
+                WHERE e.vec_id <> q.query_id
+            ) WHERE rank <= {TOPK}
+        """,
+    }
+    selects = []
+    for method in _SWEEP_METHODS:
+        selects.append(
+            f"""
+    SELECT '{method}' AS method,
+           CAST(COUNT(*) AS BIGINT) AS n_exact_pairs,
+           CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+           CAST((2 * SUM(CASE WHEN a.neighbor_id IS NOT NULL
+                              THEN 1 ELSE 0 END) * 1000000 + COUNT(*))
+                // (2 * COUNT(*)) AS BIGINT) AS recall_micro
+    FROM ({ORACLES["similarity_topk"]}) e
+    LEFT JOIN ({method_sub[method]}) a
+        ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id"""
+        )
+    return "\nUNION ALL\n".join(selects)
+
+
+ORACLES["similarity_recall_sweep"] = _recall_sweep_sql()
+
+
 QUERIES = {
     # new-in-round-4 entries first: registry order = driver grading order
+    "similarity_recall_sweep": recall_sweep,
     "embedding_power_iteration": power_iteration_pca,
     "similarity_bq_topk": bq_topk,
     "similarity_matryoshka_recall": matryoshka_recall,

@@ -159,6 +159,7 @@ _GRADE_AFTER_REGRADES = frozenset(
         "embedding_power_iteration",
         "corpus_shard_plan",
         "quality_dup_profile",
+        "similarity_recall_sweep",
     }
 )
 

@@ -182,6 +182,7 @@ _BNLJ_INTENDED = frozenset(
         "event_cusum_changepoint",    # 1-row day-span bounds onto the |types| frame
         "embedding_power_iteration",  # 1-row n/max/Rayleigh scalars onto ≤DIM²-row frames
         "quality_dup_profile",        # 1-row corpus-count scalar onto the ranked frame
+        "similarity_recall_sweep",    # exact baseline + per-method broadcast-sized joins
     }
 )
 
@@ -654,7 +655,7 @@ def test_registry_orders_unverified_queries_first():
         "text_rake_keywords", "dedup_kcore", "event_cusum_changepoint",
         "order_fulfillment_latency", "event_user_bitmap",
         "embedding_power_iteration", "corpus_shard_plan",
-        "quality_dup_profile",
+        "quality_dup_profile", "similarity_recall_sweep",
     }
     # the driver's observed grading budget is 50 queries per round
     # (r02 and r03 both truncated there); the 11 VERDICT-r03-flagged
