@@ -799,6 +799,101 @@ ORACLES["user_erasure_audit"] = f"""
     FROM counts
 """
 
+ADV_BROADCAST_ROWS = 100_000  # parent fits executor memory → broadcast
+ADV_SHJ_RATIO = 16  # size imbalance that favors shuffle-hash over SMJ
+ADV_SALT_SHARE_MICRO = 200_000  # hottest key >20% of child rows → salt
+
+
+def join_strategy_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Physical join-strategy recommendation per FK edge — the advisor
+    pass a lakehouse runs from table stats BEFORE submitting the big
+    job (the same decision Catalyst makes from size estimates, made
+    explicit and auditable): broadcast when the parent fits executor
+    memory, shuffle-hash when one side dwarfs the other (hash build of
+    the small side beats sorting both), sort-merge otherwise; plus a
+    salting flag when the hottest child key exceeds the skew bar,
+    since no strategy survives one task owning 20% of the probe side.
+
+    Thresholds here are row-based for determinism; a production
+    advisor feeds byte sizes from ``lake_column_stats``. Per edge:
+    two count scans plus one map-combinable (key → count) aggregate
+    reduced to its max — nothing grows past a scan, and the report is
+    |edges| rows."""
+    frames = []
+    for child_t, fk, parent_t, pk in FK_EDGES:
+        child = load_table(spark, sf_dir, child_t)
+        parent = load_table(spark, sf_dir, parent_t)
+        per_key = child.groupBy(F.col(fk).alias("k")).agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+        child_stats = per_key.agg(
+            F.sum("cnt").cast("bigint").alias("child_rows"),
+            F.max("cnt").cast("bigint").alias("top_key_rows"),
+        )
+        parent_stats = parent.agg(
+            F.count(F.lit(1)).cast("bigint").alias("parent_rows")
+        )
+        frames.append(
+            child_stats.crossJoin(F.broadcast(parent_stats)).select(
+                F.lit(f"{child_t}.{fk}->{parent_t}.{pk}").alias(
+                    "relationship"
+                ),
+                "child_rows",
+                "parent_rows",
+                F.expr(
+                    "(2 * top_key_rows * 1000000 + child_rows)"
+                    " div (2 * child_rows)"
+                ).alias("top_key_share_micro"),
+                F.expr(
+                    f"CASE WHEN parent_rows <= {ADV_BROADCAST_ROWS}"
+                    f" THEN 'broadcast'"
+                    f" WHEN greatest(child_rows, parent_rows) >="
+                    f" {ADV_SHJ_RATIO} * least(child_rows, parent_rows)"
+                    f" THEN 'shuffle_hash' ELSE 'sort_merge' END"
+                ).alias("strategy"),
+            )
+        )
+    out = reduce(DataFrame.unionByName, frames)
+    return out.select(
+        "*",
+        (F.col("top_key_share_micro") > ADV_SALT_SHARE_MICRO).alias(
+            "salt_recommended"
+        ),
+    )
+
+
+def _advisor_sql() -> str:
+    selects = []
+    for child_t, fk, parent_t, pk in FK_EDGES:
+        selects.append(
+            f"""
+    SELECT '{child_t}.{fk}->{parent_t}.{pk}' AS relationship,
+           s.child_rows, p.parent_rows,
+           (2 * s.top_key_rows * 1000000 + s.child_rows)
+               // (2 * s.child_rows) AS top_key_share_micro,
+           CASE WHEN p.parent_rows <= {ADV_BROADCAST_ROWS}
+                THEN 'broadcast'
+                WHEN GREATEST(s.child_rows, p.parent_rows) >=
+                     {ADV_SHJ_RATIO} * LEAST(s.child_rows, p.parent_rows)
+                THEN 'shuffle_hash' ELSE 'sort_merge' END AS strategy,
+           (2 * s.top_key_rows * 1000000 + s.child_rows)
+               // (2 * s.child_rows) > {ADV_SALT_SHARE_MICRO}
+               AS salt_recommended
+    FROM (
+        SELECT CAST(SUM(cnt) AS BIGINT) AS child_rows,
+               CAST(MAX(cnt) AS BIGINT) AS top_key_rows
+        FROM (SELECT COUNT(*) AS cnt FROM {child_t} GROUP BY {fk})
+    ) s
+    CROSS JOIN (
+        SELECT CAST(COUNT(*) AS BIGINT) AS parent_rows FROM {parent_t}
+    ) p"""
+        )
+    return "\nUNION ALL\n".join(selects)
+
+
+ORACLES["join_strategy_advisor"] = _advisor_sql()
+
+
 T_CLOSE_MICRO = 200_000  # t-closeness threshold t = 0.2 (micro-units)
 
 
@@ -993,7 +1088,8 @@ ORACLES["l_diversity_audit"] = f"""
 """
 
 QUERIES = {
-    # new-in-round-4f entry first: registry order = driver grading order
+    # new-in-round-4f entries first: registry order = driver grading order
+    "join_strategy_advisor": join_strategy_advisor,
     "t_closeness_audit": t_closeness_audit,
     # round-4d entry
     "lake_column_stats": lake_column_stats,

@@ -160,6 +160,7 @@ _GRADE_AFTER_REGRADES = frozenset(
         "corpus_shard_plan",
         "quality_dup_profile",
         "similarity_recall_sweep",
+        "join_strategy_advisor",
     }
 )
 

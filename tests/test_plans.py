@@ -183,6 +183,7 @@ _BNLJ_INTENDED = frozenset(
         "embedding_power_iteration",  # 1-row n/max/Rayleigh scalars onto ≤DIM²-row frames
         "quality_dup_profile",        # 1-row corpus-count scalar onto the ranked frame
         "similarity_recall_sweep",    # exact baseline + per-method broadcast-sized joins
+        "join_strategy_advisor",      # 1-row stats scalars per FK edge
     }
 )
 
@@ -656,6 +657,7 @@ def test_registry_orders_unverified_queries_first():
         "order_fulfillment_latency", "event_user_bitmap",
         "embedding_power_iteration", "corpus_shard_plan",
         "quality_dup_profile", "similarity_recall_sweep",
+        "join_strategy_advisor",
     }
     # the driver's observed grading budget is 50 queries per round
     # (r02 and r03 both truncated there); the 11 VERDICT-r03-flagged

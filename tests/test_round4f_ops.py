@@ -365,3 +365,53 @@ def test_recall_sweep_consistent_with_standalone_reports(spark):
     # graded at real scale by the oracle gate instead
     for m in ("pq", "sq", "bq", "mrl"):
         assert rows[m].n_hits > 0, m
+
+
+def test_join_advisor_matches_pure_python_rules(spark):
+    from collections import Counter
+
+    from big_data_2021_spark_streaming_spark.operators.audit import (
+        ADV_BROADCAST_ROWS,
+        ADV_SALT_SHARE_MICRO,
+        ADV_SHJ_RATIO,
+        FK_EDGES,
+        join_strategy_advisor,
+    )
+
+    tables = {
+        t: pd.read_parquet(f"{SF}/{t}.parquet")
+        for t in {e[0] for e in FK_EDGES} | {e[2] for e in FK_EDGES}
+    }
+    expected = {}
+    for child_t, fk, parent_t, pk in FK_EDGES:
+        child, parent = tables[child_t], tables[parent_t]
+        cnt = Counter(child[fk])
+        child_rows, top = len(child), max(cnt.values())
+        parent_rows = len(parent)
+        share = (2 * top * 1_000_000 + child_rows) // (2 * child_rows)
+        if parent_rows <= ADV_BROADCAST_ROWS:
+            strat = "broadcast"
+        elif max(child_rows, parent_rows) >= ADV_SHJ_RATIO * min(
+            child_rows, parent_rows
+        ):
+            strat = "shuffle_hash"
+        else:
+            strat = "sort_merge"
+        expected[f"{child_t}.{fk}->{parent_t}.{pk}"] = (
+            child_rows,
+            parent_rows,
+            share,
+            strat,
+            share > ADV_SALT_SHARE_MICRO,
+        )
+
+    rows = join_strategy_advisor(spark, SF).collect()
+    assert {r.relationship for r in rows} == set(expected)
+    for r in rows:
+        assert (
+            r.child_rows,
+            r.parent_rows,
+            r.top_key_share_micro,
+            r.strategy,
+            r.salt_recommended,
+        ) == expected[r.relationship], r.relationship
