@@ -2983,11 +2983,110 @@ def event_user_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curve: customers grouped by first-order
+    month, cumulative revenue (exact cents) tracked by cohort age in
+    months — the retention-economics table behind every LTV model.
+    Age = month index difference on pure epoch arithmetic, so both
+    engines bucket identically.
+
+    Scale: one orders scan → first-order month per customer (groupBy),
+    join back (equi on custkey; AQE broadcasts when the customer side
+    is small), (cohort, age) aggregate, then a cumsum window over AGE
+    within each cohort — bounded by the calendar (≤ months² cells),
+    never by order volume."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.expr(
+            "cast(year(o_orderdate) * 12 + month(o_orderdate) - 1 as bigint)"
+        ).alias("m"),
+        F.expr("cast(round(o_totalprice * 1000000) as bigint)").alias(
+            "micro"
+        ),
+    )
+    first = orders.groupBy("o_custkey").agg(F.min("m").alias("cohort_m"))
+    cells = (
+        orders.join(first, "o_custkey")
+        .select(
+            "cohort_m",
+            (F.col("m") - F.col("cohort_m")).alias("age_months"),
+            "micro",
+        )
+        .groupBy("cohort_m", "age_months")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum("micro").alias("rev_micro"),
+        )
+    )
+    w = (
+        Window.partitionBy("cohort_m")
+        .orderBy("age_months")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return cells.select(
+        "cohort_m",
+        "age_months",
+        "n_orders",
+        F.expr("(2 * rev_micro + 10000) div 20000").alias("rev_cents"),
+        F.expr(
+            "(2 * sum(rev_micro) over (partition by cohort_m"
+            " order by age_months rows between unbounded preceding"
+            " and current row) + 10000) div 20000"
+        ).alias("cum_rev_cents"),
+    )
+
+
+def supplier_return_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier scorecard: shipped volume, returned share (exact
+    micro), and revenue (exact cents) per supplier, nation attached —
+    the vendor-quality report a marketplace reviews monthly. One
+    lineitem scan with a map-combinable supplier aggregate, then a
+    broadcast join to the supplier/nation dims."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_supp = li.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        F.sum((F.col("l_returnflag") == "R").cast("bigint")).alias(
+            "n_returned"
+        ),
+        F.sum(
+            F.expr(
+                "cast(round(l_extendedprice * (1 - l_discount) * 1000000)"
+                " as bigint)"
+            )
+        ).alias("rev_micro"),
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_name", "s_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nationkey"), "n_name"
+    )
+    return (
+        per_supp.join(F.broadcast(supp), "l_suppkey")
+        .join(F.broadcast(nation), "s_nationkey")
+        .select(
+            F.col("l_suppkey").alias("s_suppkey"),
+            "s_name",
+            F.col("n_name").alias("nation_name"),
+            "n_items",
+            "n_returned",
+            F.expr(
+                "(2 * n_returned * 1000000 + n_items) div (2 * n_items)"
+            ).alias("return_micro"),
+            F.expr("(2 * rev_micro + 10000) div 20000").alias(
+                "revenue_cents"
+            ),
+        )
+    )
+
+
 QUERIES: dict[str, object] = {
     # dict order = registry order = driver grading order (its gate has
     # a budget; see plans/registry.py) — entries added or re-planned
     # most recently go FIRST so they are graded before the suite that
     # already has multiple green rounds on record.
+    "cohort_ltv_curve": cohort_ltv_curve,
+    "supplier_return_rates": supplier_return_rates,
     "event_cusum_changepoint": event_cusum_changepoint,
     "order_fulfillment_latency": order_fulfillment_latency,
     "event_user_bitmap": event_user_bitmap,

@@ -1553,3 +1553,52 @@ ORACLES["event_user_bitmap"] = """
            e.exact_distinct - c.bitmap_count AS collision_loss
     FROM counts c JOIN exact e USING (event_type)
 """
+
+ORACLES["cohort_ltv_curve"] = """
+    WITH orders_m AS (
+        SELECT o_custkey,
+               CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1
+                    AS BIGINT) AS m,
+               CAST(ROUND(o_totalprice * 1000000) AS BIGINT) AS micro
+        FROM orders
+    ),
+    first AS (
+        SELECT o_custkey, MIN(m) AS cohort_m FROM orders_m GROUP BY o_custkey
+    ),
+    cells AS (
+        SELECT f.cohort_m, o.m - f.cohort_m AS age_months,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(o.micro) AS BIGINT) AS rev_micro
+        FROM orders_m o JOIN first f USING (o_custkey)
+        GROUP BY 1, 2
+    )
+    SELECT cohort_m, age_months, n_orders,
+           CAST((2 * rev_micro + 10000) // 20000 AS BIGINT) AS rev_cents,
+           CAST((2 * SUM(rev_micro) OVER (
+                     PARTITION BY cohort_m ORDER BY age_months
+                     ROWS UNBOUNDED PRECEDING) + 10000) // 20000 AS BIGINT)
+               AS cum_rev_cents
+    FROM cells
+"""
+
+ORACLES["supplier_return_rates"] = """
+    WITH per_supp AS (
+        SELECT l_suppkey,
+               CAST(COUNT(*) AS BIGINT) AS n_items,
+               CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_returned,
+               CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount)
+                                   * 1000000) AS BIGINT)) AS BIGINT)
+                   AS rev_micro
+        FROM lineitem GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, n_name AS nation_name,
+           n_items, n_returned,
+           (2 * n_returned * 1000000 + n_items) // (2 * n_items)
+               AS return_micro,
+           CAST((2 * rev_micro + 10000) // 20000 AS BIGINT)
+               AS revenue_cents
+    FROM per_supp
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation ON n_nationkey = s_nationkey
+"""

@@ -161,6 +161,8 @@ _GRADE_AFTER_REGRADES = frozenset(
         "quality_dup_profile",
         "similarity_recall_sweep",
         "join_strategy_advisor",
+        "cohort_ltv_curve",
+        "supplier_return_rates",
     }
 )
 

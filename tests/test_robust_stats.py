@@ -212,3 +212,63 @@ def test_bitmap_sketch_counts_bounded_by_exact(spark):
         assert r.bitmap_count <= r.exact_distinct
         assert r.words_used <= BITMAP_WORDS
         assert r.bitmap_count <= r.words_used * BITMAP_BITS_PER_WORD
+
+
+def test_cohort_ltv_matches_pure_python(spark):
+    from big_data_2021_spark_streaming_spark.plans.analytics import (
+        cohort_ltv_curve,
+    )
+
+    orders = pd.read_parquet(f"{SF}/orders.parquet")
+    m = (
+        orders["o_orderdate"].dt.year * 12 + orders["o_orderdate"].dt.month - 1
+    )
+    orders = orders.assign(
+        m=m, micro=[_micro(v) for v in orders["o_totalprice"]]
+    )
+    first = orders.groupby("o_custkey")["m"].min()
+    orders = orders.assign(
+        cohort_m=orders["o_custkey"].map(first),
+    )
+    orders = orders.assign(age=orders["m"] - orders["cohort_m"])
+    cells = (
+        orders.groupby(["cohort_m", "age"])
+        .agg(n=("micro", "size"), rev=("micro", "sum"))
+        .reset_index()
+        .sort_values(["cohort_m", "age"])
+    )
+    cells = cells.assign(
+        cum=cells.groupby("cohort_m")["rev"].cumsum()
+    )
+    expected = {
+        (int(r.cohort_m), int(r.age)): (
+            int(r.n),
+            (2 * int(r.rev) + 10_000) // 20_000,
+            (2 * int(r.cum) + 10_000) // 20_000,
+        )
+        for r in cells.itertuples()
+    }
+    rows = cohort_ltv_curve(spark, SF).collect()
+    got = {
+        (r.cohort_m, r.age_months): (r.n_orders, r.rev_cents, r.cum_rev_cents)
+        for r in rows
+    }
+    assert got == expected
+
+
+def test_supplier_return_rates_conservation(spark):
+    from big_data_2021_spark_streaming_spark.plans.analytics import (
+        supplier_return_rates,
+    )
+
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")
+    rows = supplier_return_rates(spark, SF).collect()
+    assert sum(r.n_items for r in rows) == len(li)
+    assert sum(r.n_returned for r in rows) == int(
+        (li["l_returnflag"] == "R").sum()
+    )
+    for r in rows:
+        assert 0 <= r.n_returned <= r.n_items
+        assert r.return_micro == (2 * r.n_returned * 1_000_000 + r.n_items) // (
+            2 * r.n_items
+        )
