@@ -3080,11 +3080,56 @@ def supplier_return_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+STREAK_TOPN = 20
+
+
+def customer_order_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: each customer's longest run of CONSECUTIVE
+    order days — the classic engagement-streak idiom (island id =
+    day − row_number over the customer's distinct ordered days, a pure
+    window subtraction; no self-join, no recursion). Reports the
+    STREAK_TOPN longest streaks with deterministic tie-break.
+
+    Scale: distinct (customer, day) reduces the fact first (map-side
+    combinable); the windows partition per customer over their
+    distinct DAYS (calendar-bounded); final top-N is sort+limit
+    (TakeOrderedAndProject — distributed partial top-k)."""
+    orders = load_table(spark, sf_dir, "orders")
+    days = (
+        orders.select(
+            "o_custkey",
+            F.expr(
+                "cast(to_unix_timestamp(to_date(o_orderdate)) div 86400"
+                " as bigint)"
+            ).alias("day"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("o_custkey").orderBy("day")
+    islands = days.select(
+        "o_custkey",
+        "day",
+        (F.col("day") - F.row_number().over(w)).alias("island"),
+    )
+    streaks = islands.groupBy("o_custkey", "island").agg(
+        F.count(F.lit(1)).cast("bigint").alias("streak_days"),
+        F.min("day").alias("start_day"),
+    )
+    return (
+        streaks.select("o_custkey", "streak_days", "start_day")
+        .orderBy(
+            F.col("streak_days").desc(), "o_custkey", "start_day"
+        )
+        .limit(STREAK_TOPN)
+    )
+
+
 QUERIES: dict[str, object] = {
     # dict order = registry order = driver grading order (its gate has
     # a budget; see plans/registry.py) — entries added or re-planned
     # most recently go FIRST so they are graded before the suite that
     # already has multiple green rounds on record.
+    "customer_order_streaks": customer_order_streaks,
     "cohort_ltv_curve": cohort_ltv_curve,
     "supplier_return_rates": supplier_return_rates,
     "event_cusum_changepoint": event_cusum_changepoint,

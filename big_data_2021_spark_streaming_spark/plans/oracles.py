@@ -1602,3 +1602,29 @@ ORACLES["supplier_return_rates"] = """
     JOIN supplier ON s_suppkey = l_suppkey
     JOIN nation ON n_nationkey = s_nationkey
 """
+
+ORACLES["customer_order_streaks"] = """
+    WITH days AS (
+        SELECT DISTINCT o_custkey,
+               CAST(epoch(CAST(o_orderdate AS DATE)) AS BIGINT) // 86400
+                   AS day
+        FROM orders
+    ),
+    islands AS (
+        SELECT o_custkey, day,
+               day - ROW_NUMBER() OVER (
+                   PARTITION BY o_custkey ORDER BY day
+               ) AS island
+        FROM days
+    ),
+    streaks AS (
+        SELECT o_custkey,
+               CAST(COUNT(*) AS BIGINT) AS streak_days,
+               CAST(MIN(day) AS BIGINT) AS start_day
+        FROM islands GROUP BY o_custkey, island
+    )
+    SELECT o_custkey, streak_days, start_day
+    FROM streaks
+    ORDER BY streak_days DESC, o_custkey, start_day
+    LIMIT 20
+"""

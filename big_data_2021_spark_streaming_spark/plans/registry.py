@@ -163,6 +163,7 @@ _GRADE_AFTER_REGRADES = frozenset(
         "join_strategy_advisor",
         "cohort_ltv_curve",
         "supplier_return_rates",
+        "customer_order_streaks",
     }
 )
 

@@ -658,7 +658,7 @@ def test_registry_orders_unverified_queries_first():
         "embedding_power_iteration", "corpus_shard_plan",
         "quality_dup_profile", "similarity_recall_sweep",
         "join_strategy_advisor", "cohort_ltv_curve",
-        "supplier_return_rates",
+        "supplier_return_rates", "customer_order_streaks",
     }
     # the driver's observed grading budget is 50 queries per round
     # (r02 and r03 both truncated there); the 11 VERDICT-r03-flagged

@@ -272,3 +272,36 @@ def test_supplier_return_rates_conservation(spark):
         assert r.return_micro == (2 * r.n_returned * 1_000_000 + r.n_items) // (
             2 * r.n_items
         )
+
+
+def test_order_streaks_match_pure_python(spark):
+    from big_data_2021_spark_streaming_spark.plans.analytics import (
+        STREAK_TOPN,
+        customer_order_streaks,
+    )
+
+    orders = pd.read_parquet(f"{SF}/orders.parquet")
+    days = sorted(
+        set(
+            zip(
+                orders["o_custkey"],
+                orders["o_orderdate"].values.astype("datetime64[D]").astype(int),
+            )
+        )
+    )
+    streaks = []
+    cur = None  # (cust, start, last)
+    for cust, day in days:
+        if cur and cur[0] == cust and day == cur[2] + 1:
+            cur = (cust, cur[1], day)
+        else:
+            if cur:
+                streaks.append((cur[2] - cur[1] + 1, cur[0], cur[1]))
+            cur = (cust, day, day)
+    if cur:
+        streaks.append((cur[2] - cur[1] + 1, cur[0], cur[1]))
+    expected = sorted(streaks, key=lambda s: (-s[0], s[1], s[2]))[:STREAK_TOPN]
+
+    rows = customer_order_streaks(spark, SF).collect()
+    got = [(r.streak_days, r.o_custkey, r.start_day) for r in rows]
+    assert got == expected
