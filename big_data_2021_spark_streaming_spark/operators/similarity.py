@@ -2395,6 +2395,46 @@ def _recall_sweep_sql() -> str:
 ORACLES["similarity_recall_sweep"] = _recall_sweep_sql()
 
 
+# ---------------------------------------------------------------------
+# Per-session top-k memo: the acceptance stack (ann_recall, the
+# matryoshka report, recall_sweep) and the standalone index queries all
+# evaluate the same small per-method top-k frames; memoizing the
+# persisted result per (application, sf_dir) makes each pipeline run
+# ONCE per session instead of once per consumer (the recall sweep alone
+# re-paid all seven). Same lifetime rules as dedup._LABELS_MEMO.
+# ---------------------------------------------------------------------
+
+_TOPK_MEMO: dict[tuple[str, str, str], DataFrame] = {}
+
+
+def _session_memo(name: str):
+    import functools
+
+    def deco(fn):
+        @functools.wraps(fn)
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            key = (spark.sparkContext.applicationId, sf_dir, name)
+            if key not in _TOPK_MEMO:
+                for k in [k for k in _TOPK_MEMO if k[0] != key[0]]:
+                    del _TOPK_MEMO[k]
+                _TOPK_MEMO[key] = fn(spark, sf_dir).persist()
+            return _TOPK_MEMO[key]
+
+        return wrapped
+
+    return deco
+
+
+topk_bruteforce = _session_memo("exact")(topk_bruteforce)
+lsh_topk = _session_memo("lsh")(lsh_topk)
+ivf_topk = _session_memo("ivf")(ivf_topk)
+pq_topk = _session_memo("pq")(pq_topk)
+ivf_pq_topk = _session_memo("ivf_pq")(ivf_pq_topk)
+sq_topk = _session_memo("sq")(sq_topk)
+bq_topk = _session_memo("bq")(bq_topk)
+_mrl_prefix_pairs = _session_memo("mrl_pairs")(_mrl_prefix_pairs)
+
+
 QUERIES = {
     # new-in-round-4 entries first: registry order = driver grading order
     "similarity_recall_sweep": recall_sweep,

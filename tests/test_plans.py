@@ -80,8 +80,19 @@ def test_embedding_nn_has_no_cartesian_paths(spark):
 
 def test_similarity_topk_cross_join_is_broadcast(spark):
     # the documented exact baseline: cross join IS intended, but must
-    # broadcast the 20-row query side, never shuffle-nested-loop
-    p = plan(spark, "similarity_topk")
+    # broadcast the 20-row query side, never shuffle-nested-loop.
+    # Bypass the session top-k memo: once another test materializes the
+    # persisted frame, the memoized plan collapses to InMemoryTableScan
+    # and the positive assertion would test the cache, not the join.
+    from big_data_2021_spark_streaming_spark.operators.similarity import (
+        topk_bruteforce,
+    )
+
+    df = topk_bruteforce.__wrapped__(spark, SF)
+    jvm = spark._jvm
+    p = jvm.org.apache.spark.sql.api.python.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
     assert "BroadcastNestedLoopJoin" in p
 
 
