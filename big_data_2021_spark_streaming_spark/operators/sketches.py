@@ -232,6 +232,175 @@ def sketch_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _hll_summarize(regs: DataFrame, keys: list[str]) -> DataFrame:
+    """(keys, nonzero_registers, s_scaled) from a register frame —
+    the shared map-side shape: absent registers contribute 2^CAP."""
+    return (
+        regs.groupBy(*keys)
+        .agg(
+            F.count("*").cast("bigint").alias("nonzero_registers"),
+            F.sum(
+                F.expr(f"shiftleft(cast(1 as bigint), {HLL_CAP} - rho_max)")
+            ).alias("s_present"),
+        )
+        .select(
+            *keys,
+            "nonzero_registers",
+            (
+                F.col("s_present")
+                + (F.lit(HLL_M) - F.col("nonzero_registers"))
+                * F.lit(1 << HLL_CAP).cast("bigint")
+            ).alias("s_scaled"),
+        )
+    )
+
+
+def _hll_estimate_only(summary: DataFrame) -> DataFrame:
+    """hll_estimate from (…, nonzero_registers, s_scaled) without the
+    exact-count audit columns — the estimator `_hll_finalize` wraps,
+    for call sites that carry their own ground truth."""
+    lc_case = (
+        "CASE zero_regs "
+        + " ".join(f"WHEN {v} THEN {est}" for v, est in _LC_TABLE.items())
+        + " END"
+    )
+    raw = F.expr(
+        f"(2 * {HLL_ALPHA_MILLI * HLL_M * HLL_M * (1 << HLL_CAP)}"
+        f" + 1000 * s_scaled) div (2 * 1000 * s_scaled)"
+    )
+    return (
+        summary.withColumn("raw_est", raw)
+        .withColumn(
+            "zero_regs", (F.lit(HLL_M) - F.col("nonzero_registers")).cast("bigint")
+        )
+        .withColumn(
+            "hll_estimate",
+            F.when(
+                (F.col("zero_regs") > 0) & (F.col("raw_est") * 2 <= 5 * HLL_M),
+                F.expr(lc_case),
+            )
+            .otherwise(F.col("raw_est"))
+            .cast("bigint"),
+        )
+        .drop("raw_est", "zero_regs", "nonzero_registers", "s_scaled")
+    )
+
+
+def sketch_hll_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set OPERATIONS on HLL sketches: for every unordered pair of
+    event types, estimate the overlapping-user count by
+    inclusion–exclusion — est(A) + est(B) − est(A∪B), where est(A∪B)
+    comes from the register-wise max merge (the only set op HLL
+    supports natively; intersection is always derived). The audience-
+    overlap / Jaccard question every segmentation pipeline asks, at
+    sketch cost: one corpus scan builds the (types × 64)-row register
+    table; every pair union is a ≤64-row aggregate over a broadcast
+    pair-membership map, never a rescan.
+
+    Inclusion–exclusion error compounds (three estimates), so the
+    signed raw ``est_intersection`` is reported as-is and the Jaccard
+    estimate clamps at 0 — alongside the exact intersection/union and
+    the exact Jaccard as the acceptance metric. All ratios are exact
+    half-up micro-unit integer divisions, oracle-identical."""
+    events = load_table(spark, sf_dir, "events")
+    uid = F.col("user_id").cast("string")
+    hashed = events.select(
+        F.col("event_type").alias("scope"),
+        (_h("hllb", uid) % HLL_M).alias("bucket"),
+        (_h("hllv", uid) % (1 << HLL_CAP)).alias("v"),
+    )
+    # (types × ≤64)-row register table: tiny, reused by three branches
+    regs = (
+        hashed.select("scope", "bucket", _hll_rho().alias("rho"))
+        .groupBy("scope", "bucket")
+        .agg(F.max("rho").alias("rho_max"))
+        .persist()
+    )
+    types = regs.select("scope").distinct()
+    # |types|²-bounded pair grid (handful of rows — intended BNLJ)
+    pairs = types.select(F.col("scope").alias("type_a")).join(
+        types.select(F.col("scope").alias("type_b")),
+        F.col("type_a") < F.col("type_b"),
+    )
+    members = pairs.select(
+        "type_a", "type_b", F.col("type_a").alias("scope")
+    ).unionByName(pairs.select("type_a", "type_b", F.col("type_b").alias("scope")))
+    pair_regs = (
+        F.broadcast(members)
+        .join(regs, "scope")
+        .groupBy("type_a", "type_b", "bucket")
+        .agg(F.max("rho_max").alias("rho_max"))
+    )
+    scope_est = _hll_estimate_only(_hll_summarize(regs, ["scope"]))
+    union_est = _hll_estimate_only(
+        _hll_summarize(pair_regs, ["type_a", "type_b"])
+    ).withColumnRenamed("hll_estimate", "est_union")
+    # exact ground truth: one distinct (type, user) frame, equi-joined
+    users_by_type = events.select("event_type", "user_id").distinct()
+    exact_inter = (
+        users_by_type.alias("x")
+        .join(
+            users_by_type.alias("y"),
+            (F.col("x.user_id") == F.col("y.user_id"))
+            & (F.col("x.event_type") < F.col("y.event_type")),
+        )
+        .groupBy(
+            F.col("x.event_type").alias("type_a"),
+            F.col("y.event_type").alias("type_b"),
+        )
+        .agg(F.count("*").cast("bigint").alias("exact_intersection"))
+    )
+    exact_union = (
+        F.broadcast(members)
+        .join(users_by_type, members.scope == users_by_type.event_type)
+        .groupBy("type_a", "type_b")
+        .agg(F.count_distinct("user_id").cast("bigint").alias("exact_union"))
+    )
+    out = (
+        pairs.join(
+            scope_est.select(
+                F.col("scope").alias("type_a"), F.col("hll_estimate").alias("est_a")
+            ),
+            "type_a",
+        )
+        .join(
+            scope_est.select(
+                F.col("scope").alias("type_b"), F.col("hll_estimate").alias("est_b")
+            ),
+            "type_b",
+        )
+        .join(union_est, ["type_a", "type_b"])
+        .join(exact_union, ["type_a", "type_b"])
+        .join(exact_inter, ["type_a", "type_b"], "left")
+        .withColumn(
+            "exact_intersection",
+            F.coalesce(F.col("exact_intersection"), F.lit(0).cast("bigint")),
+        )
+        .withColumn(
+            "est_intersection",
+            (F.col("est_a") + F.col("est_b") - F.col("est_union")).cast("bigint"),
+        )
+    )
+    return out.select(
+        "type_a",
+        "type_b",
+        "est_a",
+        "est_b",
+        "est_union",
+        "est_intersection",
+        "exact_intersection",
+        "exact_union",
+        F.expr(
+            "(2 * greatest(est_intersection, cast(0 as bigint)) * 1000000"
+            " + est_union) div (2 * est_union)"
+        ).alias("jaccard_est_micro"),
+        F.expr(
+            "(2 * exact_intersection * 1000000 + exact_union)"
+            " div (2 * exact_union)"
+        ).alias("jaccard_exact_micro"),
+    )
+
+
 # ---------------------------------------------------------------------
 # Bloom filter
 # ---------------------------------------------------------------------
@@ -641,6 +810,93 @@ ORACLES["sketch_hll_merge"] = f"""
     FROM final
 """
 
+def _hll_sum_est_sql(src: str, keys: str) -> str:
+    """SQL fragment: (keys, est) from a (keys, bucket, rho_max)
+    register CTE — summarize + the shared integer estimator."""
+    return f"""(
+        SELECT {keys}, CAST(CASE WHEN zero_regs > 0
+                                 AND raw_est * 2 <= {5 * HLL_M}
+                            THEN {_LC_CASE_SQL}
+                            ELSE raw_est END AS BIGINT) AS est
+        FROM (
+            SELECT {keys},
+                   (2 * {HLL_ALPHA_MILLI * HLL_M * HLL_M * (1 << HLL_CAP)}
+                    + 1000 * s_scaled) // (2 * 1000 * s_scaled) AS raw_est,
+                   CAST({HLL_M} - nonzero_registers AS BIGINT) AS zero_regs
+            FROM (
+                SELECT {keys},
+                       CAST(COUNT(*) AS BIGINT) AS nonzero_registers,
+                       CAST(SUM((1::BIGINT << ({HLL_CAP} - rho_max)))
+                            + ({HLL_M} - COUNT(*)) * {1 << HLL_CAP}::BIGINT
+                            AS BIGINT) AS s_scaled
+                FROM {src} GROUP BY {keys}
+            )
+        )
+    )"""
+
+
+ORACLES["sketch_hll_intersection"] = f"""
+    WITH hashed AS (
+        SELECT event_type AS scope,
+               {_h_sql('hllb', 'CAST(user_id AS VARCHAR)')} % {HLL_M} AS bucket,
+               {_h_sql('hllv', 'CAST(user_id AS VARCHAR)')} % {1 << HLL_CAP} AS v
+        FROM events
+    ),
+    regs AS (
+        SELECT scope, bucket,
+               MAX(CASE WHEN v = 0 THEN {HLL_CAP + 1}
+                        ELSE {HLL_CAP + 1} - length(bin(v)) END) AS rho_max
+        FROM hashed GROUP BY scope, bucket
+    ),
+    types AS (SELECT DISTINCT scope FROM regs),
+    pairs AS (
+        SELECT a.scope AS type_a, b.scope AS type_b
+        FROM types a JOIN types b ON a.scope < b.scope
+    ),
+    members AS (
+        SELECT type_a, type_b, type_a AS scope FROM pairs
+        UNION ALL
+        SELECT type_a, type_b, type_b AS scope FROM pairs
+    ),
+    pair_regs AS (
+        SELECT type_a, type_b, bucket, MAX(rho_max) AS rho_max
+        FROM members m JOIN regs r ON m.scope = r.scope
+        GROUP BY 1, 2, 3
+    ),
+    scope_est AS {_hll_sum_est_sql('regs', 'scope')},
+    pair_est AS {_hll_sum_est_sql('pair_regs', 'type_a, type_b')},
+    ubt AS (SELECT DISTINCT event_type, user_id FROM events),
+    ex_inter AS (
+        SELECT x.event_type AS type_a, y.event_type AS type_b,
+               CAST(COUNT(*) AS BIGINT) AS exact_intersection
+        FROM ubt x JOIN ubt y
+          ON x.user_id = y.user_id AND x.event_type < y.event_type
+        GROUP BY 1, 2
+    ),
+    ex_union AS (
+        SELECT m.type_a, m.type_b,
+               CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS exact_union
+        FROM members m JOIN ubt u ON m.scope = u.event_type
+        GROUP BY 1, 2
+    )
+    SELECT p.type_a, p.type_b,
+           ea.est AS est_a, eb.est AS est_b, pe.est AS est_union,
+           CAST(ea.est + eb.est - pe.est AS BIGINT) AS est_intersection,
+           COALESCE(xi.exact_intersection, 0::BIGINT) AS exact_intersection,
+           xu.exact_union,
+           CAST((2 * GREATEST(ea.est + eb.est - pe.est, 0) * 1000000
+                 + pe.est) // (2 * pe.est) AS BIGINT) AS jaccard_est_micro,
+           CAST((2 * COALESCE(xi.exact_intersection, 0) * 1000000
+                 + xu.exact_union) // (2 * xu.exact_union)
+                AS BIGINT) AS jaccard_exact_micro
+    FROM pairs p
+    JOIN scope_est ea ON p.type_a = ea.scope
+    JOIN scope_est eb ON p.type_b = eb.scope
+    JOIN pair_est pe ON p.type_a = pe.type_a AND p.type_b = pe.type_b
+    JOIN ex_union xu ON p.type_a = xu.type_a AND p.type_b = xu.type_b
+    LEFT JOIN ex_inter xi ON p.type_a = xi.type_a AND p.type_b = xi.type_b
+"""
+
 _BLOOM_PROBE_POS = " UNION ALL ".join(
     f"SELECT o_orderkey, key, {_h_sql(f'bf{i}', 'key')} % {BLOOM_BITS} AS pos"
     " FROM probes"
@@ -722,7 +978,8 @@ ORACLES["sketch_cms_heavy_hitters"] = f"""
 """
 
 QUERIES = {
-    # new-in-round-4f entry first: registry order = driver grading order
+    # newest entries first: registry order = driver grading order
+    "sketch_hll_intersection": sketch_hll_intersection,
     "sketch_histogram_quantiles": sketch_histogram_quantiles,
     "sketch_hll_users": sketch_hll_users,
     "sketch_hll_merge": sketch_hll_merge,

@@ -195,6 +195,8 @@ _BNLJ_INTENDED = frozenset(
         "quality_dup_profile",        # 1-row corpus-count scalar onto the ranked frame
         "similarity_recall_sweep",    # exact baseline + per-method broadcast-sized joins
         "join_strategy_advisor",      # 1-row stats scalars per FK edge
+        "sketch_hll_intersection",    # |types|²-row pair grid (≤ dozens)
+        "text_bpe_encode",            # 1-row winning-pair scalar per merge round
     }
 )
 
@@ -670,6 +672,8 @@ def test_registry_orders_unverified_queries_first():
         "quality_dup_profile", "similarity_recall_sweep",
         "join_strategy_advisor", "cohort_ltv_curve",
         "supplier_return_rates", "customer_order_streaks",
+        # new in round 4g (this session; deferred behind the regrades)
+        "sketch_hll_intersection", "text_bpe_encode",
     }
     # the driver's observed grading budget is 50 queries per round
     # (r02 and r03 both truncated there); the 11 VERDICT-r03-flagged

@@ -139,6 +139,36 @@ def test_hll_merge_equals_global_sketch(spark, sf_dir):
     assert len(merged) >= 2
 
 
+def test_hll_intersection_inclusion_exclusion(spark, sf_dir):
+    # per-pair identity: est_intersection is exactly the
+    # inclusion–exclusion of the three register estimates; union
+    # estimate is consistent with the per-type sketches (the merged
+    # registers can only raise Z, so est_union is bounded by the sum);
+    # exact columns obey set algebra.
+    rows = sketches.sketch_hll_intersection(spark, sf_dir).collect()
+    assert rows, "no event-type pairs"
+    per_type = {
+        r.scope: r.hll_estimate
+        for r in sketches.sketch_hll_merge(spark, sf_dir).collect()
+        if r.scope != "__merged__"
+    }
+    for r in rows:
+        assert r.type_a < r.type_b
+        assert r.est_a == per_type[r.type_a]
+        assert r.est_b == per_type[r.type_b]
+        assert r.est_intersection == r.est_a + r.est_b - r.est_union
+        assert r.est_union <= r.est_a + r.est_b
+        assert 0 <= r.exact_intersection <= r.exact_union
+        assert 0 <= r.jaccard_exact_micro <= 1_000_000
+        assert 0 <= r.jaccard_est_micro
+        # sketch intersection within 4 sigma of exact (sigma on each of
+        # the three estimates; union dominates)
+        sigma = 1.04 / (sketches.HLL_M ** 0.5)
+        assert abs(r.est_intersection - r.exact_intersection) <= max(
+            4 * sigma * (r.est_a + r.est_b + r.est_union), 8
+        ), r
+
+
 def test_transition_matrix_rows_normalize(spark, sf_dir):
     from big_data_2021_spark_streaming_spark.plans.analytics import (
         event_transition_matrix,

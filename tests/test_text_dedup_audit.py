@@ -200,6 +200,66 @@ def test_bpe_train_matches_pure_python(spark):
     assert [r.round for r in rows] == list(range(1, BPE_ROUNDS + 1))
 
 
+def test_bpe_encode_matches_pure_python(spark):
+    """Tokenizer apply: encoding the corpus under the trained merges
+    (including the final round's) must reproduce the pure-Python
+    vocabulary — pieces, counts, ranks, and exact micro-unit shares."""
+    from big_data_2021_spark_streaming_spark.operators.text import (
+        BPE_ROUNDS,
+        bpe_encode,
+    )
+
+    docs = _docs()
+    toks = []
+    for text in docs["text"]:
+        toks.extend(tuple(t) for t in text.strip().split() if t)
+
+    for _ in range(BPE_ROUNDS):
+        counts: Counter = Counter()
+        for t in toks:
+            for i in range(len(t) - 1):
+                counts[(t[i], t[i + 1])] += 1
+        (a, b), _n = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merged_toks = []
+        for t in toks:
+            out = []
+            i = 0
+            while i < len(t):
+                if i + 1 < len(t) and t[i] == a and t[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(t[i])
+                    i += 1
+            merged_toks.append(tuple(out))
+        toks = merged_toks
+
+    vocab: Counter = Counter()
+    for t in toks:
+        vocab.update(t)
+    tot = sum(vocab.values())
+    ranked = sorted(vocab.items(), key=lambda kv: (-kv[1], kv[0]))
+    expected = {
+        piece: (
+            len(piece),
+            n,
+            rank,
+            (2 * n * 1_000_000 + tot) // (2 * tot),
+        )
+        for rank, (piece, n) in enumerate(ranked, start=1)
+    }
+
+    rows = bpe_encode(spark, SF).collect()
+    got = {
+        r.piece: (r.piece_len, r.n_occ, r.piece_rank, r.share_micro)
+        for r in rows
+    }
+    assert got == expected
+    assert sum(r.n_occ for r in rows) == tot
+
+
 def test_multimodal_dedup_matches_pure_python(spark):
     """Byte-exact asset dedup and frame-signature near-dup recomputed
     from the raw parquet with the same keyed payload injection."""
