@@ -340,12 +340,19 @@ def cube_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def pivot_user_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PIVOT: per-user value totals as one column per event type. The
     pivot values are pinned explicitly — at scale an implicit pivot
-    triggers a full distinct scan just to discover columns."""
+    triggers a full distinct scan just to discover columns. Totals
+    ride exact micro-unit integers to cents (half-up) — a double
+    ROUND(SUM(..)) is partition-order-dependent in the last ulp and
+    flipped a .xx5 boundary at the sf0.4 sweep."""
     events = load_table(spark, sf_dir, "events")
+    cents = F.expr(
+        "(2 * sum(cast(round(value * 1000000) as bigint)) + 10000)"
+        " div 20000 / 100.0D"
+    )
     pivoted = (
         events.groupBy("user_id")
         .pivot("event_type", ["click", "view", "purchase", "error", "signup"])
-        .agg(F.round(F.sum("value"), 2))
+        .agg(cents)
     )
     return pivoted
 
@@ -368,7 +375,9 @@ def session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     (user, session) bounds and aggregates. The built-in merging-window
     counterpart of streaming.pipeline.sessionize — same semantics
     (end = last event + gap), state merged by Spark instead of a custom
-    state machine. One shuffle on the session-window key."""
+    state machine. One shuffle on the session-window key. Sums ride
+    exact micro-unit integers to cents (half-up) for cross-engine,
+    partition-order-independent results."""
     events = load_table(spark, sf_dir, "events")
     return (
         events.groupBy(
@@ -376,7 +385,10 @@ def session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.expr(
+                "(2 * sum(cast(round(value * 1000000) as bigint)) + 10000)"
+                " div 20000 / 100.0D"
+            ).alias("sum_value"),
         )
         .select(
             "user_id",
@@ -560,13 +572,17 @@ def sliding_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """10-minute window sliding every 5 — each event lands in w/s = 2
     windows. Spark's F.window expands rows then aggregates; state cost
     scales with (w/s)·|windows|, bounded by the watermark when run
-    streaming."""
+    streaming. Sums ride exact micro-unit integers to cents (half-up)
+    for cross-engine, partition-order-independent results."""
     events = load_table(spark, sf_dir, "events")
     return (
         events.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.expr(
+                "(2 * sum(cast(round(value * 1000000) as bigint)) + 10000)"
+                " div 20000 / 100.0D"
+            ).alias("sum_value"),
         )
         .select(
             F.col("w.start").alias("window_start"),
@@ -1247,24 +1263,36 @@ def disjunctive_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 def running_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cumulative sum + 3-row moving average per user over event time.
 
-    Sums run on DECIMAL(18,6): window engines disagree on float
-    summation order (Spark accumulates sequentially, DuckDB uses a
-    segment tree), so double sums drift in the last ulp and can flip a
-    rounding boundary — decimal accumulation is exact in both engines.
+    Sums run on exact micro-unit BIGINT (window engines disagree on
+    float summation order: Spark accumulates sequentially, DuckDB uses
+    a segment tree) and the 4-decimal display values come from half-up
+    INTEGER division — the earlier decimal-accumulate-then-ROUND(double)
+    form still diverged at the sf0.4 sweep because Spark rounds the
+    shortest decimal repr of a double while DuckDB rounds the raw
+    binary value, so a quotient landing on a .xxxx5 boundary flipped.
     One shuffle on user_id; frames are O(1) running state per row.
     """
     events = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    dec = F.col("value").cast("decimal(18,6)")
-    cum = F.sum(dec).over(w.rowsBetween(Window.unboundedPreceding, 0))
-    mov_sum = F.sum(dec).over(w.rowsBetween(-2, 0))
-    mov_n = F.count("value").over(w.rowsBetween(-2, 0))
-    return events.select(
+    micro = F.round(F.col("value") * 1e6).cast("bigint")
+    inner = events.select(
         "event_id",
         "user_id",
         "ts",
-        F.round(cum.cast("double"), 4).alias("cum_value"),
-        F.round(mov_sum.cast("double") / mov_n, 4).alias("moving_avg3"),
+        F.sum(micro)
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cum_m"),
+        F.sum(micro).over(w.rowsBetween(-2, 0)).alias("mov_m"),
+        F.count("value").over(w.rowsBetween(-2, 0)).alias("mov_n"),
+    )
+    return inner.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.expr("(2 * cum_m + 100) div 200 / 10000.0D").alias("cum_value"),
+        F.expr(
+            "(2 * mov_m + 100 * mov_n) div (200 * mov_n) / 10000.0D"
+        ).alias("moving_avg3"),
     )
 
 
@@ -1637,7 +1665,10 @@ def event_hourly_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type"
     ).agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum("value").alias("sv"),
+        # exact micro-unit sum: a double SUM here is partition-order-
+        # dependent in the last ulp and flipped a .xx5 cent boundary
+        # at the sf0.4 sweep
+        F.sum(F.round(F.col("value") * 1e6).cast("bigint")).alias("sv"),
     )
     return (
         hours.crossJoin(F.broadcast(types))
@@ -1646,7 +1677,10 @@ def event_hourly_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
             "hour",
             "event_type",
             F.coalesce("n", F.lit(0)).alias("n_events"),
-            F.round(F.coalesce("sv", F.lit(0.0)), 2).alias("sum_value"),
+            F.expr(
+                "(2 * coalesce(sv, cast(0 as bigint)) + 10000)"
+                " div 20000 / 100.0D"
+            ).alias("sum_value"),
         )
     )
 

@@ -512,14 +512,23 @@ ORACLES: dict[str, str] = {
         FROM events
         GROUP BY CUBE (event_type, hour(ts))
     """,
+    # exact micro-unit cents (half-up) — ROUND(SUM(double)) is
+    # partition-order-dependent and flipped a boundary at sf0.4
     "pivot_user_event_values": """
         SELECT user_id,
-               ROUND(SUM(value) FILTER (event_type = 'click'), 2) AS click,
-               ROUND(SUM(value) FILTER (event_type = 'view'), 2) AS view,
-               ROUND(SUM(value) FILTER (event_type = 'purchase'), 2) AS purchase,
-               ROUND(SUM(value) FILTER (event_type = 'error'), 2) AS error,
-               ROUND(SUM(value) FILTER (event_type = 'signup'), 2) AS signup
-        FROM events
+               (2 * SUM(m) FILTER (event_type = 'click') + 10000)
+                   // 20000 / 100.0 AS click,
+               (2 * SUM(m) FILTER (event_type = 'view') + 10000)
+                   // 20000 / 100.0 AS view,
+               (2 * SUM(m) FILTER (event_type = 'purchase') + 10000)
+                   // 20000 / 100.0 AS purchase,
+               (2 * SUM(m) FILTER (event_type = 'error') + 10000)
+                   // 20000 / 100.0 AS error,
+               (2 * SUM(m) FILTER (event_type = 'signup') + 10000)
+                   // 20000 / 100.0 AS signup
+        FROM (SELECT user_id, event_type,
+                     CAST(ROUND(value * 1000000) AS BIGINT) AS m
+              FROM events)
         GROUP BY user_id
     """,
     "value_percentiles": """
@@ -556,7 +565,8 @@ ORACLES: dict[str, str] = {
                MIN(ts) AS session_start,
                MAX(ts) + INTERVAL 30 MINUTE AS session_end,
                COUNT(*) AS n_events,
-               ROUND(SUM(value), 2) AS sum_value
+               (2 * SUM(CAST(ROUND(value * 1000000) AS BIGINT)) + 10000)
+                   // 20000 / 100.0 AS sum_value
         FROM numbered
         GROUP BY user_id, sess_id
     """,
@@ -1008,18 +1018,29 @@ ORACLES["top_supplier_by_revenue"] = """
 # DECIMAL accumulation on both sides: window SUM order differs between
 # engines (sequential vs segment tree), so double sums drift in the
 # last ulp — decimal is exact, then one cast + round at the boundary
+# exact micro-unit window sums + half-up integer division to 4dp:
+# ROUND(double, 4) diverges cross-engine on .xxxx5 quotients (Spark
+# rounds the shortest decimal repr, DuckDB the raw binary)
 ORACLES["running_user_value"] = """
     SELECT event_id, user_id, ts,
-           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER (
-               PARTITION BY user_id ORDER BY ts, event_id
-               ROWS UNBOUNDED PRECEDING) AS DOUBLE), 4) AS cum_value,
-           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER (
-               PARTITION BY user_id ORDER BY ts, event_id
-               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
-               / COUNT(value) OVER (
-               PARTITION BY user_id ORDER BY ts, event_id
-               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS moving_avg3
-    FROM events
+           (2 * cum_m + 100) // 200 / 10000.0 AS cum_value,
+           (2 * mov_m + 100 * mov_n) // (200 * mov_n)
+               / 10000.0 AS moving_avg3
+    FROM (
+        SELECT event_id, user_id, ts,
+               SUM(m) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS cum_m,
+               SUM(m) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS mov_m,
+               COUNT(*) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS mov_n
+        FROM (SELECT event_id, user_id, ts,
+                     CAST(ROUND(value * 1000000) AS BIGINT) AS m
+              FROM events)
+    )
 """
 
 ORACLES["event_rank_stats"] = """
@@ -1036,7 +1057,8 @@ ORACLES["event_rank_stats"] = """
 ORACLES["sliding_window_stats"] = """
     SELECT make_timestamp(CAST(start_s * 1000000 AS BIGINT)) AS window_start,
            COUNT(*) AS n_events,
-           ROUND(SUM(value), 2) AS sum_value
+           (2 * SUM(CAST(ROUND(value * 1000000) AS BIGINT)) + 10000)
+               // 20000 / 100.0 AS sum_value
     FROM (
         SELECT floor(epoch(ts) / 300) * 300 - j * 300 AS start_s, value
         FROM events
@@ -1143,12 +1165,14 @@ ORACLES["event_hourly_resample"] = """
     types AS (SELECT DISTINCT event_type FROM events),
     hourly AS (
         SELECT date_trunc('hour', ts) AS hour, event_type,
-               COUNT(*) AS n, SUM(value) AS sv
+               COUNT(*) AS n,
+               CAST(SUM(CAST(ROUND(value * 1000000) AS BIGINT))
+                    AS BIGINT) AS sv
         FROM events GROUP BY 1, 2
     )
     SELECT hour, event_type,
            CAST(COALESCE(n, 0) AS BIGINT) AS n_events,
-           ROUND(COALESCE(sv, 0.0), 2) AS sum_value
+           (2 * COALESCE(sv, 0) + 10000) // 20000 / 100.0 AS sum_value
     FROM hours CROSS JOIN types
     LEFT JOIN hourly USING (hour, event_type)
 """
@@ -1418,7 +1442,7 @@ ORACLES["orders_aging_buckets"] = """
 ORACLES["event_dow_profile"] = """
     WITH counted AS (
         SELECT event_type,
-               CAST((CAST(epoch(ts) AS BIGINT) // 86400 + 4) % 7
+               CAST((epoch_us(ts) // 86400000000 + 4) % 7
                     AS INTEGER) AS dow,
                CAST(COUNT(*) AS BIGINT) AS n_events
         FROM events
@@ -1437,7 +1461,7 @@ ORACLES["event_dow_profile"] = """
 ORACLES["event_cusum_changepoint"] = """
     WITH daily AS (
         SELECT event_type,
-               CAST(epoch(ts) AS BIGINT) // 86400 AS day,
+               epoch_us(ts) // 86400000000 AS day,
                CAST(COUNT(*) AS BIGINT) AS c
         FROM events GROUP BY 1, 2
     ),

@@ -167,6 +167,15 @@ _GRADE_AFTER_REGRADES = frozenset(
         # round-4g additions (this session)
         "sketch_hll_intersection",
         "text_bpe_encode",
+        # round-4g re-plans (exact micro-unit rewrites after the sf0.4
+        # sweep caught the ROUND(SUM(double)) divergence class): last
+        # driver-green on the superseded plan, so they regrade — but
+        # deferred so they can't displace the 11 VERDICT-r03 priorities
+        "pivot_user_event_values",
+        "session_window_stats",
+        "sliding_window_stats",
+        "event_hourly_resample",
+        "running_user_value",
     }
 )
 
@@ -211,24 +220,24 @@ _DRIVER_VERIFIED = frozenset(
         "daily_click_purchase_recon", "date_parts", "dedup_clusters",
         "dedup_exact", "dedup_minhash_lsh", "disjunctive_part_revenue",
         "distinct_users_per_type", "embedding_dim_variance", "embedding_norm_stats",
-        "embedding_outliers", "event_hourly_resample", "event_rank_stats",
+        "embedding_outliers", "event_rank_stats",
         "event_type_union", "forecast_revenue_change", "funnel_conversion",
         "fuzzy_name_matches", "grouping_sets_revenue", "inactive_rich_customers",
         "json_encode", "latest_event_per_user",
         "lineitem_measures_unpivot", "market_share_by_year", "multimodal_decode",
         "multimodal_frame_sample", "multimodal_type_stats", "nation_pair_volume",
         "order_priority_semijoin", "part_profit_by_nation_year", "parts_never_in_bulk_orders",
-        "peak_concurrent_sessions", "pivot_user_event_values", "pricing_summary",
+        "peak_concurrent_sessions", "pricing_summary",
         "promo_revenue_ratio", "q1_filter", "q2_join_enrich",
         "q3_window_collect_set", "recent_orders_lateral",
         "returned_item_report", "returnflag_priority_counts", "revenue_by_nation",
         "rollup_order_status", "rsvp_decode_failures", "rsvp_faithful_filter",
-        "rsvp_q2_payload", "running_user_value", "salted_type_totals",
-        "session_window_stats", "shipping_priority_topk",
+        "rsvp_q2_payload", "salted_type_totals",
+        "shipping_priority_topk",
         "similarity_ivf_occupancy", "similarity_ivf_pq_topk", "similarity_ivf_topk",
         "similarity_lsh_signature", "similarity_lsh_topk", "similarity_pq_codes",
         "similarity_pq_reconstruction", "similarity_pq_topk", "similarity_topk",
-        "sketch_event_stats", "sliding_window_stats", "small_qty_part_revenue",
+        "sketch_event_stats", "small_qty_part_revenue",
         "sole_late_supplier", "supplier_balance_by_nation", "text_fingerprint",
         "text_lang_confusion", "text_lang_id",
         "text_pii_scan", "text_prefix_clusters", "text_quality_score",

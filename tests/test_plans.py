@@ -674,6 +674,11 @@ def test_registry_orders_unverified_queries_first():
         "supplier_return_rates", "customer_order_streaks",
         # new in round 4g (this session; deferred behind the regrades)
         "sketch_hll_intersection", "text_bpe_encode",
+        # re-planned in round 4g (sf0.4 ROUND(SUM(double)) class fix;
+        # deferred behind the regrades)
+        "pivot_user_event_values", "session_window_stats",
+        "sliding_window_stats", "event_hourly_resample",
+        "running_user_value",
     }
     # the driver's observed grading budget is 50 queries per round
     # (r02 and r03 both truncated there); the 11 VERDICT-r03-flagged
