@@ -13,8 +13,10 @@ can hash-check it, and each is written plan-first for 100 TB:
   exactly the reference's 56-row states dim pattern),
 - aggregates use built-in JVM functions only (whole-stage codegen; no
   Python in the hot path),
-- float aggregates are ROUNDed identically on both sides because
-  parallel summation order is nondeterministic in *any* engine.
+- displayed SUM/AVG/ratio aggregates of doubles ride exact micro-unit
+  integer sums with half-up integer division (see the helpers below):
+  parallel summation order is nondeterministic in *any* engine, and
+  ROUND(double) itself diverges cross-engine on .xx5 boundaries.
 
 Every builder takes ``(spark, sf_dir)`` and returns a DataFrame whose
 column names match the oracle SQL exactly (driver hash-compares by
@@ -41,6 +43,54 @@ def _epoch_us(c) -> F.Column:
     """
     col = F.col(c) if isinstance(c, str) else c
     return F.unix_micros(col.cast("timestamp"))
+
+
+# ---------------------------------------------------------------------------
+# Exact displayed-aggregate helpers. ROUND(SUM(double)) is partition-
+# order-dependent in the last ulp, and the final ROUND itself diverges
+# cross-engine on .xx5 boundaries (Spark rounds the shortest decimal
+# repr of the double, DuckDB the raw binary value) — the sf0.4 sweep
+# flipped five queries this way. So every displayed SUM/AVG/ratio of a
+# ≤6-decimal double rides an exact micro-unit integer sum (the per-row
+# ×1e6 product is ONE shared IEEE op; the DECIMAL(38,0) accumulator
+# cannot overflow at any realistic corpus) with half-up INTEGER
+# division down to the display precision, then one exact /10^k.
+# The DuckDB oracles mirror the same expressions with `//` (operands
+# kept non-negative, or the sign-aware CASE, so floor == truncate).
+# ---------------------------------------------------------------------------
+
+
+def _sum_m6(expr: str) -> str:
+    """SQL: exact 1e-6-unit DECIMAL(38,0) sum of a ≤6dp double expr."""
+    return f"sum(cast(round(({expr}) * 1000000) as decimal(38,0)))"
+
+
+def _cents(sum_sql: str) -> str:
+    """SQL: half-up 2-decimal display of a non-negative micro sum."""
+    return f"(2 * ({sum_sql}) + 10000) div 20000 / 100.0D"
+
+
+def _cents_signed(sum_sql: str) -> str:
+    """Sign-aware 2-decimal display (half-up = away from zero, matching
+    both engines' ROUND) for sums that can be negative (acctbal)."""
+    return (
+        f"(case when ({sum_sql}) >= 0"
+        f" then (2 * ({sum_sql}) + 10000) div 20000"
+        f" else -((-2 * ({sum_sql}) + 10000) div 20000) end) / 100.0D"
+    )
+
+
+def _avg6(sum_sql: str, n_sql: str = "count(1)") -> str:
+    """SQL: half-up 6-decimal display of mean = micro sum / count."""
+    return f"(2 * ({sum_sql}) + ({n_sql})) div (2 * ({n_sql})) / 1000000.0D"
+
+
+def _ratio6(num_sql: str, den_sql: str) -> str:
+    """SQL: half-up 6-decimal display of a non-negative ratio."""
+    return (
+        f"(2 * ({num_sql}) * 1000000 + ({den_sql}))"
+        f" div (2 * ({den_sql})) / 1000000.0D"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -165,13 +215,13 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.where(F.col("l_shipdate") <= F.lit("2001-09-01").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            F.expr(_cents(_sum_m6("l_quantity"))).alias("sum_qty"),
+            F.expr(_cents(_sum_m6("l_extendedprice"))).alias("sum_base_price"),
+            F.expr(
+                _cents(_sum_m6("l_extendedprice * (1 - l_discount)"))
             ).alias("sum_disc_price"),
-            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.expr(_avg6(_sum_m6("l_quantity"))).alias("avg_qty"),
+            F.expr(_avg6(_sum_m6("l_discount"))).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -193,8 +243,8 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
         .groupBy(F.col("n_name").alias("nation_name"))
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            F.expr(
+                _cents(_sum_m6("l_extendedprice * (1 - l_discount)"))
             ).alias("revenue")
         )
     )
@@ -207,7 +257,7 @@ def top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
     revenue = orders.groupBy("o_custkey").agg(
-        F.round(F.sum("o_totalprice"), 2).alias("total_spent")
+        F.expr(_cents(_sum_m6("o_totalprice"))).alias("total_spent")
     )
     return (
         revenue.join(F.broadcast(customer), revenue.o_custkey == customer.c_custkey)
@@ -319,7 +369,7 @@ def rollup_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     return orders.rollup("o_orderstatus", "o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_orders"),
-        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        F.expr(_cents(_sum_m6("o_totalprice"))).alias("total_price"),
     )
 
 
@@ -332,7 +382,7 @@ def cube_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cube("event_type", "hour")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.expr(_cents(_sum_m6("value"))).alias("sum_value"),
         )
     )
 
@@ -597,8 +647,6 @@ def promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     share per month — two sums from one scan, no second pass."""
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    promo = F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(F.lit(0.0))
     return (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .groupBy(
@@ -606,8 +654,19 @@ def promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.month("l_shipdate").alias("month"),
         )
         .agg(
-            F.round(F.sum(promo) * 100.0 / F.sum(rev), 4).alias("promo_pct"),
-            F.round(F.sum(rev), 2).alias("total_revenue"),
+            # pct to 4dp = micro ratio of the two exact micro sums
+            # (100 × 1e4 = 1e6 scaling folds into one half-up division)
+            F.expr(
+                "(2 * " + _sum_m6(
+                    "case when p_type like 'PROMO%'"
+                    " then l_extendedprice * (1 - l_discount) else 0.0D end"
+                ) + " * 1000000 + " + _sum_m6("l_extendedprice * (1 - l_discount)")
+                + ") div (2 * " + _sum_m6("l_extendedprice * (1 - l_discount)")
+                + ") / 10000.0D"
+            ).alias("promo_pct"),
+            F.expr(
+                _cents(_sum_m6("l_extendedprice * (1 - l_discount)"))
+            ).alias("total_revenue"),
         )
     )
 
@@ -639,7 +698,8 @@ def supplier_balance_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("n_name").alias("nation_name"))
         .agg(
             F.count(F.lit(1)).alias("n_suppliers"),
-            F.round(F.sum("s_acctbal"), 2).alias("total_balance"),
+            # acctbal can be negative → sign-aware exact cents
+            F.expr(_cents_signed(_sum_m6("s_acctbal"))).alias("total_balance"),
         )
         .where(F.col("n_suppliers") > 0)
     )
@@ -789,22 +849,23 @@ def salted_type_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     has ~5 values over the whole corpus, so a direct groupBy funnels
     each key through one reducer. Phase 1 aggregates on
     (key, salt = pmod(event_id, 16)) spreading every hot key over 16
-    reducers; phase 2 re-aggregates the 16 partials per key. Counts are
-    exact; the double sum is rounded at the boundary like every float
-    aggregate here. AQE splits skewed JOIN partitions but not skewed
-    aggregations — salting is the aggregation-side answer."""
+    reducers; phase 2 re-aggregates the 16 partials per key. Both
+    phases sum exact micro-unit integers (the mergeable-partial shape),
+    so the displayed cents are salt-count-independent. AQE splits
+    skewed JOIN partitions but not skewed aggregations — salting is
+    the aggregation-side answer."""
     events = load_table(spark, sf_dir, "events")
     phase1 = (
         events.withColumn("salt", F.pmod("event_id", F.lit(SALT_BUCKETS)))
         .groupBy("event_type", "salt")
         .agg(
             F.count(F.lit(1)).alias("partial_n"),
-            F.sum("value").alias("partial_sum"),
+            F.expr(_sum_m6("value")).alias("partial_m"),
         )
     )
     return phase1.groupBy("event_type").agg(
         F.sum("partial_n").alias("n_events"),
-        F.round(F.sum("partial_sum"), 2).alias("total_value"),
+        F.expr(_cents("sum(partial_m)")).alias("total_value"),
     )
 
 
@@ -843,7 +904,9 @@ def small_qty_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["lineitem", "part"],
         """
         SELECT p.p_brand,
-               ROUND(SUM(l.l_extendedprice), 2) AS low_qty_revenue,
+               (2 * SUM(CAST(ROUND(l.l_extendedprice * 1000000)
+                             AS DECIMAL(38,0))) + 10000)
+                   div 20000 / 100.0D AS low_qty_revenue,
                COUNT(*) AS n_lines
         FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
         WHERE l.l_quantity < (
@@ -908,7 +971,14 @@ def inactive_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"""
         SELECT c.c_nationkey,
                COUNT(*) AS n_customers,
-               ROUND(SUM(c.c_acctbal), 2) AS total_balance
+               (CASE WHEN SUM(CAST(ROUND(c.c_acctbal * 1000000)
+                                   AS DECIMAL(38,0))) >= 0
+                     THEN (2 * SUM(CAST(ROUND(c.c_acctbal * 1000000)
+                                        AS DECIMAL(38,0))) + 10000)
+                          div 20000
+                     ELSE -((-2 * SUM(CAST(ROUND(c.c_acctbal * 1000000)
+                                           AS DECIMAL(38,0))) + 10000)
+                            div 20000) END) / 100.0D AS total_balance
         FROM customer c
         WHERE c.c_acctbal > (
             SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0.0
@@ -971,9 +1041,9 @@ def shipping_priority_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            )
+            F.expr(
+                _cents(_sum_m6("l_extendedprice * (1 - l_discount)"))
+            ).alias("revenue")
         )
         .orderBy(F.desc("revenue"), "o_orderkey")
         .limit(10)
@@ -1013,9 +1083,9 @@ def nation_pair_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(pair)
         .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            )
+            F.expr(
+                _cents(_sum_m6("l_extendedprice * (1 - l_discount)"))
+            ).alias("revenue")
         )
     )
 
@@ -1046,7 +1116,6 @@ def market_share_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp_nation = nation.select(
         F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
     )
-    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         lineitem.join(
             F.broadcast(part.where(F.col("p_type") == "PROMO").select("p_partkey")),
@@ -1060,10 +1129,15 @@ def market_share_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(supp_nation), F.col("s_nationkey") == F.col("s_nkey"))
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(
-            F.round(
-                F.sum(F.when(F.col("supp_nation") == "NATION_2", vol).otherwise(0.0))
-                / F.sum(vol),
-                6,
+            F.expr(
+                _ratio6(
+                    _sum_m6(
+                        "case when supp_nation = 'NATION_2'"
+                        " then l_extendedprice * (1 - l_discount)"
+                        " else 0.0D end"
+                    ),
+                    _sum_m6("l_extendedprice * (1 - l_discount)"),
+                )
             ).alias("mkt_share")
         )
     )
@@ -1092,9 +1166,9 @@ def part_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "profit"
-            )
+            F.expr(
+                _cents(_sum_m6("l_extendedprice * (1 - l_discount)"))
+            ).alias("profit")
         )
     )
 
@@ -1246,9 +1320,9 @@ def disjunctive_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         lineitem.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
         .where(clause)
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            ),
+            F.expr(
+                _cents(_sum_m6("l_extendedprice * (1 - l_discount)"))
+            ).alias("revenue"),
             F.count("*").alias("n_lines"),
         )
     )
@@ -1380,9 +1454,11 @@ def user_trailing_hour_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     events in the trailing hour, however many rows that is. Ordering
     key is integer epoch-seconds (exact in both engines; RANGE peers at
     the same second are included either way), the sum accumulates on
-    DECIMAL like running_user_value (window engines disagree on float
-    summation order), and the frame is O(window-span) sliding state per
-    user — one shuffle on user_id."""
+    exact micro-unit BIGINT with half-up integer display division like
+    running_user_value (window engines disagree on float summation
+    order, and ROUND(double) itself diverges cross-engine), and the
+    frame is O(window-span) sliding state per user — one shuffle on
+    user_id."""
     events = load_table(spark, sf_dir, "events")
     with_sec = events.select(
         "event_id", "user_id", "ts", "value", _epoch_us("ts").alias("us")
@@ -1394,13 +1470,22 @@ def user_trailing_hour_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("us div 1000000").alias("sec"),
     )
     w = Window.partitionBy("user_id").orderBy("sec").rangeBetween(-3600, 0)
-    dec = F.col("value").cast("decimal(18,6)")
+    micro = F.round(F.col("value") * 1e6).cast("bigint")
     return with_sec.select(
         "event_id",
         "user_id",
         "ts",
         F.count(F.lit(1)).over(w).alias("n_trailing_1h"),
-        F.round(F.sum(dec).over(w).cast("double"), 4).alias("sum_trailing_1h"),
+        F.sum(micro).over(w).alias("m_trailing"),
+    ).select(
+        "event_id",
+        "user_id",
+        "ts",
+        "n_trailing_1h",
+        # half-up 4-decimal display from the exact micro window sum
+        F.expr(
+            "(2 * m_trailing + 100) div 200 / 10000.0D"
+        ).alias("sum_trailing_1h"),
     )
 
 
@@ -1430,7 +1515,7 @@ def daily_click_purchase_recon(spark: SparkSession, sf_dir: str) -> DataFrame:
         return (
             events.where(F.col("event_type") == event_type)
             .groupBy(F.date_trunc("day", "ts").alias("day"))
-            .agg(F.round(F.sum("value"), 2).alias(alias))
+            .agg(F.expr(_cents(_sum_m6("value"))).alias(alias))
         )
 
     clicks, purchases = daily("click", "click_total"), daily("purchase", "purchase_total")
@@ -1970,8 +2055,8 @@ def forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2
+            F.expr(
+                _cents(_sum_m6("l_extendedprice * l_discount"))
             ).alias("revenue_increase"),
             F.count(F.lit(1)).alias("n_lineitems"),
         )
@@ -1993,7 +2078,9 @@ def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
                o_orderpriority,
                CAST(grouping_id(n_name, o_orderpriority) AS INT) AS gid,
                COUNT(*) AS n_orders,
-               ROUND(SUM(o_totalprice), 2) AS revenue
+               (2 * SUM(CAST(ROUND(o_totalprice * 1000000)
+                             AS DECIMAL(38,0))) + 10000)
+                   div 20000 / 100.0D AS revenue
         FROM gs_orders
         JOIN gs_customer ON o_custkey = c_custkey
         JOIN gs_nation ON c_nationkey = n_nationkey

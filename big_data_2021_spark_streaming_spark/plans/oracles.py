@@ -324,11 +324,11 @@ ORACLES: dict[str, str] = {
     "pricing_summary": """
         SELECT l_returnflag,
                l_linestatus,
-               ROUND(SUM(l_quantity), 2) AS sum_qty,
-               ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
-               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-               ROUND(AVG(l_quantity), 6) AS avg_qty,
-               ROUND(AVG(l_discount), 6) AS avg_disc,
+               (2 * SUM(CAST(ROUND((l_quantity) * 1000000) AS BIGINT)) + 10000) // 20000 / 100.0 AS sum_qty,
+               (2 * SUM(CAST(ROUND((l_extendedprice) * 1000000) AS BIGINT)) + 10000) // 20000 / 100.0 AS sum_base_price,
+               (2 * SUM(CAST(ROUND((l_extendedprice * (1 - l_discount)) * 1000000) AS BIGINT)) + 10000) // 20000 / 100.0 AS sum_disc_price,
+               (2 * SUM(CAST(ROUND((l_quantity) * 1000000) AS BIGINT)) + COUNT(*)) // (2 * COUNT(*)) / 1000000.0 AS avg_qty,
+               (2 * SUM(CAST(ROUND((l_discount) * 1000000) AS BIGINT)) + COUNT(*)) // (2 * COUNT(*)) / 1000000.0 AS avg_disc,
                COUNT(*) AS count_order
         FROM lineitem
         WHERE l_shipdate <= TIMESTAMP '2001-09-01 00:00:00'
@@ -336,7 +336,7 @@ ORACLES: dict[str, str] = {
     """,
     "revenue_by_nation": """
         SELECT n_name AS nation_name,
-               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+               (2 * SUM(CAST(ROUND((l_extendedprice * (1 - l_discount)) * 1000000) AS BIGINT)) + 10000) // 20000 / 100.0 AS revenue
         FROM lineitem
         JOIN orders   ON l_orderkey = o_orderkey
         JOIN customer ON o_custkey = c_custkey
@@ -396,8 +396,8 @@ ORACLES: dict[str, str] = {
         )
         SELECT event_id, user_id, ts,
                COUNT(*) OVER w AS n_trailing_1h,
-               ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w
-                          AS DOUBLE), 4) AS sum_trailing_1h
+               (2 * SUM(CAST(ROUND(value * 1000000) AS BIGINT)) OVER w
+                + 100) // 200 / 10000.0 AS sum_trailing_1h
         FROM e
         WINDOW w AS (PARTITION BY user_id ORDER BY sec
                      RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
@@ -453,7 +453,7 @@ ORACLES: dict[str, str] = {
     "top_customers": """
         SELECT c_custkey, c_name, total_spent
         FROM (
-            SELECT o_custkey, ROUND(SUM(o_totalprice), 2) AS total_spent
+            SELECT o_custkey, (2 * SUM(CAST(ROUND((o_totalprice) * 1000000) AS BIGINT)) + 10000) // 20000 / 100.0 AS total_spent
             FROM orders GROUP BY o_custkey
         )
         JOIN customer ON o_custkey = c_custkey
@@ -500,7 +500,7 @@ ORACLES: dict[str, str] = {
         SELECT o_orderstatus,
                o_orderpriority,
                COUNT(*) AS n_orders,
-               ROUND(SUM(o_totalprice), 2) AS total_price
+               (2 * SUM(CAST(ROUND((o_totalprice) * 1000000) AS BIGINT)) + 10000) // 20000 / 100.0 AS total_price
         FROM orders
         GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
     """,
@@ -508,7 +508,7 @@ ORACLES: dict[str, str] = {
         SELECT event_type,
                CAST(hour(ts) AS INTEGER) AS hour,
                COUNT(*) AS n_events,
-               ROUND(SUM(value), 2) AS sum_value
+               (2 * SUM(CAST(ROUND((value) * 1000000) AS BIGINT)) + 10000) // 20000 / 100.0 AS sum_value
         FROM events
         GROUP BY CUBE (event_type, hour(ts))
     """,
@@ -612,11 +612,10 @@ ORACLES: dict[str, str] = {
 ORACLES["promo_revenue_ratio"] = """
     SELECT CAST(year(l_shipdate) AS INTEGER) AS year,
            CAST(month(l_shipdate) AS INTEGER) AS month,
-           ROUND(SUM(CASE WHEN p_type LIKE 'PROMO%'
-                          THEN l_extendedprice * (1 - l_discount)
-                          ELSE 0.0 END) * 100.0
-                 / SUM(l_extendedprice * (1 - l_discount)), 4) AS promo_pct,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+           (2 * SUM(CAST(ROUND((CASE WHEN p_type LIKE 'PROMO%' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END) * 1000000) AS BIGINT)) * 1000000
+            + SUM(CAST(ROUND((l_extendedprice * (1 - l_discount)) * 1000000) AS BIGINT)))
+               // (2 * SUM(CAST(ROUND((l_extendedprice * (1 - l_discount)) * 1000000) AS BIGINT))) / 10000.0 AS promo_pct,
+           (2 * SUM(CAST(ROUND((l_extendedprice * (1 - l_discount)) * 1000000) AS BIGINT)) + 10000) // 20000 / 100.0 AS total_revenue
     FROM lineitem JOIN part ON l_partkey = p_partkey
     GROUP BY 1, 2
 """
@@ -636,7 +635,7 @@ ORACLES["returnflag_priority_counts"] = """
 ORACLES["supplier_balance_by_nation"] = """
     SELECT n_name AS nation_name,
            COUNT(*) AS n_suppliers,
-           ROUND(SUM(s_acctbal), 2) AS total_balance
+           (CASE WHEN SUM(CAST(ROUND((s_acctbal) * 1000000) AS BIGINT)) >= 0 THEN (2 * SUM(CAST(ROUND((s_acctbal) * 1000000) AS BIGINT)) + 10000) // 20000 ELSE -((-2 * SUM(CAST(ROUND((s_acctbal) * 1000000) AS BIGINT)) + 10000) // 20000) END) / 100.0 AS total_balance
     FROM supplier JOIN nation ON s_nationkey = n_nationkey
     GROUP BY n_name
     HAVING COUNT(*) > 0
@@ -817,14 +816,14 @@ ORACLES["range_join_click_purchase"] = """
 ORACLES["salted_type_totals"] = """
     SELECT event_type,
            COUNT(*) AS n_events,
-           ROUND(SUM(value), 2) AS total_value
+           (2 * SUM(CAST(ROUND((value) * 1000000) AS BIGINT)) + 10000) // 20000 / 100.0 AS total_value
     FROM events
     GROUP BY event_type
 """
 
 ORACLES["shipping_priority_topk"] = """
     SELECT l.l_orderkey AS o_orderkey, o.o_orderdate, o.o_orderpriority,
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+           (2 * SUM(CAST(ROUND((l.l_extendedprice * (1 - l.l_discount)) * 1000000) AS BIGINT)) + 10000) // 20000 / 100.0 AS revenue
     FROM lineitem l
     JOIN orders o ON l.l_orderkey = o.o_orderkey
     WHERE l.l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
@@ -839,7 +838,7 @@ ORACLES["shipping_priority_topk"] = """
 ORACLES["nation_pair_volume"] = """
     SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
            year(l.l_shipdate) AS l_year,
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+           (2 * SUM(CAST(ROUND((l.l_extendedprice * (1 - l.l_discount)) * 1000000) AS BIGINT)) + 10000) // 20000 / 100.0 AS revenue
     FROM lineitem l
     JOIN orders o ON l.l_orderkey = o.o_orderkey
     JOIN customer c ON o.o_custkey = c.c_custkey
@@ -853,11 +852,9 @@ ORACLES["nation_pair_volume"] = """
 
 ORACLES["market_share_by_year"] = """
     SELECT year(o.o_orderdate) AS o_year,
-           ROUND(
-             SUM(CASE WHEN n1.n_name = 'NATION_2'
-                      THEN l.l_extendedprice * (1 - l.l_discount)
-                      ELSE 0.0 END)
-             / SUM(l.l_extendedprice * (1 - l.l_discount)), 6) AS mkt_share
+           (2 * SUM(CAST(ROUND((CASE WHEN n1.n_name = 'NATION_2' THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0.0 END) * 1000000) AS BIGINT)) * 1000000
+            + SUM(CAST(ROUND((l.l_extendedprice * (1 - l.l_discount)) * 1000000) AS BIGINT)))
+               // (2 * SUM(CAST(ROUND((l.l_extendedprice * (1 - l.l_discount)) * 1000000) AS BIGINT))) / 1000000.0 AS mkt_share
     FROM lineitem l
     JOIN orders o ON l.l_orderkey = o.o_orderkey
     JOIN customer c ON o.o_custkey = c.c_custkey
@@ -873,7 +870,7 @@ ORACLES["market_share_by_year"] = """
 
 ORACLES["part_profit_by_nation_year"] = """
     SELECT n.n_name AS nation, year(o.o_orderdate) AS o_year,
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS profit
+           (2 * SUM(CAST(ROUND((l.l_extendedprice * (1 - l.l_discount)) * 1000000) AS BIGINT)) + 10000) // 20000 / 100.0 AS profit
     FROM lineitem l
     JOIN orders o ON l.l_orderkey = o.o_orderkey
     JOIN supplier s ON l.l_suppkey = s.s_suppkey
@@ -895,7 +892,7 @@ ORACLES["customer_order_distribution"] = """
 """
 
 ORACLES["disjunctive_part_revenue"] = """
-    SELECT ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+    SELECT (2 * SUM(CAST(ROUND((l.l_extendedprice * (1 - l.l_discount)) * 1000000) AS BIGINT)) + 10000) // 20000 / 100.0 AS revenue,
            COUNT(*) AS n_lines
     FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
     WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
@@ -909,12 +906,12 @@ ORACLES["disjunctive_part_revenue"] = """
 ORACLES["daily_click_purchase_recon"] = """
     WITH clicks AS (
         SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
-               ROUND(SUM(value), 2) AS click_total
+               (2 * SUM(CAST(ROUND((value) * 1000000) AS BIGINT)) + 10000) // 20000 / 100.0 AS click_total
         FROM events WHERE event_type = 'click' GROUP BY 1
     ),
     purchases AS (
         SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
-               ROUND(SUM(value), 2) AS purchase_total
+               (2 * SUM(CAST(ROUND((value) * 1000000) AS BIGINT)) + 10000) // 20000 / 100.0 AS purchase_total
         FROM events WHERE event_type = 'purchase' GROUP BY 1
     )
     SELECT COALESCE(c.day, p.day) AS day,
@@ -964,7 +961,7 @@ ORACLES["funnel_conversion"] = """
 
 ORACLES["small_qty_part_revenue"] = """
     SELECT p.p_brand,
-           ROUND(SUM(l.l_extendedprice), 2) AS low_qty_revenue,
+           (2 * SUM(CAST(ROUND((l.l_extendedprice) * 1000000) AS BIGINT)) + 10000) // 20000 / 100.0 AS low_qty_revenue,
            COUNT(*) AS n_lines
     FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
     WHERE l.l_quantity < (
@@ -991,7 +988,7 @@ ORACLES["big_order_customers"] = """
 ORACLES["inactive_rich_customers"] = """
     SELECT c.c_nationkey,
            COUNT(*) AS n_customers,
-           ROUND(SUM(c.c_acctbal), 2) AS total_balance
+           (CASE WHEN SUM(CAST(ROUND((c.c_acctbal) * 1000000) AS BIGINT)) >= 0 THEN (2 * SUM(CAST(ROUND((c.c_acctbal) * 1000000) AS BIGINT)) + 10000) // 20000 ELSE -((-2 * SUM(CAST(ROUND((c.c_acctbal) * 1000000) AS BIGINT)) + 10000) // 20000) END) / 100.0 AS total_balance
     FROM customer c
     WHERE c.c_acctbal > (
         SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0.0
@@ -1227,7 +1224,7 @@ ORACLES["value_equidepth_deciles"] = """
 """
 
 ORACLES["forecast_revenue_change"] = """
-    SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue_increase,
+    SELECT (2 * SUM(CAST(ROUND((l_extendedprice * l_discount) * 1000000) AS BIGINT)) + 10000) // 20000 / 100.0 AS revenue_increase,
            COUNT(*) AS n_lineitems
     FROM lineitem
     WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
@@ -1242,7 +1239,7 @@ ORACLES["grouping_sets_revenue"] = """
            o_orderpriority,
            CAST(GROUPING(n_name, o_orderpriority) AS INTEGER) AS gid,
            COUNT(*) AS n_orders,
-           ROUND(SUM(o_totalprice), 2) AS revenue
+           (2 * SUM(CAST(ROUND((o_totalprice) * 1000000) AS BIGINT)) + 10000) // 20000 / 100.0 AS revenue
     FROM orders
     JOIN customer ON o_custkey = c_custkey
     JOIN nation ON c_nationkey = n_nationkey

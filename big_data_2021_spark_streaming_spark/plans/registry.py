@@ -176,6 +176,25 @@ _GRADE_AFTER_REGRADES = frozenset(
         "sliding_window_stats",
         "event_hourly_resample",
         "running_user_value",
+        "pricing_summary",
+        "revenue_by_nation",
+        "top_customers",
+        "rollup_order_status",
+        "cube_event_stats",
+        "promo_revenue_ratio",
+        "supplier_balance_by_nation",
+        "salted_type_totals",
+        "small_qty_part_revenue",
+        "inactive_rich_customers",
+        "shipping_priority_topk",
+        "nation_pair_volume",
+        "market_share_by_year",
+        "part_profit_by_nation_year",
+        "disjunctive_part_revenue",
+        "user_trailing_hour_stats",
+        "daily_click_purchase_recon",
+        "forecast_revenue_change",
+        "grouping_sets_revenue",
     }
 )
 
@@ -215,36 +234,26 @@ _FAMILY_COST = {
 _DRIVER_VERIFIED = frozenset(
     {
         "asof_last_signup", "big_order_customers", "brand_supplier_variety",
-        "click_and_error_users", "clickers_not_purchasers", "cube_event_stats",
-        "curation_keep_list", "curation_multisignal_gate", "customer_order_distribution",
-        "daily_click_purchase_recon", "date_parts", "dedup_clusters",
-        "dedup_exact", "dedup_minhash_lsh", "disjunctive_part_revenue",
-        "distinct_users_per_type", "embedding_dim_variance", "embedding_norm_stats",
+        "click_and_error_users", "clickers_not_purchasers", "curation_keep_list", "curation_multisignal_gate", "customer_order_distribution",
+        "date_parts", "dedup_clusters",
+        "dedup_exact", "dedup_minhash_lsh", "distinct_users_per_type", "embedding_dim_variance", "embedding_norm_stats",
         "embedding_outliers", "event_rank_stats",
-        "event_type_union", "forecast_revenue_change", "funnel_conversion",
-        "fuzzy_name_matches", "grouping_sets_revenue", "inactive_rich_customers",
-        "json_encode", "latest_event_per_user",
-        "lineitem_measures_unpivot", "market_share_by_year", "multimodal_decode",
-        "multimodal_frame_sample", "multimodal_type_stats", "nation_pair_volume",
-        "order_priority_semijoin", "part_profit_by_nation_year", "parts_never_in_bulk_orders",
-        "peak_concurrent_sessions", "pricing_summary",
-        "promo_revenue_ratio", "q1_filter", "q2_join_enrich",
+        "event_type_union", "funnel_conversion",
+        "fuzzy_name_matches", "json_encode", "latest_event_per_user",
+        "lineitem_measures_unpivot", "multimodal_decode",
+        "multimodal_frame_sample", "multimodal_type_stats", "order_priority_semijoin", "parts_never_in_bulk_orders",
+        "peak_concurrent_sessions", "q1_filter", "q2_join_enrich",
         "q3_window_collect_set", "recent_orders_lateral",
-        "returned_item_report", "returnflag_priority_counts", "revenue_by_nation",
-        "rollup_order_status", "rsvp_decode_failures", "rsvp_faithful_filter",
-        "rsvp_q2_payload", "salted_type_totals",
-        "shipping_priority_topk",
-        "similarity_ivf_occupancy", "similarity_ivf_pq_topk", "similarity_ivf_topk",
+        "returned_item_report", "returnflag_priority_counts", "rsvp_decode_failures", "rsvp_faithful_filter",
+        "rsvp_q2_payload", "similarity_ivf_occupancy", "similarity_ivf_pq_topk", "similarity_ivf_topk",
         "similarity_lsh_signature", "similarity_lsh_topk", "similarity_pq_codes",
         "similarity_pq_reconstruction", "similarity_pq_topk", "similarity_topk",
-        "sketch_event_stats", "small_qty_part_revenue",
-        "sole_late_supplier", "supplier_balance_by_nation", "text_fingerprint",
+        "sketch_event_stats", "sole_late_supplier", "text_fingerprint",
         "text_lang_confusion", "text_lang_id",
         "text_pii_scan", "text_prefix_clusters", "text_quality_score",
         "text_tfidf_topterms", "text_token_stats",
-        "text_winnow_fingerprints", "top3_per_segment", "top_customers",
-        "top_supplier_by_revenue", "user_retention_cohorts",
-        "user_trailing_hour_stats", "user_type_scd2", "value_equidepth_deciles",
+        "text_winnow_fingerprints", "top3_per_segment", "top_supplier_by_revenue", "user_retention_cohorts",
+        "user_type_scd2", "value_equidepth_deciles",
         "value_percentiles", "value_zscore_anomalies",
     }
 )

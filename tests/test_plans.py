@@ -679,6 +679,17 @@ def test_registry_orders_unverified_queries_first():
         "pivot_user_event_values", "session_window_stats",
         "sliding_window_stats", "event_hourly_resample",
         "running_user_value",
+        # re-planned in round 4g batch 2 (exact micro-unit conversion
+        # of every remaining ROUND(SUM/AVG/ratio-of-double) display)
+        "pricing_summary", "revenue_by_nation", "top_customers",
+        "rollup_order_status", "cube_event_stats", "promo_revenue_ratio",
+        "supplier_balance_by_nation", "salted_type_totals",
+        "small_qty_part_revenue", "inactive_rich_customers",
+        "shipping_priority_topk", "nation_pair_volume",
+        "market_share_by_year", "part_profit_by_nation_year",
+        "disjunctive_part_revenue", "user_trailing_hour_stats",
+        "daily_click_purchase_recon", "forecast_revenue_change",
+        "grouping_sets_revenue",
     }
     # the driver's observed grading budget is 50 queries per round
     # (r02 and r03 both truncated there); the 11 VERDICT-r03-flagged
