@@ -194,6 +194,46 @@ def idempotent_parquet_batch_writer(out_dir: str):
     return write
 
 
+def dlq_split_batch_writer(out_dir: str, reject_sql: str, reason_sql: str):
+    """batch_fn for ``to_foreach_batch_sink``: the dead-letter-queue
+    split every production ingest runs — rows failing ``reject_sql``
+    quarantine to ``out_dir/dlq`` with a ``reject_reason`` column
+    (``reason_sql``), the rest land in ``out_dir/good``; both sides
+    partition by batch_id with overwrite so a replayed batch rewrites
+    its own output (exactly-once effect on at-least-once delivery).
+
+    This is the streaming form of the reference's decode-failure
+    handling (``srapk_structure_streaming.py``'s from_json yields NULL
+    structs it silently filters; here the failures are retained and
+    attributed instead of dropped). Partition contract: good ∪ dlq is
+    row-exactly the input batch — nothing silently vanishes.
+
+    Scale: one persisted micro-batch scan feeds both writes; the split
+    is a narrow filter, no shuffle, and the DLQ side is tiny by
+    construction so its files stay small without coalescing."""
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        flagged = batch_df.withColumn("_reject", F.expr(reject_sql)).persist()
+        try:
+            (
+                flagged.where(~F.col("_reject"))
+                .drop("_reject")
+                .write.mode("overwrite")
+                .parquet(f"{out_dir}/good/batch_id={batch_id}")
+            )
+            (
+                flagged.where(F.col("_reject"))
+                .drop("_reject")
+                .withColumn("reject_reason", F.expr(reason_sql))
+                .write.mode("overwrite")
+                .parquet(f"{out_dir}/dlq/batch_id={batch_id}")
+            )
+        finally:
+            flagged.unpersist()
+
+    return write
+
+
 def upsert_state_batch_writer(out_dir: str, key_cols, order_cols):
     """batch_fn for ``to_foreach_batch_sink``: streaming MERGE-upsert
     without a table format — maintains a compacted latest-row-per-key

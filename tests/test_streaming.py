@@ -870,6 +870,78 @@ def test_sessionize_rocksdb_state_store_matches_default(
     assert s.session_start == t0 and s.session_end == t0 + timedelta(minutes=10)
 
 
+def test_dlq_split_preserves_every_row_and_is_idempotent(spark, tmp_path):
+    """Dead-letter-queue fan-out via foreachBatch: good ∪ dlq must be
+    row-exactly the input (nothing silently dropped, the reference's
+    decode-failure gap closed), reasons attributed, and replaying a
+    batch_id must rewrite its own partition identically."""
+    import json as _json
+
+    from big_data_2021_spark_streaming_spark.streaming.pipeline import (
+        dlq_split_batch_writer,
+        to_foreach_batch_sink,
+    )
+
+    src = tmp_path / "dlq_src"
+    src.mkdir()
+    ckpt = str(tmp_path / "dlq_ckpt")
+    out = str(tmp_path / "dlq_out")
+    # reject: undecodable props JSON or a non-positive value. Modern
+    # from_json yields an ALL-NULL struct for corrupt input, not a
+    # NULL struct — probe the decoded field (same predicate class as
+    # rsvp_decode_failures)
+    writer = dlq_split_batch_writer(
+        out,
+        reject_sql="from_json(props, 'k INT').k IS NULL OR value <= 0",
+        reason_sql=(
+            "CASE WHEN from_json(props, 'k INT').k IS NULL"
+            " THEN 'decode_failure' ELSE 'nonpositive_value' END"
+        ),
+    )
+
+    def run():
+        stream = (
+            spark.readStream.schema("event_id LONG, value DOUBLE, props STRING")
+            .json(str(src))
+        )
+        q = to_foreach_batch_sink(stream, writer, ckpt, available_now=True)
+        q.awaitTermination()
+
+    rows0 = [
+        {"event_id": 1, "value": 5.0, "props": '{"k": 1}'},
+        {"event_id": 2, "value": 5.0, "props": "not json"},
+        {"event_id": 3, "value": -1.0, "props": '{"k": 3}'},
+    ]
+    (src / "b0.json").write_text("\n".join(_json.dumps(r) for r in rows0))
+    run()
+    good = spark.read.parquet(f"{out}/good").collect()
+    dlq = spark.read.parquet(f"{out}/dlq").collect()
+    assert {r.event_id for r in good} == {1}
+    assert {r.event_id: r.reject_reason for r in dlq} == {
+        2: "decode_failure",
+        3: "nonpositive_value",
+    }
+    # partition contract: good ∪ dlq == input, schema preserved + reason
+    assert len(good) + len(dlq) == len(rows0)
+
+    # second micro-batch appends its own partition, first is untouched
+    rows1 = [{"event_id": 4, "value": 1.0, "props": '{"k": 4}'}]
+    (src / "b1.json").write_text("\n".join(_json.dumps(r) for r in rows1))
+    run()
+    good_all = spark.read.parquet(f"{out}/good").collect()
+    assert {r.event_id for r in good_all} == {1, 4}
+
+    # replay batch 0 by hand: identical rewrite, no duplication
+    replay = spark.read.schema("event_id LONG, value DOUBLE, props STRING").json(
+        str(src / "b0.json")
+    )
+    writer(replay, 0)
+    good_replayed = spark.read.parquet(f"{out}/good").collect()
+    dlq_replayed = spark.read.parquet(f"{out}/dlq").collect()
+    assert {r.event_id for r in good_replayed} == {1, 4}
+    assert {r.event_id for r in dlq_replayed} == {2, 3}
+
+
 def test_upsert_state_writer_maintains_latest_per_key(spark, tmp_path):
     """Streaming MERGE-upsert via foreachBatch: versioned compaction
     keeps the latest row per key across micro-batches, and replaying a
