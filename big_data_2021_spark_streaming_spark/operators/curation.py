@@ -263,6 +263,105 @@ def cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def source_minhash_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-level MinHash: the SKETCH form of the source-pair
+    redundancy question ``corpus_cross_source_overlap`` answers
+    exactly. MinHash signatures are mergeable by element-wise MIN —
+    min over a source's per-doc signatures IS the signature of the
+    union of its docs' token sets — so each source collapses to
+    NUM_PERM integers and every pair comparison is constant work. At
+    100 TB this is the only affordable corpus-pair similarity: the
+    exact gram self-join touches the (source, gram) universe; the
+    sketch touches |sources|·NUM_PERM rows after one signature scan
+    (shared, persisted — the same frame the LSH dedup stack uses).
+
+    Output per source pair: matching signature members, the sketch
+    Jaccard estimate, and the exact token-set Jaccard (same universe
+    the signatures hash — the acceptance metric), all exact micro-unit
+    integers. |sources|² pair grid is a handful of rows (intended
+    BNLJ)."""
+    mh = _dedup._minhash_signatures(spark, sf_dir)
+    n_perm = _dedup.NUM_PERM
+    per_source = mh.groupBy("source").agg(
+        *[F.min(f"mh{j}").alias(f"mh{j}") for j in range(n_perm)]
+    )
+    a = per_source.alias("a")
+    b = per_source.alias("b")
+    matches = None
+    for j in range(n_perm):
+        t = (F.col(f"a.mh{j}") == F.col(f"b.mh{j}")).cast("int")
+        matches = t if matches is None else matches + t
+    pairs = (
+        a.join(b, F.col("a.source") < F.col("b.source"))
+        .select(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+            matches.cast("bigint").alias("matching_members"),
+        )
+    )
+    toks = (
+        _dedup._token_sets(spark, sf_dir)
+        .select("source", F.explode("tok").alias("t"))
+        .distinct()
+    )
+    sizes = toks.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_toks")
+    )
+    inter = (
+        toks.alias("x")
+        .join(
+            toks.alias("y"),
+            (F.col("x.t") == F.col("y.t"))
+            & (F.col("x.source") < F.col("y.source")),
+        )
+        .groupBy(
+            F.col("x.source").alias("source_a"),
+            F.col("y.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("inter_toks"))
+    )
+    out = (
+        pairs.join(
+            F.broadcast(
+                sizes.select(
+                    F.col("source").alias("source_a"),
+                    F.col("n_toks").alias("toks_a"),
+                )
+            ),
+            "source_a",
+        )
+        .join(
+            F.broadcast(
+                sizes.select(
+                    F.col("source").alias("source_b"),
+                    F.col("n_toks").alias("toks_b"),
+                )
+            ),
+            "source_b",
+        )
+        .join(inter, ["source_a", "source_b"], "left")
+        .withColumn(
+            "inter_toks", F.coalesce("inter_toks", F.lit(0).cast("bigint"))
+        )
+    )
+    return out.select(
+        "source_a",
+        "source_b",
+        "matching_members",
+        F.expr(
+            f"(2 * matching_members * 1000000 + {n_perm})"
+            f" div (2 * {n_perm})"
+        ).alias("est_jaccard_micro"),
+        "toks_a",
+        "toks_b",
+        "inter_toks",
+        F.expr(
+            "(2 * inter_toks * 1000000 + (toks_a + toks_b - inter_toks))"
+            " div (2 * (toks_a + toks_b - inter_toks))"
+        ).alias("exact_jaccard_micro"),
+    )
+
+
 def _quality_cte() -> str:
     # exact micro-unit quality, shared with operators.text's oracle so
     # every consumer of the score agrees bit-for-bit (the old double
@@ -397,6 +496,46 @@ ORACLES["decontaminate_overlap"] = f"""
     FROM documents d
     LEFT JOIN shared s USING (doc_id)
     WHERE d.source <> '{EVAL_SOURCE}'
+"""
+
+_SRC_MH_COLS = ", ".join(
+    f"MIN(mh{j}) AS mh{j}" for j in range(_dedup.NUM_PERM)
+)
+_SRC_MATCHES = " + ".join(
+    f"CAST(a.mh{j} = b.mh{j} AS INTEGER)" for j in range(_dedup.NUM_PERM)
+)
+
+ORACLES["corpus_source_minhash"] = f"""
+    WITH {_dedup._MH_CTE},
+    src_mh AS (SELECT source, {_SRC_MH_COLS} FROM mh GROUP BY source),
+    toks_d AS (SELECT DISTINCT source, sh FROM toks),
+    sizes AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_toks
+        FROM toks_d GROUP BY source
+    ),
+    inter AS (
+        SELECT x.source AS source_a, y.source AS source_b,
+               CAST(COUNT(*) AS BIGINT) AS inter_toks
+        FROM toks_d x JOIN toks_d y
+          ON x.sh = y.sh AND x.source < y.source
+        GROUP BY 1, 2
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST({_SRC_MATCHES} AS BIGINT) AS matching_members,
+           (2 * CAST({_SRC_MATCHES} AS BIGINT) * 1000000
+            + {_dedup.NUM_PERM}) // (2 * {_dedup.NUM_PERM})
+               AS est_jaccard_micro,
+           sa.n_toks AS toks_a, sb.n_toks AS toks_b,
+           COALESCE(i.inter_toks, 0::BIGINT) AS inter_toks,
+           (2 * COALESCE(i.inter_toks, 0) * 1000000
+            + (sa.n_toks + sb.n_toks - COALESCE(i.inter_toks, 0)))
+               // (2 * (sa.n_toks + sb.n_toks - COALESCE(i.inter_toks, 0)))
+               AS exact_jaccard_micro
+    FROM src_mh a JOIN src_mh b ON a.source < b.source
+    JOIN sizes sa ON sa.source = a.source
+    JOIN sizes sb ON sb.source = b.source
+    LEFT JOIN inter i
+      ON i.source_a = a.source AND i.source_b = b.source
 """
 
 ORACLES["corpus_cross_source_overlap"] = f"""
@@ -1243,6 +1382,7 @@ ORACLES["quality_dup_profile"] = f"""
 
 QUERIES = {
     # new-in-round-4 entries first: registry order = driver grading order
+    "corpus_source_minhash": source_minhash_similarity,
     "quality_dup_profile": quality_dup_profile,
     "corpus_shard_plan": corpus_shard_plan,
     "epoch_shuffle_plan": epoch_shuffle_plan,

@@ -167,6 +167,7 @@ _GRADE_AFTER_REGRADES = frozenset(
         # round-4g additions (this session)
         "sketch_hll_intersection",
         "text_bpe_encode",
+        "corpus_source_minhash",
         # round-4g re-plans (exact micro-unit rewrites after the sf0.4
         # sweep caught the ROUND(SUM(double)) divergence class): last
         # driver-green on the superseded plan, so they regrade — but

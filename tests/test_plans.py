@@ -197,6 +197,7 @@ _BNLJ_INTENDED = frozenset(
         "join_strategy_advisor",      # 1-row stats scalars per FK edge
         "sketch_hll_intersection",    # |types|²-row pair grid (≤ dozens)
         "text_bpe_encode",            # 1-row winning-pair scalar per merge round
+        "corpus_source_minhash",      # |sources|²-row pair grid (≤ dozens)
     }
 )
 
@@ -674,6 +675,7 @@ def test_registry_orders_unverified_queries_first():
         "supplier_return_rates", "customer_order_streaks",
         # new in round 4g (this session; deferred behind the regrades)
         "sketch_hll_intersection", "text_bpe_encode",
+        "corpus_source_minhash",
         # re-planned in round 4g (sf0.4 ROUND(SUM(double)) class fix;
         # deferred behind the regrades)
         "pivot_user_event_values", "session_window_stats",

@@ -149,3 +149,74 @@ def test_cross_source_overlap_matches_pure_python(spark):
         assert got == exp, (r.source_a, r.source_b, got, exp)
         assert r.inter_grams <= min(r.grams_a, r.grams_b)
         assert 0 <= r.jaccard_permille <= 1000
+
+
+def test_source_minhash_signature_is_mergeable(spark):
+    """The property the dataset-level sketch rests on: MIN-merging a
+    source's per-doc signatures must equal the signature computed
+    directly from the union of the source's token sets — and the pair
+    frame's matching_members must agree with recomputing the match
+    count from those per-source signatures."""
+    import pyspark.sql.functions as F2
+
+    from big_data_2021_spark_streaming_spark.operators.curation import (
+        source_minhash_similarity,
+    )
+    from big_data_2021_spark_streaming_spark.operators.dedup import (
+        NUM_PERM,
+        _minhash_signatures,
+    )
+    from big_data_2021_spark_streaming_spark.functions.hashing import (
+        h60_packed_md5,
+        h60_packed_member,
+    )
+
+    mh = _minhash_signatures(spark, SF)
+    merged = {
+        r.source: [r[f"mh{j}"] for j in range(NUM_PERM)]
+        for r in mh.groupBy("source")
+        .agg(*[F2.min(f"mh{j}").alias(f"mh{j}") for j in range(NUM_PERM)])
+        .collect()
+    }
+    # direct signature of the union token set per source
+    docs = load_table(spark, SF, "documents")
+    direct_rows = (
+        docs.select(
+            "source",
+            F2.explode(
+                F2.array_distinct(F2.split(F2.trim("text"), r"\s+"))
+            ).alias("sh"),
+        )
+        .select(
+            "source",
+            *[
+                h60_packed_md5(s, F2.col("sh")).alias(f"d{s}")
+                for s in range(NUM_PERM // 2)
+            ],
+        )
+        .groupBy("source")
+        .agg(
+            *[
+                F2.min(
+                    h60_packed_member(F2.col(f"d{j // 2}"), j % 2)
+                ).alias(f"mh{j}")
+                for j in range(NUM_PERM)
+            ]
+        )
+        .collect()
+    )
+    direct = {
+        r.source: [r[f"mh{j}"] for j in range(NUM_PERM)] for r in direct_rows
+    }
+    assert merged == direct  # element-wise MIN merge == union signature
+
+    out = source_minhash_similarity(spark, SF).collect()
+    assert out, "no source pairs"
+    for r in out:
+        expect = sum(
+            int(x == y)
+            for x, y in zip(merged[r.source_a], merged[r.source_b])
+        )
+        assert r.matching_members == expect
+        assert 0 <= r.exact_jaccard_micro <= 1_000_000
+        assert r.inter_toks <= min(r.toks_a, r.toks_b)
