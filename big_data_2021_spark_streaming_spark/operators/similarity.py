@@ -110,9 +110,16 @@ def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = _vectors(spark, sf_dir)
     sq = F.aggregate("v", F.lit(0.0), lambda acc, x: acc + x * x)
     with_norm = vecs.select("label", F.sqrt(sq).alias("norm"))
+    # per-row norms are engine-identical (same IEEE fold); the MEAN is
+    # the one order-dependent aggregate, so it rides an exact per-row
+    # micro-unit integer with half-up integer division — min/max of
+    # identical doubles are already deterministic
     return with_norm.groupBy("label").agg(
         F.count(F.lit(1)).alias("n_vecs"),
-        F.round(F.avg("norm"), 6).alias("avg_norm"),
+        F.expr(
+            "(2 * sum(cast(round(norm * 1000000) as bigint)) + count(1))"
+            " div (2 * count(1)) / 1000000.0D"
+        ).alias("avg_norm"),
         F.round(F.min("norm"), 6).alias("min_norm"),
         F.round(F.max("norm"), 6).alias("max_norm"),
     )
@@ -1030,7 +1037,8 @@ ORACLES["embedding_norm_stats"] = """
     )
     SELECT label,
            COUNT(*) AS n_vecs,
-           ROUND(AVG(norm), 6) AS avg_norm,
+           (2 * SUM(CAST(ROUND(norm * 1000000) AS BIGINT)) + COUNT(*))
+               // (2 * COUNT(*)) / 1000000.0 AS avg_norm,
            ROUND(MIN(norm), 6) AS min_norm,
            ROUND(MAX(norm), 6) AS max_norm
     FROM norms

@@ -168,6 +168,7 @@ _GRADE_AFTER_REGRADES = frozenset(
         "sketch_hll_intersection",
         "text_bpe_encode",
         "corpus_source_minhash",
+        "embedding_norm_stats",
         # round-4g re-plans (exact micro-unit rewrites after the sf0.4
         # sweep caught the ROUND(SUM(double)) divergence class): last
         # driver-green on the superseded plan, so they regrade — but
@@ -237,8 +238,7 @@ _DRIVER_VERIFIED = frozenset(
         "asof_last_signup", "big_order_customers", "brand_supplier_variety",
         "click_and_error_users", "clickers_not_purchasers", "curation_keep_list", "curation_multisignal_gate", "customer_order_distribution",
         "date_parts", "dedup_clusters",
-        "dedup_exact", "dedup_minhash_lsh", "distinct_users_per_type", "embedding_dim_variance", "embedding_norm_stats",
-        "embedding_outliers", "event_rank_stats",
+        "dedup_exact", "dedup_minhash_lsh", "distinct_users_per_type", "embedding_dim_variance", "embedding_outliers", "event_rank_stats",
         "event_type_union", "funnel_conversion",
         "fuzzy_name_matches", "json_encode", "latest_event_per_user",
         "lineitem_measures_unpivot", "multimodal_decode",

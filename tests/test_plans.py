@@ -675,7 +675,7 @@ def test_registry_orders_unverified_queries_first():
         "supplier_return_rates", "customer_order_streaks",
         # new in round 4g (this session; deferred behind the regrades)
         "sketch_hll_intersection", "text_bpe_encode",
-        "corpus_source_minhash",
+        "corpus_source_minhash", "embedding_norm_stats",
         # re-planned in round 4g (sf0.4 ROUND(SUM(double)) class fix;
         # deferred behind the regrades)
         "pivot_user_event_values", "session_window_stats",
