@@ -202,10 +202,56 @@ _BNLJ_INTENDED = frozenset(
 )
 
 
-def test_no_unintended_cartesian_or_nested_loop_join_anywhere(spark):
-    # registry-wide scale lint: a CartesianProduct anywhere, or a
+# Queries whose plan contains an UNPARTITIONED Window on purpose:
+# each one was audited — the window's input frame is bounded by
+# construction (a band/stratum/segment summary, a limit-k pool, a
+# vocabulary, a month series), never the per-row corpus, so the
+# single-partition exchange moves a handful of rows. Any NEW query
+# that trips this lint must either partition its window or be audited
+# and added here with the bounding argument.
+_GLOBAL_WINDOW_INTENDED = frozenset(
+    {
+        "corpus_mixture_report",      # |source×bucket| strata summary
+        "corpus_shard_plan",          # |bands| band summaries
+        "customer_rfm_scores",        # |bands| banded-rank partials
+        "doc_packing",                # |segments| per-seg token totals
+        "join_key_skew",              # top-10 limit output
+        "mixture_reweight_plan",      # |strata| summary rows
+        "orders_monthly_growth",      # |year-months| series
+        "peak_concurrent_sessions",   # |days| per-day partials
+        "quality_dup_profile",        # |bands| banded-rank partials
+        "retrieval_rrf_fusion",       # limit-k ranker pools
+        "similarity_ivf_occupancy",   # |NLIST| cell summaries
+        "sketch_histogram_quantiles",  # ≤1024 histogram cells
+        "text_bpe_encode",            # alphabet²-bounded vocabulary
+        "text_heaps_law",             # |buckets| bucket summaries
+        "user_value_concentration",   # |bands| banded partials
+        "value_winsorize",            # |bands| banded-rank partials
+    }
+)
+
+_UNPART_WINDOW = __import__("re").compile(
+    r"windowspecdefinition\(([^)]*?)specifiedwindowframe"
+)
+
+
+def _has_unpartitioned_window(plan_str: str) -> bool:
+    # a windowspecdefinition whose args before the frame are all
+    # ordering columns (or absent) has an empty partition spec — at
+    # scale that window moves its whole input to one task
+    for m in _UNPART_WINDOW.finditer(plan_str):
+        cols = [c.strip() for c in m.group(1).split(",") if c.strip()]
+        if not any("ASC" not in c and "DESC" not in c for c in cols):
+            return True
+    return False
+
+
+def test_no_unintended_cartesian_nested_loop_or_global_window_anywhere(spark):
+    # registry-wide scale lint: a CartesianProduct anywhere, a
     # BroadcastNestedLoopJoin outside the documented broadcast-sized
-    # crossJoins, is a 100 TB outage regardless of small-sf correctness
+    # crossJoins, or an unpartitioned Window outside the audited
+    # bounded-frame set, is a 100 TB outage regardless of small-sf
+    # correctness
     for name, spec in all_queries().items():
         df = spec.build(spark, SF)
         jvm = spark._jvm
@@ -215,6 +261,8 @@ def test_no_unintended_cartesian_or_nested_loop_join_anywhere(spark):
         assert "CartesianProduct" not in p, name
         if name not in _BNLJ_INTENDED:
             assert "BroadcastNestedLoopJoin" not in p, name
+        if name not in _GLOBAL_WINDOW_INTENDED:
+            assert not _has_unpartitioned_window(p), name
 
 
 def test_no_driver_side_collect_outside_lloyd_loop():
