@@ -22,6 +22,7 @@ list_dot_product/list_cosine_similarity on DOUBLE[].
 from __future__ import annotations
 
 import hashlib
+import math
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -2403,6 +2404,101 @@ def _recall_sweep_sql() -> str:
 ORACLES["similarity_recall_sweep"] = _recall_sweep_sql()
 
 
+# NDCG@TOPK discount table: 1/log2(rank+1) in half-up micro-units.
+# Rank is bounded by TOPK, so the irrational discounts become a tiny
+# LITERAL table both engines share verbatim — the only way a
+# log-weighted ranking metric can hash-match across engines (libm log2
+# is not guaranteed bit-identical between JVM and DuckDB).
+_NDCG_DISC_MICRO = tuple(
+    round(1_000_000 / math.log2(r + 1)) for r in range(1, TOPK + 1)
+)
+# ideal DCG: the exact top-TOPK in perfect order, gain TOPK+1-rank
+_NDCG_IDCG_MICRO = sum(
+    (TOPK - i) * d for i, d in enumerate(_NDCG_DISC_MICRO)
+)
+
+
+def ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@k of the IVF-PQ ranking against the exact cosine ranking —
+    the graded-relevance acceptance metric that recall@k cannot
+    express: returning the true #1 neighbor at rank 5 and at rank 1
+    are the same recall but very different NDCG. Relevance of an
+    approx result is derived from the exact list (gain TOPK+1-r for
+    the true rank-r neighbor, 0 for a non-top-k impostor), discounted
+    by the literal micro-unit 1/log2(rank+1) table, so DCG/IDCG stay
+    exact BIGINT arithmetic end-to-end.
+
+    Plan: both sides are the memoized k·N_QUERIES-row frames the
+    acceptance stack already shares; the eval is one broadcast join of
+    two bounded frames + a N_QUERIES-row aggregate. At 100 TB only
+    the (already-audited) index pipelines grow; the metric stays
+    query-set-sized."""
+    exact = topk_bruteforce(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.col("rank").alias("exact_rank")
+    )
+    approx = ivf_pq_topk(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.col("rank").alias("approx_rank")
+    )
+    disc = F.element_at(
+        F.array(*[F.lit(d) for d in _NDCG_DISC_MICRO]), F.col("approx_rank")
+    )
+    gain = F.coalesce(
+        F.lit(TOPK + 1) - F.col("exact_rank"), F.lit(0)
+    ).cast("bigint")
+    return (
+        approx.join(F.broadcast(exact), ["query_id", "neighbor_id"], "left")
+        .select("query_id", (gain * disc).alias("gd"), "exact_rank")
+        .groupBy("query_id")
+        .agg(
+            F.sum(
+                F.when(F.col("exact_rank").isNotNull(), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_rel_hits"),
+            F.sum("gd").cast("bigint").alias("dcg_micro"),
+        )
+        .select(
+            "query_id",
+            "n_rel_hits",
+            "dcg_micro",
+            (
+                F.expr(
+                    f"(2 * dcg_micro * 1000000 + {_NDCG_IDCG_MICRO})"
+                    f" div (2 * {_NDCG_IDCG_MICRO})"
+                )
+                / F.lit(1e6)
+            ).alias("ndcg"),
+        )
+    )
+
+
+def _ndcg_sql() -> str:
+    disc_case = " ".join(
+        f"WHEN {r} THEN {d}"
+        for r, d in enumerate(_NDCG_DISC_MICRO, start=1)
+    )
+    return f"""
+    WITH exact AS ({ORACLES["similarity_topk"]}),
+    approx AS ({ORACLES["similarity_ivf_pq_topk"]})
+    SELECT a.query_id,
+           CAST(SUM(CASE WHEN e.neighbor_id IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_rel_hits,
+           CAST(SUM(COALESCE({TOPK} + 1 - e.rank, 0)
+                    * CASE a.rank {disc_case} END) AS BIGINT) AS dcg_micro,
+           ((2 * CAST(SUM(COALESCE({TOPK} + 1 - e.rank, 0)
+                          * CASE a.rank {disc_case} END) AS BIGINT)
+             * 1000000 + {_NDCG_IDCG_MICRO})
+            // (2 * {_NDCG_IDCG_MICRO})) / 1000000.0 AS ndcg
+    FROM approx a
+    LEFT JOIN exact e
+        ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+    GROUP BY a.query_id
+"""
+
+
+ORACLES["retrieval_ndcg_eval"] = _ndcg_sql()
+
+
 # ---------------------------------------------------------------------
 # Per-session top-k memo: the acceptance stack (ann_recall, the
 # matryoshka report, recall_sweep) and the standalone index queries all
@@ -2445,6 +2541,7 @@ _mrl_prefix_pairs = _session_memo("mrl_pairs")(_mrl_prefix_pairs)
 
 QUERIES = {
     # new-in-round-4 entries first: registry order = driver grading order
+    "retrieval_ndcg_eval": ndcg_eval,
     "similarity_recall_sweep": recall_sweep,
     "embedding_power_iteration": power_iteration_pca,
     "similarity_bq_topk": bq_topk,

@@ -354,3 +354,42 @@ def test_matryoshka_recall_matches_pure_python(spark):
             n_hits,
             recall,
         ), (r.query_id, r.n_hits, n_hits)
+
+
+def test_ndcg_eval_matches_pure_python_recompute(spark):
+    # NDCG recomputed row-by-row in Python from the same two ranked
+    # frames: pins the join/aggregate arithmetic (gains, literal
+    # discount table, half-up micro division) independently of DuckDB.
+    from big_data_2021_spark_streaming_spark.operators.similarity import (
+        _NDCG_DISC_MICRO,
+        _NDCG_IDCG_MICRO,
+        ndcg_eval,
+    )
+
+    exact_rank = {
+        (r.query_id, r.neighbor_id): r.rank
+        for r in topk_bruteforce(spark, SF).collect()
+    }
+    dcg = defaultdict(int)
+    hits = defaultdict(int)
+    approx_rows = ivf_pq_topk(spark, SF).collect()
+    for r in approx_rows:
+        er = exact_rank.get((r.query_id, r.neighbor_id))
+        gain = (TOPK + 1 - er) if er is not None else 0
+        if er is not None:
+            hits[r.query_id] += 1
+        dcg[r.query_id] += gain * _NDCG_DISC_MICRO[r.rank - 1]
+
+    rows = ndcg_eval(spark, SF).collect()
+    assert {r.query_id for r in rows} == {r.query_id for r in approx_rows}
+    for r in rows:
+        want_dcg = dcg[r.query_id]
+        want_ndcg = (
+            (2 * want_dcg * 1_000_000 + _NDCG_IDCG_MICRO)
+            // (2 * _NDCG_IDCG_MICRO)
+        ) / 1e6
+        assert r.n_rel_hits == hits[r.query_id], r.query_id
+        assert r.dcg_micro == want_dcg, r.query_id
+        assert float(r.ndcg) == want_ndcg, r.query_id
+        assert 0.0 <= r.ndcg <= 1.0
+        assert r.dcg_micro <= _NDCG_IDCG_MICRO

@@ -175,6 +175,7 @@ _BNLJ_INTENDED = frozenset(
         "similarity_range_search",    # exact baseline: queries × corpus
         "similarity_diverse_topk",    # centroid assignment + queries × corpus
         "retrieval_rrf_fusion",       # BM25 totals scalar + 1-row query vector
+        "retrieval_ndcg_eval",        # pays the exact baseline by definition
         "text_boilerplate_ngrams",    # 1-row doc-count scalar onto the df frame
         "join_cardinality_estimate",  # 1-row ground-truth count onto 1-row estimate
         "corpus_cross_source_overlap",  # |sources|-row totals × totals pair grid
