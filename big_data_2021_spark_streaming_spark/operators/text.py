@@ -2254,8 +2254,134 @@ ORACLES["text_rake_keywords"] = f"""
 """
 
 
+FH_BUCKETS = 512  # hashing-trick feature dimensionality
+FH_SIGN_SEED = 7  # domain-separated sign hash
+
+
+def feature_hashing_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collision audit of the hashing-trick vectorizer — the preflight
+    a pipeline runs before committing to a feature dimensionality:
+    hash every vocabulary term into FH_BUCKETS buckets (h60 md5
+    family; a second seeded member gives the ±1 sign the trick uses to
+    debias collisions) and report, in one row, how much signal the
+    chosen width destroys: bucket occupancy, the share of token
+    occurrences landing in collided buckets, and the signed-L1 share
+    (1.0 = colliding terms never cancel; lower = the sign hash is
+    doing its debiasing job).
+
+    Plan: one corpus scan → explode → vocabulary aggregate (the only
+    corpus-sized shuffle, keyed on term) → FH_BUCKETS-row aggregate →
+    1-row summary. Vocab-bounded after the first aggregate, so the
+    audit costs the same one tokenization pass every other corpus
+    text statistic pays."""
+    from ..functions.hashing import h60, h60_seeded
+
+    docs = load_table(spark, sf_dir, "documents")
+    terms = (
+        docs.select(F.explode(tokens_col(F.col("text"))).alias("term"))
+        .where(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_occ"))
+    )
+    sign = F.when(
+        h60_seeded(FH_SIGN_SEED, F.col("term")) % 2 == 0, F.lit(1)
+    ).otherwise(F.lit(-1))
+    buckets = (
+        terms.select(
+            (h60(F.col("term")) % FH_BUCKETS).alias("bucket"),
+            "n_occ",
+            (sign * F.col("n_occ")).alias("signed_occ"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_terms"),
+            F.sum("n_occ").alias("occ"),
+            F.sum("signed_occ").alias("net_occ"),
+        )
+    )
+    return buckets.agg(
+        F.sum("n_terms").cast("bigint").alias("n_terms"),
+        F.lit(FH_BUCKETS).cast("bigint").alias("n_buckets"),
+        F.count(F.lit(1)).cast("bigint").alias("n_used_buckets"),
+        F.sum(F.when(F.col("n_terms") >= 2, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_collided_buckets"),
+        F.max("n_terms").cast("bigint").alias("max_bucket_terms"),
+        F.max("occ").cast("bigint").alias("max_bucket_occ"),
+        F.sum(F.when(F.col("n_terms") >= 2, F.col("occ")).otherwise(0))
+        .cast("bigint")
+        .alias("collided_occ"),
+        F.sum("occ").cast("bigint").alias("total_occ"),
+        F.sum(F.abs(F.col("net_occ"))).cast("bigint").alias("net_l1"),
+    ).select(
+        "n_terms",
+        "n_buckets",
+        "n_used_buckets",
+        "n_collided_buckets",
+        "max_bucket_terms",
+        "max_bucket_occ",
+        (
+            F.expr("(2 * collided_occ * 1000000 + total_occ) div (2 * total_occ)")
+            / F.lit(1e6)
+        ).alias("collided_occ_share"),
+        (
+            F.expr("(2 * net_l1 * 1000000 + total_occ) div (2 * total_occ)")
+            / F.lit(1e6)
+        ).alias("signed_l1_share"),
+    )
+
+
+def _feature_hashing_sql() -> str:
+    from ..functions.hashing import h60_seeded_sql, h60_sql
+
+    return f"""
+    WITH terms AS (
+        SELECT term, CAST(COUNT(*) AS BIGINT) AS n_occ
+        FROM (
+            SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+            FROM documents
+        ) WHERE term <> ''
+        GROUP BY term
+    ),
+    buckets AS (
+        SELECT {h60_sql("term")} % {FH_BUCKETS} AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_terms,
+               CAST(SUM(n_occ) AS BIGINT) AS occ,
+               CAST(SUM(CASE WHEN {h60_seeded_sql(FH_SIGN_SEED, "term")} % 2 = 0
+                             THEN n_occ ELSE -n_occ END) AS BIGINT) AS net_occ
+        FROM terms GROUP BY 1
+    ),
+    s AS (
+        SELECT CAST(SUM(n_terms) AS BIGINT) AS n_terms,
+               CAST({FH_BUCKETS} AS BIGINT) AS n_buckets,
+               CAST(COUNT(*) AS BIGINT) AS n_used_buckets,
+               CAST(SUM(CASE WHEN n_terms >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_collided_buckets,
+               CAST(MAX(n_terms) AS BIGINT) AS max_bucket_terms,
+               CAST(MAX(occ) AS BIGINT) AS max_bucket_occ,
+               CAST(SUM(CASE WHEN n_terms >= 2 THEN occ ELSE 0 END) AS BIGINT)
+                   AS collided_occ,
+               CAST(SUM(occ) AS BIGINT) AS total_occ,
+               CAST(SUM(abs(net_occ)) AS BIGINT) AS net_l1
+        FROM buckets
+    )
+    SELECT n_terms, n_buckets, n_used_buckets, n_collided_buckets,
+           max_bucket_terms, max_bucket_occ,
+           ((2 * collided_occ * 1000000 + total_occ) // (2 * total_occ))
+               / 1000000.0 AS collided_occ_share,
+           ((2 * net_l1 * 1000000 + total_occ) // (2 * total_occ))
+               / 1000000.0 AS signed_l1_share
+    FROM s
+"""
+
+
+ORACLES["text_feature_hashing"] = _feature_hashing_sql()
+
+
 QUERIES = {
-    # round-4g addition first: registry order = driver grading order
+    # round-4h addition first: registry order = driver grading order
+    "text_feature_hashing": feature_hashing_audit,
+    # round-4g addition next
     "text_bpe_encode": bpe_encode,
     "text_rake_keywords": rake_keywords,
     # new-in-round-4 entries first: registry order = driver grading order

@@ -166,6 +166,7 @@ _GRADE_AFTER_REGRADES = frozenset(
         "customer_order_streaks",
         # round-4h additions (this session)
         "retrieval_ndcg_eval",
+        "text_feature_hashing",
         # round-4g additions (this session)
         "sketch_hll_intersection",
         "text_bpe_encode",

@@ -725,6 +725,8 @@ def test_registry_orders_unverified_queries_first():
         # new in round 4g (this session; deferred behind the regrades)
         "sketch_hll_intersection", "text_bpe_encode",
         "corpus_source_minhash", "embedding_norm_stats",
+        # new in round 4h (this session; deferred behind the regrades)
+        "retrieval_ndcg_eval", "text_feature_hashing",
         # re-planned in round 4g (sf0.4 ROUND(SUM(double)) class fix;
         # deferred behind the regrades)
         "pivot_user_event_values", "session_window_stats",

@@ -321,3 +321,53 @@ def test_multimodal_dedup_matches_pure_python(spark):
         assert r.overlap_permille == (2 * 1000 * n + N_FRAMES) // (2 * N_FRAMES)
         partial += 0 < n < N_FRAMES
     assert partial > 0  # the X/Y variants share exactly 3 of 4 frames
+
+
+def test_feature_hashing_audit_matches_pure_python(spark):
+    import hashlib
+    import re
+
+    from big_data_2021_spark_streaming_spark.operators.text import (
+        FH_BUCKETS,
+        FH_SIGN_SEED,
+        feature_hashing_audit,
+    )
+
+    def h60(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    vocab = Counter()
+    for text in _docs()["text"]:
+        for term in re.split(r"\s+", text.strip()):
+            if term:
+                vocab[term] += 1
+
+    buckets = defaultdict(lambda: [0, 0, 0])  # n_terms, occ, net_occ
+    for term, n in vocab.items():
+        b = buckets[h60(term) % FH_BUCKETS]
+        sign = 1 if h60(f"{FH_SIGN_SEED}:{term}") % 2 == 0 else -1
+        b[0] += 1
+        b[1] += n
+        b[2] += sign * n
+
+    total_occ = sum(occ for _, occ, _ in buckets.values())
+    collided_occ = sum(occ for t, occ, _ in buckets.values() if t >= 2)
+    net_l1 = sum(abs(net) for _, _, net in buckets.values())
+
+    row = feature_hashing_audit(spark, SF).collect()[0]
+    assert row.n_terms == len(vocab)
+    assert row.n_buckets == FH_BUCKETS
+    assert row.n_used_buckets == len(buckets)
+    assert row.n_collided_buckets == sum(
+        1 for t, _, _ in buckets.values() if t >= 2
+    )
+    assert row.max_bucket_terms == max(t for t, _, _ in buckets.values())
+    assert row.max_bucket_occ == max(occ for _, occ, _ in buckets.values())
+    assert float(row.collided_occ_share) == (
+        (2 * collided_occ * 1_000_000 + total_occ) // (2 * total_occ)
+    ) / 1e6
+    assert float(row.signed_l1_share) == (
+        (2 * net_l1 * 1_000_000 + total_occ) // (2 * total_occ)
+    ) / 1e6
+    # the sign hash must actually cancel something at this width
+    assert row.signed_l1_share <= 1.0
