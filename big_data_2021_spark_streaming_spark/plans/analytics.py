@@ -3245,11 +3245,103 @@ def customer_order_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+FRONTIER_BANDS = 256
+
+
+def customer_value_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (Pareto front): customers not dominated on
+    (lifetime spend, account balance) — s dominates r iff s is ≥ on
+    both axes and > on at least one. The classic operator behind
+    "best trade-off" shortlists; the naive form is an O(n²)
+    NOT-EXISTS self-join (which is exactly what the oracle runs, so
+    parity proves the rewrite).
+
+    One-scan plan: a row is dominated iff (a) some STRICTLY-higher-
+    spend row has acctbal ≥ its own, or (b) an equal-spend row has
+    acctbal strictly greater. Both are running maxima over the spend
+    ordering, computed without a single-partition sort via the
+    deterministic value-band two-phase: per-band acctbal max →
+    ≤FRONTIER_BANDS-row prefix max over strictly-higher bands
+    (broadcast back) + an in-band strictly-higher-spend RANGE window
+    and an equal-spend max. Integer cents end-to-end."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    base = (
+        customer.join(
+            orders.groupBy("o_custkey").agg(
+                F.sum(
+                    F.expr("cast(round(o_totalprice * 100) as bigint)")
+                ).alias("spend_cents")
+            ),
+            customer.c_custkey == F.col("o_custkey"),
+            "left",
+        )
+        .select(
+            "c_custkey",
+            "c_name",
+            F.coalesce(F.col("spend_cents"), F.lit(0))
+            .cast("bigint")
+            .alias("spend_cents"),
+            F.expr("cast(round(c_acctbal * 100) as bigint)").alias(
+                "acctbal_cents"
+            ),
+        )
+        .persist()
+    )
+    ext = base.agg(
+        F.max("spend_cents").alias("_mx"), F.min("spend_cents").alias("_mn")
+    )
+    banded = base.crossJoin(F.broadcast(ext)).withColumn(
+        "_band",
+        F.expr(
+            f"int(((spend_cents - _mn) * {FRONTIER_BANDS})"
+            " div ((_mx - _mn) + 1))"
+        ),
+    )
+    w_higher_bands = Window.orderBy(F.desc("_band")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    band_max = (
+        banded.groupBy("_band")
+        .agg(F.max("acctbal_cents").alias("_bmax"))
+        .select(
+            "_band",
+            F.max("_bmax").over(w_higher_bands).alias("_hband_max"),
+        )
+    )
+    w_in = (
+        Window.partitionBy("_band")
+        .orderBy("spend_cents")
+        .rangeBetween(1, Window.unboundedFollowing)
+    )
+    w_eq = Window.partitionBy("_band", "spend_cents")
+    return (
+        banded.join(F.broadcast(band_max), "_band")
+        .withColumn("_hin_max", F.max("acctbal_cents").over(w_in))
+        .withColumn("_eq_max", F.max("acctbal_cents").over(w_eq))
+        .where(
+            ~F.coalesce(
+                F.greatest("_hband_max", "_hin_max")
+                >= F.col("acctbal_cents"),
+                F.lit(False),
+            )
+            & (F.col("_eq_max") <= F.col("acctbal_cents"))
+        )
+        .select(
+            "c_custkey",
+            "c_name",
+            (F.col("spend_cents") / F.expr("100.0D")).alias("total_spend"),
+            (F.col("acctbal_cents") / F.expr("100.0D")).alias("acctbal"),
+        )
+    )
+
+
 QUERIES: dict[str, object] = {
     # dict order = registry order = driver grading order (its gate has
     # a budget; see plans/registry.py) — entries added or re-planned
     # most recently go FIRST so they are graded before the suite that
     # already has multiple green rounds on record.
+    "customer_value_frontier": customer_value_frontier,
     "customer_order_streaks": customer_order_streaks,
     "cohort_ltv_curve": cohort_ltv_curve,
     "supplier_return_rates": supplier_return_rates,

@@ -1624,6 +1624,32 @@ ORACLES["supplier_return_rates"] = """
     JOIN nation ON n_nationkey = s_nationkey
 """
 
+# the deliberately-naive O(n²) skyline: dominance as a NOT-EXISTS
+# self-join — parity with the engine's banded running-maxima rewrite
+# proves the one-scan plan computes the textbook front
+ORACLES["customer_value_frontier"] = """
+    WITH base AS (
+        SELECT c.c_custkey, c.c_name,
+               CAST(round(c.c_acctbal * 100) AS BIGINT) AS acctbal_cents,
+               CAST(COALESCE(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)),
+                             0) AS BIGINT) AS spend_cents
+        FROM customer c
+        LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY 1, 2, 3
+    )
+    SELECT c_custkey, c_name,
+           spend_cents / 100.0 AS total_spend,
+           acctbal_cents / 100.0 AS acctbal
+    FROM base r
+    WHERE NOT EXISTS (
+        SELECT 1 FROM base s
+        WHERE s.spend_cents >= r.spend_cents
+          AND s.acctbal_cents >= r.acctbal_cents
+          AND (s.spend_cents > r.spend_cents
+               OR s.acctbal_cents > r.acctbal_cents)
+    )
+"""
+
 ORACLES["customer_order_streaks"] = """
     WITH days AS (
         SELECT DISTINCT o_custkey,

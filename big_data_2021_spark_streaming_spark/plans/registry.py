@@ -167,6 +167,7 @@ _GRADE_AFTER_REGRADES = frozenset(
         # round-4h additions (this session)
         "retrieval_ndcg_eval",
         "text_feature_hashing",
+        "customer_value_frontier",
         # round-4g additions (this session)
         "sketch_hll_intersection",
         "text_bpe_encode",

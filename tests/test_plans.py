@@ -182,6 +182,7 @@ _BNLJ_INTENDED = frozenset(
         "event_cooccurrence_lift",    # 1-row distinct-user total onto the pair frame
         "text_heaps_law",             # 1-row max-doc-id scalar onto the doc frame
         "customer_rfm_scores",        # 1-row min/max + n scalars onto the customer frame
+        "customer_value_frontier",    # 1-row spend-extremes scalar onto the customer frame
         "text_bpe_train",             # 1-row winning-pair scalar into each round's fold
         "value_winsorize",            # 1-row n + percentile-bounds scalars onto the scan
         "epoch_shuffle_plan",         # 3-row epochs frame fanned onto the doc scan
@@ -215,6 +216,7 @@ _GLOBAL_WINDOW_INTENDED = frozenset(
         "corpus_mixture_report",      # |source×bucket| strata summary
         "corpus_shard_plan",          # |bands| band summaries
         "customer_rfm_scores",        # |bands| banded-rank partials
+        "customer_value_frontier",    # |bands| prefix-max partials
         "doc_packing",                # |segments| per-seg token totals
         "join_key_skew",              # top-10 limit output
         "mixture_reweight_plan",      # |strata| summary rows
@@ -727,6 +729,7 @@ def test_registry_orders_unverified_queries_first():
         "corpus_source_minhash", "embedding_norm_stats",
         # new in round 4h (this session; deferred behind the regrades)
         "retrieval_ndcg_eval", "text_feature_hashing",
+        "customer_value_frontier",
         # re-planned in round 4g (sf0.4 ROUND(SUM(double)) class fix;
         # deferred behind the regrades)
         "pivot_user_event_values", "session_window_stats",

@@ -371,3 +371,42 @@ def test_feature_hashing_audit_matches_pure_python(spark):
     ) / 1e6
     # the sign hash must actually cancel something at this width
     assert row.signed_l1_share <= 1.0
+
+
+def test_value_frontier_matches_pure_python(spark):
+    from big_data_2021_spark_streaming_spark.plans.analytics import (
+        customer_value_frontier,
+    )
+
+    cust = pd.read_parquet(f"{SF}/customer.parquet")
+    orders = pd.read_parquet(f"{SF}/orders.parquet")
+    spend = (
+        (orders["o_totalprice"] * 100)
+        .round()
+        .astype("int64")
+        .groupby(orders["o_custkey"])
+        .sum()
+    )
+    pts = {
+        int(r.c_custkey): (
+            int(spend.get(r.c_custkey, 0)),
+            int(round(r.c_acctbal * 100)),
+        )
+        for r in cust.itertuples()
+    }
+    front = {
+        k
+        for k, (sp, ab) in pts.items()
+        if not any(
+            s2 >= sp and a2 >= ab and (s2 > sp or a2 > ab)
+            for k2, (s2, a2) in pts.items()
+            if k2 != k
+        )
+    }
+
+    rows = customer_value_frontier(spark, SF).collect()
+    assert {r.c_custkey for r in rows} == front
+    for r in rows:
+        sp, ab = pts[r.c_custkey]
+        assert float(r.total_spend) == sp / 100.0
+        assert float(r.acctbal) == ab / 100.0
