@@ -2404,6 +2404,93 @@ def _recall_sweep_sql() -> str:
 ORACLES["similarity_recall_sweep"] = _recall_sweep_sql()
 
 
+def label_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-noise audit via neighborhood consensus: a vector whose
+    LSH-bucket neighbors mostly carry a DIFFERENT label is a suspected
+    mislabel — the standard cheap screen before training on weak
+    labels. Blocking on the shared hyperplane signature means the
+    "neighborhood" is the bucket, so agreement needs NO pairwise join
+    at all: for a vector with label L in a bucket holding c_L
+    same-label and t total vectors, its neighbor agreement is exactly
+    (c_L−1)/(t−1). Per label we report micro-averaged agreement
+    (Σ c·(c−1) / Σ c·(t−1), exact integers), the audited count
+    (bucket size ≥ 2), and the suspect count (strict minority in the
+    bucket).
+
+    Plan: one scan → (signature, label) aggregate (the only shuffle,
+    ≤ 2^N_PLANES·|labels| rows) → broadcast signature totals back →
+    |labels|-row report. Corpus growth only widens the first
+    aggregate; add planes to keep buckets tight at scale."""
+    vecs = _vectors(spark, sf_dir)
+    per = (
+        vecs.select("label", _signature(F.col("v")).alias("sig"))
+        .groupBy("sig", "label")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    tot = per.groupBy("sig").agg(F.sum("c").cast("bigint").alias("t"))
+    audited = F.col("t") >= 2
+    suspect = audited & (2 * (F.col("c") - 1) < F.col("t") - 1)
+    return (
+        per.join(F.broadcast(tot), "sig")
+        .groupBy("label")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_vectors"),
+            F.sum(F.when(audited, F.col("c")).otherwise(0))
+            .cast("bigint")
+            .alias("n_audited"),
+            F.sum(F.when(suspect, F.col("c")).otherwise(0))
+            .cast("bigint")
+            .alias("n_suspect"),
+            F.sum(F.when(audited, F.col("c") * (F.col("c") - 1)).otherwise(0))
+            .cast("bigint")
+            .alias("agree_num"),
+            F.sum(F.when(audited, F.col("c") * (F.col("t") - 1)).otherwise(0))
+            .cast("bigint")
+            .alias("agree_den"),
+        )
+        .select(
+            "label",
+            "n_vectors",
+            "n_audited",
+            "n_suspect",
+            F.expr(
+                "case when agree_den = 0 then null else"
+                " (2 * agree_num * 1000000 + agree_den)"
+                " div (2 * agree_den) / 1000000.0D end"
+            ).alias("agreement"),
+        )
+    )
+
+
+ORACLES["embedding_label_consensus"] = f"""
+    WITH per AS (
+        SELECT {_SIG_SQL} AS sig, label, CAST(COUNT(*) AS BIGINT) AS c
+        FROM embeddings
+        GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT sig, CAST(SUM(c) AS BIGINT) AS t FROM per GROUP BY sig
+    )
+    SELECT label,
+           CAST(SUM(c) AS BIGINT) AS n_vectors,
+           CAST(SUM(CASE WHEN t >= 2 THEN c ELSE 0 END) AS BIGINT)
+               AS n_audited,
+           CAST(SUM(CASE WHEN t >= 2 AND 2 * (c - 1) < t - 1
+                         THEN c ELSE 0 END) AS BIGINT) AS n_suspect,
+           CASE WHEN CAST(SUM(CASE WHEN t >= 2 THEN c * (t - 1)
+                                   ELSE 0 END) AS BIGINT) = 0 THEN NULL
+                ELSE (2 * CAST(SUM(CASE WHEN t >= 2 THEN c * (c - 1)
+                                        ELSE 0 END) AS BIGINT) * 1000000
+                      + CAST(SUM(CASE WHEN t >= 2 THEN c * (t - 1)
+                                      ELSE 0 END) AS BIGINT))
+                     // (2 * CAST(SUM(CASE WHEN t >= 2 THEN c * (t - 1)
+                                          ELSE 0 END) AS BIGINT))
+                     / 1000000.0 END AS agreement
+    FROM per JOIN tot USING (sig)
+    GROUP BY label
+"""
+
+
 # NDCG@TOPK discount table: 1/log2(rank+1) in half-up micro-units.
 # Rank is bounded by TOPK, so the irrational discounts become a tiny
 # LITERAL table both engines share verbatim — the only way a
@@ -2541,6 +2628,7 @@ _mrl_prefix_pairs = _session_memo("mrl_pairs")(_mrl_prefix_pairs)
 
 QUERIES = {
     # new-in-round-4 entries first: registry order = driver grading order
+    "embedding_label_consensus": label_consensus,
     "retrieval_ndcg_eval": ndcg_eval,
     "similarity_recall_sweep": recall_sweep,
     "embedding_power_iteration": power_iteration_pca,

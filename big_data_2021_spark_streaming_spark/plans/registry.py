@@ -168,6 +168,7 @@ _GRADE_AFTER_REGRADES = frozenset(
         "retrieval_ndcg_eval",
         "text_feature_hashing",
         "customer_value_frontier",
+        "embedding_label_consensus",
         # round-4g additions (this session)
         "sketch_hll_intersection",
         "text_bpe_encode",

@@ -393,3 +393,60 @@ def test_ndcg_eval_matches_pure_python_recompute(spark):
         assert float(r.ndcg) == want_ndcg, r.query_id
         assert 0.0 <= r.ndcg <= 1.0
         assert r.dcg_micro <= _NDCG_IDCG_MICRO
+
+
+def test_label_consensus_matches_pure_python(spark):
+    # bucket/label accounting recomputed from the raw vectors with the
+    # pure-Python signature twin
+    import pandas as pd
+
+    from big_data_2021_spark_streaming_spark.operators.similarity import (
+        N_PLANES,
+        hyperplane,
+        label_consensus,
+    )
+
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet")
+    planes = [hyperplane(j) for j in range(N_PLANES)]
+
+    def sig(v) -> int:
+        return sum(
+            (1 << j)
+            for j in range(N_PLANES)
+            if sum(x * w for x, w in zip(v, planes[j])) >= 0
+        )
+
+    per = defaultdict(int)  # (sig, label) -> c
+    for r in emb.itertuples():
+        per[(sig(list(r.embedding)), r.label)] += 1
+    tot = defaultdict(int)
+    for (s, _), c in per.items():
+        tot[s] += c
+
+    want = defaultdict(lambda: [0, 0, 0, 0, 0])
+    for (s, lab), c in per.items():
+        t = tot[s]
+        w = want[lab]
+        w[0] += c
+        if t >= 2:
+            w[1] += c
+            if 2 * (c - 1) < t - 1:
+                w[2] += c
+            w[3] += c * (c - 1)
+            w[4] += c * (t - 1)
+
+    rows = label_consensus(spark, SF).collect()
+    assert {r.label for r in rows} == set(want)
+    for r in rows:
+        n_vec, n_aud, n_sus, num, den = want[r.label]
+        assert (r.n_vectors, r.n_audited, r.n_suspect) == (
+            n_vec,
+            n_aud,
+            n_sus,
+        ), r.label
+        if den == 0:
+            assert r.agreement is None
+        else:
+            assert float(r.agreement) == (
+                (2 * num * 1_000_000 + den) // (2 * den)
+            ) / 1e6, r.label

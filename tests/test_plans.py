@@ -729,7 +729,7 @@ def test_registry_orders_unverified_queries_first():
         "corpus_source_minhash", "embedding_norm_stats",
         # new in round 4h (this session; deferred behind the regrades)
         "retrieval_ndcg_eval", "text_feature_hashing",
-        "customer_value_frontier",
+        "customer_value_frontier", "embedding_label_consensus",
         # re-planned in round 4g (sf0.4 ROUND(SUM(double)) class fix;
         # deferred behind the regrades)
         "pivot_user_event_values", "session_window_stats",
