@@ -3245,6 +3245,78 @@ def customer_order_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+AUTOCORR_LAG_DAYS = 7
+
+
+def revenue_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly-seasonality strength of the order stream: Pearson
+    correlation between daily revenue and daily revenue LAG_DAYS
+    later, reported as SIGNED r² — r² is a pure rational of exact
+    integer moment sums (no sqrt), so unlike r itself it can be
+    computed half-up-exact cross-engine; the sign of the covariance
+    numerator rides along. |signed_r2| near 1 = strong weekly rhythm
+    worth a seasonal forecast model; near 0 = don't bother.
+
+    Plan: one orders scan → per-day exact half-up kilo-dollar
+    aggregate (|days|-bounded) → the lag pairing as a self equi-join
+    on day+LAG (no window at all) → one 1-row moment aggregate in
+    DECIMAL(38,0) (the moment products overflow BIGINT at large
+    corpora; kilo-dollar units keep num² inside decimal38)."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = (
+        orders.groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(
+            F.sum(
+                F.expr("cast(round(o_totalprice * 100) as bigint)")
+            ).alias("cents")
+        )
+        .select(
+            "day",
+            F.expr("(2 * cents + 100000) div 200000").alias("kusd"),
+        )
+    )
+    # center by the series min: covariance/variance sums are invariant
+    # under a constant shift (integer identity), but the shifted
+    # moments stay ~fluctuation-sized instead of ~level-sized — the
+    # difference between fitting decimal38/int128 forever and
+    # overflowing one sf notch up
+    mn = daily.agg(F.min("kusd").alias("mn"))
+    centered = daily.crossJoin(F.broadcast(mn)).select(
+        "day", (F.col("kusd") - F.col("mn")).alias("x")
+    )
+    lagged = centered.alias("a").join(
+        centered.alias("b"),
+        F.col("b.day") == F.date_add(F.col("a.day"), AUTOCORR_LAG_DAYS),
+    )
+    m = lagged.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("a.x").cast("decimal(38,0)").alias("sx"),
+        F.sum("b.x").cast("decimal(38,0)").alias("sy"),
+        F.sum(F.col("a.x") * F.col("b.x"))
+        .cast("decimal(38,0)")
+        .alias("sxy"),
+        F.sum(F.col("a.x") * F.col("a.x"))
+        .cast("decimal(38,0)")
+        .alias("sxx"),
+        F.sum(F.col("b.x") * F.col("b.x"))
+        .cast("decimal(38,0)")
+        .alias("syy"),
+    )
+    return m.select(
+        F.lit(AUTOCORR_LAG_DAYS).cast("bigint").alias("lag_days"),
+        F.col("n").cast("bigint").alias("n_pairs"),
+        F.expr(
+            "case when (n * sxx - sx * sx) * (n * syy - sy * sy) = 0"
+            " then null else"
+            " case when n * sxy - sx * sy < 0 then -1 else 1 end"
+            " * ((2 * (n * sxy - sx * sy) * (n * sxy - sx * sy) * 1000000"
+            "     + (n * sxx - sx * sx) * (n * syy - sy * sy))"
+            "    div (2 * (n * sxx - sx * sx) * (n * syy - sy * sy)))"
+            " / 1000000.0D end"
+        ).alias("signed_r2"),
+    )
+
+
 FRONTIER_BANDS = 256
 
 
@@ -3342,6 +3414,7 @@ QUERIES: dict[str, object] = {
     # most recently go FIRST so they are graded before the suite that
     # already has multiple green rounds on record.
     "customer_value_frontier": customer_value_frontier,
+    "revenue_autocorr": revenue_autocorr,
     "customer_order_streaks": customer_order_streaks,
     "cohort_ltv_curve": cohort_ltv_curve,
     "supplier_return_rates": supplier_return_rates,

@@ -1624,6 +1624,42 @@ ORACLES["supplier_return_rates"] = """
     JOIN nation ON n_nationkey = s_nationkey
 """
 
+# same centered exact-integer moment path as the engine: the shift
+# invariance keeps every product inside HUGEINT; signed r² is a pure
+# rational so no sqrt ever runs
+ORACLES["revenue_autocorr"] = """
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               (2 * CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                         AS BIGINT) + 100000) // 200000 AS kusd
+        FROM orders GROUP BY 1
+    ),
+    centered AS (
+        SELECT day, kusd - (SELECT MIN(kusd) FROM daily) AS x FROM daily
+    ),
+    m AS (
+        SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+               CAST(SUM(a.x) AS HUGEINT) AS sx,
+               CAST(SUM(b.x) AS HUGEINT) AS sy,
+               CAST(SUM(a.x * b.x) AS HUGEINT) AS sxy,
+               CAST(SUM(a.x * a.x) AS HUGEINT) AS sxx,
+               CAST(SUM(b.x * b.x) AS HUGEINT) AS syy
+        FROM centered a JOIN centered b ON b.day = a.day + INTERVAL 7 DAY
+    )
+    SELECT CAST(7 AS BIGINT) AS lag_days,
+           CAST(n AS BIGINT) AS n_pairs,
+           CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) = 0
+                THEN NULL ELSE
+                (CASE WHEN n * sxy - sx * sy < 0 THEN -1 ELSE 1 END)
+                * CAST((2 * (n * sxy - sx * sy) * (n * sxy - sx * sy)
+                        * 1000000
+                        + (n * sxx - sx * sx) * (n * syy - sy * sy))
+                       // (2 * (n * sxx - sx * sx) * (n * syy - sy * sy))
+                       AS BIGINT)
+                / 1000000.0 END AS signed_r2
+    FROM m
+"""
+
 # the deliberately-naive O(n²) skyline: dominance as a NOT-EXISTS
 # self-join — parity with the engine's banded running-maxima rewrite
 # proves the one-scan plan computes the textbook front

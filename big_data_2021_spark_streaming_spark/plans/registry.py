@@ -169,6 +169,7 @@ _GRADE_AFTER_REGRADES = frozenset(
         "text_feature_hashing",
         "customer_value_frontier",
         "embedding_label_consensus",
+        "revenue_autocorr",
         # round-4g additions (this session)
         "sketch_hll_intersection",
         "text_bpe_encode",

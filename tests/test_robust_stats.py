@@ -305,3 +305,53 @@ def test_order_streaks_match_pure_python(spark):
     rows = customer_order_streaks(spark, SF).collect()
     got = [(r.streak_days, r.o_custkey, r.start_day) for r in rows]
     assert got == expected
+
+
+def test_revenue_autocorr_matches_pure_python(spark):
+    from collections import defaultdict
+    from datetime import timedelta
+
+    import pandas as pd
+
+    from big_data_2021_spark_streaming_spark.plans.analytics import (
+        AUTOCORR_LAG_DAYS,
+        revenue_autocorr,
+    )
+
+    orders = pd.read_parquet(f"{SF}/orders.parquet")
+    cents = defaultdict(int)
+    for r in orders.itertuples():
+        cents[pd.Timestamp(r.o_orderdate).date()] += int(
+            round(r.o_totalprice * 100)
+        )
+    kusd = {d: (2 * c + 100000) // 200000 for d, c in cents.items()}
+    mn = min(kusd.values())
+    x = {d: v - mn for d, v in kusd.items()}
+    pairs = [
+        (x[d], x[d + timedelta(days=AUTOCORR_LAG_DAYS)])
+        for d in x
+        if d + timedelta(days=AUTOCORR_LAG_DAYS) in x
+    ]
+    n = len(pairs)
+    sx = sum(a for a, _ in pairs)
+    sy = sum(b for _, b in pairs)
+    sxy = sum(a * b for a, b in pairs)
+    sxx = sum(a * a for a, _ in pairs)
+    syy = sum(b * b for _, b in pairs)
+    num = n * sxy - sx * sy
+    den = (n * sxx - sx * sx) * (n * syy - sy * sy)
+    want = (
+        None
+        if den == 0
+        else (-1 if num < 0 else 1)
+        * ((2 * num * num * 1_000_000 + den) // (2 * den))
+        / 1e6
+    )
+
+    row = revenue_autocorr(spark, SF).collect()[0]
+    assert row.lag_days == AUTOCORR_LAG_DAYS
+    assert row.n_pairs == n
+    if want is None:
+        assert row.signed_r2 is None
+    else:
+        assert float(row.signed_r2) == want
