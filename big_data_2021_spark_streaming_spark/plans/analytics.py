@@ -3245,6 +3245,88 @@ def customer_order_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BASKET_TOPN = 50
+BASKET_MIN_PAIR = 2
+
+
+def basket_lift_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over order line items: the
+    BASKET_TOPN part pairs most often co-ordered, with exact-integer
+    support, directional confidence, and lift — the classic
+    recommender/assortment signal (lift > 1 = genuinely bought
+    together, not just both popular).
+
+    Plan: one distinct (order, part) pass; the within-order pair
+    expansion is a self equi-join on orderkey (both sides the SAME
+    persisted frame, so the orderkey Exchange is reused) emitting only
+    pk1 < pk2 — pairs per order are k²/2 with k = basket size, a
+    small CONSTANT per order, so output stays linear in orders at any
+    corpus size. Pair counts then join per-part order counts (shuffle
+    joins on the part keys — deliberately not broadcast-forced; AQE
+    upgrades when the filtered pair frame is small) and the top-N is
+    TakeOrderedAndProject, never a global sort."""
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct().persist()
+    n_frame = (
+        op.select("l_orderkey")
+        .distinct()
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"))
+    )
+    part_orders = op.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c_part")
+    )
+    pairs = (
+        op.alias("a")
+        .join(op.alias("b"), "l_orderkey")
+        .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .groupBy(
+            F.col("a.l_partkey").alias("pk1"),
+            F.col("b.l_partkey").alias("pk2"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c_pair"))
+        .where(F.col("c_pair") >= BASKET_MIN_PAIR)
+    )
+    return (
+        pairs.join(
+            part_orders.select(
+                F.col("l_partkey").alias("pk1"), F.col("c_part").alias("c1")
+            ),
+            "pk1",
+        )
+        .join(
+            part_orders.select(
+                F.col("l_partkey").alias("pk2"), F.col("c_part").alias("c2")
+            ),
+            "pk2",
+        )
+        .crossJoin(F.broadcast(n_frame))
+        .select(
+            "pk1",
+            "pk2",
+            "c_pair",
+            "c1",
+            "c2",
+            F.expr(
+                "(2 * c_pair * 1000000 + n_orders)"
+                " div (2 * n_orders) / 1000000.0D"
+            ).alias("support"),
+            F.expr(
+                "(2 * c_pair * 1000000 + c1) div (2 * c1) / 1000000.0D"
+            ).alias("confidence"),
+            # lift numerator is pair·orders·1e6 — corpus² scale, so it
+            # rides decimal(38,0); the quotient is micro-small, safe
+            # for div's BIGINT return
+            F.expr(
+                "(2 * cast(c_pair as decimal(38,0)) * n_orders * 1000000"
+                " + cast(c1 as decimal(38,0)) * c2)"
+                " div (2 * cast(c1 as decimal(38,0)) * c2) / 1000000.0D"
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("c_pair"), "pk1", "pk2")
+        .limit(BASKET_TOPN)
+    )
+
+
 AUTOCORR_LAG_DAYS = 7
 
 
@@ -3415,6 +3497,7 @@ QUERIES: dict[str, object] = {
     # already has multiple green rounds on record.
     "customer_value_frontier": customer_value_frontier,
     "revenue_autocorr": revenue_autocorr,
+    "basket_lift_pairs": basket_lift_pairs,
     "customer_order_streaks": customer_order_streaks,
     "cohort_ltv_curve": cohort_ltv_curve,
     "supplier_return_rates": supplier_return_rates,

@@ -1624,6 +1624,43 @@ ORACLES["supplier_return_rates"] = """
     JOIN nation ON n_nationkey = s_nationkey
 """
 
+ORACLES["basket_lift_pairs"] = """
+    WITH op AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    n AS (
+        SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+        FROM op
+    ),
+    part_orders AS (
+        SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS c_part
+        FROM op GROUP BY 1
+    ),
+    pairs AS (
+        SELECT a.l_partkey AS pk1, b.l_partkey AS pk2,
+               CAST(COUNT(*) AS BIGINT) AS c_pair
+        FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey
+        WHERE a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= 2
+    )
+    SELECT pk1, pk2, c_pair, p1.c_part AS c1, p2.c_part AS c2,
+           ((2 * c_pair * 1000000 + n_orders) // (2 * n_orders))
+               / 1000000.0 AS support,
+           ((2 * c_pair * 1000000 + p1.c_part) // (2 * p1.c_part))
+               / 1000000.0 AS confidence,
+           CAST((2 * CAST(c_pair AS HUGEINT) * n_orders * 1000000
+                 + CAST(p1.c_part AS HUGEINT) * p2.c_part)
+                // (2 * CAST(p1.c_part AS HUGEINT) * p2.c_part)
+                AS BIGINT) / 1000000.0 AS lift
+    FROM pairs
+    JOIN part_orders p1 ON p1.l_partkey = pk1
+    JOIN part_orders p2 ON p2.l_partkey = pk2
+    CROSS JOIN n
+    ORDER BY c_pair DESC, pk1, pk2
+    LIMIT 50
+"""
+
 # same centered exact-integer moment path as the engine: the shift
 # invariance keeps every product inside HUGEINT; signed r² is a pure
 # rational so no sqrt ever runs

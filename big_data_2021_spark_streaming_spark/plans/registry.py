@@ -170,6 +170,7 @@ _GRADE_AFTER_REGRADES = frozenset(
         "customer_value_frontier",
         "embedding_label_consensus",
         "revenue_autocorr",
+        "basket_lift_pairs",
         # round-4g additions (this session)
         "sketch_hll_intersection",
         "text_bpe_encode",

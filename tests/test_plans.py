@@ -184,6 +184,7 @@ _BNLJ_INTENDED = frozenset(
         "customer_rfm_scores",        # 1-row min/max + n scalars onto the customer frame
         "customer_value_frontier",    # 1-row spend-extremes scalar onto the customer frame
         "revenue_autocorr",           # 1-row series-min scalar onto the |days| frame
+        "basket_lift_pairs",          # 1-row n_orders scalar onto the pair frame
         "text_bpe_train",             # 1-row winning-pair scalar into each round's fold
         "value_winsorize",            # 1-row n + percentile-bounds scalars onto the scan
         "epoch_shuffle_plan",         # 3-row epochs frame fanned onto the doc scan
@@ -731,7 +732,7 @@ def test_registry_orders_unverified_queries_first():
         # new in round 4h (this session; deferred behind the regrades)
         "retrieval_ndcg_eval", "text_feature_hashing",
         "customer_value_frontier", "embedding_label_consensus",
-        "revenue_autocorr",
+        "revenue_autocorr", "basket_lift_pairs",
         # re-planned in round 4g (sf0.4 ROUND(SUM(double)) class fix;
         # deferred behind the regrades)
         "pivot_user_event_values", "session_window_stats",
