@@ -1647,7 +1647,74 @@ def _kcore_sql() -> str:
 ORACLES["dedup_kcore"] = _kcore_sql()
 
 
+def crosslingual_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-label audit of the near-dup graph: every LSH candidate
+    pair labeled with its endpoints' gold languages and aggregated per
+    unordered (lang_lo, lang_hi) cell. A cross-language near-dup is a
+    red flag either way — a mislabeled ``lang`` column or templated
+    boilerplate leaking across language shards — and is exactly what a
+    naive per-language dedup partition would MISS (it never compares
+    across shards). One tiny join of the memoized pair frame to the
+    lang column, a ≤|langs|²-cell aggregate, and exact pair shares."""
+    pairs = minhash_lsh_pairs(spark, sf_dir).select("doc_id_a", "doc_id_b")
+    langs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    lp = (
+        pairs.join(
+            langs.select(
+                F.col("doc_id").alias("doc_id_a"), F.col("lang").alias("la")
+            ),
+            "doc_id_a",
+        )
+        .join(
+            langs.select(
+                F.col("doc_id").alias("doc_id_b"), F.col("lang").alias("lb")
+            ),
+            "doc_id_b",
+        )
+        .select(
+            F.least("la", "lb").alias("lang_lo"),
+            F.greatest("la", "lb").alias("lang_hi"),
+        )
+    )
+    cells = lp.groupBy("lang_lo", "lang_hi").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs")
+    )
+    total = cells.agg(F.sum("n_pairs").cast("bigint").alias("total"))
+    return cells.crossJoin(F.broadcast(total)).select(
+        "lang_lo",
+        "lang_hi",
+        "n_pairs",
+        (F.col("lang_lo") != F.col("lang_hi")).alias("is_cross"),
+        F.expr(
+            "(2 * n_pairs * 1000000 + total) div (2 * total) / 1000000.0D"
+        ).alias("pair_share"),
+    )
+
+
+ORACLES["dedup_crosslingual_pairs"] = f"""
+    WITH cand_pairs AS ({_LSH_PAIRS_SQL}),
+    lp AS (
+        SELECT least(da.lang, db.lang) AS lang_lo,
+               greatest(da.lang, db.lang) AS lang_hi
+        FROM cand_pairs p
+        JOIN documents da ON da.doc_id = p.doc_id_a
+        JOIN documents db ON db.doc_id = p.doc_id_b
+    ),
+    g AS (
+        SELECT lang_lo, lang_hi, CAST(COUNT(*) AS BIGINT) AS n_pairs
+        FROM lp GROUP BY 1, 2
+    ),
+    t AS (SELECT CAST(SUM(n_pairs) AS BIGINT) AS total FROM g)
+    SELECT lang_lo, lang_hi, n_pairs,
+           lang_lo <> lang_hi AS is_cross,
+           ((2 * n_pairs * 1000000 + total) // (2 * total)) / 1000000.0
+               AS pair_share
+    FROM g CROSS JOIN t
+"""
+
+
 QUERIES = {
+    "dedup_crosslingual_pairs": crosslingual_pairs,
     # new-in-round-4 entries first: registry order = driver grading order
     "dedup_kcore": kcore_nodes,
     "dedup_graph_triangles": graph_triangles,

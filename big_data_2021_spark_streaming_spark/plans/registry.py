@@ -171,6 +171,7 @@ _GRADE_AFTER_REGRADES = frozenset(
         "embedding_label_consensus",
         "revenue_autocorr",
         "basket_lift_pairs",
+        "dedup_crosslingual_pairs",
         # round-4g additions (this session)
         "sketch_hll_intersection",
         "text_bpe_encode",

@@ -185,6 +185,7 @@ _BNLJ_INTENDED = frozenset(
         "customer_value_frontier",    # 1-row spend-extremes scalar onto the customer frame
         "revenue_autocorr",           # 1-row series-min scalar onto the |days| frame
         "basket_lift_pairs",          # 1-row n_orders scalar onto the pair frame
+        "dedup_crosslingual_pairs",   # 1-row pair-total scalar onto the langs² cells
         "text_bpe_train",             # 1-row winning-pair scalar into each round's fold
         "value_winsorize",            # 1-row n + percentile-bounds scalars onto the scan
         "epoch_shuffle_plan",         # 3-row epochs frame fanned onto the doc scan
@@ -733,6 +734,7 @@ def test_registry_orders_unverified_queries_first():
         "retrieval_ndcg_eval", "text_feature_hashing",
         "customer_value_frontier", "embedding_label_consensus",
         "revenue_autocorr", "basket_lift_pairs",
+        "dedup_crosslingual_pairs",
         # re-planned in round 4g (sf0.4 ROUND(SUM(double)) class fix;
         # deferred behind the regrades)
         "pivot_user_event_values", "session_window_stats",
