@@ -38,6 +38,15 @@ def get_session(
         SparkSession.builder.appName(app_name)
         .master(master or f"local[{cpus}]")
         .config("spark.sql.shuffle.partitions", str(cpus))
+        # local mode runs driver+executors in ONE JVM, so Spark's 1g
+        # driver default is the whole memory budget — the sf0.4 dedup
+        # gram frames OOM'd it. Size the heap to the workload tier
+        # (env-overridable); harmless on a real cluster where the
+        # driver is only the coordinator.
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+        )
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
