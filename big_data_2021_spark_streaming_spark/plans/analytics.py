@@ -61,8 +61,20 @@ def _epoch_us(c) -> F.Column:
 
 
 def _sum_m6(expr: str) -> str:
-    """SQL: exact 1e-6-unit DECIMAL(38,0) sum of a ≤6dp double expr."""
-    return f"sum(cast(round(({expr}) * 1000000) as decimal(38,0)))"
+    """SQL: exact 1e-6-unit sum of a ≤6dp double expr, decimal(38,0)-
+    typed but accumulated as TWO BIGINT sums (hi = x div 1e6, lo =
+    x % 1e6; x ≡ hi·1e6 + lo exactly for either sign, so Σx =
+    1e6·Σhi + Σlo). Per-row work stays on primitive longs inside
+    whole-stage codegen — a straight decimal(38,0) sum runs ~3× slower
+    through the non-primitive aggregation buffer — and the decimal
+    recombination happens once per GROUP. Σhi is dollars-scaled and
+    Σlo < rows·1e6, so both partials sit far inside int64 at any
+    realistic corpus while the recombined total gets decimal range."""
+    x = f"cast(round(({expr}) * 1000000) as bigint)"
+    return (
+        f"(cast(sum({x} div 1000000) as decimal(38,0)) * 1000000"
+        f" + sum({x} % 1000000))"
+    )
 
 
 def _cents(sum_sql: str) -> str:
