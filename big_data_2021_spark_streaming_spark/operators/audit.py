@@ -1087,8 +1087,119 @@ ORACLES["l_diversity_audit"] = f"""
     ORDER BY n_sensitive
 """
 
+# Declarative data-contract expectations: (table, name, SQL predicate
+# that is TRUE when the row VIOLATES the expectation). One scan per
+# table evaluates all of its expectations as conditional aggregates;
+# the report unpivots to a row per expectation. Spark and the DuckDB
+# oracle share these predicate strings verbatim.
+EXPECTATIONS: tuple[tuple[str, str, str], ...] = (
+    ("events", "event_id_not_null", "event_id IS NULL"),
+    ("events", "ts_not_null", "ts IS NULL"),
+    ("events", "user_id_not_null", "user_id IS NULL"),
+    (
+        "events",
+        "event_type_accepted",
+        "event_type NOT IN ('click', 'view', 'purchase', 'signup',"
+        " 'error')",
+    ),
+    ("events", "value_non_negative", "value < 0"),
+    ("orders", "orderkey_not_null", "o_orderkey IS NULL"),
+    ("orders", "totalprice_positive", "o_totalprice <= 0"),
+    ("orders", "orderdate_not_null", "o_orderdate IS NULL"),
+    (
+        "orders",
+        "status_accepted",
+        "o_orderstatus NOT IN ('O', 'F', 'P')",
+    ),
+    ("lineitem", "quantity_in_range", "l_quantity < 1 OR l_quantity > 50"),
+    ("lineitem", "discount_in_range", "l_discount < 0 OR l_discount > 1"),
+    ("lineitem", "tax_non_negative", "l_tax < 0"),
+    (
+        "lineitem",
+        "returnflag_accepted",
+        "l_returnflag NOT IN ('A', 'N', 'R')",
+    ),
+)
+
+
+def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative expectations runner (the dbt-test / Great-
+    Expectations shape): every contract in ``EXPECTATIONS`` evaluated
+    as a conditional aggregate, ONE scan per table no matter how many
+    expectations that table carries, unpivoted to a row per
+    expectation with exact violation counts and micro-unit rates.
+    This is the gate a lake runs before promoting a batch: the
+    violation predicate strings are shared verbatim with the DuckDB
+    oracle, so the contract itself is engine-portable."""
+    frames = []
+    by_table: dict[str, list[tuple[str, str]]] = {}
+    for table, name, pred in EXPECTATIONS:
+        by_table.setdefault(table, []).append((name, pred))
+    for table, checks in by_table.items():
+        df = load_table(spark, sf_dir, table)
+        agg = df.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            *[
+                F.sum(F.expr(f"CASE WHEN {pred} THEN 1 ELSE 0 END"))
+                .cast("bigint")
+                .alias(f"v_{i}")
+                for i, (_, pred) in enumerate(checks)
+            ],
+        )
+        stack = ", ".join(
+            f"'{name}', v_{i}" for i, (name, _) in enumerate(checks)
+        )
+        frames.append(
+            agg.select(
+                F.lit(table).alias("table_name"),
+                F.expr(
+                    f"stack({len(checks)}, {stack}) AS (expectation,"
+                    " n_violations)"
+                ),
+                "n_rows",
+            ).select(
+                "table_name",
+                "expectation",
+                "n_rows",
+                F.col("n_violations").cast("bigint").alias("n_violations"),
+                (F.col("n_violations") == 0).alias("passed"),
+                F.expr(
+                    "(2 * n_violations * 1000000 + n_rows)"
+                    " div (2 * n_rows) / 1000000.0D"
+                ).alias("violation_rate"),
+            )
+        )
+    return reduce(DataFrame.unionByName, frames)
+
+
+def _data_quality_sql() -> str:
+    by_table: dict[str, list[tuple[str, str]]] = {}
+    for table, name, pred in EXPECTATIONS:
+        by_table.setdefault(table, []).append((name, pred))
+    selects = []
+    for table, checks in by_table.items():
+        for name, pred in checks:
+            selects.append(f"""
+    SELECT '{table}' AS table_name, '{name}' AS expectation,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN {pred} THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_violations,
+           CAST(SUM(CASE WHEN {pred} THEN 1 ELSE 0 END) AS BIGINT) = 0
+               AS passed,
+           ((2 * CAST(SUM(CASE WHEN {pred} THEN 1 ELSE 0 END) AS BIGINT)
+             * 1000000 + COUNT(*)) // (2 * COUNT(*))) / 1000000.0
+               AS violation_rate
+    FROM {table}""")
+    return "\nUNION ALL\n".join(selects)
+
+
+ORACLES["data_quality_report"] = _data_quality_sql()
+
+
 QUERIES = {
-    # new-in-round-4f entries first: registry order = driver grading order
+    # new-in-round-4h entry first: registry order = driver grading order
+    "data_quality_report": data_quality_report,
+    # new-in-round-4f entries next
     "join_strategy_advisor": join_strategy_advisor,
     "t_closeness_audit": t_closeness_audit,
     # round-4d entry

@@ -172,6 +172,7 @@ _GRADE_AFTER_REGRADES = frozenset(
         "revenue_autocorr",
         "basket_lift_pairs",
         "dedup_crosslingual_pairs",
+        "data_quality_report",
         # round-4g additions (this session)
         "sketch_hll_intersection",
         "text_bpe_encode",
