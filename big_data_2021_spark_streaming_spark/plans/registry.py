@@ -164,6 +164,8 @@ _GRADE_AFTER_REGRADES = frozenset(
         "cohort_ltv_curve",
         "supplier_return_rates",
         "customer_order_streaks",
+        # round-4i additions (this session)
+        "dedup_prefix_filter",
         # round-4h additions (this session)
         "retrieval_ndcg_eval",
         "text_feature_hashing",

@@ -735,6 +735,7 @@ def test_registry_orders_unverified_queries_first():
         "customer_value_frontier", "embedding_label_consensus",
         "revenue_autocorr", "basket_lift_pairs",
         "dedup_crosslingual_pairs", "data_quality_report",
+        "dedup_prefix_filter",
         # re-planned in round 4g (sf0.4 ROUND(SUM(double)) class fix;
         # deferred behind the regrades)
         "pivot_user_event_values", "session_window_stats",
