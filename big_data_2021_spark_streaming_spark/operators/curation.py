@@ -1380,8 +1380,123 @@ ORACLES["quality_dup_profile"] = f"""
 """
 
 
+def quality_auc_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT ROC-AUC of the quality score as a near-dup detector —
+    the threshold-free companion to quality_dup_profile's deciles.
+    AUC = P(quality(random non-dup) > quality(random dup)) + ½·P(tie),
+    via the Mann-Whitney rank-sum identity computed on score GROUPS:
+    group the corpus by exact micro-unit quality (the per-score group
+    frame is bounded by distinct score values, not corpus size), take
+    one cumulative sum over that tiny frame, and recover the pair
+    counts algebraically — concordant·2 = 2·P·N − 2·Σp_g·cumq_g +
+    Σp_g·q_g. No doc×doc pair join, no corpus-wide rank: the only
+    window runs over the aggregated score-group frame (audited
+    bounded-frame global window). All arithmetic is exact integer;
+    the displayed AUC is the standard half-up micro-unit rational.
+
+    An AUC well below 0.5 is the curation folk theorem made
+    quantitative (dups concentrate in low quality); ≈0.5 means the
+    quality bar and the dedup pass prune independent populations.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    qm = quality_lineage(docs).select(
+        "doc_id",
+        F.expr("cast(round(quality * 1000000) as bigint)").alias("qm"),
+    )
+    pairs = _dedup.minhash_lsh_pairs(spark, sf_dir).select(
+        "doc_id_a", "doc_id_b"
+    )
+    paired = _dedup._candidate_docs(pairs).withColumn("is_dup", F.lit(True))
+    labeled = qm.join(F.broadcast(paired), "doc_id", "left").select(
+        "qm", F.coalesce("is_dup", F.lit(False)).alias("is_dup")
+    )
+    g = labeled.groupBy("qm").agg(
+        F.sum(F.col("is_dup").cast("bigint")).alias("p"),
+        F.sum((~F.col("is_dup")).cast("bigint")).alias("q"),
+    )
+    cum = g.select(
+        "p",
+        "q",
+        F.sum("q")
+        .over(
+            Window.orderBy("qm").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        )
+        .alias("cum_q"),
+    )
+    agg = cum.agg(
+        F.sum("p").cast("bigint").alias("n_dup"),
+        F.sum("q").cast("bigint").alias("n_nondup"),
+        F.sum(F.expr("p * cum_q")).cast("bigint").alias("s1"),
+        F.sum(F.expr("p * q")).cast("bigint").alias("s2"),
+    )
+    return agg.select(
+        "n_dup",
+        "n_nondup",
+        F.expr("2 * n_dup * n_nondup - 2 * s1 + s2").alias("concordant2"),
+        F.when(
+            (F.col("n_dup") > 0) & (F.col("n_nondup") > 0),
+            F.expr(
+                "(2 * (2 * n_dup * n_nondup - 2 * s1 + s2) * 1000000"
+                " + 2 * n_dup * n_nondup)"
+                " div (2 * 2 * n_dup * n_nondup) / 1000000.0D"
+            ),
+        ).alias("auc"),
+    )
+
+
+ORACLES["quality_auc_eval"] = f"""
+    WITH cand_pairs AS ({_dedup._LSH_PAIRS_SQL}),
+    paired AS (
+        SELECT DISTINCT doc_id FROM (
+            SELECT doc_id_a AS doc_id FROM cand_pairs
+            UNION ALL
+            SELECT doc_id_b FROM cand_pairs
+        )
+    ),
+    qm AS (
+        SELECT doc_id, CAST(ROUND(quality * 1000000) AS BIGINT) AS qm
+        FROM ({_quality_sub()}) qq
+    ),
+    lab AS (
+        SELECT qm.qm, p.doc_id IS NOT NULL AS is_dup
+        FROM qm LEFT JOIN paired p USING (doc_id)
+    ),
+    g AS (
+        SELECT qm,
+               CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS p,
+               CAST(SUM(CASE WHEN is_dup THEN 0 ELSE 1 END) AS BIGINT) AS q
+        FROM lab GROUP BY qm
+    ),
+    c AS (
+        SELECT p, q,
+               CAST(SUM(q) OVER (ORDER BY qm ROWS BETWEEN UNBOUNDED
+                    PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_q
+        FROM g
+    ),
+    a AS (
+        SELECT CAST(SUM(p) AS BIGINT) AS n_dup,
+               CAST(SUM(q) AS BIGINT) AS n_nondup,
+               CAST(SUM(p * cum_q) AS BIGINT) AS s1,
+               CAST(SUM(p * q) AS BIGINT) AS s2
+        FROM c
+    )
+    SELECT n_dup, n_nondup,
+           CAST(2 * n_dup * n_nondup - 2 * s1 + s2 AS BIGINT)
+               AS concordant2,
+           CASE WHEN n_dup > 0 AND n_nondup > 0 THEN
+               ((2 * (2 * n_dup * n_nondup - 2 * s1 + s2) * 1000000
+                 + 2 * n_dup * n_nondup)
+                // (2 * 2 * n_dup * n_nondup)) / 1000000.0
+           ELSE NULL END AS auc
+    FROM a
+"""
+
+
 QUERIES = {
     # new-in-round-4 entries first: registry order = driver grading order
+    "quality_auc_eval": quality_auc_eval,
     "corpus_source_minhash": source_minhash_similarity,
     "quality_dup_profile": quality_dup_profile,
     "corpus_shard_plan": corpus_shard_plan,

@@ -166,6 +166,7 @@ _GRADE_AFTER_REGRADES = frozenset(
         "customer_order_streaks",
         # round-4i additions (this session)
         "dedup_prefix_filter",
+        "quality_auc_eval",
         # round-4h additions (this session)
         "retrieval_ndcg_eval",
         "text_feature_hashing",

@@ -225,6 +225,7 @@ _GLOBAL_WINDOW_INTENDED = frozenset(
         "mixture_reweight_plan",      # |strata| summary rows
         "orders_monthly_growth",      # |year-months| series
         "peak_concurrent_sessions",   # |days| per-day partials
+        "quality_auc_eval",           # |distinct scores| group frame
         "quality_dup_profile",        # |bands| banded-rank partials
         "retrieval_rrf_fusion",       # limit-k ranker pools
         "similarity_ivf_occupancy",   # |NLIST| cell summaries
@@ -735,7 +736,7 @@ def test_registry_orders_unverified_queries_first():
         "customer_value_frontier", "embedding_label_consensus",
         "revenue_autocorr", "basket_lift_pairs",
         "dedup_crosslingual_pairs", "data_quality_report",
-        "dedup_prefix_filter",
+        "dedup_prefix_filter", "quality_auc_eval",
         # re-planned in round 4g (sf0.4 ROUND(SUM(double)) class fix;
         # deferred behind the regrades)
         "pivot_user_event_values", "session_window_stats",

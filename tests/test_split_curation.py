@@ -220,3 +220,44 @@ def test_source_minhash_signature_is_mergeable(spark):
         assert r.matching_members == expect
         assert 0 <= r.exact_jaccard_micro <= 1_000_000
         assert r.inter_toks <= min(r.toks_a, r.toks_b)
+
+
+def test_quality_auc_matches_pure_python_pair_counting(spark):
+    """Recompute the AUC by LITERALLY enumerating every (dup, non-dup)
+    doc pair in Python — the O(P*N) definition the group-frame algebra
+    is supposed to equal — using the operator's own quality scores and
+    dup labels as inputs, so the test isolates the Mann-Whitney
+    identity itself."""
+    from big_data_2021_spark_streaming_spark.operators.curation import (
+        quality_auc_eval,
+    )
+    from big_data_2021_spark_streaming_spark.operators.dedup import (
+        minhash_lsh_pairs,
+    )
+    from big_data_2021_spark_streaming_spark.operators.text import (
+        quality_score,
+    )
+
+    q = {
+        r.doc_id: round(r.quality * 1_000_000)
+        for r in quality_score(spark, SF).collect()
+    }
+    paired = set()
+    for r in minhash_lsh_pairs(spark, SF).collect():
+        paired.add(r.doc_id_a)
+        paired.add(r.doc_id_b)
+    dup_scores = [s for d, s in q.items() if d in paired]
+    non_scores = [s for d, s in q.items() if d not in paired]
+    assert dup_scores and non_scores  # both classes populated
+
+    concordant2 = sum(
+        2 * (n > d) + (n == d) for d in dup_scores for n in non_scores
+    )
+    pn = len(dup_scores) * len(non_scores)
+    expected_auc = (2 * concordant2 * 1_000_000 + 2 * pn) // (4 * pn) / 1e6
+
+    row = quality_auc_eval(spark, SF).collect()[0]
+    assert row.n_dup == len(dup_scores)
+    assert row.n_nondup == len(non_scores)
+    assert row.concordant2 == concordant2
+    assert row.auc == expected_auc
