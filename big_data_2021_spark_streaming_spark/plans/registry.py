@@ -167,6 +167,7 @@ _GRADE_AFTER_REGRADES = frozenset(
         # round-4i additions (this session)
         "dedup_prefix_filter",
         "quality_auc_eval",
+        "dedup_lsh_recall_exact",
         # round-4h additions (this session)
         "retrieval_ndcg_eval",
         "text_feature_hashing",
