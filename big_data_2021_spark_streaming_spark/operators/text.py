@@ -2111,6 +2111,94 @@ def _bpe_encode_sql() -> str:
 ORACLES["text_bpe_encode"] = _bpe_encode_sql()
 
 
+def bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility by language — pieces emitted per word under
+    the trained BPE_ROUNDS-merge tokenizer, the standard metric for
+    how equitably one tokenizer serves a multilingual corpus (a
+    high-fertility language pays more sequence length, hence more
+    compute, per unit of text).
+
+    BPE segmentation is a pure function of the token STRING, so the
+    corpus-scale chain output is collapsed to one row per distinct
+    segmentation (vocabulary-bounded) and broadcast onto per-language
+    token counts — the per-occurrence frame never re-shuffles. The
+    merge chain is replayed with the exact code path of
+    text_bpe_encode, so a session that already ran the trainer or the
+    encoder reuses its persisted per-round symbol frames via
+    CacheManager plan-matching."""
+    syms = _bpe_initial_syms(spark, sf_dir)
+    for r in range(1, BPE_ROUNDS + 1):
+        counts = _bpe_pair_counts(syms)
+        top = counts.orderBy(F.desc("n_occ"), "a", "b").limit(1)
+        syms = _bpe_merge(syms, top)
+        if r < BPE_ROUNDS:
+            syms = syms.persist()
+    seg = syms.distinct().select(
+        F.expr(f"replace(sym, '{_BPE_SEP}', '')").alias("tok"),
+        F.size(F.split("sym", _BPE_SEP)).cast("bigint").alias("pieces"),
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    lt = (
+        docs.select("lang", F.explode(tokens_col(F.col("text"))).alias("tok"))
+        .where(F.col("tok") != "")
+        .groupBy("lang", "tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    return (
+        lt.join(F.broadcast(seg), "tok")
+        .groupBy("lang")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_words"),
+            F.sum(F.expr("n * pieces")).cast("bigint").alias("n_pieces"),
+        )
+        .select(
+            "lang",
+            "n_words",
+            "n_pieces",
+            F.expr(
+                "(2 * n_pieces * 1000000 + n_words) div (2 * n_words)"
+                " / 1000000.0D"
+            ).alias("fertility"),
+        )
+    )
+
+
+def _bpe_fertility_sql() -> str:
+    ctes = _bpe_chain_ctes(include_final_merge=True)
+    ctes.append(
+        f"""segp AS (
+        SELECT replace(sym, chr(31), '') AS tok,
+               CAST(len(string_split(sym, chr(31))) AS BIGINT) AS pieces
+        FROM (SELECT DISTINCT sym FROM syms{BPE_ROUNDS})
+    )"""
+    )
+    ctes.append(
+        """lt AS (
+        SELECT lang, t AS tok, CAST(COUNT(*) AS BIGINT) AS n
+        FROM (SELECT lang,
+                     unnest(regexp_split_to_array(trim(text), '\\s+')) AS t
+              FROM documents)
+        WHERE t <> ''
+        GROUP BY 1, 2
+    )"""
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + """
+    SELECT lang, n_words, n_pieces,
+           ((2 * n_pieces * 1000000 + n_words) // (2 * n_words))
+               / 1000000.0 AS fertility
+    FROM (SELECT lang, CAST(SUM(n) AS BIGINT) AS n_words,
+                 CAST(SUM(n * pieces) AS BIGINT) AS n_pieces
+          FROM lt JOIN segp USING (tok) GROUP BY lang)
+    """
+    )
+
+
+ORACLES["text_bpe_fertility"] = _bpe_fertility_sql()
+
+
 # ---------------------------------------------------------------------
 # RAKE keyword extraction
 # ---------------------------------------------------------------------
@@ -2379,7 +2467,9 @@ ORACLES["text_feature_hashing"] = _feature_hashing_sql()
 
 
 QUERIES = {
-    # round-4h addition first: registry order = driver grading order
+    # round-4i addition first: registry order = driver grading order
+    "text_bpe_fertility": bpe_fertility,
+    # round-4h addition next
     "text_feature_hashing": feature_hashing_audit,
     # round-4g addition next
     "text_bpe_encode": bpe_encode,

@@ -168,6 +168,7 @@ _GRADE_AFTER_REGRADES = frozenset(
         "dedup_prefix_filter",
         "quality_auc_eval",
         "dedup_lsh_recall_exact",
+        "text_bpe_fertility",
         # round-4h additions (this session)
         "retrieval_ndcg_eval",
         "text_feature_hashing",

@@ -203,6 +203,7 @@ _BNLJ_INTENDED = frozenset(
         "join_strategy_advisor",      # 1-row stats scalars per FK edge
         "sketch_hll_intersection",    # |types|²-row pair grid (≤ dozens)
         "text_bpe_encode",            # 1-row winning-pair scalar per merge round
+        "text_bpe_fertility",         # same merge chain, same 1-row scalars
         "corpus_source_minhash",      # |sources|²-row pair grid (≤ dozens)
     }
 )
@@ -738,7 +739,7 @@ def test_registry_orders_unverified_queries_first():
         "revenue_autocorr", "basket_lift_pairs",
         "dedup_crosslingual_pairs", "data_quality_report",
         "dedup_prefix_filter", "quality_auc_eval",
-        "dedup_lsh_recall_exact",
+        "dedup_lsh_recall_exact", "text_bpe_fertility",
         # re-planned in round 4g (sf0.4 ROUND(SUM(double)) class fix;
         # deferred behind the regrades)
         "pivot_user_event_values", "session_window_stats",

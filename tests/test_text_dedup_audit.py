@@ -450,3 +450,65 @@ def test_prefix_filter_join_matches_pure_python(spark):
     # the corpus genuinely contains near-dups at this threshold: the
     # operator must find signal, not vacuously pass on the empty set
     assert len(expected) > 0
+
+
+def test_bpe_fertility_matches_pure_python(spark):
+    """Per-language fertility (pieces per word under the trained
+    tokenizer) recomputed in pure Python with the same greedy merge
+    loop as the trainer tests."""
+    from big_data_2021_spark_streaming_spark.operators.text import (
+        BPE_ROUNDS,
+        bpe_fertility,
+    )
+
+    docs = _docs()
+    occurrences = []  # (lang, token tuple)
+    for lang, text in zip(docs["lang"], docs["text"]):
+        for t in text.strip().split():
+            if t:
+                occurrences.append((lang, tuple(t)))
+
+    toks = [t for _, t in occurrences]
+    for _ in range(BPE_ROUNDS):
+        counts: Counter = Counter()
+        for t in toks:
+            for i in range(len(t) - 1):
+                counts[(t[i], t[i + 1])] += 1
+        (a, b), _n = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merged_toks = []
+        for t in toks:
+            out = []
+            i = 0
+            while i < len(t):
+                if i + 1 < len(t) and t[i] == a and t[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(t[i])
+                    i += 1
+            merged_toks.append(tuple(out))
+        toks = merged_toks
+
+    words: Counter = Counter()
+    pieces: Counter = Counter()
+    for (lang, _), seg in zip(occurrences, toks):
+        words[lang] += 1
+        pieces[lang] += len(seg)
+    expected = {
+        lang: (
+            words[lang],
+            pieces[lang],
+            (2 * pieces[lang] * 1_000_000 + words[lang])
+            // (2 * words[lang])
+            / 1e6,
+        )
+        for lang in words
+    }
+
+    rows = bpe_fertility(spark, SF).collect()
+    got = {r.lang: (r.n_words, r.n_pieces, r.fertility) for r in rows}
+    assert got == expected
+    # fertility is pieces-per-word: never below 1 for nonempty words
+    assert all(r.fertility >= 1.0 for r in rows)
