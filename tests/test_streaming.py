@@ -1015,3 +1015,64 @@ def test_upsert_state_writer_maintains_latest_per_key(spark, tmp_path):
         r.user_id: r.utype for r in read_upsert_state(spark, out).collect()
     }
     assert state_replayed == state1
+
+
+def test_expectations_gate_quarantines_contract_violations(spark, tmp_path):
+    """The declarative EXPECTATIONS contract, compiled by
+    expectations_gate_sql, must quarantine exactly the rows the batch
+    data_quality_report would count as violations — same predicates,
+    two surfaces — with reasons attributed in declaration order."""
+    import json as _json
+
+    from big_data_2021_spark_streaming_spark.operators.audit import (
+        expectations_gate_sql,
+    )
+    from big_data_2021_spark_streaming_spark.streaming.pipeline import (
+        dlq_split_batch_writer,
+        to_foreach_batch_sink,
+    )
+
+    reject_sql, reason_sql = expectations_gate_sql("events")
+    src = tmp_path / "gate_src"
+    src.mkdir()
+    out = str(tmp_path / "gate_out")
+    writer = dlq_split_batch_writer(out, reject_sql, reason_sql)
+
+    rows = [
+        # clean
+        {"event_id": 1, "ts": "2021-01-01T00:00:00", "user_id": 7,
+         "event_type": "click", "value": 1.5},
+        # null user_id
+        {"event_id": 2, "ts": "2021-01-01T00:00:01", "user_id": None,
+         "event_type": "view", "value": 0.5},
+        # unknown event_type
+        {"event_id": 3, "ts": "2021-01-01T00:00:02", "user_id": 8,
+         "event_type": "teleport", "value": 0.5},
+        # negative value AND unknown type: attributed to the EARLIER
+        # declared expectation (event_type_accepted)
+        {"event_id": 4, "ts": "2021-01-01T00:00:03", "user_id": 9,
+         "event_type": "warp", "value": -2.0},
+        # null ts
+        {"event_id": 5, "ts": None, "user_id": 10,
+         "event_type": "purchase", "value": 3.0},
+    ]
+    (src / "b0.json").write_text("\n".join(_json.dumps(r) for r in rows))
+    stream = spark.readStream.schema(
+        "event_id LONG, ts TIMESTAMP, user_id LONG,"
+        " event_type STRING, value DOUBLE"
+    ).json(str(src))
+    q = to_foreach_batch_sink(
+        stream, writer, str(tmp_path / "gate_ckpt"), available_now=True
+    )
+    q.awaitTermination()
+
+    good = spark.read.parquet(f"{out}/good").collect()
+    dlq = spark.read.parquet(f"{out}/dlq").collect()
+    assert {r.event_id for r in good} == {1}
+    assert {r.event_id: r.reject_reason for r in dlq} == {
+        2: "user_id_not_null",
+        3: "event_type_accepted",
+        4: "event_type_accepted",
+        5: "ts_not_null",
+    }
+    assert len(good) + len(dlq) == len(rows)
