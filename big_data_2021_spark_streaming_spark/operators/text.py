@@ -910,6 +910,140 @@ ORACLES["text_prefix_clusters"] = f"""
     HAVING COUNT(*) >= {PREFIX_MIN_DOCS}
 """
 
+def lang_id_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa of the marker-word language ID against the gold
+    ``lang`` labels — the chance-corrected scalar lang_confusion's
+    matrix doesn't give you (raw agreement flatters any classifier on
+    a skewed label mix; kappa discounts what label-frequency matching
+    alone would score). κ = (N·Σdiag − Σ row_c·col_c) /
+    (N² − Σ row_c·col_c), computed entirely on the ≤|langs|²-cell
+    aggregated matrix: two |langs|-row marginal frames, one full-outer
+    marginal join (classes predicted but never gold, like 'und',
+    contribute zero product), three 1-row scalars. The numerator is
+    SIGNED, so the micro-unit rounding is half-AWAY-FROM-ZERO via an
+    explicit sign CASE — Spark's ``div`` truncates toward zero while
+    DuckDB's ``//`` floors, and only the sign-split keeps the two
+    engines bit-identical on negative kappa."""
+    pred = lang_id(spark, sf_dir).select("doc_id", "pred_lang")
+    gold = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    m = (
+        gold.join(pred, "doc_id")
+        .groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    stats = m.agg(
+        F.sum("n").cast("bigint").alias("n_docs"),
+        F.coalesce(
+            F.sum(F.when(F.col("lang") == F.col("pred_lang"), F.col("n"))),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("n_agree"),
+    )
+    row_t = m.groupBy("lang").agg(F.sum("n").cast("bigint").alias("row_n"))
+    col_t = m.groupBy("pred_lang").agg(
+        F.sum("n").cast("bigint").alias("col_n")
+    )
+    e = (
+        row_t.join(
+            col_t, row_t.lang == col_t.pred_lang, "full_outer"
+        )
+        .select(
+            (
+                F.coalesce("row_n", F.lit(0))
+                * F.coalesce("col_n", F.lit(0))
+            ).alias("prod")
+        )
+        .agg(F.sum("prod").cast("bigint").alias("e_sum"))
+    )
+    half_up = (
+        "CASE WHEN {a} >= 0"
+        " THEN (2 * ({a}) * 1000000 + ({b})) div (2 * ({b}))"
+        " ELSE -((2 * -({a}) * 1000000 + ({b})) div (2 * ({b}))) END"
+    )
+    return (
+        stats.crossJoin(F.broadcast(e))
+        .select(
+            "n_docs",
+            "n_agree",
+            "e_sum",
+            F.expr(
+                half_up.format(a="n_agree", b="n_docs") + " / 1000000.0D"
+            ).alias("po"),
+            F.expr(
+                half_up.format(a="e_sum", b="n_docs * n_docs")
+                + " / 1000000.0D"
+            ).alias("pe"),
+            F.when(
+                F.expr("n_docs * n_docs - e_sum") > 0,
+                F.expr(
+                    half_up.format(
+                        a="n_agree * n_docs - e_sum",
+                        b="n_docs * n_docs - e_sum",
+                    )
+                    + " / 1000000.0D"
+                ),
+            ).alias("kappa"),
+        )
+    )
+
+
+_KAPPA_HALF_UP = (
+    "CASE WHEN {a} >= 0"
+    " THEN (2 * ({a}) * 1000000 + ({b})) // (2 * ({b}))"
+    " ELSE -((2 * -({a}) * 1000000 + ({b})) // (2 * ({b}))) END"
+)
+
+ORACLES["text_lang_kappa"] = f"""
+    WITH t AS (
+        SELECT doc_id,
+               {_MARKER_COLS}
+        FROM documents
+    ),
+    pred AS (
+        SELECT doc_id,
+               CASE WHEN greatest(c_en, c_es, c_fr, c_de) = 0 THEN 'und'
+                    WHEN c_en = greatest(c_en, c_es, c_fr, c_de) THEN 'en'
+                    WHEN c_es = greatest(c_en, c_es, c_fr, c_de) THEN 'es'
+                    WHEN c_fr = greatest(c_en, c_es, c_fr, c_de) THEN 'fr'
+                    ELSE 'de' END AS pred_lang
+        FROM t
+    ),
+    matrix AS (
+        SELECT d.lang, p.pred_lang, CAST(COUNT(*) AS BIGINT) AS n
+        FROM documents d JOIN pred p USING (doc_id)
+        GROUP BY d.lang, p.pred_lang
+    ),
+    s AS (
+        SELECT CAST(SUM(n) AS BIGINT) AS n_docs,
+               CAST(COALESCE(SUM(CASE WHEN lang = pred_lang THEN n END), 0)
+                    AS BIGINT) AS n_agree
+        FROM matrix
+    ),
+    rt AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS row_n
+           FROM matrix GROUP BY lang),
+    ct AS (SELECT pred_lang, CAST(SUM(n) AS BIGINT) AS col_n
+           FROM matrix GROUP BY pred_lang),
+    e AS (
+        SELECT CAST(SUM(COALESCE(row_n, 0) * COALESCE(col_n, 0))
+                    AS BIGINT) AS e_sum
+        FROM rt FULL OUTER JOIN ct ON rt.lang = ct.pred_lang
+    )
+    SELECT n_docs, n_agree, e_sum,
+           ({_KAPPA_HALF_UP.format(a="n_agree", b="n_docs")})
+               / 1000000.0 AS po,
+           ({_KAPPA_HALF_UP.format(a="e_sum", b="n_docs * n_docs")})
+               / 1000000.0 AS pe,
+           CASE WHEN n_docs * n_docs - e_sum > 0 THEN
+               ({_KAPPA_HALF_UP.format(
+                   a="n_agree * n_docs - e_sum",
+                   b="n_docs * n_docs - e_sum")})
+                   / 1000000.0
+           ELSE NULL END AS kappa
+    FROM s CROSS JOIN e
+"""
+
+
 ORACLES["text_lang_confusion"] = f"""
     WITH t AS (
         SELECT doc_id,
@@ -2467,7 +2601,8 @@ ORACLES["text_feature_hashing"] = _feature_hashing_sql()
 
 
 QUERIES = {
-    # round-4i addition first: registry order = driver grading order
+    # round-4i additions first: registry order = driver grading order
+    "text_lang_kappa": lang_id_kappa,
     "text_bpe_fertility": bpe_fertility,
     # round-4h addition next
     "text_feature_hashing": feature_hashing_audit,

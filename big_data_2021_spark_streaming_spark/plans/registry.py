@@ -169,6 +169,7 @@ _GRADE_AFTER_REGRADES = frozenset(
         "quality_auc_eval",
         "dedup_lsh_recall_exact",
         "text_bpe_fertility",
+        "text_lang_kappa",
         # round-4h additions (this session)
         "retrieval_ndcg_eval",
         "text_feature_hashing",

@@ -172,6 +172,7 @@ _BNLJ_INTENDED = frozenset(
         "contrastive_negatives",      # 1-row corpus-size scalar onto anchors
         "dedup_pagerank",             # 1-row node-count scalar onto the node frame
         "dedup_lsh_recall_exact",     # 1-row LSH-total scalar onto 1-row stats
+        "text_lang_kappa",            # 1-row marginal-product scalar onto 1-row stats
         "text_bm25_search",           # 1-row corpus-totals scalar onto matched docs
         "similarity_range_search",    # exact baseline: queries × corpus
         "similarity_diverse_topk",    # centroid assignment + queries × corpus
@@ -740,6 +741,7 @@ def test_registry_orders_unverified_queries_first():
         "dedup_crosslingual_pairs", "data_quality_report",
         "dedup_prefix_filter", "quality_auc_eval",
         "dedup_lsh_recall_exact", "text_bpe_fertility",
+        "text_lang_kappa",
         # re-planned in round 4g (sf0.4 ROUND(SUM(double)) class fix;
         # deferred behind the regrades)
         "pivot_user_event_values", "session_window_stats",

@@ -512,3 +512,48 @@ def test_bpe_fertility_matches_pure_python(spark):
     assert got == expected
     # fertility is pieces-per-word: never below 1 for nonempty words
     assert all(r.fertility >= 1.0 for r in rows)
+
+
+def test_lang_kappa_matches_pure_python(spark):
+    """Cohen's kappa recomputed from scratch: pure-Python argmax
+    language ID (same markers, same tie order) + textbook kappa with
+    exact signed micro-unit rounding."""
+    from big_data_2021_spark_streaming_spark.operators.text import (
+        LANG_MARKERS,
+        lang_id_kappa,
+    )
+
+    docs = _docs()
+    order = ["en", "es", "fr", "de"]
+    n_docs = 0
+    n_agree = 0
+    row_t: Counter = Counter()
+    col_t: Counter = Counter()
+    for lang, text in zip(docs["lang"], docs["text"]):
+        toks = text.strip().split()
+        counts = {
+            m: sum(t in LANG_MARKERS[m] for t in toks) for m in order
+        }
+        best = max(counts.values())
+        if best == 0:
+            pred = "und"
+        else:
+            pred = next(m for m in order if counts[m] == best)
+        n_docs += 1
+        n_agree += pred == lang
+        row_t[lang] += 1
+        col_t[pred] += 1
+    e_sum = sum(row_t[c] * col_t.get(c, 0) for c in row_t)
+
+    def half_up(a: int, b: int) -> float:
+        if a >= 0:
+            return (2 * a * 1_000_000 + b) // (2 * b) / 1e6
+        return -((2 * -a * 1_000_000 + b) // (2 * b)) / 1e6
+
+    row = lang_id_kappa(spark, SF).collect()[0]
+    assert (row.n_docs, row.n_agree, row.e_sum) == (n_docs, n_agree, e_sum)
+    assert row.po == half_up(n_agree, n_docs)
+    assert row.pe == half_up(e_sum, n_docs * n_docs)
+    assert row.kappa == half_up(
+        n_agree * n_docs - e_sum, n_docs * n_docs - e_sum
+    )
