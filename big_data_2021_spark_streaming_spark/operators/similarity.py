@@ -2586,6 +2586,86 @@ def _ndcg_sql() -> str:
 ORACLES["retrieval_ndcg_eval"] = _ndcg_sql()
 
 
+# reciprocal-rank table in exact half-up micro-units — like the NDCG
+# discount table, a literal both engines share verbatim
+_RR_MICRO = tuple(
+    (2 * 1_000_000 + r) // (2 * r) for r in range(1, TOPK + 1)
+)
+
+
+def mrr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal rank of the FIRST relevant result in the IVF-PQ
+    list, relevance = membership in the exact cosine top-k — the
+    "how soon does the user see something right" acceptance metric
+    that recall@k (order-blind) and NDCG (whole-list) both blur.
+    rr = 1/rank as a literal half-up micro-unit table (rank ≤ TOPK,
+    shared verbatim with the oracle), 0 when nothing relevant
+    surfaces, so the driver-graded values are exact integer
+    arithmetic end-to-end.
+
+    The reciprocal is a literal CASE over first_rank, NOT
+    ``element_at(array_literal, first_rank)``: on this Spark build,
+    element_at over a foldable array with a runtime-NULL index
+    returns the LAST element instead of NULL (verified:
+    ``element_at(array(10,20,30), null_col)`` → 30), which silently
+    awarded every recall miss the rank-TOPK reciprocal. The CASE
+    form is also what the oracle runs, verbatim.
+
+    Plan: both sides are the memoized query-set-sized top-k frames
+    the acceptance stack shares; the eval is one equi-join + a
+    per-query min + one broadcast left join back onto the query
+    list."""
+    exact = topk_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
+    approx = ivf_pq_topk(spark, sf_dir).select(
+        "query_id", "neighbor_id", "rank"
+    )
+    hits = (
+        approx.join(exact, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.min("rank").cast("bigint").alias("first_rank"))
+    )
+    rr_case = " ".join(
+        f"WHEN {r} THEN {d}" for r, d in enumerate(_RR_MICRO, start=1)
+    )
+    return (
+        exact.select("query_id")
+        .distinct()
+        .join(F.broadcast(hits), "query_id", "left")
+        .select(
+            "query_id",
+            "first_rank",
+            F.expr(
+                f"coalesce(CASE first_rank {rr_case} END, 0) / 1000000.0D"
+            ).alias("reciprocal_rank"),
+        )
+    )
+
+
+def _mrr_sql() -> str:
+    rr_case = " ".join(
+        f"WHEN {r} THEN {d}" for r, d in enumerate(_RR_MICRO, start=1)
+    )
+    return f"""
+    WITH exact AS ({ORACLES["similarity_topk"]}),
+    approx AS ({ORACLES["similarity_ivf_pq_topk"]}),
+    hits AS (
+        SELECT a.query_id, CAST(MIN(a.rank) AS BIGINT) AS first_rank
+        FROM approx a
+        JOIN exact e
+            ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+        GROUP BY a.query_id
+    )
+    SELECT q.query_id, h.first_rank,
+           COALESCE(CASE h.first_rank {rr_case} END, 0) / 1000000.0
+               AS reciprocal_rank
+    FROM (SELECT DISTINCT query_id FROM exact) q
+    LEFT JOIN hits h USING (query_id)
+"""
+
+
+ORACLES["retrieval_mrr_eval"] = _mrr_sql()
+
+
 # ---------------------------------------------------------------------
 # Per-session top-k memo: the acceptance stack (ann_recall, the
 # matryoshka report, recall_sweep) and the standalone index queries all
@@ -2628,6 +2708,7 @@ _mrl_prefix_pairs = _session_memo("mrl_pairs")(_mrl_prefix_pairs)
 
 QUERIES = {
     # new-in-round-4 entries first: registry order = driver grading order
+    "retrieval_mrr_eval": mrr_eval,
     "embedding_label_consensus": label_consensus,
     "retrieval_ndcg_eval": ndcg_eval,
     "similarity_recall_sweep": recall_sweep,

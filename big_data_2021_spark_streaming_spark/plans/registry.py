@@ -170,6 +170,7 @@ _GRADE_AFTER_REGRADES = frozenset(
         "dedup_lsh_recall_exact",
         "text_bpe_fertility",
         "text_lang_kappa",
+        "retrieval_mrr_eval",
         # round-4h additions (this session)
         "retrieval_ndcg_eval",
         "text_feature_hashing",

@@ -450,3 +450,38 @@ def test_label_consensus_matches_pure_python(spark):
             assert float(r.agreement) == (
                 (2 * num * 1_000_000 + den) // (2 * den)
             ) / 1e6, r.label
+
+
+def test_mrr_eval_consistent_with_topk_frames(spark):
+    """MRR invariants recomputed from the operator's own top-k frames:
+    first_rank must equal the smallest approx rank holding an
+    exact-top-k member, the reciprocal must be the exact half-up
+    micro-unit 1/rank (0 on a total miss), and every query appears
+    exactly once."""
+    from big_data_2021_spark_streaming_spark.operators.similarity import (
+        ivf_pq_topk,
+        mrr_eval,
+        topk_bruteforce,
+    )
+
+    exact = defaultdict(set)
+    for r in topk_bruteforce(spark, SF).collect():
+        exact[r.query_id].add(r.neighbor_id)
+    first = {}
+    for r in ivf_pq_topk(spark, SF).collect():
+        if r.neighbor_id in exact[r.query_id]:
+            first[r.query_id] = min(
+                first.get(r.query_id, r.rank), r.rank
+            )
+
+    rows = mrr_eval(spark, SF).collect()
+    assert sorted(r.query_id for r in rows) == sorted(exact)
+    for r in rows:
+        assert r.first_rank == first.get(r.query_id)
+        if r.first_rank is None:
+            assert r.reciprocal_rank == 0.0
+        else:
+            fr = r.first_rank
+            assert r.reciprocal_rank == (
+                (2 * 1_000_000 + fr) // (2 * fr) / 1e6
+            )

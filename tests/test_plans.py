@@ -178,6 +178,7 @@ _BNLJ_INTENDED = frozenset(
         "similarity_diverse_topk",    # centroid assignment + queries × corpus
         "retrieval_rrf_fusion",       # BM25 totals scalar + 1-row query vector
         "retrieval_ndcg_eval",        # pays the exact baseline by definition
+        "retrieval_mrr_eval",         # same exact baseline, same reason
         "text_boilerplate_ngrams",    # 1-row doc-count scalar onto the df frame
         "join_cardinality_estimate",  # 1-row ground-truth count onto 1-row estimate
         "corpus_cross_source_overlap",  # |sources|-row totals × totals pair grid
@@ -741,7 +742,7 @@ def test_registry_orders_unverified_queries_first():
         "dedup_crosslingual_pairs", "data_quality_report",
         "dedup_prefix_filter", "quality_auc_eval",
         "dedup_lsh_recall_exact", "text_bpe_fertility",
-        "text_lang_kappa",
+        "text_lang_kappa", "retrieval_mrr_eval",
         # re-planned in round 4g (sf0.4 ROUND(SUM(double)) class fix;
         # deferred behind the regrades)
         "pivot_user_event_values", "session_window_stats",
