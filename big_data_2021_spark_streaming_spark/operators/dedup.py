@@ -1817,8 +1817,13 @@ def prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         # without it the whole prefix-join plan re-runs per consumer
         .persist()
     )
+    # verify sets come from `ranked`, not a fresh _shingle_rows pass:
+    # the window exchange already holds every (doc, shingle) row, so
+    # Catalyst feeds both the prefix join and this build from ONE
+    # ReusedExchange instead of re-exploding the corpus a third time
+    # (cold first-touch measured 17.6 s → 14.6 s at sf0.1)
     sets = (
-        _shingle_rows(spark, sf_dir, bound_to=_candidate_docs(cand))
+        ranked.join(_candidate_docs(cand), "doc_id", "leftsemi")
         .groupBy("doc_id")
         .agg(F.collect_list("s").alias("sh"))
     )
