@@ -1889,6 +1889,47 @@ def _exact_global_rank(df: DataFrame, metric: str, tiebreak: str, out: str) -> D
     )
 
 
+def user_value_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Gini coefficient of per-user event value — the scalar
+    inequality summary user_value_concentration's Lorenz bands plot:
+    G = (2·Σ rank·x − (n+1)·Σx) / (n·Σx) with ranks ascending. Ranks
+    come from ``_exact_global_rank`` (banded two-phase — no
+    single-partition sort), and tied values contribute the same sum
+    under any within-tie order, so the deterministic tiebreak only
+    needs to exist, not to match an external convention. All moments
+    are decimal(38,0)-exact (rank·cents products overflow BIGINT at
+    corpus scale); the numerator is signed when negative user totals
+    exist, so the micro rounding is the half-away-from-zero sign
+    CASE."""
+    events = load_table(spark, sf_dir, "events")
+    users = events.groupBy("user_id").agg(
+        F.sum(F.expr("cast(round(value * 100) as bigint)")).alias("v_cents")
+    )
+    ranked = _exact_global_rank(users, "v_cents", "user_id", "rnk")
+    agg = ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum(F.col("v_cents").cast("decimal(38,0)")).alias("s"),
+        F.sum(
+            F.expr(
+                "cast(rnk as decimal(38,0)) * cast(v_cents as decimal(38,0))"
+            )
+        ).alias("si"),
+    )
+    return agg.select(
+        "n_users",
+        F.col("s").cast("bigint").alias("total_cents"),
+        F.expr(
+            "CASE WHEN n_users * s <= 0 THEN NULL"
+            " WHEN 2 * si - (n_users + 1) * s >= 0 THEN"
+            "  (2 * (2 * si - (n_users + 1) * s) * 1000000 + n_users * s)"
+            "   div (2 * n_users * s)"
+            " ELSE"
+            "  -((2 * -(2 * si - (n_users + 1) * s) * 1000000 + n_users * s)"
+            "    div (2 * n_users * s)) END / 1000000.0D"
+        ).alias("gini"),
+    )
+
+
 def customer_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM segmentation — the classic lifecycle-marketing cut: per
     customer, Recency (days from last order to the corpus's latest
@@ -3507,6 +3548,7 @@ QUERIES: dict[str, object] = {
     # a budget; see plans/registry.py) — entries added or re-planned
     # most recently go FIRST so they are graded before the suite that
     # already has multiple green rounds on record.
+    "user_value_gini": user_value_gini,
     "customer_value_frontier": customer_value_frontier,
     "revenue_autocorr": revenue_autocorr,
     "basket_lift_pairs": basket_lift_pairs,

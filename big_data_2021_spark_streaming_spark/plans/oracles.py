@@ -145,6 +145,38 @@ ORACLES: dict[str, str] = {
         JOIN pt pa ON pairs.type_a = pa.event_type
         JOIN pt pb ON pairs.type_b = pb.event_type
     """,
+    "user_value_gini": """
+        WITH users AS (
+            SELECT user_id,
+                   CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                       AS v_cents
+            FROM events GROUP BY user_id
+        ),
+        ranked AS (
+            SELECT v_cents,
+                   CAST(ROW_NUMBER() OVER (ORDER BY v_cents, user_id)
+                        AS HUGEINT) AS rnk
+            FROM users
+        ),
+        a AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+                   CAST(SUM(v_cents) AS HUGEINT) AS s,
+                   CAST(SUM(rnk * v_cents) AS HUGEINT) AS si
+            FROM ranked
+        )
+        SELECT n_users,
+               CAST(s AS BIGINT) AS total_cents,
+               CASE WHEN n_users * s <= 0 THEN NULL
+                    WHEN 2 * si - (n_users + 1) * s >= 0 THEN
+                     CAST((2 * (2 * si - (n_users + 1) * s) * 1000000
+                           + n_users * s) // (2 * n_users * s) AS BIGINT)
+                         / 1000000.0
+                    ELSE
+                     -CAST((2 * -(2 * si - (n_users + 1) * s) * 1000000
+                            + n_users * s) // (2 * n_users * s) AS BIGINT)
+                         / 1000000.0 END AS gini
+        FROM a
+    """,
     "user_value_concentration": """
         WITH users AS (
             SELECT user_id,

@@ -171,6 +171,7 @@ _GRADE_AFTER_REGRADES = frozenset(
         "text_bpe_fertility",
         "text_lang_kappa",
         "retrieval_mrr_eval",
+        "user_value_gini",
         # round-4h additions (this session)
         "retrieval_ndcg_eval",
         "text_feature_hashing",

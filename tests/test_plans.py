@@ -185,6 +185,7 @@ _BNLJ_INTENDED = frozenset(
         "event_cooccurrence_lift",    # 1-row distinct-user total onto the pair frame
         "text_heaps_law",             # 1-row max-doc-id scalar onto the doc frame
         "customer_rfm_scores",        # 1-row min/max + n scalars onto the customer frame
+        "user_value_gini",            # 1-row extremes scalar onto the user frame
         "customer_value_frontier",    # 1-row spend-extremes scalar onto the customer frame
         "revenue_autocorr",           # 1-row series-min scalar onto the |days| frame
         "basket_lift_pairs",          # 1-row n_orders scalar onto the pair frame
@@ -237,6 +238,7 @@ _GLOBAL_WINDOW_INTENDED = frozenset(
         "text_bpe_encode",            # alphabet²-bounded vocabulary
         "text_heaps_law",             # |buckets| bucket summaries
         "user_value_concentration",   # |bands| banded partials
+        "user_value_gini",            # |bands| banded-rank partials
         "value_winsorize",            # |bands| banded-rank partials
     }
 )
@@ -742,7 +744,7 @@ def test_registry_orders_unverified_queries_first():
         "dedup_crosslingual_pairs", "data_quality_report",
         "dedup_prefix_filter", "quality_auc_eval",
         "dedup_lsh_recall_exact", "text_bpe_fertility",
-        "text_lang_kappa", "retrieval_mrr_eval",
+        "text_lang_kappa", "retrieval_mrr_eval", "user_value_gini",
         # re-planned in round 4g (sf0.4 ROUND(SUM(double)) class fix;
         # deferred behind the regrades)
         "pivot_user_event_values", "session_window_stats",

@@ -355,3 +355,38 @@ def test_revenue_autocorr_matches_pure_python(spark):
         assert row.signed_r2 is None
     else:
         assert float(row.signed_r2) == want
+
+
+def test_user_value_gini_matches_pure_python(spark):
+    """Gini recomputed with the textbook O(n log n) formula in pure
+    Python from the raw parquet."""
+    import pandas as pd
+
+    from big_data_2021_spark_streaming_spark.plans.analytics import (
+        user_value_gini,
+    )
+
+    events = pd.read_parquet("/root/testdata/sf0.001/events.parquet")
+    cents = (
+        (events["value"] * 100)
+        .round()
+        .astype("int64")
+        .groupby(events["user_id"])
+        .sum()
+        .sort_values()
+    )
+    n = len(cents)
+    s = int(cents.sum())
+    si = int(sum(r * x for r, x in enumerate(cents, start=1)))
+    num = 2 * si - (n + 1) * s
+    den = n * s
+    if num >= 0:
+        expected = (2 * num * 1_000_000 + den) // (2 * den) / 1e6
+    else:
+        expected = -((2 * -num * 1_000_000 + den) // (2 * den)) / 1e6
+
+    row = user_value_gini(spark, "/root/testdata/sf0.001").collect()[0]
+    assert row.n_users == n
+    assert row.total_cents == s
+    assert row.gini == expected
+    assert 0.0 <= row.gini <= 1.0
