@@ -125,3 +125,62 @@ def test_winnowing_guarantee_shared_substring_shares_fingerprint(
     assert _winnow_py(a) & _winnow_py(b), (
         f"no shared fingerprint: {a!r} vs {b!r}"
     )
+
+
+# ---------------------------------------------------------------------
+# Prefix-filter exact-join losslessness on ADVERSARIAL corpora: tiny
+# alphabets force shingle collisions, and hypothesis explores empty
+# docs, one-token docs (no shingles), identical docs, and length mixes
+# the fixed testdata corpus never produces.
+# ---------------------------------------------------------------------
+
+_pf_doc = st.lists(
+    st.sampled_from(["a", "b", "ab", "ba", "x"]),
+    min_size=0,
+    max_size=12,
+).map(" ".join)
+
+
+@settings(max_examples=6, deadline=None)
+@given(st.lists(_pf_doc, min_size=2, max_size=12))
+def test_prefix_filter_join_lossless_on_generated_corpora(
+    spark, tmp_path_factory, texts
+):
+    import pandas as pd
+
+    from big_data_2021_spark_streaming_spark.operators.dedup import (
+        PF_TAU_MICRO,
+        prefix_filter_join,
+    )
+
+    d = tmp_path_factory.mktemp("pf_prop")
+    pd.DataFrame(
+        {
+            "doc_id": range(len(texts)),
+            "text": texts,
+            "lang": ["en"] * len(texts),
+            "source": ["s0"] * len(texts),
+            "n_chars": [len(t) for t in texts],
+        }
+    ).to_parquet(d / "documents.parquet")
+
+    sets = {}
+    for i, t in enumerate(texts):
+        toks = t.strip().split()
+        sets[i] = {f"{a} {b}" for a, b in zip(toks, toks[1:])}
+    expected = set()
+    ids = sorted(sets)
+    for i, da in enumerate(ids):
+        for db in ids[i + 1 :]:
+            inter = len(sets[da] & sets[db])
+            union = len(sets[da] | sets[db])
+            if union and inter * 1_000_000 >= PF_TAU_MICRO * union:
+                expected.add((da, db))
+
+    rows = prefix_filter_join(spark, str(d)).collect()
+    got = {(r.doc_id_a, r.doc_id_b) for r in rows}
+    assert got == expected
+    for r in rows:
+        assert r.n_a == len(sets[r.doc_id_a])
+        assert r.n_b == len(sets[r.doc_id_b])
+        assert r.n_inter == len(sets[r.doc_id_a] & sets[r.doc_id_b])
