@@ -145,6 +145,45 @@ ORACLES: dict[str, str] = {
         JOIN pt pa ON pairs.type_a = pa.event_type
         JOIN pt pb ON pairs.type_b = pb.event_type
     """,
+    "discount_quantity_ols": """
+        WITH j AS (
+            SELECT p.p_brand,
+                   CAST(round(l.l_discount * 100) AS BIGINT) AS x,
+                   CAST(round(l.l_quantity) AS BIGINT) AS y
+            FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        ),
+        m AS (
+            SELECT p_brand,
+                   CAST(COUNT(*) AS HUGEINT) AS n,
+                   CAST(SUM(x) AS HUGEINT) AS sx,
+                   CAST(SUM(y) AS HUGEINT) AS sy,
+                   CAST(SUM(x * y) AS HUGEINT) AS sxy,
+                   CAST(SUM(x * x) AS HUGEINT) AS sxx,
+                   CAST(SUM(y * y) AS HUGEINT) AS syy
+            FROM j GROUP BY p_brand
+        )
+        SELECT p_brand, CAST(n AS BIGINT) AS n_rows,
+               CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+                    WHEN n * sxy - sx * sy >= 0 THEN
+                     CAST((2 * (n * sxy - sx * sy) * 100000000
+                           + (n * sxx - sx * sx))
+                          // (2 * (n * sxx - sx * sx)) AS BIGINT)
+                         / 1000000.0
+                    ELSE
+                     -CAST((2 * -(n * sxy - sx * sy) * 100000000
+                            + (n * sxx - sx * sx))
+                           // (2 * (n * sxx - sx * sx)) AS BIGINT)
+                         / 1000000.0 END AS slope,
+               CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) = 0
+                    THEN NULL
+                    ELSE CAST((2 * (n * sxy - sx * sy) * (n * sxy - sx * sy)
+                               * 1000000
+                               + (n * sxx - sx * sx) * (n * syy - sy * sy))
+                              // (2 * (n * sxx - sx * sx)
+                                  * (n * syy - sy * sy)) AS BIGINT)
+                        / 1000000.0 END AS r2
+        FROM m
+    """,
     "user_value_gini": """
         WITH users AS (
             SELECT user_id,

@@ -172,6 +172,7 @@ _GRADE_AFTER_REGRADES = frozenset(
         "text_lang_kappa",
         "retrieval_mrr_eval",
         "user_value_gini",
+        "discount_quantity_ols",
         # round-4h additions (this session)
         "retrieval_ndcg_eval",
         "text_feature_hashing",

@@ -745,6 +745,7 @@ def test_registry_orders_unverified_queries_first():
         "dedup_prefix_filter", "quality_auc_eval",
         "dedup_lsh_recall_exact", "text_bpe_fertility",
         "text_lang_kappa", "retrieval_mrr_eval", "user_value_gini",
+        "discount_quantity_ols",
         # re-planned in round 4g (sf0.4 ROUND(SUM(double)) class fix;
         # deferred behind the regrades)
         "pivot_user_event_values", "session_window_stats",

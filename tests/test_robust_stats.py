@@ -390,3 +390,49 @@ def test_user_value_gini_matches_pure_python(spark):
     assert row.total_cents == s
     assert row.gini == expected
     assert 0.0 <= row.gini <= 1.0
+
+
+def test_discount_quantity_ols_matches_pure_python(spark):
+    """OLS slope and r-squared recomputed with exact Fractions per
+    brand from the raw parquet."""
+    from fractions import Fraction
+
+    import pandas as pd
+
+    from big_data_2021_spark_streaming_spark.plans.analytics import (
+        discount_quantity_ols,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    li = pd.read_parquet(f"{sf}/lineitem.parquet")
+    part = pd.read_parquet(f"{sf}/part.parquet")
+    j = li.merge(part, left_on="l_partkey", right_on="p_partkey")
+    expected = {}
+    for brand, g in j.groupby("p_brand"):
+        x = (g["l_discount"] * 100).round().astype(int)
+        y = g["l_quantity"].round().astype(int)
+        n = len(g)
+        sxy = n * int((x * y).sum()) - int(x.sum()) * int(y.sum())
+        sxx = n * int((x * x).sum()) - int(x.sum()) ** 2
+        syy = n * int((y * y).sum()) - int(y.sum()) ** 2
+
+        def half_away(fr: Fraction) -> float:
+            num, den = fr.numerator, fr.denominator
+            if num >= 0:
+                return (2 * num * 1_000_000 + den) // (2 * den) / 1e6
+            return -((2 * -num * 1_000_000 + den) // (2 * den)) / 1e6
+
+        slope = (
+            half_away(Fraction(100 * sxy, sxx)) if sxx else None
+        )
+        r2 = (
+            half_away(Fraction(sxy * sxy, sxx * syy))
+            if sxx and syy
+            else None
+        )
+        expected[brand] = (n, slope, r2)
+
+    rows = discount_quantity_ols(spark, sf).collect()
+    got = {r.p_brand: (r.n_rows, r.slope, r.r2) for r in rows}
+    assert got == expected
+    assert len(got) > 1
