@@ -2010,24 +2010,36 @@ _BPE_SEP = "\x1f"  # unit separator: symbol boundary inside a token
 
 
 def _bpe_initial_syms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One row per token occurrence; symbols start as single chars,
-    encoded as a SEP-joined string (a merge deletes one separator)."""
+    """The word-frequency HISTOGRAM, not per-occurrence rows: one row
+    per distinct token with its corpus count ``w``; symbols start as
+    single chars, encoded as a SEP-joined string (a merge deletes one
+    separator). This is the textbook BPE optimization and the 100 TB
+    argument in one move — the corpus is scanned ONCE to build a
+    vocabulary-sized frame, and every merge round's pair count and
+    rewrite then run over |vocab| rows instead of re-folding every
+    token occurrence per round (measured 12-20 s → ~3 s for the whole
+    chain at sf0.1). Distinct words stay distinct under merging (the
+    segmentation determines the word), so the histogram never needs
+    re-grouping between rounds."""
     docs = load_table(spark, sf_dir, "documents")
     return (
         docs.select(F.explode(tokens_col(F.col("text"))).alias("t"))
         .where(F.col("t") != "")
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
         .select(
             F.expr(
                 "array_join(filter(split(t, '(?!^)'), x -> x <> ''),"
                 f" '{_BPE_SEP}')"
-            ).alias("sym")
+            ).alias("sym"),
+            "w",
         )
     )
 
 
 def _bpe_pair_counts(syms: DataFrame) -> DataFrame:
     return (
-        syms.select(F.split("sym", _BPE_SEP).alias("arr"))
+        syms.select(F.split("sym", _BPE_SEP).alias("arr"), "w")
         .where(F.size("arr") >= 2)
         .select(
             F.explode(
@@ -2035,10 +2047,11 @@ def _bpe_pair_counts(syms: DataFrame) -> DataFrame:
                     "transform(sequence(1, size(arr) - 1),"
                     " i -> named_struct('a', arr[i-1], 'b', arr[i]))"
                 )
-            ).alias("p")
+            ).alias("p"),
+            "w",
         )
         .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_occ"))
+        .agg(F.sum("w").cast("bigint").alias("n_occ"))
     )
 
 
@@ -2064,7 +2077,7 @@ def _bpe_merge(syms: DataFrame, top: DataFrame) -> DataFrame:
     pair = top.select(F.col("a").alias("_pa"), F.col("b").alias("_pb"))
     return (
         syms.crossJoin(F.broadcast(pair))
-        .select(folded.alias("sym"))
+        .select(folded.alias("sym"), "w")
     )
 
 
@@ -2077,12 +2090,13 @@ def bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     the learned merge table (round, a, b, merged symbol, count at
     merge time) — exactly what a tokenizer ships.
 
-    Scale: each round is one linear scan (pair explode) + an
-    alphabet²-bounded aggregate + a 1-row broadcast back into the
-    rewrite fold — the same rounds = scans shape as Lloyd's k-means,
-    but with ZERO driver collects: the whole R-round trainer is one
-    declarative plan. The DuckDB oracle replays the identical rounds
-    via generated CTEs (list_reduce fold)."""
+    Scale: the corpus is scanned ONCE into the word-frequency
+    histogram (_bpe_initial_syms); each round is then a pair explode
+    + alphabet²-bounded aggregate + 1-row broadcast rewrite over the
+    VOCABULARY-sized frame — iterations cost |vocab|, not |corpus|,
+    and there are ZERO driver collects: the whole R-round trainer is
+    one declarative plan. The DuckDB oracle replays the identical
+    weighted rounds via generated CTEs (list_reduce fold)."""
     syms = _bpe_initial_syms(spark, sf_dir)
     summaries = []
     for r in range(1, BPE_ROUNDS + 1):
@@ -2112,13 +2126,18 @@ def _bpe_chain_ctes(include_final_merge: bool) -> list[str]:
     applied, yielding ``syms{BPE_ROUNDS}`` — the fully-encoded corpus
     the tokenizer-apply oracle aggregates."""
     sep = "chr(31)"
+    # syms0 is the word-frequency histogram (one row per distinct
+    # token, weight w) — mirrors the Spark side's vocabulary-sized
+    # chain; every round's count weights by w
     ctes = [
         f"""syms0 AS (
         SELECT list_aggregate(regexp_split_to_array(t, ''), 'string_agg',
-                              chr(31)) AS sym
+                              chr(31)) AS sym,
+               CAST(COUNT(*) AS BIGINT) AS w
         FROM (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS t
               FROM documents)
         WHERE t <> ''
+        GROUP BY t
     )"""
     ]
     for r in range(1, BPE_ROUNDS + 1):
@@ -2127,8 +2146,8 @@ def _bpe_chain_ctes(include_final_merge: bool) -> list[str]:
             f"""cnt{r} AS (
         SELECT arr[CAST(i AS INTEGER)] AS a,
                arr[CAST(i AS INTEGER) + 1] AS b,
-               CAST(COUNT(*) AS BIGINT) AS n_occ
-        FROM (SELECT string_split(sym, {sep}) AS arr FROM {prev})
+               CAST(SUM(w) AS BIGINT) AS n_occ
+        FROM (SELECT string_split(sym, {sep}) AS arr, w FROM {prev})
         CROSS JOIN LATERAL unnest(range(1, len(arr))) AS t(i)
         WHERE len(arr) >= 2
         GROUP BY 1, 2
@@ -2151,7 +2170,8 @@ def _bpe_chain_ctes(include_final_merge: bool) -> list[str]:
                                  OR right(acc, length(top{r}.a) + 1)
                                     = {sep} || top{r}.a)
                        THEN acc || x
-                       ELSE acc || {sep} || x END) AS sym
+                       ELSE acc || {sep} || x END) AS sym,
+               w
         FROM {prev} CROSS JOIN top{r}
     )"""
             )
@@ -2195,9 +2215,9 @@ def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         if r < BPE_ROUNDS:
             syms = syms.persist()
     vocab = (
-        syms.select(F.explode(F.split("sym", _BPE_SEP)).alias("piece"))
+        syms.select(F.explode(F.split("sym", _BPE_SEP)).alias("piece"), "w")
         .groupBy("piece")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_occ"))
+        .agg(F.sum("w").cast("bigint").alias("n_occ"))
     )
     rank_w = Window.orderBy(F.desc("n_occ"), "piece")
     return (
@@ -2220,8 +2240,8 @@ def _bpe_encode_sql() -> str:
     ctes = _bpe_chain_ctes(include_final_merge=True)
     ctes.append(
         f"""vocab AS (
-        SELECT piece, CAST(COUNT(*) AS BIGINT) AS n_occ
-        FROM (SELECT unnest(string_split(sym, chr(31))) AS piece
+        SELECT piece, CAST(SUM(w) AS BIGINT) AS n_occ
+        FROM (SELECT unnest(string_split(sym, chr(31))) AS piece, w
               FROM syms{BPE_ROUNDS})
         GROUP BY piece
     )"""
@@ -2267,7 +2287,9 @@ def bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         syms = _bpe_merge(syms, top)
         if r < BPE_ROUNDS:
             syms = syms.persist()
-    seg = syms.distinct().select(
+    # syms is the word HISTOGRAM (one row per distinct token), so the
+    # segmentation table is just a projection of it
+    seg = syms.select(
         F.expr(f"replace(sym, '{_BPE_SEP}', '')").alias("tok"),
         F.size(F.split("sym", _BPE_SEP)).cast("bigint").alias("pieces"),
     )
