@@ -2667,6 +2667,349 @@ ORACLES["retrieval_mrr_eval"] = _mrr_sql()
 
 
 # ---------------------------------------------------------------------
+# Residual IVF-PQ: the production Faiss IVFPQ layout. The plain
+# ivf_pq_topk PQ-encodes RAW vectors, so one global codebook must cover
+# the whole space; real IVFPQ encodes the RESIDUAL (vector − its cell
+# centroid), which re-centers every inverted list at the origin and
+# lets the same codebook spend its 4 bits/subspace on local detail —
+# the reason Faiss trains PQ on residuals by default. Same exact-
+# integer discipline as the PQ stack: components and centroids in
+# milli-units, every distance a BIGINT, doubles only at the boundary.
+# ---------------------------------------------------------------------
+
+
+def _cell_comp_milli(cents: DataFrame) -> DataFrame:
+    """(cell_id, gd, ccq): IVF centroid components in exact milli-units
+    — NLIST×DIM rows, always broadcast-sized."""
+    return cents.select(
+        "cell_id", F.posexplode("c").alias("gd", "cx")
+    ).select("cell_id", "gd", _milli(F.col("cx")).alias("ccq"))
+
+
+def ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual IVF-PQ top-5 (the Faiss IVFPQ layout): corpus vectors
+    are PQ-encoded as residuals against their assigned cell centroid,
+    and each query builds one ADC table PER PROBED CELL from its own
+    residual in that cell — N_QUERIES × NPROBE × PQ_M × PQ_K exact-
+    integer entries, still broadcast-sized.
+
+    Plan shape matches ivf_pq_topk: one broadcast-centroid assignment
+    scan, candidate set bounded by cell occupancy via the broadcast
+    probe join, candidates read as codes only. The one extra join key
+    is cell_id on the ADC lookup (a query's distance table differs per
+    cell because its residual does). All arithmetic is BIGINT milli²
+    so both engines agree bit-for-bit."""
+    vecs = _vectors(spark, sf_dir)
+    cents = _ivf_cells(vecs)
+    nearest_cells = _nearest_cells_fn(cents)
+    assigned = nearest_cells(vecs, "vec_id", "v", 1).select("vec_id", "cell_id")
+    queries = vecs.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("q")
+    )
+    probes = nearest_cells(queries, "query_id", "q", NPROBE).select(
+        "query_id", "cell_id"
+    )
+    cellcomp = _cell_comp_milli(cents)
+    comp = vecs.select(
+        "vec_id", F.posexplode("v").alias("gd", "x")
+    ).select("vec_id", "gd", _milli(F.col("x")).alias("xq"))
+    book = spark.createDataFrame(
+        _pq_centroid_rows(), "gd INT, m INT, k INT, cq LONG"
+    )
+    # corpus residual codes: residual = milli(x) − milli(centroid), per
+    # the vector's own cell (per-list residuals, exactly as Faiss)
+    rcomp = (
+        comp.join(assigned, "vec_id")
+        .join(F.broadcast(cellcomp), ["cell_id", "gd"])
+        .select("vec_id", "cell_id", "gd", (F.col("xq") - F.col("ccq")).alias("rq"))
+    )
+    rdiff = F.col("rq") - F.col("cq")
+    rdists = (
+        rcomp.join(F.broadcast(book), "gd")
+        .groupBy("vec_id", "cell_id", "m", "k")
+        .agg(F.sum(rdiff * rdiff).alias("dist"))
+    )
+    wcode = Window.partitionBy("vec_id", "m").orderBy("dist", "k")
+    rcodes = (
+        rdists.withColumn("rn", F.row_number().over(wcode))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "cell_id", "m", (F.col("k") + 1).alias("code"))
+    )
+    # per-(query, probed cell) ADC table from the query's residual in
+    # THAT cell — the residual layout's one structural difference
+    qrcomp = (
+        comp.join(
+            probes.withColumnRenamed("query_id", "vec_id"), "vec_id"
+        )
+        .join(F.broadcast(cellcomp), ["cell_id", "gd"])
+        .select(
+            F.col("vec_id").alias("query_id"),
+            "cell_id",
+            "gd",
+            (F.col("xq") - F.col("ccq")).alias("rq"),
+        )
+    )
+    qtab = (
+        qrcomp.join(F.broadcast(book), "gd")
+        .groupBy("query_id", "cell_id", "m", F.col("k").alias("code"))
+        .agg(F.sum(rdiff * rdiff).alias("qdist"))
+        .withColumn("code", F.col("code") + 1)
+    )
+    candidates = (
+        assigned.join(F.broadcast(probes), "cell_id")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "cell_id", "vec_id")
+    )
+    scored = (
+        # candidate frame is corpus-proportional — no broadcast hint
+        # (same reasoning as ivf_pq_topk); the ADC table stays hinted
+        rcodes.drop("cell_id")
+        .join(candidates, "vec_id")
+        .join(F.broadcast(qtab), ["query_id", "cell_id", "m", "code"])
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("qdist").alias("adc"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc").asc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOPK)
+        .select(
+            "query_id",
+            "rank",
+            "neighbor_id",
+            F.round(F.col("adc") / F.lit(1_000_000.0), 6).alias("approx_dist"),
+        )
+    )
+
+
+ORACLES["similarity_ivfpq_residual_topk"] = f"""
+    WITH comp0 AS (
+        SELECT vec_id,
+               unnest(range(0, len(embedding))) AS gd,
+               unnest(CAST(embedding AS DOUBLE[])) AS x
+        FROM embeddings
+    ),
+    comp AS (
+        SELECT vec_id, CAST(gd AS INTEGER) AS gd,
+               CAST(ROUND(x * 1000) AS BIGINT) AS xq
+        FROM comp0
+    ),
+    book(gd, m, k, cq) AS (VALUES {_pq_cents_values_sql()}),
+    v AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    cells AS (
+        SELECT vec_id AS cell_id, v AS c FROM v
+        WHERE vec_id >= {N_QUERIES} AND vec_id < {N_QUERIES + NLIST}
+    ),
+    assigned AS (
+        SELECT vec_id, cell_id FROM (
+            SELECT v.vec_id, c.cell_id,
+                   row_number() OVER (
+                       PARTITION BY v.vec_id
+                       ORDER BY list_cosine_similarity(v.v, c.c) DESC,
+                                c.cell_id) AS rn
+            FROM v CROSS JOIN cells c
+        ) WHERE rn = 1
+    ),
+    probes AS (
+        SELECT query_id, cell_id FROM (
+            SELECT v.vec_id AS query_id, c.cell_id,
+                   row_number() OVER (
+                       PARTITION BY v.vec_id
+                       ORDER BY list_cosine_similarity(v.v, c.c) DESC,
+                                c.cell_id) AS rn
+            FROM v CROSS JOIN cells c WHERE v.vec_id < {N_QUERIES}
+        ) WHERE rn <= {NPROBE}
+    ),
+    cellcomp AS (
+        SELECT cell_id, CAST(gd AS INTEGER) AS gd,
+               CAST(ROUND(x * 1000) AS BIGINT) AS ccq
+        FROM (
+            SELECT cell_id,
+                   unnest(range(0, len(c))) AS gd,
+                   unnest(c) AS x
+            FROM cells
+        )
+    ),
+    rcomp AS (
+        SELECT comp.vec_id, a.cell_id, comp.gd, comp.xq - cc.ccq AS rq
+        FROM comp
+        JOIN assigned a USING (vec_id)
+        JOIN cellcomp cc ON cc.cell_id = a.cell_id AND cc.gd = comp.gd
+    ),
+    rdists AS (
+        SELECT vec_id, cell_id, m, k,
+               SUM((rq - cq) * (rq - cq)) AS dist
+        FROM rcomp JOIN book USING (gd)
+        GROUP BY 1, 2, 3, 4
+    ),
+    rcodes AS (
+        SELECT vec_id, cell_id, m, k + 1 AS code FROM (
+            SELECT vec_id, cell_id, m, k,
+                   row_number() OVER (
+                       PARTITION BY vec_id, m ORDER BY dist, k) AS rn
+            FROM rdists
+        ) WHERE rn = 1
+    ),
+    qrcomp AS (
+        SELECT p.query_id, p.cell_id, comp.gd, comp.xq - cc.ccq AS rq
+        FROM comp
+        JOIN probes p ON p.query_id = comp.vec_id
+        JOIN cellcomp cc ON cc.cell_id = p.cell_id AND cc.gd = comp.gd
+    ),
+    qtab AS (
+        SELECT query_id, cell_id, m, k + 1 AS code,
+               SUM((rq - cq) * (rq - cq)) AS qdist
+        FROM qrcomp JOIN book USING (gd)
+        GROUP BY 1, 2, 3, 4
+    ),
+    cand AS (
+        SELECT p.query_id, a.vec_id, a.cell_id
+        FROM assigned a JOIN probes p USING (cell_id)
+        WHERE a.vec_id <> p.query_id
+    ),
+    scored AS (
+        SELECT cand.query_id, rc.vec_id AS neighbor_id, SUM(q.qdist) AS adc
+        FROM cand
+        JOIN rcodes rc ON rc.vec_id = cand.vec_id
+        JOIN qtab q ON q.query_id = cand.query_id
+                   AND q.cell_id = cand.cell_id
+                   AND q.m = rc.m AND q.code = rc.code
+        GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, adc,
+               row_number() OVER (
+                   PARTITION BY query_id ORDER BY adc, neighbor_id) AS rank
+        FROM scored
+    )
+    SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id,
+           ROUND(adc / 1000000.0, 6) AS approx_dist
+    FROM ranked WHERE rank <= {TOPK}
+"""
+
+
+# ---------------------------------------------------------------------
+# Johnson-Lindenstrauss projection audit: project every embedding to
+# JL_K dims with a deterministic ±1 sign matrix (Achlioptas/database-
+# friendly JL — no Gaussians needed) and measure how well squared norms
+# survive: ratio = ‖y‖²/(K·‖x‖²), expected 1. This is the acceptance
+# metric for replacing 64-dim distance work with a 16-dim sketch in
+# coarse filtering/blocking at 100 TB — if the per-label ratio spread
+# is tight, the projection is safe; if not, JL_K is too small. All
+# arithmetic is exact BIGINT milli-units: the projection is a per-row
+# integer fold (no shuffle before the label rollup).
+# ---------------------------------------------------------------------
+
+JL_K = 16  # projected dimensions
+
+
+def jl_sign(j: int, d: int) -> int:
+    """Deterministic ±1 sign for projected dim j, input dim d — same
+    cross-engine h60 family as hyperplane/pq_centroid."""
+    return 1 if _h60_py(f"jl:{j}:{d}") % 2 == 0 else -1
+
+
+def _jl_sign_array(j: int) -> F.Column:
+    return F.array(
+        *[F.lit(jl_sign(j, d)).cast("bigint") for d in range(DIM)]
+    )
+
+
+def jl_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label JL norm-distortion report: n_vecs plus the mean / min /
+    max of the exact per-vector ratio ‖y‖²/(JL_K·‖x‖²) in micro-units
+    (half-up). Plan: one corpus scan — every projection is a JVM-side
+    integer zip_with/fold — then a |labels|-key aggregate."""
+    vecs = _vectors(spark, sf_dir)
+    vq = F.transform(F.col("v"), lambda x: _milli(x))
+    df = vecs.select("vec_id", "label", vq.alias("vq"))
+    zero = F.lit(0).cast("bigint")
+    idot = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: x * y), zero, lambda acc, x: acc + x
+    )
+    sx2 = F.aggregate("vq", zero, lambda acc, x: acc + x * x)
+    ys = [idot(F.col("vq"), _jl_sign_array(j)) for j in range(JL_K)]
+    sy2 = ys[0] * ys[0]
+    for y in ys[1:]:
+        sy2 = sy2 + y * y
+    per_vec = df.select(
+        "label", sx2.alias("sx2"), sy2.alias("sy2")
+    ).where(F.col("sx2") > 0)
+    ratio_micro = F.expr(
+        f"(2 * 1000000 * sy2 + {JL_K} * sx2) div (2 * {JL_K} * sx2)"
+    )
+    return (
+        per_vec.select("label", ratio_micro.alias("r_micro"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            (
+                F.expr("(2 * sum(r_micro) + count(1)) div (2 * count(1))")
+                / F.lit(1e6)
+            ).alias("avg_ratio"),
+            (F.min("r_micro") / F.lit(1e6)).alias("min_ratio"),
+            (F.max("r_micro") / F.lit(1e6)).alias("max_ratio"),
+        )
+    )
+
+
+def _jl_signs_values_sql() -> str:
+    return ", ".join(
+        f"({j}, {d}, {jl_sign(j, d)})"
+        for j in range(JL_K)
+        for d in range(DIM)
+    )
+
+
+# relational twin: order-free integer sums, so the oracle need not
+# mirror the fold-based plan shape — only the values
+ORACLES["embedding_jl_distortion"] = f"""
+    WITH comp0 AS (
+        SELECT vec_id, label,
+               unnest(range(0, len(embedding))) AS gd,
+               unnest(CAST(embedding AS DOUBLE[])) AS x
+        FROM embeddings
+    ),
+    comp AS (
+        SELECT vec_id, label, CAST(gd AS INTEGER) AS gd,
+               CAST(ROUND(x * 1000) AS BIGINT) AS xq
+        FROM comp0
+    ),
+    signs(j, gd, s) AS (VALUES {_jl_signs_values_sql()}),
+    proj AS (
+        SELECT vec_id, label, j, SUM(s * xq) AS y
+        FROM comp JOIN signs USING (gd)
+        GROUP BY 1, 2, 3
+    ),
+    norms AS (
+        SELECT vec_id, label, SUM(xq * xq) AS sx2
+        FROM comp GROUP BY 1, 2
+    ),
+    pnorm AS (
+        SELECT vec_id, SUM(y * y) AS sy2 FROM proj GROUP BY 1
+    ),
+    ratio AS (
+        SELECT n.label,
+               (2 * 1000000 * p.sy2 + {JL_K} * n.sx2)
+                   // (2 * {JL_K} * n.sx2) AS r_micro
+        FROM norms n JOIN pnorm p USING (vec_id)
+        WHERE n.sx2 > 0
+    )
+    SELECT label,
+           COUNT(*) AS n_vecs,
+           ((2 * SUM(r_micro) + COUNT(*)) // (2 * COUNT(*))) / 1000000.0
+               AS avg_ratio,
+           MIN(r_micro) / 1000000.0 AS min_ratio,
+           MAX(r_micro) / 1000000.0 AS max_ratio
+    FROM ratio GROUP BY label
+"""
+
+
+# ---------------------------------------------------------------------
 # Per-session top-k memo: the acceptance stack (ann_recall, the
 # matryoshka report, recall_sweep) and the standalone index queries all
 # evaluate the same small per-method top-k frames; memoizing the
@@ -2708,6 +3051,8 @@ _mrl_prefix_pairs = _session_memo("mrl_pairs")(_mrl_prefix_pairs)
 
 QUERIES = {
     # new-in-round-4 entries first: registry order = driver grading order
+    "similarity_ivfpq_residual_topk": ivfpq_residual_topk,
+    "embedding_jl_distortion": jl_distortion,
     "retrieval_mrr_eval": mrr_eval,
     "embedding_label_consensus": label_consensus,
     "retrieval_ndcg_eval": ndcg_eval,

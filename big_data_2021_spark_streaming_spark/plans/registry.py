@@ -182,6 +182,9 @@ _GRADE_AFTER_REGRADES = frozenset(
         "basket_lift_pairs",
         "dedup_crosslingual_pairs",
         "data_quality_report",
+        # round-4j additions (this session)
+        "similarity_ivfpq_residual_topk",
+        "embedding_jl_distortion",
         # round-4g additions (this session)
         "sketch_hll_intersection",
         "text_bpe_encode",

@@ -485,3 +485,185 @@ def test_mrr_eval_consistent_with_topk_frames(spark):
             assert r.reciprocal_rank == (
                 (2 * 1_000_000 + fr) // (2 * fr) / 1e6
             )
+
+
+def test_ivfpq_residual_topk_matches_pure_python(spark):
+    """Full third-engine recomputation of residual IVF-PQ from the raw
+    parquet: assignment/probes by sequential-fold cosine, residuals and
+    ADC in exact integer milli² — pins the Faiss-style per-list
+    residual semantics independently of both SQL engines."""
+    import math
+
+    import pandas as pd
+
+    from big_data_2021_spark_streaming_spark.operators.similarity import (
+        N_QUERIES,
+        NLIST,
+        NPROBE,
+        PQ_K,
+        PQ_M,
+        PQ_SUBDIM,
+        ivfpq_residual_topk,
+        pq_centroid,
+    )
+
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet")
+    vecs = {
+        int(r["vec_id"]): [float(x) for x in r["embedding"]]
+        for _, r in emb.iterrows()
+    }
+
+    def milli(x: float) -> int:
+        q = int(math.floor(abs(x) * 1000 + 0.5))
+        return q if x >= 0 else -q
+
+    def cos(a, b):  # sequential fold, same order as _cos / list_cosine
+        dot = 0.0
+        for x, y in zip(a, b):
+            dot += x * y
+        na = 0.0
+        for x in a:
+            na += x * x
+        nb = 0.0
+        for y in b:
+            nb += y * y
+        return dot / (math.sqrt(na) * math.sqrt(nb))
+
+    cells = {
+        cid: vecs[cid]
+        for cid in range(N_QUERIES, N_QUERIES + NLIST)
+        if cid in vecs
+    }
+    assert cells, "sf too small for the seed centroid window"
+
+    def nearest(v, n):
+        scored = sorted(
+            ((-cos(v, c), cid) for cid, c in cells.items())
+        )
+        return [cid for _, cid in scored[:n]]
+
+    assigned = {vid: nearest(v, 1)[0] for vid, v in vecs.items()}
+    probes = {
+        q: nearest(vecs[q], NPROBE) for q in vecs if q < N_QUERIES
+    }
+    book = {
+        (m, k): [milli(c) for c in pq_centroid(m, k)]
+        for m in range(PQ_M)
+        for k in range(PQ_K)
+    }
+
+    def residual(vid: int, cid: int) -> list[int]:
+        cv = cells[cid]
+        return [
+            milli(x) - milli(c) for x, c in zip(vecs[vid], cv)
+        ]
+
+    def codes(res: list[int]) -> list[int]:
+        out = []
+        for m in range(PQ_M):
+            sub = res[m * PQ_SUBDIM : (m + 1) * PQ_SUBDIM]
+            best = min(
+                (
+                    sum((r - c) ** 2 for r, c in zip(sub, book[(m, k)])),
+                    k,
+                )
+                for k in range(PQ_K)
+            )[1]
+            out.append(best)
+        return out
+
+    corpus_codes = {
+        vid: codes(residual(vid, assigned[vid])) for vid in vecs
+    }
+    expected = {}
+    for q, probed in probes.items():
+        cand = []
+        for cid in probed:
+            qres = residual(q, cid)
+            qtab = {
+                (m, k): sum(
+                    (r - c) ** 2
+                    for r, c in zip(
+                        qres[m * PQ_SUBDIM : (m + 1) * PQ_SUBDIM],
+                        book[(m, k)],
+                    )
+                )
+                for m in range(PQ_M)
+                for k in range(PQ_K)
+            }
+            for vid, acell in assigned.items():
+                if acell != cid or vid == q:
+                    continue
+                adc = sum(
+                    qtab[(m, corpus_codes[vid][m])] for m in range(PQ_M)
+                )
+                cand.append((adc, vid))
+        cand.sort()
+        expected[q] = [
+            (rank + 1, vid, round(adc / 1e6, 6))
+            for rank, (adc, vid) in enumerate(cand[:TOPK])
+        ]
+
+    rows = ivfpq_residual_topk(spark, SF).collect()
+    got = defaultdict(list)
+    for r in rows:
+        got[r.query_id].append((r.rank, r.neighbor_id, r.approx_dist))
+    for q in got:
+        got[q].sort()
+    expected = {q: v for q, v in expected.items() if v}
+    assert dict(got) == expected
+
+
+def test_jl_distortion_matches_pure_python(spark):
+    """Third-engine recompute of the JL ±1-projection norm audit in
+    exact integer milli-units, including the half-up micro divisions —
+    and the semantic JL sanity bound: every per-label mean ratio sits
+    in a loose (0.2, 5) band around the unbiased expectation 1."""
+    import math
+
+    import pandas as pd
+
+    from big_data_2021_spark_streaming_spark.operators.similarity import (
+        JL_K,
+        jl_distortion,
+        jl_sign,
+    )
+
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet")
+    dim = len(emb.iloc[0]["embedding"])
+    signs = [[jl_sign(j, d) for d in range(dim)] for j in range(JL_K)]
+
+    def milli(x: float) -> int:
+        q = int(math.floor(abs(x) * 1000 + 0.5))
+        return q if x >= 0 else -q
+
+    per_label: dict[int, list[int]] = {}
+    for _, row in emb.iterrows():
+        vq = [milli(float(x)) for x in row["embedding"]]
+        sx2 = sum(x * x for x in vq)
+        if sx2 == 0:
+            continue
+        sy2 = 0
+        for j in range(JL_K):
+            y = sum(s * x for s, x in zip(signs[j], vq))
+            sy2 += y * y
+        r_micro = (2 * 1_000_000 * sy2 + JL_K * sx2) // (2 * JL_K * sx2)
+        per_label.setdefault(int(row["label"]), []).append(r_micro)
+
+    expected = {
+        label: (
+            len(rs),
+            ((2 * sum(rs) + len(rs)) // (2 * len(rs))) / 1e6,
+            min(rs) / 1e6,
+            max(rs) / 1e6,
+        )
+        for label, rs in per_label.items()
+    }
+    rows = jl_distortion(spark, SF).collect()
+    got = {
+        r.label: (r.n_vecs, r.avg_ratio, r.min_ratio, r.max_ratio)
+        for r in rows
+    }
+    assert got == expected
+    for label, (_, avg, _, _) in got.items():
+        assert 0.2 < avg < 5, (label, avg)

@@ -162,6 +162,7 @@ _BNLJ_INTENDED = frozenset(
         "similarity_ivf_topk",        # broadcast-centroid assignment
         "similarity_ivf_occupancy",   # same centroid assignment
         "similarity_ivf_pq_topk",     # same, composed with PQ
+        "similarity_ivfpq_residual_topk",  # same, composed with residual PQ
         "text_tfidf_topterms",        # 1-row n_docs total
         "text_token_rarity",          # 1-row corpus-token total
         "join_key_skew",              # 1-row key-stats total onto top-10
