@@ -3038,6 +3038,74 @@ def event_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EWMA_DEPTH = 16  # α = 1/2 EWMA truncated at 16 prior events
+EWMA_WARMUP = 4  # history rows required before flagging
+EWMA_SPIKE_MULT = 3  # flag when value > 3 × EWMA of prior values
+
+
+def event_ewma_spikes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA spike detector: flag events whose value exceeds
+    EWMA_SPIKE_MULT × the exponentially-weighted (α = 1/2) average of
+    the user's prior values — the standard per-entity burst monitor
+    (fraud spikes, runaway clients) in its streaming-friendly form.
+
+    Exactness: with α = 1/2 the weights are dyadic, so the truncated
+    EWMA over the last L ≤ EWMA_DEPTH values is the exact rational
+    Σ vqᵢ·2ⁱ / (2ᴸ − 1) (oldest first) in micro-unit BIGINTs — the
+    common 2^(DEPTH−L) factor cancels, the spike test is an integer
+    cross-multiply, and the reported EWMA is the established half-up
+    micro division, so both engines agree bit-for-bit. (The DuckDB twin
+    computes the un-telescoped Σ vq·2^(DEPTH−d) form via a bounded
+    self-join — same rational, identical floor.)
+
+    Scale: one shuffle on user_id; the history is a bounded window
+    frame (ROWS 16 PRECEDING), state O(DEPTH) per user exactly like
+    the streaming implementation would keep, never a per-user
+    re-scan. Values here are strictly positive; a signed variant
+    would re-sign the half-up division (see _cents_signed)."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seqd = events.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        F.expr("cast(round(value * 1000000) as bigint)").alias("vq"),
+    ).withColumn(
+        "hist",
+        F.collect_list("vq").over(w.rowsBetween(-EWMA_DEPTH, -1)),
+    )
+    # fold with a (sum, weight) struct accumulator: weight doubles per
+    # element, so hist[i] (oldest first) picks up 2^i — one JVM-side
+    # pass, no explode
+    num = F.expr(
+        "aggregate(hist, struct(cast(0 as bigint) as s,"
+        " cast(1 as bigint) as p),"
+        " (acc, x) -> struct(acc.s + x * acc.p, acc.p * 2),"
+        " acc -> acc.s)"
+    )
+    den = F.expr("shiftleft(cast(1 as bigint), size(hist)) - 1")
+    scored = seqd.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.size("hist").cast("bigint").alias("n_hist"),
+        num.alias("num"),
+        den.alias("den"),
+        "vq",
+    )
+    return scored.where(
+        (F.col("n_hist") >= EWMA_WARMUP)
+        & (F.col("vq") * F.col("den") > EWMA_SPIKE_MULT * F.col("num"))
+    ).select(
+        "user_id",
+        "event_id",
+        "value",
+        "n_hist",
+        (F.expr("(2 * num + den) div (2 * den)") / F.lit(1e6)).alias("ewma"),
+    )
+
+
 def order_fulfillment_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-to-ship latency distribution per order priority: exact
     median and p90 of (l_shipdate − o_orderdate) days over the
@@ -3603,6 +3671,7 @@ QUERIES: dict[str, object] = {
     # a budget; see plans/registry.py) — entries added or re-planned
     # most recently go FIRST so they are graded before the suite that
     # already has multiple green rounds on record.
+    "event_ewma_spikes": event_ewma_spikes,
     "user_value_gini": user_value_gini,
     "discount_quantity_ols": discount_quantity_ols,
     "customer_value_frontier": customer_value_frontier,

@@ -1819,3 +1819,31 @@ ORACLES["customer_order_streaks"] = """
     ORDER BY streak_days DESC, o_custkey, start_day
     LIMIT 20
 """
+
+# EWMA spike twin: un-telescoped dyadic weights via a bounded self-join
+# (p.seq within 16 of e.seq); num/den share the 2^(16-L) factor with the
+# Spark fold's telescoped form, so the floor divisions are identical
+ORACLES["event_ewma_spikes"] = """
+    WITH seqd AS (
+        SELECT user_id, event_id, value,
+               CAST(ROUND(value * 1000000) AS BIGINT) AS vq,
+               row_number() OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS seq
+        FROM events
+    ),
+    hist AS (
+        SELECT e.user_id, e.event_id, e.value, e.vq,
+               CAST(COUNT(*) AS BIGINT) AS n_hist,
+               SUM(p.vq * (CAST(1 AS BIGINT) << (16 - (e.seq - p.seq))))
+                   AS num,
+               SUM(CAST(1 AS BIGINT) << (16 - (e.seq - p.seq))) AS den
+        FROM seqd e
+        JOIN seqd p ON p.user_id = e.user_id
+                   AND p.seq BETWEEN e.seq - 16 AND e.seq - 1
+        GROUP BY 1, 2, 3, 4
+    )
+    SELECT user_id, event_id, value, n_hist,
+           ((2 * num + den) // (2 * den)) / 1000000.0 AS ewma
+    FROM hist
+    WHERE n_hist >= 4 AND vq * den > 3 * num
+"""

@@ -185,6 +185,7 @@ _GRADE_AFTER_REGRADES = frozenset(
         # round-4j additions (this session)
         "similarity_ivfpq_residual_topk",
         "embedding_jl_distortion",
+        "event_ewma_spikes",
         # round-4g additions (this session)
         "sketch_hll_intersection",
         "text_bpe_encode",

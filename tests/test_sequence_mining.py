@@ -69,3 +69,40 @@ def test_path_topk_matches_pure_python(spark):
     assert [(r.path, r.n_sessions) for r in rows] == expected
     for r in rows:
         assert r.path.count(">") <= PATH_MAX_EVENTS - 1
+
+
+def test_ewma_spikes_match_pure_python(spark):
+    """Recompute the dyadic EWMA spike detector row-for-row: per-user
+    (ts, event_id)-ordered walk keeping the last 16 micro-unit values,
+    exact integer Σ vqᵢ·2ⁱ / (2ᴸ−1) and the half-up micro division."""
+    import math
+
+    from big_data_2021_spark_streaming_spark.plans.analytics import (
+        EWMA_DEPTH,
+        EWMA_SPIKE_MULT,
+        EWMA_WARMUP,
+        event_ewma_spikes,
+    )
+
+    ev = _events().sort_values(["user_id", "ts", "event_id"])
+    expected = {}
+    for uid, grp in ev.groupby("user_id"):
+        hist: list[int] = []
+        for _, row in grp.iterrows():
+            v = float(row["value"])
+            vq = int(math.floor(abs(v) * 1e6 + 0.5)) * (1 if v >= 0 else -1)
+            window = hist[-EWMA_DEPTH:]
+            L = len(window)
+            if L >= EWMA_WARMUP:
+                num = sum(x << i for i, x in enumerate(window))
+                den = (1 << L) - 1
+                if vq * den > EWMA_SPIKE_MULT * num:
+                    expected[(int(uid), int(row["event_id"]))] = (
+                        L,
+                        ((2 * num + den) // (2 * den)) / 1e6,
+                    )
+            hist.append(vq)
+    rows = event_ewma_spikes(spark, SF).collect()
+    got = {(r.user_id, r.event_id): (r.n_hist, r.ewma) for r in rows}
+    assert got == expected
+    assert expected, "fixture produced no spikes — detector untested"
