@@ -703,6 +703,137 @@ def _wsample_sql() -> str:
 """
 
 
+BUDGET_NUM, BUDGET_DEN = 2, 5  # keep the best 2/5 of corpus tokens
+BUDGET_BANDS = 32
+
+
+def token_budget_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget curation plan: fill a token budget (2/5 of the
+    corpus) with documents in descending quality order and report, per
+    (lang, source) stratum, how many docs/tokens survive the cut — the
+    'select the best N tokens for this training run' pass, which is
+    how pretraining corpora are actually sized (token budgets, not doc
+    counts).
+
+    Exactness: the cut is an inclusive prefix-sum test in integer
+    tokens (cum·DEN ≤ total·NUM — no division at all), over the unique
+    total order (q_micro DESC, doc_id).
+
+    Scale: the global cumulative sum never funnels through one sort
+    task — docs are banded by quality value (BUDGET_BANDS fixed bands),
+    the running token sum is computed within each band, and the ≤32
+    per-band token totals are prefix-summed and broadcast back as
+    offsets (same two-phase shape as _exact_group_rank). One corpus
+    scan + one |bands|-row exchange + one |strata|-key rollup."""
+    docs = load_table(spark, sf_dir, "documents")
+    q = quality_lineage(docs, keep=("lang", "source")).select(
+        "doc_id",
+        "lang",
+        "source",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.expr("cast(round(quality * 1000000) as bigint)").alias("q_micro"),
+    )
+    total = q.agg(F.sum("n_tokens").alias("_tot"))
+    banded = q.crossJoin(F.broadcast(total)).withColumn(
+        "_band",
+        F.expr(f"int(((1000000 - q_micro) * {BUDGET_BANDS}) div 1000001)"),
+    )
+    w_in = (
+        Window.partitionBy("_band")
+        .orderBy(F.col("q_micro").desc(), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_off = Window.orderBy("_band").rowsBetween(
+        Window.unboundedPreceding, -1
+    )  # ≤ BUDGET_BANDS rows — never a data-sized global window
+    offs = (
+        banded.groupBy("_band")
+        .agg(F.sum("n_tokens").alias("_c"))
+        .select(
+            "_band",
+            F.coalesce(F.sum("_c").over(w_off), F.lit(0)).alias("_off"),
+        )
+    )
+    kept = (
+        banded.join(F.broadcast(offs), "_band")
+        .withColumn("_cum", F.col("_off") + F.sum("n_tokens").over(w_in))
+        .where(F.expr(f"_cum * {BUDGET_DEN} <= _tot * {BUDGET_NUM}"))
+    )
+    totals = q.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs_total"),
+        F.sum("n_tokens").alias("tokens_total"),
+    )
+    kept_agg = kept.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs_kept"),
+        F.sum("n_tokens").alias("tokens_kept"),
+    )
+    return (
+        totals.join(kept_agg, ["lang", "source"], "left")
+        .select(
+            "lang",
+            "source",
+            "n_docs_total",
+            F.coalesce("n_docs_kept", F.lit(0)).cast("bigint").alias(
+                "n_docs_kept"
+            ),
+            "tokens_total",
+            F.coalesce("tokens_kept", F.lit(0)).cast("bigint").alias(
+                "tokens_kept"
+            ),
+        )
+        .withColumn(
+            "kept_share",
+            F.expr(
+                "(2 * tokens_kept * 1000000 + tokens_total)"
+                " div (2 * tokens_total)"
+            )
+            / F.lit(1e6),
+        )
+    )
+
+
+ORACLES["corpus_token_budget_plan"] = f"""
+    WITH {_quality_cte()},
+    base AS (
+        SELECT d.doc_id, d.lang, d.source, qt.n_tokens,
+               CAST(round(q.quality * 1000000) AS BIGINT) AS q_micro
+        FROM documents d
+        JOIN qt USING (doc_id)
+        JOIN q USING (doc_id)
+    ),
+    tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS t FROM base),
+    cum AS (
+        SELECT lang, source, n_tokens,
+               SUM(n_tokens) OVER (
+                   ORDER BY q_micro DESC, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS c
+        FROM base
+    ),
+    kept AS (
+        SELECT lang, source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs_kept,
+               CAST(SUM(n_tokens) AS BIGINT) AS tokens_kept
+        FROM cum, tot
+        WHERE c * {BUDGET_DEN} <= t * {BUDGET_NUM}
+        GROUP BY 1, 2
+    ),
+    totals AS (
+        SELECT lang, source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs_total,
+               CAST(SUM(n_tokens) AS BIGINT) AS tokens_total
+        FROM base GROUP BY 1, 2
+    )
+    SELECT t.lang, t.source, t.n_docs_total,
+           COALESCE(k.n_docs_kept, 0) AS n_docs_kept,
+           t.tokens_total,
+           COALESCE(k.tokens_kept, 0) AS tokens_kept,
+           ((2 * COALESCE(k.tokens_kept, 0) * 1000000 + t.tokens_total)
+               // (2 * t.tokens_total)) / 1e6 AS kept_share
+    FROM totals t LEFT JOIN kept k USING (lang, source)
+"""
+
+
 def corpus_mixture_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The mixture dashboard behind the sampling knob above: per
     (lang, source) document counts, char volume, mean quality, and
@@ -1496,6 +1627,7 @@ ORACLES["quality_auc_eval"] = f"""
 
 QUERIES = {
     # new-in-round-4 entries first: registry order = driver grading order
+    "corpus_token_budget_plan": token_budget_plan,
     "quality_auc_eval": quality_auc_eval,
     "corpus_source_minhash": source_minhash_similarity,
     "quality_dup_profile": quality_dup_profile,

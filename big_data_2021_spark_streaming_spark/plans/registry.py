@@ -186,6 +186,7 @@ _GRADE_AFTER_REGRADES = frozenset(
         "similarity_ivfpq_residual_topk",
         "embedding_jl_distortion",
         "event_ewma_spikes",
+        "corpus_token_budget_plan",
         # round-4g additions (this session)
         "sketch_hll_intersection",
         "text_bpe_encode",

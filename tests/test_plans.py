@@ -167,6 +167,7 @@ _BNLJ_INTENDED = frozenset(
         "text_token_rarity",          # 1-row corpus-token total
         "join_key_skew",              # 1-row key-stats total onto top-10
         "valuable_part_stock",        # 1-row grand-total threshold
+        "corpus_token_budget_plan",   # 1-row corpus-token total
         "sketch_hll_users",           # 1-row register summary × 1-row exact count
         "value_drift_tvd",            # 1-row global-bounds frame onto the scan
         "split_leakage_report",       # 1-row leak total onto the 3-row summary
@@ -224,6 +225,7 @@ _GLOBAL_WINDOW_INTENDED = frozenset(
     {
         "corpus_mixture_report",      # |source×bucket| strata summary
         "corpus_shard_plan",          # |bands| band summaries
+        "corpus_token_budget_plan",   # |bands| band-offset partials
         "customer_rfm_scores",        # |bands| banded-rank partials
         "customer_value_frontier",    # |bands| prefix-max partials
         "doc_packing",                # |segments| per-seg token totals

@@ -261,3 +261,68 @@ def test_quality_auc_matches_pure_python_pair_counting(spark):
     assert row.n_nondup == len(non_scores)
     assert row.concordant2 == concordant2
     assert row.auc == expected_auc
+
+
+def test_token_budget_plan_matches_pure_python(spark):
+    """Recompute the token-budget cut in pure Python: per-doc quality
+    via the Spark quality lineage itself (already pinned elsewhere),
+    then the inclusive prefix-sum rule over (q_micro DESC, doc_id) and
+    the per-stratum rollup — pins the banded two-phase cumsum against
+    a flat single-ordered walk."""
+    from big_data_2021_spark_streaming_spark.operators.curation import (
+        BUDGET_DEN,
+        BUDGET_NUM,
+        token_budget_plan,
+    )
+    from big_data_2021_spark_streaming_spark.operators.text import (
+        quality_lineage,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    q = [
+        (
+            r.doc_id,
+            r.lang,
+            r.source,
+            int(r.n_tokens),
+            int(round(r.quality * 1e6)),
+        )
+        for r in quality_lineage(docs, keep=("lang", "source")).collect()
+    ]
+    total = sum(r[3] for r in q)
+    order = sorted(q, key=lambda r: (-r[4], r[0]))
+    kept_ids = set()
+    cum = 0
+    for doc_id, _, _, n_tokens, _ in order:
+        cum += n_tokens
+        # inclusive prefix test per row (no early break: a 0-token doc
+        # past the boundary still fits, exactly as the plan's filter)
+        if cum * BUDGET_DEN <= total * BUDGET_NUM:
+            kept_ids.add(doc_id)
+    expected = {}
+    for doc_id, lang, source, n_tokens, _ in q:
+        key = (lang, source)
+        tot = expected.setdefault(key, [0, 0, 0, 0])
+        tot[0] += 1
+        tot[2] += n_tokens
+        if doc_id in kept_ids:
+            tot[1] += 1
+            tot[3] += n_tokens
+    rows = token_budget_plan(spark, SF).collect()
+    got = {
+        (r.lang, r.source): [
+            r.n_docs_total,
+            r.n_docs_kept,
+            r.tokens_total,
+            r.tokens_kept,
+        ]
+        for r in rows
+    }
+    assert got == expected
+    for r in rows:
+        exp_share = (
+            (2 * r.tokens_kept * 1_000_000 + r.tokens_total)
+            // (2 * r.tokens_total)
+        ) / 1e6
+        assert r.kept_share == exp_share
+    assert kept_ids, "budget kept nothing — fixture too small"
