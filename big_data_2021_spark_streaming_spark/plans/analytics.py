@@ -1442,6 +1442,163 @@ def fuzzy_name_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Fellegi–Sunter m-probabilities (P(field agrees | true match)) as
+# pinned rationals — in production these come from EM over labeled
+# pairs; pinning keeps the scorer deterministic and cross-engine exact.
+# u-probabilities (P(agrees | random non-match)) ARE estimated from the
+# data: u_f = Σ c_v(c_v−1) / N(N−1) over the field's value counts.
+FS_M_NATION = (9, 10)
+FS_M_SEGMENT = (4, 5)
+FS_M_BAL = (19, 20)
+
+
+def linkage_fs_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi–Sunter record-linkage scoring over the blocked candidate
+    pairs: for each edit-distance-1 name pair (deletion-neighborhood
+    blocking, same shape as fuzzy_name_matches), compare nation /
+    market-segment / account-balance band and combine per-field likelihood
+    ratios (m/u on agreement, (1−m)/(1−u) on disagreement) into match
+    odds — the classic probabilistic linkage decision rule.
+
+    Exactness: u-probabilities are exact BIGINT rationals from one
+    value-frequency pass per field; each field ratio is the established
+    half-up micro division; the combined odds multiply three identical
+    micro integers as doubles in pinned left-to-right order, so both
+    engines produce bit-identical products (each factor < 2⁵³ — no
+    double rounding before the final division by 1e18).
+
+    Scale: candidate work is bounded by the blocking join exactly as
+    fuzzy_name_matches; the u-statistics are three |values|-key
+    aggregates folded into ONE broadcast 1-row frame — never a second
+    corpus pass per pair."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        "c_mktsegment",
+        # 1000-unit balance band via exact cents (no double floor drift)
+        F.expr(
+            "cast(round(c_acctbal * 100) as bigint) div 100000"
+        ).alias("bal_band"),
+    )
+
+    def u_num(col: str, alias: str) -> DataFrame:
+        return (
+            cust.groupBy(col)
+            .agg(F.count(F.lit(1)).alias("c"))
+            .agg(F.sum(F.expr("c * (c - 1)")).cast("bigint").alias(alias))
+        )
+
+    stats = (
+        cust.agg(
+            F.expr("count(1) * (count(1) - 1)").cast("bigint").alias("u_den")
+        )
+        .crossJoin(u_num("c_nationkey", "u_nat"))
+        .crossJoin(u_num("c_mktsegment", "u_seg"))
+        .crossJoin(u_num("bal_band", "u_bal"))
+    )
+    base = cust.select("c_custkey", "c_name", F.length("c_name").alias("n"))
+    deletions = base.select(
+        "c_custkey",
+        "c_name",
+        F.explode(F.sequence(F.lit(1), F.col("n"))).alias("pos"),
+    ).select(
+        "c_custkey",
+        "c_name",
+        F.concat(
+            F.expr("substr(c_name, 1, pos - 1)"),
+            F.expr("substr(c_name, pos + 1)"),
+        ).alias("variant"),
+    )
+    variants = deletions.union(
+        base.select("c_custkey", "c_name", F.col("c_name").alias("variant"))
+    ).distinct()
+    cand = (
+        variants.select(
+            F.col("c_custkey").alias("custkey_a"),
+            F.col("c_name").alias("name_a"),
+            "variant",
+        )
+        .join(
+            variants.select(
+                F.col("c_custkey").alias("custkey_b"),
+                F.col("c_name").alias("name_b"),
+                "variant",
+            ),
+            "variant",
+        )
+        .where(F.col("custkey_a") < F.col("custkey_b"))
+        .select("custkey_a", "custkey_b", "name_a", "name_b")
+        .distinct()
+        .where(F.levenshtein("name_a", "name_b") == 1)
+        .select("custkey_a", "custkey_b")
+    )
+    fa = cust.select(
+        F.col("c_custkey").alias("custkey_a"),
+        F.col("c_nationkey").alias("nat_a"),
+        F.col("c_mktsegment").alias("seg_a"),
+        F.col("bal_band").alias("bal_a"),
+    )
+    fb = cust.select(
+        F.col("c_custkey").alias("custkey_b"),
+        F.col("c_nationkey").alias("nat_b"),
+        F.col("c_mktsegment").alias("seg_b"),
+        F.col("bal_band").alias("bal_b"),
+    )
+    pairs = (
+        cand.join(fa, "custkey_a")
+        .join(fb, "custkey_b")
+        .crossJoin(F.broadcast(stats))
+    )
+
+    def field_weight(agree: F.Column, mn: int, md: int, u: str) -> F.Column:
+        return F.when(
+            agree,
+            F.expr(
+                f"(2 * {mn} * u_den * 1000000 + {md} * {u})"
+                f" div (2 * {md} * {u})"
+            ),
+        ).otherwise(
+            F.expr(
+                f"(2 * {md - mn} * u_den * 1000000"
+                f" + {md} * (u_den - {u}))"
+                f" div (2 * {md} * (u_den - {u}))"
+            )
+        )
+
+    scored = pairs.select(
+        "custkey_a",
+        "custkey_b",
+        (F.col("nat_a") == F.col("nat_b")).cast("int").alias("agree_nation"),
+        (F.col("seg_a") == F.col("seg_b")).cast("int").alias("agree_segment"),
+        (F.col("bal_a") == F.col("bal_b")).cast("int").alias("agree_balance"),
+        field_weight(
+            F.col("nat_a") == F.col("nat_b"), *FS_M_NATION, "u_nat"
+        ).alias("w_nat"),
+        field_weight(
+            F.col("seg_a") == F.col("seg_b"), *FS_M_SEGMENT, "u_seg"
+        ).alias("w_seg"),
+        field_weight(
+            F.col("bal_a") == F.col("bal_b"), *FS_M_BAL, "u_bal"
+        ).alias("w_bal"),
+    )
+    return scored.select(
+        "custkey_a",
+        "custkey_b",
+        "agree_nation",
+        "agree_segment",
+        "agree_balance",
+        (F.col("w_nat") / F.lit(1e6)).alias("w_nation"),
+        (F.col("w_seg") / F.lit(1e6)).alias("w_segment"),
+        (F.col("w_bal") / F.lit(1e6)).alias("w_balance"),
+        # pinned left-to-right double product of exact micro integers
+        F.expr(
+            "cast(w_nat as double) * cast(w_seg as double)"
+            " * cast(w_bal as double) / 1e18"
+        ).alias("match_odds"),
+    )
+
+
 def props_map_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MapType surface — the one semi-structured shape the engine's
     type coverage lacked: decode the JSON payload as map<string,int>
@@ -3672,6 +3829,7 @@ QUERIES: dict[str, object] = {
     # most recently go FIRST so they are graded before the suite that
     # already has multiple green rounds on record.
     "event_ewma_spikes": event_ewma_spikes,
+    "linkage_fs_weights": linkage_fs_weights,
     "user_value_gini": user_value_gini,
     "discount_quantity_ols": discount_quantity_ols,
     "customer_value_frontier": customer_value_frontier,

@@ -1847,3 +1847,97 @@ ORACLES["event_ewma_spikes"] = """
     FROM hist
     WHERE n_hist >= 4 AND vq * den > 3 * num
 """
+
+# Fellegi-Sunter twin: same blocking CTE as fuzzy_name_matches, u-stats
+# as exact BIGINT rationals, field ratios as half-up micro integers,
+# and the combined odds as the same pinned left-to-right double product
+ORACLES["linkage_fs_weights"] = """
+    WITH cust AS (
+        SELECT c_custkey, c_name, c_nationkey, c_mktsegment,
+               CAST(ROUND(c_acctbal * 100) AS BIGINT) // 100000 AS bal_band
+        FROM customer
+    ),
+    stats AS (
+        SELECT
+            (SELECT CAST(COUNT(*) * (COUNT(*) - 1) AS BIGINT) FROM cust)
+                AS u_den,
+            (SELECT CAST(SUM(c * (c - 1)) AS BIGINT) FROM (
+                SELECT COUNT(*) AS c FROM cust GROUP BY c_nationkey))
+                AS u_nat,
+            (SELECT CAST(SUM(c * (c - 1)) AS BIGINT) FROM (
+                SELECT COUNT(*) AS c FROM cust GROUP BY c_mktsegment))
+                AS u_seg,
+            (SELECT CAST(SUM(c * (c - 1)) AS BIGINT) FROM (
+                SELECT COUNT(*) AS c FROM cust GROUP BY bal_band))
+                AS u_bal
+    ),
+    base AS (
+        SELECT c_custkey, c_name, length(c_name) AS n FROM cust
+    ),
+    variants AS (
+        SELECT DISTINCT c_custkey, c_name, variant FROM (
+            SELECT c_custkey, c_name,
+                   substr(c_name, 1, pos - 1)
+                       || substr(c_name, pos + 1) AS variant
+            FROM base, unnest(range(1, n + 1)) AS t(pos)
+            UNION ALL
+            SELECT c_custkey, c_name, c_name AS variant FROM base
+        )
+    ),
+    cand AS (
+        SELECT custkey_a, custkey_b FROM (
+            SELECT DISTINCT
+                   a.c_custkey AS custkey_a, a.c_name AS name_a,
+                   b.c_custkey AS custkey_b, b.c_name AS name_b
+            FROM variants a JOIN variants b USING (variant)
+            WHERE a.c_custkey < b.c_custkey
+        )
+        WHERE levenshtein(name_a, name_b) = 1
+    ),
+    pairs AS (
+        SELECT cand.custkey_a, cand.custkey_b,
+               fa.c_nationkey AS nat_a, fb.c_nationkey AS nat_b,
+               fa.c_mktsegment AS seg_a, fb.c_mktsegment AS seg_b,
+               fa.bal_band AS bal_a, fb.bal_band AS bal_b,
+               s.u_den, s.u_nat, s.u_seg, s.u_bal
+        FROM cand
+        JOIN cust fa ON fa.c_custkey = cand.custkey_a
+        JOIN cust fb ON fb.c_custkey = cand.custkey_b
+        CROSS JOIN stats s
+    ),
+    weighted AS (
+        SELECT custkey_a, custkey_b,
+               CAST(nat_a = nat_b AS INTEGER) AS agree_nation,
+               CAST(seg_a = seg_b AS INTEGER) AS agree_segment,
+               CAST(bal_a = bal_b AS INTEGER) AS agree_balance,
+               CASE WHEN nat_a = nat_b THEN
+                   (2 * 9 * u_den * 1000000 + 10 * u_nat)
+                       // (2 * 10 * u_nat)
+               ELSE
+                   (2 * 1 * u_den * 1000000 + 10 * (u_den - u_nat))
+                       // (2 * 10 * (u_den - u_nat))
+               END AS w_nat,
+               CASE WHEN seg_a = seg_b THEN
+                   (2 * 4 * u_den * 1000000 + 5 * u_seg)
+                       // (2 * 5 * u_seg)
+               ELSE
+                   (2 * 1 * u_den * 1000000 + 5 * (u_den - u_seg))
+                       // (2 * 5 * (u_den - u_seg))
+               END AS w_seg,
+               CASE WHEN bal_a = bal_b THEN
+                   (2 * 19 * u_den * 1000000 + 20 * u_bal)
+                       // (2 * 20 * u_bal)
+               ELSE
+                   (2 * 1 * u_den * 1000000 + 20 * (u_den - u_bal))
+                       // (2 * 20 * (u_den - u_bal))
+               END AS w_bal
+        FROM pairs
+    )
+    SELECT custkey_a, custkey_b, agree_nation, agree_segment, agree_balance,
+           w_nat / 1000000.0 AS w_nation,
+           w_seg / 1000000.0 AS w_segment,
+           w_bal / 1000000.0 AS w_balance,
+           CAST(w_nat AS DOUBLE) * CAST(w_seg AS DOUBLE)
+               * CAST(w_bal AS DOUBLE) / 1e18 AS match_odds
+    FROM weighted
+"""

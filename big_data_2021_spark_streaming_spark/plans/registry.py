@@ -187,6 +187,7 @@ _GRADE_AFTER_REGRADES = frozenset(
         "embedding_jl_distortion",
         "event_ewma_spikes",
         "corpus_token_budget_plan",
+        "linkage_fs_weights",
         # round-4g additions (this session)
         "sketch_hll_intersection",
         "text_bpe_encode",

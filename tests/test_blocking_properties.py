@@ -184,3 +184,107 @@ def test_prefix_filter_join_lossless_on_generated_corpora(
         assert r.n_a == len(sets[r.doc_id_a])
         assert r.n_b == len(sets[r.doc_id_b])
         assert r.n_inter == len(sets[r.doc_id_a] & sets[r.doc_id_b])
+
+
+def test_fs_weights_match_pure_python(spark):
+    """Third-engine recompute of the Fellegi–Sunter scorer at sf0.001:
+    deletion-neighborhood candidates, data-estimated u-probabilities,
+    half-up micro field ratios, and the pinned left-to-right double
+    product — plus the FS sanity law: agreement on a field always
+    yields a larger weight than disagreement."""
+    import pandas as pd
+
+    from big_data_2021_spark_streaming_spark.plans.analytics import (
+        FS_M_BAL,
+        FS_M_NATION,
+        FS_M_SEGMENT,
+        linkage_fs_weights,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    cust = pd.read_parquet(f"{sf}/customer.parquet")
+
+    def band(b: float) -> int:
+        cents = int(round(abs(b) * 100)) * (1 if b >= 0 else -1)
+        return int(cents / 100000)  # truncation toward zero, as both engines
+
+    recs = {
+        int(r["c_custkey"]): (
+            str(r["c_name"]),
+            int(r["c_nationkey"]),
+            str(r["c_mktsegment"]),
+            band(float(r["c_acctbal"])),
+        )
+        for _, r in cust.iterrows()
+    }
+    # deletion-neighborhood candidates with exact lev == 1
+    from collections import defaultdict
+
+    block = defaultdict(set)
+    for k, (name, *_rest) in recs.items():
+        block[name].add(k)
+        for i in range(len(name)):
+            block[name[:i] + name[i + 1 :]].add(k)
+
+    def lev(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[-1]
+
+    cand = set()
+    for ks in block.values():
+        for a in ks:
+            for b in ks:
+                if a < b and lev(recs[a][0], recs[b][0]) == 1:
+                    cand.add((a, b))
+
+    n = len(recs)
+    u_den = n * (n - 1)
+
+    def u_num(idx: int) -> int:
+        c = defaultdict(int)
+        for rec in recs.values():
+            c[rec[idx]] += 1
+        return sum(v * (v - 1) for v in c.values())
+
+    u = {1: u_num(1), 2: u_num(2), 3: u_num(3)}
+    ms = {1: FS_M_NATION, 2: FS_M_SEGMENT, 3: FS_M_BAL}
+
+    def w(idx: int, agree: bool) -> int:
+        mn, md = ms[idx]
+        if agree:
+            return (2 * mn * u_den * 10**6 + md * u[idx]) // (2 * md * u[idx])
+        return (2 * (md - mn) * u_den * 10**6 + md * (u_den - u[idx])) // (
+            2 * md * (u_den - u[idx])
+        )
+
+    expected = {}
+    for a, b in cand:
+        ags = [recs[a][i] == recs[b][i] for i in (1, 2, 3)]
+        ws = [w(i, ag) for i, ag in zip((1, 2, 3), ags)]
+        odds = float(ws[0]) * float(ws[1]) * float(ws[2]) / 1e18
+        expected[(a, b)] = (
+            tuple(int(x) for x in ags),
+            tuple(x / 1e6 for x in ws),
+            odds,
+        )
+
+    rows = linkage_fs_weights(spark, sf).collect()
+    got = {
+        (r.custkey_a, r.custkey_b): (
+            (r.agree_nation, r.agree_segment, r.agree_balance),
+            (r.w_nation, r.w_segment, r.w_balance),
+            r.match_odds,
+        )
+        for r in rows
+    }
+    assert got == expected
+    assert expected, "no candidate pairs at sf0.001 — scorer untested"
+    for idx in (1, 2, 3):
+        assert w(idx, True) > w(idx, False)

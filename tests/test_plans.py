@@ -168,6 +168,7 @@ _BNLJ_INTENDED = frozenset(
         "join_key_skew",              # 1-row key-stats total onto top-10
         "valuable_part_stock",        # 1-row grand-total threshold
         "corpus_token_budget_plan",   # 1-row corpus-token total
+        "linkage_fs_weights",         # 1-row u-statistics frame
         "sketch_hll_users",           # 1-row register summary × 1-row exact count
         "value_drift_tvd",            # 1-row global-bounds frame onto the scan
         "split_leakage_report",       # 1-row leak total onto the 3-row summary
