@@ -1874,6 +1874,118 @@ def value_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+HAZARD_CENSOR_DAYS = 7  # users active this close to corpus end are censored
+
+
+def user_hazard_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete-time churn hazard curve: for each lifetime age a (days
+    since a user's first event), the share of still-at-risk users whose
+    LAST event fell on that age — the per-interval Kaplan–Meier hazard
+    d_a/n_a, the retention statistic product/LTV models consume. Users
+    whose last activity is within HAZARD_CENSOR_DAYS of the corpus end
+    are right-censored: they stay in the risk set up to their observed
+    age but never count as churned (they may still be active).
+
+    Exactness: everything is integer counts off one per-user
+    (first_day, last_day) aggregate; the risk set is a suffix sum over
+    the bounded age grid and the hazard is the established half-up
+    micro division — no survival-probability product, so no float
+    compounding anywhere.
+
+    Scale: one scan → |users| aggregate → |ages| grid (bounded by the
+    calendar span, not the corpus; the suffix-sum window runs over that
+    grid only)."""
+    events = load_table(spark, sf_dir, "events")
+    per_user = (
+        events.select("user_id", _epoch_us("ts").alias("_us"))
+        .select("user_id", F.expr("_us div 86400000000").alias("day"))
+        .groupBy("user_id")
+        .agg(F.min("day").alias("first_day"), F.max("day").alias("last_day"))
+    )
+    bounds = per_user.agg(F.max("last_day").alias("gmax"))
+    aged = per_user.crossJoin(F.broadcast(bounds)).select(
+        (F.col("last_day") - F.col("first_day")).alias("age"),
+        (
+            F.col("last_day") > F.col("gmax") - HAZARD_CENSOR_DAYS
+        ).alias("censored"),
+    )
+    # per-age endings, split by censoring; at_risk(a) = Σ_{a'≥a} ended
+    per_age = aged.groupBy("age").agg(
+        F.count(F.lit(1)).alias("n_ended"),
+        F.sum(F.when(~F.col("censored"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_churned"),
+    )
+    w_suffix = Window.orderBy(F.col("age").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )  # |ages| rows — calendar-bounded, never a data-sized window
+    return (
+        per_age.withColumn("n_at_risk", F.sum("n_ended").over(w_suffix))
+        .select(
+            "age",
+            "n_at_risk",
+            "n_churned",
+            (
+                F.expr(
+                    "(2 * n_churned * 1000000 + n_at_risk)"
+                    " div (2 * n_at_risk)"
+                )
+                / F.lit(1e6)
+            ).alias("hazard"),
+        )
+    )
+
+
+def event_markov_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov next-event evaluation: learn the transition
+    counts (prev_type → next_type) over every user's (ts, event_id)-
+    ordered walk, predict argmax-next per previous type (ties broken
+    lexicographically), and report resubstitution accuracy per previous
+    type — the baseline any sequence model must beat, and a pure
+    count-arithmetic report both engines agree on exactly.
+
+    Scale: one shuffle on user_id for the lag, one |types²|-key
+    aggregate (event-type vocabularies are small by construction), and
+    the argmax is a window over that bounded frame."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        events.select(
+            "user_id",
+            F.lag("event_type").over(w).alias("prev_type"),
+            F.col("event_type").alias("next_type"),
+        )
+        .where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w_best = Window.partitionBy("prev_type").orderBy(
+        F.col("c").desc(), "next_type"
+    )
+    best = trans.withColumn("rn", F.row_number().over(w_best)).where(
+        F.col("rn") == 1
+    )
+    totals = trans.groupBy("prev_type").agg(
+        F.sum("c").alias("n_transitions")
+    )
+    return (
+        best.join(totals, "prev_type")
+        .select(
+            "prev_type",
+            F.col("next_type").alias("pred_next"),
+            "n_transitions",
+            F.col("c").alias("n_correct"),
+            (
+                F.expr(
+                    "(2 * c * 1000000 + n_transitions)"
+                    " div (2 * n_transitions)"
+                )
+                / F.lit(1e6)
+            ).alias("accuracy"),
+        )
+    )
+
+
 def user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly retention triangle: users cohorted by the week of their
     first event; n_users counts cohort members active k weeks later.
@@ -3830,6 +3942,8 @@ QUERIES: dict[str, object] = {
     # already has multiple green rounds on record.
     "event_ewma_spikes": event_ewma_spikes,
     "linkage_fs_weights": linkage_fs_weights,
+    "user_hazard_curve": user_hazard_curve,
+    "event_markov_accuracy": event_markov_accuracy,
     "user_value_gini": user_value_gini,
     "discount_quantity_ols": discount_quantity_ols,
     "customer_value_frontier": customer_value_frontier,

@@ -1941,3 +1941,79 @@ ORACLES["linkage_fs_weights"] = """
                * CAST(w_bal AS DOUBLE) / 1e18 AS match_odds
     FROM weighted
 """
+
+# Discrete churn hazard: per-user (first,last) day aggregate, censor
+# flag near corpus end, suffix-summed risk set over the bounded age
+# grid, half-up micro hazard
+ORACLES["user_hazard_curve"] = """
+    WITH per_user AS (
+        SELECT user_id,
+               MIN(epoch_us(ts) // 86400000000) AS first_day,
+               MAX(epoch_us(ts) // 86400000000) AS last_day
+        FROM events GROUP BY user_id
+    ),
+    bounds AS (SELECT MAX(last_day) AS gmax FROM per_user),
+    aged AS (
+        SELECT last_day - first_day AS age,
+               last_day > gmax - 7 AS censored
+        FROM per_user, bounds
+    ),
+    per_age AS (
+        SELECT age,
+               CAST(COUNT(*) AS BIGINT) AS n_ended,
+               CAST(SUM(CASE WHEN NOT censored THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_churned
+        FROM aged GROUP BY age
+    )
+    SELECT age,
+           CAST(SUM(n_ended) OVER (
+               ORDER BY age DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS n_at_risk,
+           n_churned,
+           ((2 * n_churned * 1000000
+             + SUM(n_ended) OVER (
+                   ORDER BY age DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+            // (2 * SUM(n_ended) OVER (
+                   ORDER BY age DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)))
+               / 1e6 AS hazard
+    FROM per_age
+"""
+
+# Markov next-event baseline: transition counts via lag over the same
+# unique (ts, event_id) order, argmax with lexicographic tiebreak
+ORACLES["event_markov_accuracy"] = """
+    WITH trans AS (
+        SELECT prev_type, event_type AS next_type,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM (
+            SELECT user_id, event_type,
+                   lag(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS prev_type
+            FROM events
+        )
+        WHERE prev_type IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    best AS (
+        SELECT prev_type, next_type, c FROM (
+            SELECT prev_type, next_type, c,
+                   row_number() OVER (
+                       PARTITION BY prev_type ORDER BY c DESC, next_type
+                   ) AS rn
+            FROM trans
+        ) WHERE rn = 1
+    ),
+    totals AS (
+        SELECT prev_type, CAST(SUM(c) AS BIGINT) AS n_transitions
+        FROM trans GROUP BY prev_type
+    )
+    SELECT b.prev_type, b.next_type AS pred_next, t.n_transitions,
+           b.c AS n_correct,
+           ((2 * b.c * 1000000 + t.n_transitions)
+               // (2 * t.n_transitions)) / 1e6 AS accuracy
+    FROM best b JOIN totals t USING (prev_type)
+"""

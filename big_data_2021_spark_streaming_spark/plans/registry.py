@@ -188,6 +188,8 @@ _GRADE_AFTER_REGRADES = frozenset(
         "event_ewma_spikes",
         "corpus_token_budget_plan",
         "linkage_fs_weights",
+        "user_hazard_curve",
+        "event_markov_accuracy",
         # round-4g additions (this session)
         "sketch_hll_intersection",
         "text_bpe_encode",

@@ -169,6 +169,7 @@ _BNLJ_INTENDED = frozenset(
         "valuable_part_stock",        # 1-row grand-total threshold
         "corpus_token_budget_plan",   # 1-row corpus-token total
         "linkage_fs_weights",         # 1-row u-statistics frame
+        "user_hazard_curve",          # 1-row corpus-end bound
         "sketch_hll_users",           # 1-row register summary × 1-row exact count
         "value_drift_tvd",            # 1-row global-bounds frame onto the scan
         "split_leakage_report",       # 1-row leak total onto the 3-row summary
@@ -241,6 +242,7 @@ _GLOBAL_WINDOW_INTENDED = frozenset(
         "sketch_histogram_quantiles",  # ≤1024 histogram cells
         "text_bpe_encode",            # alphabet²-bounded vocabulary
         "text_heaps_law",             # |buckets| bucket summaries
+        "user_hazard_curve",          # |ages| calendar-bounded grid
         "user_value_concentration",   # |bands| banded partials
         "user_value_gini",            # |bands| banded-rank partials
         "value_winsorize",            # |bands| banded-rank partials

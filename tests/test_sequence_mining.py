@@ -106,3 +106,77 @@ def test_ewma_spikes_match_pure_python(spark):
     got = {(r.user_id, r.event_id): (r.n_hist, r.ewma) for r in rows}
     assert got == expected
     assert expected, "fixture produced no spikes — detector untested"
+
+
+def test_markov_accuracy_matches_pure_python(spark):
+    from big_data_2021_spark_streaming_spark.plans.analytics import (
+        event_markov_accuracy,
+    )
+
+    ev = _events().sort_values(["user_id", "ts", "event_id"])
+    trans = Counter()
+    for _, grp in ev.groupby("user_id"):
+        types = list(grp["event_type"])
+        for p, n in zip(types, types[1:]):
+            trans[(p, n)] += 1
+    expected = {}
+    prevs = {p for p, _ in trans}
+    for p in prevs:
+        row = {n: c for (pp, n), c in trans.items() if pp == p}
+        pred = min(row, key=lambda n: (-row[n], n))
+        total = sum(row.values())
+        correct = row[pred]
+        expected[p] = (
+            pred,
+            total,
+            correct,
+            ((2 * correct * 1_000_000 + total) // (2 * total)) / 1e6,
+        )
+    rows = event_markov_accuracy(spark, SF).collect()
+    got = {
+        r.prev_type: (r.pred_next, r.n_transitions, r.n_correct, r.accuracy)
+        for r in rows
+    }
+    assert got == expected
+
+
+def test_hazard_curve_matches_pure_python(spark):
+    """Recompute the censored discrete hazard: per-user day bounds,
+    7-day right-censoring, suffix-summed risk set — and the KM law
+    n_at_risk is non-increasing in age with Σ churned ≤ total users."""
+    from big_data_2021_spark_streaming_spark.plans.analytics import (
+        HAZARD_CENSOR_DAYS,
+        user_hazard_curve,
+    )
+
+    ev = _events()
+    day = ev["ts"].astype("datetime64[us]").astype("int64") // 86_400_000_000
+    per_user = (
+        pd.DataFrame({"user_id": ev["user_id"], "day": day})
+        .groupby("user_id")["day"]
+        .agg(["min", "max"])
+    )
+    gmax = per_user["max"].max()
+    ended = Counter()
+    churned = Counter()
+    for _, r in per_user.iterrows():
+        age = int(r["max"] - r["min"])
+        ended[age] += 1
+        if r["max"] <= gmax - HAZARD_CENSOR_DAYS:
+            churned[age] += 1
+    expected = {}
+    for age in ended:
+        at_risk = sum(c for a, c in ended.items() if a >= age)
+        d = churned.get(age, 0)
+        expected[age] = (
+            at_risk,
+            d,
+            ((2 * d * 1_000_000 + at_risk) // (2 * at_risk)) / 1e6,
+        )
+    rows = user_hazard_curve(spark, SF).collect()
+    got = {r.age: (r.n_at_risk, r.n_churned, r.hazard) for r in rows}
+    assert got == expected
+    ordered = sorted(got)
+    risks = [got[a][0] for a in ordered]
+    assert risks == sorted(risks, reverse=True)
+    assert sum(got[a][1] for a in ordered) <= len(per_user)
