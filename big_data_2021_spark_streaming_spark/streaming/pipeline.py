@@ -34,6 +34,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
     DoubleType,
     IntegerType,
     LongType,
@@ -490,6 +491,93 @@ def sessionize(
             stateStructType=_STATE_SCHEMA,
             outputMode="append",
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+EWMA_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("event_id", LongType()),
+        StructField("value", DoubleType()),
+        StructField("n_hist", LongType()),
+        StructField("ewma", DoubleType()),
+    ]
+)
+
+_EWMA_STATE_SCHEMA = StructType(
+    [
+        StructField("hist", ArrayType(LongType())),
+    ]
+)
+
+
+def ewma_spike_step(
+    hist: list[int], vq: int
+) -> tuple[tuple[int, float] | None, list[int]]:
+    """Pure per-event step of the dyadic EWMA spike detector (the
+    unit-testable core shared with the batch plan's semantics,
+    plans/analytics.py::event_ewma_spikes): given the last ≤EWMA_DEPTH
+    micro-unit values (oldest first) and the new value, return the
+    spike report (n_hist, ewma) — or None — plus the updated history.
+    Integer arithmetic only, so batch and stream agree bit-for-bit."""
+    from ..plans.analytics import EWMA_DEPTH, EWMA_SPIKE_MULT, EWMA_WARMUP
+
+    out = None
+    n = len(hist)
+    if n >= EWMA_WARMUP:
+        num = sum(x << i for i, x in enumerate(hist))
+        den = (1 << n) - 1
+        if vq * den > EWMA_SPIKE_MULT * num:
+            out = (n, ((2 * num + den) // (2 * den)) / 1e6)
+    new_hist = (list(hist) + [vq])[-EWMA_DEPTH:]
+    return out, new_hist
+
+
+def stream_ewma_spikes(
+    events: DataFrame, watermark_delay: str = "10 minutes"
+) -> DataFrame:
+    """Streaming form of the per-user EWMA spike detector
+    (plans/analytics.py::event_ewma_spikes): per-user state is the last
+    ≤EWMA_DEPTH micro-unit values — O(DEPTH) longs per active user, the
+    bounded-state shape — folded event-by-event in (ts, event_id)
+    order within each micro-batch via applyInPandasWithState.
+
+    Batch≡stream equivalence holds when micro-batches arrive in
+    event-time order (the replay contract the equivalence test pins);
+    an out-of-order event inside one batch is still handled by the
+    in-batch sort. The watermark bounds how stale a batch may be, not
+    the state size (history is already bounded)."""
+    import math
+
+    import pandas as pd
+
+    cols = [f.name for f in EWMA_OUTPUT_SCHEMA.fields]
+
+    def update(key, pdfs, state: GroupState):
+        (user_id,) = key
+        rows = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+        hist = list(state.get[0]) if state.exists else []
+        out = []
+        for eid, v in zip(rows["event_id"], rows["value"]):
+            v = float(v)
+            vq = int(math.floor(abs(v) * 1e6 + 0.5)) * (1 if v >= 0 else -1)
+            res, hist = ewma_spike_step(hist, vq)
+            if res is not None:
+                out.append((int(user_id), int(eid), v, res[0], res[1]))
+        state.update((hist,))
+        if out:
+            yield pd.DataFrame(out, columns=cols)
+
+    return (
+        events.withWatermark("ts", watermark_delay)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=EWMA_OUTPUT_SCHEMA,
+            stateStructType=_EWMA_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
 

@@ -1076,3 +1076,73 @@ def test_expectations_gate_quarantines_contract_violations(spark, tmp_path):
         5: "ts_not_null",
     }
     assert len(good) + len(dlq) == len(rows)
+
+
+def test_ewma_spikes_batch_stream_equivalence(spark, tmp_path):
+    """The streaming EWMA spike detector must emit exactly the rows the
+    batch plan produces on the same events, with the data split across
+    micro-batches in event-time order — bounded per-user state carries
+    the history across the batch boundary."""
+    import json as _json
+
+    import pandas as pd
+
+    from big_data_2021_spark_streaming_spark.plans.analytics import (
+        event_ewma_spikes,
+    )
+    from big_data_2021_spark_streaming_spark.streaming.pipeline import (
+        stream_ewma_spikes,
+        to_memory_sink,
+    )
+
+    # one user, 10 events: quiet baseline then bursts (values chosen so
+    # some spikes land in batch 2, proving state crossed the boundary)
+    vals = [1.0, 1.1, 0.9, 1.0, 1.05, 9.5, 1.0, 1.0, 12.25, 0.95]
+    rows = [
+        {
+            "event_id": i + 1,
+            "user_id": 7,
+            "ts": f"2024-01-01 00:{i:02d}:00",
+            "value": v,
+        }
+        for i, v in enumerate(vals)
+    ]
+    # batch side: same rows as a parquet events table
+    pdf = pd.DataFrame(rows)
+    pdf["ts"] = pd.to_datetime(pdf["ts"])
+    events_dir = tmp_path / "batch"
+    events_dir.mkdir()
+    pdf.to_parquet(events_dir / "events.parquet")
+    batch = {
+        (r.user_id, r.event_id, r.value, r.n_hist, r.ewma)
+        for r in event_ewma_spikes(spark, str(events_dir)).collect()
+    }
+    assert batch, "fixture produced no spikes — test is vacuous"
+
+    sdir = tmp_path / "stream"
+    sdir.mkdir()
+    (sdir / "b0.json").write_text(
+        "\n".join(_json.dumps(r) for r in rows[:6])
+    )
+    schema = "event_id LONG, user_id LONG, ts TIMESTAMP, value DOUBLE"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(sdir))
+    )
+    q = to_memory_sink(stream_ewma_spikes(stream), "ewma_sink")
+    try:
+        q.processAllAvailable()
+        (sdir / "b1.json").write_text(
+            "\n".join(_json.dumps(r) for r in rows[6:])
+        )
+        q.processAllAvailable()
+        streamed = {
+            tuple(r) for r in spark.table("ewma_sink").collect()
+        }
+    finally:
+        q.stop()
+    assert streamed == batch
+    assert any(r[1] > 6 for r in streamed), (
+        "no spike in batch 2 — state never crossed the boundary"
+    )
