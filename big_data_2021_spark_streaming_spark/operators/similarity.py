@@ -2267,6 +2267,7 @@ _SWEEP_METHODS = (
     "ivf",
     "pq",
     "ivf_pq",
+    "ivfpq_res",
     "sq",
     "bq",
     "mrl",
@@ -2275,8 +2276,9 @@ _SWEEP_METHODS = (
 
 def recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One acceptance dashboard for the whole ANN stack: recall@5 of
-    every index strategy (hyperplane LSH, IVF, PQ, IVF-PQ, SQ8, 1-bit
-    BQ, Matryoshka prefix) against the same exact top-k — the table an
+    every index strategy (hyperplane LSH, IVF, PQ, IVF-PQ, residual
+    IVF-PQ, SQ8, 1-bit BQ, Matryoshka prefix) against the same exact
+    top-k — the table an
     engineer reads to pick the memory/recall point before a 100 TB
     index build. Each method's candidate pipeline is the SAME builder
     the standalone query uses (shared persisted code tables and
@@ -2297,6 +2299,7 @@ def recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ivf": pairs(ivf_topk(spark, sf_dir)),
         "pq": pairs(pq_topk(spark, sf_dir)),
         "ivf_pq": pairs(ivf_pq_topk(spark, sf_dir)),
+        "ivfpq_res": pairs(ivfpq_residual_topk(spark, sf_dir)),
         "sq": pairs(sq_topk(spark, sf_dir)),
         "bq": pairs(bq_topk(spark, sf_dir)),
         "mrl": _mrl_prefix_pairs(spark, sf_dir),
@@ -2361,6 +2364,11 @@ def _recall_sweep_sql() -> str:
         "ivf": ORACLES["similarity_ivf_topk"],
         "pq": ORACLES["similarity_pq_topk"],
         "ivf_pq": ORACLES["similarity_ivf_pq_topk"],
+        **(
+            {"ivfpq_res": ORACLES["similarity_ivfpq_residual_topk"]}
+            if "similarity_ivfpq_residual_topk" in ORACLES
+            else {}
+        ),
         "sq": ORACLES["similarity_sq_topk"],
         "bq": ORACLES["similarity_bq_topk"],
         "mrl": f"""
@@ -2383,8 +2391,13 @@ def _recall_sweep_sql() -> str:
             ) WHERE rank <= {TOPK}
         """,
     }
+    # the residual IVF-PQ oracle is defined LATER in this module; the
+    # first module-load call builds the sweep without it and the
+    # re-assignment after that definition folds it in
     selects = []
     for method in _SWEEP_METHODS:
+        if method not in method_sub:
+            continue
         selects.append(
             f"""
     SELECT '{method}' AS method,
@@ -3009,6 +3022,11 @@ ORACLES["embedding_jl_distortion"] = f"""
 """
 
 
+# rebuild the recall sweep now that the residual IVF-PQ oracle exists —
+# the first build at its definition site ran before this section loaded
+ORACLES["similarity_recall_sweep"] = _recall_sweep_sql()
+
+
 # ---------------------------------------------------------------------
 # Per-session top-k memo: the acceptance stack (ann_recall, the
 # matryoshka report, recall_sweep) and the standalone index queries all
@@ -3044,6 +3062,7 @@ lsh_topk = _session_memo("lsh")(lsh_topk)
 ivf_topk = _session_memo("ivf")(ivf_topk)
 pq_topk = _session_memo("pq")(pq_topk)
 ivf_pq_topk = _session_memo("ivf_pq")(ivf_pq_topk)
+ivfpq_residual_topk = _session_memo("ivfpq_res")(ivfpq_residual_topk)
 sq_topk = _session_memo("sq")(sq_topk)
 bq_topk = _session_memo("bq")(bq_topk)
 _mrl_prefix_pairs = _session_memo("mrl_pairs")(_mrl_prefix_pairs)
