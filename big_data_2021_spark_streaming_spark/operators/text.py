@@ -2622,8 +2622,124 @@ def _feature_hashing_sql() -> str:
 ORACLES["text_feature_hashing"] = _feature_hashing_sql()
 
 
+CHI2_TERMS = 50  # contingency table = sources × top-50 corpus terms
+
+
+def source_chi2_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source term-distribution drift: the chi-square statistic of
+    each source's top-CHI2_TERMS term counts against the corpus-wide
+    expectation — the mixture QC that flags a source whose vocabulary
+    has shifted (new crawl snapshot, template change, language creep)
+    before it pollutes a training mix. Complements value_drift_tvd
+    (numeric drift) with the text-side test.
+
+    Exactness: per cell, d = o·N − r·c is exact BIGINT; d² and the
+    denominator N·r·c exceed 63 bits at scale, so the half-up micro
+    contribution is computed in DECIMAL(38,0) (Spark) / HUGEINT
+    (DuckDB) — both exact integer spaces — and the per-source chi² is
+    an exact BIGINT sum of those micro leaves.
+
+    Scale: one token explode → |terms|-key count, top-50 via
+    TakeOrdered, and a |sources×50| contingency grid built from
+    broadcast frames — the corpus is scanned once."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(tokens_col(F.col("text"))).alias("term")
+    )
+    top = (
+        toks.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), "term")
+        .limit(CHI2_TERMS)
+    )
+    # restrict the universe to top-term occurrences so the contingency
+    # table is exactly sources × CHI2_TERMS
+    o = (
+        toks.join(F.broadcast(top.select("term")), "term")
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).alias("o"))
+    )
+    r = o.groupBy("source").agg(F.sum("o").alias("r"))
+    n = r.agg(F.sum("r").alias("n"))
+    grid = (
+        r.crossJoin(F.broadcast(top))
+        .join(o, ["source", "term"], "left")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "source",
+            "r",
+            "n",
+            "c",
+            F.coalesce("o", F.lit(0)).cast("bigint").alias("o"),
+        )
+    )
+    contrib = grid.select(
+        "source",
+        "r",
+        F.expr(
+            "(2 * (cast(o * n - r * c as decimal(19,0))"
+            "      * cast(o * n - r * c as decimal(19,0))) * 1000000"
+            " + (cast(n as decimal(13,0)) * r * c))"
+            " div (2 * (cast(n as decimal(13,0)) * r * c))"
+        ).alias("chi2_cell_micro"),
+    )
+    return contrib.groupBy("source").agg(
+        F.max("r").alias("n_top_tokens"),
+        F.lit(CHI2_TERMS - 1).cast("int").alias("dof"),
+        (F.sum("chi2_cell_micro") / F.lit(1e6)).alias("chi2"),
+    )
+
+
+_CHI2_SQL = f"""
+    WITH toks AS (
+        SELECT source,
+               unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+        FROM documents
+    ),
+    top AS (
+        SELECT term, CAST(COUNT(*) AS BIGINT) AS c
+        FROM toks GROUP BY term
+        ORDER BY c DESC, term LIMIT {CHI2_TERMS}
+    ),
+    o AS (
+        SELECT source, term, CAST(COUNT(*) AS BIGINT) AS o
+        FROM toks JOIN top USING (term)
+        GROUP BY 1, 2
+    ),
+    r AS (
+        SELECT source, CAST(SUM(o) AS BIGINT) AS r FROM o GROUP BY source
+    ),
+    n AS (SELECT CAST(SUM(r) AS BIGINT) AS n FROM r),
+    grid AS (
+        SELECT r.source, r.r, n.n, top.c,
+               COALESCE(o.o, 0) AS o
+        FROM r CROSS JOIN top
+        LEFT JOIN o ON o.source = r.source AND o.term = top.term
+        CROSS JOIN n
+    ),
+    contrib AS (
+        SELECT source, r,
+               (2 * (CAST(o * n - r * c AS HUGEINT)
+                     * CAST(o * n - r * c AS HUGEINT)) * 1000000
+                + (CAST(n AS HUGEINT) * r * c))
+                   // (2 * (CAST(n AS HUGEINT) * r * c))
+                   AS chi2_cell_micro
+        FROM grid
+    )
+    SELECT source,
+           MAX(r) AS n_top_tokens,
+           CAST({CHI2_TERMS - 1} AS INTEGER) AS dof,
+           CAST(SUM(chi2_cell_micro) AS BIGINT) / 1e6 AS chi2
+    FROM contrib GROUP BY source
+"""
+
+
+ORACLES["text_source_chi2_drift"] = _CHI2_SQL
+
+
 QUERIES = {
     # round-4i additions first: registry order = driver grading order
+    "text_source_chi2_drift": source_chi2_drift,
     "text_lang_kappa": lang_id_kappa,
     "text_bpe_fertility": bpe_fertility,
     # round-4h addition next

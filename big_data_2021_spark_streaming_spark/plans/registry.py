@@ -190,6 +190,7 @@ _GRADE_AFTER_REGRADES = frozenset(
         "linkage_fs_weights",
         "user_hazard_curve",
         "event_markov_accuracy",
+        "text_source_chi2_drift",
         # round-4g additions (this session)
         "sketch_hll_intersection",
         "text_bpe_encode",

@@ -178,6 +178,7 @@ _BNLJ_INTENDED = frozenset(
         "dedup_lsh_recall_exact",     # 1-row LSH-total scalar onto 1-row stats
         "text_lang_kappa",            # 1-row marginal-product scalar onto 1-row stats
         "text_bm25_search",           # 1-row corpus-totals scalar onto matched docs
+        "text_source_chi2_drift",     # 50-row top-terms × 1-row total grid
         "similarity_range_search",    # exact baseline: queries × corpus
         "similarity_diverse_topk",    # centroid assignment + queries × corpus
         "retrieval_rrf_fusion",       # BM25 totals scalar + 1-row query vector

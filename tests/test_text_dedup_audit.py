@@ -557,3 +557,49 @@ def test_lang_kappa_matches_pure_python(spark):
     assert row.kappa == half_up(
         n_agree * n_docs - e_sum, n_docs * n_docs - e_sum
     )
+
+
+def test_source_chi2_drift_matches_pure_python(spark):
+    """Recompute the top-terms chi-square in exact big-int arithmetic
+    (Python ints are unbounded, so this independently pins the
+    DECIMAL(38)/HUGEINT leaf rounding) plus the chi² sanity law:
+    every statistic is non-negative."""
+    import re
+    from collections import Counter
+
+    import pandas as pd
+
+    from big_data_2021_spark_streaming_spark.operators.text import (
+        CHI2_TERMS,
+        source_chi2_drift,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = pd.read_parquet(f"{sf}/documents.parquet")
+    occ = Counter()
+    for _, row in docs.iterrows():
+        for t in re.split(r"\s+", str(row["text"]).strip()):
+            occ[(row["source"], t)] += 1
+    corpus = Counter()
+    for (_, t), c in occ.items():
+        corpus[t] += c
+    top = sorted(corpus.items(), key=lambda kv: (-kv[1], kv[0]))[:CHI2_TERMS]
+    top_terms = {t: c for t, c in top}
+    r = Counter()
+    for (s, t), c in occ.items():
+        if t in top_terms:
+            r[s] += c
+    n = sum(r.values())
+    expected = {}
+    for s in r:
+        chi2_micro = 0
+        for t, c in top_terms.items():
+            o = occ.get((s, t), 0)
+            d = o * n - r[s] * c
+            den = n * r[s] * c
+            chi2_micro += (2 * d * d * 10**6 + den) // (2 * den)
+        expected[s] = (r[s], CHI2_TERMS - 1, chi2_micro / 1e6)
+    rows = source_chi2_drift(spark, sf).collect()
+    got = {rr.source: (rr.n_top_tokens, rr.dof, rr.chi2) for rr in rows}
+    assert got == expected
+    assert all(v[2] >= 0 for v in got.values())
