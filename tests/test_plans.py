@@ -753,6 +753,11 @@ def test_registry_orders_unverified_queries_first():
         "dedup_lsh_recall_exact", "text_bpe_fertility",
         "text_lang_kappa", "retrieval_mrr_eval", "user_value_gini",
         "discount_quantity_ols",
+        # new in round 4j (this session; deferred behind the regrades)
+        "similarity_ivfpq_residual_topk", "embedding_jl_distortion",
+        "event_ewma_spikes", "corpus_token_budget_plan",
+        "linkage_fs_weights", "user_hazard_curve",
+        "event_markov_accuracy", "text_source_chi2_drift",
         # re-planned in round 4g (sf0.4 ROUND(SUM(double)) class fix;
         # deferred behind the regrades)
         "pivot_user_event_values", "session_window_stats",
