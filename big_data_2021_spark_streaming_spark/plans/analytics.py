@@ -1874,6 +1874,65 @@ def value_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def event_dispersion_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fisher dispersion index (variance-to-mean ratio of the DAILY
+    count series) per event type: D ≈ 1 under a homogeneous Poisson
+    stream, D ≫ 1 flags bursty/automated types, D ≪ 1 suspiciously
+    regular ones — the burstiness triage beside the CUSUM changepoint
+    (where) and EWMA spikes (which events). Quiet days enter as
+    explicit zeros via the same sequence-explode day grid as
+    event_cusum_changepoint, or D is biased up.
+
+    Exactness: with S = Σx and Q = Σx² over n days, the sample
+    variance-to-mean is (n·Q − S²)/((n−1)·S) — an exact integer
+    rational; the 1e6-scaled numerator exceeds 63 bits at scale, so
+    the half-up micro division rides DECIMAL(38,0)/HUGEINT like the
+    chi² leaves. One scan → (type, day) partial aggregate → |types|
+    rows."""
+    events = load_table(spark, sf_dir, "events")
+    daily = (
+        events.select("event_type", _epoch_us("ts").alias("_us"))
+        .select("event_type", F.expr("_us div 86400000000").alias("day"))
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    bounds = daily.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    grid = (
+        daily.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type", F.explode(F.sequence("d0", "d1")).alias("day")
+        )
+    )
+    dense = grid.join(daily, ["event_type", "day"], "left").select(
+        "event_type", "day", F.coalesce("c", F.lit(0)).alias("c")
+    )
+    moments = dense.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("c").alias("s"),
+        F.sum(F.col("c") * F.col("c")).alias("q"),
+    )
+    return moments.select(
+        "event_type",
+        "n_days",
+        F.col("s").alias("n_events"),
+        (
+            F.expr("(2 * s * 1000000 + n_days) div (2 * n_days)")
+            / F.lit(1e6)
+        ).alias("daily_mean"),
+        (
+            F.expr(
+                "(2 * (cast(n_days as decimal(19,0)) * q"
+                "      - cast(s as decimal(19,0)) * s) * 1000000"
+                " + (n_days - 1) * s)"
+                " div (2 * (n_days - 1) * cast(s as decimal(19,0)))"
+            )
+            / F.lit(1e6)
+        ).alias("dispersion"),
+    )
+
+
 HAZARD_CENSOR_DAYS = 7  # users active this close to corpus end are censored
 
 
@@ -3944,6 +4003,7 @@ QUERIES: dict[str, object] = {
     "linkage_fs_weights": linkage_fs_weights,
     "user_hazard_curve": user_hazard_curve,
     "event_markov_accuracy": event_markov_accuracy,
+    "event_dispersion_index": event_dispersion_index,
     "user_value_gini": user_value_gini,
     "discount_quantity_ols": discount_quantity_ols,
     "customer_value_frontier": customer_value_frontier,

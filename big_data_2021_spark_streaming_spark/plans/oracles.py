@@ -2017,3 +2017,44 @@ ORACLES["event_markov_accuracy"] = """
                // (2 * t.n_transitions)) / 1e6 AS accuracy
     FROM best b JOIN totals t USING (prev_type)
 """
+
+# Fisher dispersion twin: dense daily grid, exact integer moments,
+# HUGEINT micro leaf mirroring the Spark DECIMAL(38,0) arithmetic
+ORACLES["event_dispersion_index"] = """
+    WITH daily AS (
+        SELECT event_type,
+               epoch_us(ts) // 86400000000 AS day,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    bounds AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM daily),
+    grid AS (
+        SELECT t.event_type, gs.day
+        FROM (SELECT DISTINCT event_type FROM daily) t
+        CROSS JOIN (
+            SELECT unnest(generate_series(d0, d1)) AS day FROM bounds
+        ) gs
+    ),
+    dense AS (
+        SELECT g.event_type, g.day, COALESCE(d.c, 0) AS c
+        FROM grid g
+        LEFT JOIN daily d
+            ON d.event_type = g.event_type AND d.day = g.day
+    ),
+    moments AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_days,
+               CAST(SUM(c) AS BIGINT) AS s,
+               CAST(SUM(c * c) AS BIGINT) AS q
+        FROM dense GROUP BY event_type
+    )
+    SELECT event_type, n_days, s AS n_events,
+           ((2 * s * 1000000 + n_days) // (2 * n_days)) / 1e6
+               AS daily_mean,
+           ((2 * (CAST(n_days AS HUGEINT) * q
+                  - CAST(s AS HUGEINT) * s) * 1000000
+             + (n_days - 1) * s)
+            // (2 * (n_days - 1) * CAST(s AS HUGEINT))) / 1e6
+               AS dispersion
+    FROM moments
+"""

@@ -191,6 +191,7 @@ _GRADE_AFTER_REGRADES = frozenset(
         "user_hazard_curve",
         "event_markov_accuracy",
         "text_source_chi2_drift",
+        "event_dispersion_index",
         # round-4g additions (this session)
         "sketch_hll_intersection",
         "text_bpe_encode",

@@ -205,6 +205,7 @@ _BNLJ_INTENDED = frozenset(
         "sketch_histogram_quantiles",  # 1-row bounds + ≤1024-row cum-histogram scalars
         "t_closeness_audit",          # ≤|bands|-row global distribution onto QI groups
         "event_cusum_changepoint",    # 1-row day-span bounds onto the |types| frame
+        "event_dispersion_index",     # same 1-row day-span bounds grid
         "embedding_power_iteration",  # 1-row n/max/Rayleigh scalars onto ≤DIM²-row frames
         "quality_dup_profile",        # 1-row corpus-count scalar onto the ranked frame
         "similarity_recall_sweep",    # exact baseline + per-method broadcast-sized joins
@@ -758,6 +759,7 @@ def test_registry_orders_unverified_queries_first():
         "event_ewma_spikes", "corpus_token_budget_plan",
         "linkage_fs_weights", "user_hazard_curve",
         "event_markov_accuracy", "text_source_chi2_drift",
+        "event_dispersion_index",
         # re-planned in round 4g (sf0.4 ROUND(SUM(double)) class fix;
         # deferred behind the regrades)
         "pivot_user_event_values", "session_window_stats",

@@ -180,3 +180,35 @@ def test_hazard_curve_matches_pure_python(spark):
     risks = [got[a][0] for a in ordered]
     assert risks == sorted(risks, reverse=True)
     assert sum(got[a][1] for a in ordered) <= len(per_user)
+
+
+def test_dispersion_index_matches_pure_python(spark):
+    """Recompute the Fisher dispersion index over the dense daily grid
+    with unbounded Python ints (pins the DECIMAL/HUGEINT micro leaf),
+    plus the semantic law D ≥ 0 and the degenerate-grid guard."""
+    from big_data_2021_spark_streaming_spark.plans.analytics import (
+        event_dispersion_index,
+    )
+
+    ev = _events()
+    day = ev["ts"].astype("datetime64[us]").astype("int64") // 86_400_000_000
+    counts = Counter(zip(ev["event_type"], day))
+    d0, d1 = int(day.min()), int(day.max())
+    expected = {}
+    for t in set(ev["event_type"]):
+        xs = [counts.get((t, d), 0) for d in range(d0, d1 + 1)]
+        n, s, q = len(xs), sum(xs), sum(x * x for x in xs)
+        expected[t] = (
+            n,
+            s,
+            ((2 * s * 10**6 + n) // (2 * n)) / 1e6,
+            ((2 * (n * q - s * s) * 10**6 + (n - 1) * s)
+             // (2 * (n - 1) * s)) / 1e6,
+        )
+    rows = event_dispersion_index(spark, SF).collect()
+    got = {
+        r.event_type: (r.n_days, r.n_events, r.daily_mean, r.dispersion)
+        for r in rows
+    }
+    assert got == expected
+    assert all(v[3] >= 0 for v in got.values())
