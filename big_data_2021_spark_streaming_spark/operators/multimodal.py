@@ -415,6 +415,97 @@ def multimodal_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+AUDIO_WIN = 400  # samples per analysis frame (25 ms @ 16 kHz)
+AUDIO_HOP = 160  # hop between frames (10 ms @ 16 kHz)
+
+
+def multimodal_audio_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STFT framing plan for every audio asset: frame count under the
+    WIN/HOP grid, covered-sample share, and exact duration — the
+    planning half of a feature-extraction fleet (the FFT kernel would
+    consume these rows inside the same Arrow ``mapInPandas`` shape as
+    ``decode_assets``), sibling to ``multimodal_resize_plan`` on the
+    image side. Metadata is a deterministic pure function of the doc
+    (sample counts/rates stand in for real headers, exactly like the
+    resize plan's width/height), so both engines derive identical
+    rows; assets shorter than one frame are surfaced with a skip flag,
+    never dropped. One scan, integer math only, no shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    assets = docs.where(F.col("doc_id") % 3 == 1).select(
+        "doc_id",
+        (F.length("text") * 331 % 480000).cast("bigint").alias("n_samples"),
+        F.expr(
+            "element_at(array(16000, 22050, 44100),"
+            " cast((doc_id div 3) % 3 as int) + 1)"
+        )
+        .cast("int")
+        .alias("sample_rate"),
+    )
+    short = F.col("n_samples") < AUDIO_WIN
+    planned = assets.select(
+        "doc_id",
+        "n_samples",
+        "sample_rate",
+        short.alias("skip"),
+        F.when(short, F.lit(None).cast("bigint"))
+        .otherwise(
+            F.expr(f"1 + (n_samples - {AUDIO_WIN}) div {AUDIO_HOP}")
+        )
+        .alias("n_frames"),
+    )
+    return planned.select(
+        "doc_id",
+        "n_samples",
+        "sample_rate",
+        "n_frames",
+        # covered-sample share of the frame grid, half-up micro
+        F.when(F.col("skip"), F.lit(None).cast("double"))
+        .otherwise(
+            F.expr(
+                f"(2 * least(n_samples,"
+                f"            {AUDIO_WIN} + (n_frames - 1) * {AUDIO_HOP})"
+                f" * 1000000 + n_samples) div (2 * n_samples)"
+            )
+            / F.lit(1e6)
+        )
+        .alias("coverage"),
+        # exact half-up milliseconds
+        F.expr(
+            "(2 * n_samples * 1000 + sample_rate) div (2 * sample_rate)"
+        ).alias("duration_ms"),
+        "skip",
+    )
+
+
+ORACLES["multimodal_audio_frame_plan"] = f"""
+    WITH assets AS (
+        SELECT doc_id,
+               CAST(length(text) * 331 % 480000 AS BIGINT) AS n_samples,
+               CAST([16000, 22050, 44100][CAST((doc_id // 3) % 3 AS INTEGER) + 1]
+                    AS INTEGER) AS sample_rate
+        FROM documents WHERE doc_id % 3 = 1
+    ),
+    planned AS (
+        SELECT doc_id, n_samples, sample_rate,
+               n_samples < {AUDIO_WIN} AS skip,
+               CASE WHEN n_samples < {AUDIO_WIN} THEN NULL
+                    ELSE 1 + (n_samples - {AUDIO_WIN}) // {AUDIO_HOP}
+               END AS n_frames
+        FROM assets
+    )
+    SELECT doc_id, n_samples, sample_rate, n_frames,
+           CASE WHEN skip THEN NULL ELSE
+               ((2 * least(n_samples,
+                           {AUDIO_WIN} + (n_frames - 1) * {AUDIO_HOP})
+                 * 1000000 + n_samples) // (2 * n_samples)) / 1e6
+           END AS coverage,
+           (2 * n_samples * 1000 + sample_rate) // (2 * sample_rate)
+               AS duration_ms,
+           skip
+    FROM planned
+"""
+
+
 ORACLES["multimodal_resize_plan"] = f"""
     WITH assets AS (
         SELECT doc_id,
@@ -496,7 +587,9 @@ ORACLES["multimodal_frame_neardup"] = f"""
 """
 
 QUERIES = {
-    # round-4f addition first (registry order = grading order)
+    # round-4j addition first (registry order = grading order)
+    "multimodal_audio_frame_plan": multimodal_audio_frame_plan,
+    # round-4f addition next
     "multimodal_resize_plan": multimodal_resize_plan,
     # round-4e additions
     "multimodal_exact_dedup": multimodal_exact_dedup,

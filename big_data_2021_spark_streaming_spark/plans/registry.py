@@ -192,6 +192,7 @@ _GRADE_AFTER_REGRADES = frozenset(
         "event_markov_accuracy",
         "text_source_chi2_drift",
         "event_dispersion_index",
+        "multimodal_audio_frame_plan",
         # round-4g additions (this session)
         "sketch_hll_intersection",
         "text_bpe_encode",

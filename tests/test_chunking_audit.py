@@ -107,3 +107,57 @@ def test_join_key_skew_shares_and_rank(spark, sf_dir):
     assert cnts == sorted(cnts, reverse=True)
     assert all(r.cnt <= r.max_cnt for r in rows)
     assert rows[0].cnt == rows[0].max_cnt
+
+
+def test_audio_frame_plan_matches_pure_python(spark):
+    """Recompute the STFT framing plan with unbounded ints, plus the
+    framing laws: every non-skipped asset's frames fit inside the
+    sample count and adding one more frame would overrun."""
+    import pandas as pd
+
+    from big_data_2021_spark_streaming_spark.operators.multimodal import (
+        AUDIO_HOP,
+        AUDIO_WIN,
+        multimodal_audio_frame_plan,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = pd.read_parquet(f"{sf}/documents.parquet")
+    rates = [16000, 22050, 44100]
+    expected = {}
+    for _, r in docs.iterrows():
+        did = int(r["doc_id"])
+        if did % 3 != 1:
+            continue
+        n = (len(str(r["text"])) * 331) % 480000
+        sr = rates[(did // 3) % 3]
+        skip = n < AUDIO_WIN
+        frames = None if skip else 1 + (n - AUDIO_WIN) // AUDIO_HOP
+        cov = (
+            None
+            if skip
+            else (
+                (2 * min(n, AUDIO_WIN + (frames - 1) * AUDIO_HOP) * 10**6 + n)
+                // (2 * n)
+            )
+            / 1e6
+        )
+        dur = (2 * n * 1000 + sr) // (2 * sr)
+        expected[did] = (n, sr, frames, cov, dur, skip)
+    rows = multimodal_audio_frame_plan(spark, sf).collect()
+    got = {
+        r.doc_id: (
+            r.n_samples,
+            r.sample_rate,
+            r.n_frames,
+            r.coverage,
+            r.duration_ms,
+            r.skip,
+        )
+        for r in rows
+    }
+    assert got == expected
+    for n, _, frames, _, _, skip in got.values():
+        if not skip:
+            assert AUDIO_WIN + (frames - 1) * AUDIO_HOP <= n
+            assert AUDIO_WIN + frames * AUDIO_HOP > n

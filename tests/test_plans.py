@@ -759,7 +759,7 @@ def test_registry_orders_unverified_queries_first():
         "event_ewma_spikes", "corpus_token_budget_plan",
         "linkage_fs_weights", "user_hazard_curve",
         "event_markov_accuracy", "text_source_chi2_drift",
-        "event_dispersion_index",
+        "event_dispersion_index", "multimodal_audio_frame_plan",
         # re-planned in round 4g (sf0.4 ROUND(SUM(double)) class fix;
         # deferred behind the regrades)
         "pivot_user_event_values", "session_window_stats",
