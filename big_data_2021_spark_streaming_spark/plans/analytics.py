@@ -1874,6 +1874,59 @@ def value_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def experiment_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experimentation guardrail: assign every user to an arm by
+    deterministic salted hash (the reproducible assignment a real
+    platform uses), report per-arm user/event counts and the exact
+    mean event value, and the sample-ratio-mismatch chi² — the
+    1-degree test ((n_a−n_b)²/(n_a+n_b) for a 50/50 split) that must
+    be checked BEFORE reading any treatment effect, since a skewed
+    split means the assignment or logging is broken.
+
+    Exactness: counts are integers; with E = (n_a+n_b)/2 the chi²
+    collapses to the exact rational (n_a−n_b)²/(n_a+n_b) (half-up
+    micro); arm means ride the established per-row micro-unit sums.
+
+    Scale: one scan → per-user arm assignment is pure expression
+    logic → 2-key aggregate; the chi² is a 1-row frame broadcast back
+    onto the 2 arm rows."""
+    from ..functions.hashing import h60
+
+    events = load_table(spark, sf_dir, "events")
+    arm = (
+        h60(F.concat(F.lit("exp1:"), F.col("user_id").cast("string"))) % 2
+    ).cast("int")
+    per_arm = (
+        events.select(
+            arm.alias("arm"),
+            "user_id",
+            F.expr("cast(round(value * 1000000) as bigint)").alias("vq"),
+        )
+        .groupBy("arm")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum("vq").alias("_svq"),
+        )
+    )
+    srm = per_arm.agg(
+        F.expr(
+            "(2 * (max(n_users) - min(n_users))"
+            " * (max(n_users) - min(n_users)) * 1000000"
+            " + sum(n_users)) div (2 * sum(n_users))"
+        ).alias("_chi2_micro")
+    )
+    return per_arm.crossJoin(F.broadcast(srm)).select(
+        "arm",
+        "n_users",
+        "n_events",
+        (
+            F.expr("(2 * _svq + n_events) div (2 * n_events)") / F.lit(1e6)
+        ).alias("mean_value"),
+        (F.col("_chi2_micro") / F.lit(1e6)).alias("srm_chi2"),
+    )
+
+
 def event_dispersion_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fisher dispersion index (variance-to-mean ratio of the DAILY
     count series) per event type: D ≈ 1 under a homogeneous Poisson
@@ -4004,6 +4057,7 @@ QUERIES: dict[str, object] = {
     "user_hazard_curve": user_hazard_curve,
     "event_markov_accuracy": event_markov_accuracy,
     "event_dispersion_index": event_dispersion_index,
+    "experiment_srm_check": experiment_srm_check,
     "user_value_gini": user_value_gini,
     "discount_quantity_ols": discount_quantity_ols,
     "customer_value_frontier": customer_value_frontier,

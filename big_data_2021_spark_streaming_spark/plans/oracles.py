@@ -2058,3 +2058,27 @@ ORACLES["event_dispersion_index"] = """
                AS dispersion
     FROM moments
 """
+
+# SRM twin: same salted-hash assignment via the shared h60 family,
+# chi-square collapsed to the exact rational (n_a-n_b)^2/(n_a+n_b)
+ORACLES["experiment_srm_check"] = """
+    WITH per_arm AS (
+        SELECT CAST(CAST('0x' || substr(md5('exp1:' || CAST(user_id AS VARCHAR)), 1, 15)
+                    AS BIGINT) % 2 AS INTEGER) AS arm,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CAST(ROUND(value * 1000000) AS BIGINT)) AS BIGINT)
+                   AS svq
+        FROM events GROUP BY 1
+    ),
+    srm AS (
+        SELECT (2 * (MAX(n_users) - MIN(n_users))
+                  * (MAX(n_users) - MIN(n_users)) * 1000000
+                + SUM(n_users)) // (2 * SUM(n_users)) AS chi2_micro
+        FROM per_arm
+    )
+    SELECT arm, n_users, n_events,
+           ((2 * svq + n_events) // (2 * n_events)) / 1e6 AS mean_value,
+           chi2_micro / 1e6 AS srm_chi2
+    FROM per_arm CROSS JOIN srm
+"""

@@ -193,6 +193,7 @@ _GRADE_AFTER_REGRADES = frozenset(
         "text_source_chi2_drift",
         "event_dispersion_index",
         "multimodal_audio_frame_plan",
+        "experiment_srm_check",
         # round-4g additions (this session)
         "sketch_hll_intersection",
         "text_bpe_encode",

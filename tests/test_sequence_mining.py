@@ -212,3 +212,54 @@ def test_dispersion_index_matches_pure_python(spark):
     }
     assert got == expected
     assert all(v[3] >= 0 for v in got.values())
+
+
+def test_srm_check_matches_pure_python(spark):
+    """Recompute the salted-hash arm assignment, per-arm stats, and
+    the collapsed SRM chi-square with unbounded ints."""
+    import hashlib
+    import math
+
+    from big_data_2021_spark_streaming_spark.plans.analytics import (
+        experiment_srm_check,
+    )
+
+    ev = _events()
+    users = {}
+    stats = {}
+    for _, r in ev.iterrows():
+        uid = int(r["user_id"])
+        if uid not in users:
+            users[uid] = (
+                int(
+                    hashlib.md5(f"exp1:{uid}".encode()).hexdigest()[:15], 16
+                )
+                % 2
+            )
+        arm = users[uid]
+        v = float(r["value"])
+        vq = int(math.floor(abs(v) * 1e6 + 0.5)) * (1 if v >= 0 else -1)
+        s = stats.setdefault(arm, [set(), 0, 0])
+        s[0].add(uid)
+        s[1] += 1
+        s[2] += vq
+    n_users = {a: len(s[0]) for a, s in stats.items()}
+    diff = abs(n_users.get(0, 0) - n_users.get(1, 0))
+    total = sum(n_users.values())
+    chi2 = ((2 * diff * diff * 10**6 + total) // (2 * total)) / 1e6
+    expected = {
+        a: (
+            n_users[a],
+            s[1],
+            ((2 * s[2] + s[1]) // (2 * s[1])) / 1e6,
+            chi2,
+        )
+        for a, s in stats.items()
+    }
+    rows = experiment_srm_check(spark, SF).collect()
+    got = {
+        r.arm: (r.n_users, r.n_events, r.mean_value, r.srm_chi2)
+        for r in rows
+    }
+    assert got == expected
+    assert set(got) == {0, 1}
