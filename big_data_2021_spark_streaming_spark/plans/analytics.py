@@ -1927,6 +1927,137 @@ def experiment_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CUPED_PRE_DAYS = 15  # first 15 corpus days = pre-experiment covariate
+
+
+def experiment_cuped_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED-adjusted experiment readout (the industry-standard
+    variance-reduction companion to experiment_srm_check): per user,
+    X = pre-period value total (first CUPED_PRE_DAYS corpus days) and
+    Y = post-period total; θ = cov(X,Y)/var(X) pooled over all users;
+    each arm reports its raw and adjusted mean Ȳ − θ(X̄_arm − X̄).
+    Users absent from a period contribute an exact 0, as in practice.
+
+    Exactness: θ's numerator n·Sxy − Sx·Sy and denominator n·Sxx − Sx²
+    are exact integers on DECIMAL(38,0)/HUGEINT (per-user products
+    pass 63 bits); θ and the adjustment term are SIGNED half-away
+    micro divisions (sign split, since `div`/`//` truncate toward
+    zero); all-equal-X degenerates to θ = 0, not a division error.
+
+    Scale: one scan → |users| aggregate → one 5-number pooled moment
+    row + a 2-row arm rollup; the moment row broadcasts back."""
+    from ..functions.hashing import h60
+
+    events = load_table(spark, sf_dir, "events")
+    days = events.select(
+        "user_id",
+        F.expr("cast(round(value * 1000000) as bigint)").alias("vq"),
+        _epoch_us("ts").alias("_us"),
+    ).select("user_id", "vq", F.expr("_us div 86400000000").alias("day"))
+    bounds = days.agg(F.min("day").alias("d0"))
+    per_user = (
+        days.crossJoin(F.broadcast(bounds))
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("day") < F.col("d0") + CUPED_PRE_DAYS, F.col("vq")
+                ).otherwise(F.lit(0))
+            ).alias("x"),
+            F.sum(
+                F.when(
+                    F.col("day") >= F.col("d0") + CUPED_PRE_DAYS, F.col("vq")
+                ).otherwise(F.lit(0))
+            ).alias("y"),
+        )
+        .select(
+            (
+                h60(F.concat(F.lit("exp1:"), F.col("user_id").cast("string")))
+                % 2
+            )
+            .cast("int")
+            .alias("arm"),
+            "x",
+            "y",
+        )
+    )
+    dec = "decimal(38,0)"
+    pooled = per_user.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.expr(f"cast(x as {dec}) * x")).alias("sxx"),
+        F.sum(F.expr(f"cast(x as {dec}) * y")).alias("sxy"),
+    )
+    theta = (
+        pooled.crossJoin(
+            F.broadcast(per_user.agg(F.sum("y").alias("sy_num")))
+        )
+        .select(
+            F.expr(
+                f"""case
+                    when n * sxx - cast(sx as {dec}) * sx = 0
+                        then cast(0 as bigint)
+                    when n * sxy - cast(sx as {dec}) * sy_num >= 0 then
+                        cast((2 * (n * sxy - cast(sx as {dec}) * sy_num)
+                              * 1000000
+                              + (n * sxx - cast(sx as {dec}) * sx))
+                        div (2 * (n * sxx - cast(sx as {dec}) * sx))
+                        as bigint)
+                    else
+                        cast(-((2 * -(n * sxy - cast(sx as {dec}) * sy_num)
+                                * 1000000
+                                + (n * sxx - cast(sx as {dec}) * sx))
+                          div (2 * (n * sxx - cast(sx as {dec}) * sx)))
+                        as bigint)
+                end"""
+            ).alias("theta_micro"),
+            F.expr("(2 * sx + n) div (2 * n)").alias("xbar_micro"),
+        )
+    )
+    per_arm = per_user.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("x").alias("sx_a"),
+        F.sum("y").alias("sy_a"),
+    )
+    return (
+        per_arm.crossJoin(F.broadcast(theta))
+        .select(
+            "arm",
+            "n_users",
+            F.expr("(2 * sy_a + n_users) div (2 * n_users)").alias(
+                "_ybar"
+            ),
+            F.expr("(2 * sx_a + n_users) div (2 * n_users)").alias(
+                "_xbar_a"
+            ),
+            "theta_micro",
+            "xbar_micro",
+        )
+        .select(
+            "arm",
+            "n_users",
+            (F.col("_ybar") / F.lit(1e6)).alias("raw_mean"),
+            (
+                (
+                    F.col("_ybar")
+                    - F.expr(
+                        """case
+                            when theta_micro * (_xbar_a - xbar_micro) >= 0
+                            then (2 * theta_micro * (_xbar_a - xbar_micro)
+                                  + 1000000) div 2000000
+                            else -((2 * -(theta_micro
+                                          * (_xbar_a - xbar_micro))
+                                    + 1000000) div 2000000)
+                        end"""
+                    )
+                )
+                / F.lit(1e6)
+            ).alias("adjusted_mean"),
+            (F.col("theta_micro") / F.lit(1e6)).alias("theta"),
+        )
+    )
+
+
 def event_dispersion_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fisher dispersion index (variance-to-mean ratio of the DAILY
     count series) per event type: D ≈ 1 under a homogeneous Poisson
@@ -4058,6 +4189,7 @@ QUERIES: dict[str, object] = {
     "event_markov_accuracy": event_markov_accuracy,
     "event_dispersion_index": event_dispersion_index,
     "experiment_srm_check": experiment_srm_check,
+    "experiment_cuped_lift": experiment_cuped_lift,
     "user_value_gini": user_value_gini,
     "discount_quantity_ols": discount_quantity_ols,
     "customer_value_frontier": customer_value_frontier,

@@ -2082,3 +2082,74 @@ ORACLES["experiment_srm_check"] = """
            chi2_micro / 1e6 AS srm_chi2
     FROM per_arm CROSS JOIN srm
 """
+
+# CUPED twin: same pre/post split, pooled moments on HUGEINT, SIGNED
+# half-away micro theta and adjustment (DuckDB // floors, so the sign
+# split is load-bearing, not stylistic)
+ORACLES["experiment_cuped_lift"] = """
+    WITH days AS (
+        SELECT user_id,
+               CAST(ROUND(value * 1000000) AS BIGINT) AS vq,
+               epoch_us(ts) // 86400000000 AS day
+        FROM events
+    ),
+    bounds AS (SELECT MIN(day) AS d0 FROM days),
+    per_user AS (
+        SELECT CAST(CAST('0x' || substr(md5('exp1:' || CAST(user_id AS VARCHAR)), 1, 15)
+                    AS BIGINT) % 2 AS INTEGER) AS arm,
+               CAST(SUM(CASE WHEN day < d0 + 15 THEN vq ELSE 0 END)
+                    AS BIGINT) AS x,
+               CAST(SUM(CASE WHEN day >= d0 + 15 THEN vq ELSE 0 END)
+                    AS BIGINT) AS y
+        FROM days, bounds
+        GROUP BY user_id
+    ),
+    pooled AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(y) AS BIGINT) AS sy_num,
+               SUM(CAST(x AS HUGEINT) * x) AS sxx,
+               SUM(CAST(x AS HUGEINT) * y) AS sxy
+        FROM per_user
+    ),
+    theta AS (
+        SELECT CAST(CASE
+            WHEN n * sxx - CAST(sx AS HUGEINT) * sx = 0 THEN 0
+            WHEN n * sxy - CAST(sx AS HUGEINT) * sy_num >= 0 THEN
+                (2 * (n * sxy - CAST(sx AS HUGEINT) * sy_num) * 1000000
+                 + (n * sxx - CAST(sx AS HUGEINT) * sx))
+                // (2 * (n * sxx - CAST(sx AS HUGEINT) * sx))
+            ELSE
+                -((2 * -(n * sxy - CAST(sx AS HUGEINT) * sy_num) * 1000000
+                   + (n * sxx - CAST(sx AS HUGEINT) * sx))
+                  // (2 * (n * sxx - CAST(sx AS HUGEINT) * sx)))
+        END AS BIGINT) AS theta_micro,
+               (2 * sx + n) // (2 * n) AS xbar_micro
+        FROM pooled
+    ),
+    per_arm AS (
+        SELECT arm,
+               CAST(COUNT(*) AS BIGINT) AS n_users,
+               CAST(SUM(x) AS BIGINT) AS sx_a,
+               CAST(SUM(y) AS BIGINT) AS sy_a
+        FROM per_user GROUP BY arm
+    )
+    SELECT arm, n_users,
+           ((2 * sy_a + n_users) // (2 * n_users)) / 1e6 AS raw_mean,
+           (((2 * sy_a + n_users) // (2 * n_users))
+            - CASE
+                WHEN theta_micro
+                     * ((2 * sx_a + n_users) // (2 * n_users) - xbar_micro)
+                     >= 0 THEN
+                    (2 * theta_micro
+                       * ((2 * sx_a + n_users) // (2 * n_users) - xbar_micro)
+                     + 1000000) // 2000000
+                ELSE
+                    -((2 * -(theta_micro
+                        * ((2 * sx_a + n_users) // (2 * n_users)
+                           - xbar_micro))
+                       + 1000000) // 2000000)
+              END) / 1e6 AS adjusted_mean,
+           theta_micro / 1e6 AS theta
+    FROM per_arm CROSS JOIN theta
+"""

@@ -194,6 +194,7 @@ _GRADE_AFTER_REGRADES = frozenset(
         "event_dispersion_index",
         "multimodal_audio_frame_plan",
         "experiment_srm_check",
+        "experiment_cuped_lift",
         # round-4g additions (this session)
         "sketch_hll_intersection",
         "text_bpe_encode",

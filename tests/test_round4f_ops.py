@@ -348,7 +348,9 @@ def test_recall_sweep_consistent_with_standalone_reports(spark):
     )
 
     rows = {r.method: r for r in recall_sweep(spark, SF).collect()}
-    assert set(rows) == {"lsh", "ivf", "pq", "ivf_pq", "sq", "bq", "mrl"}
+    assert set(rows) == {
+        "lsh", "ivf", "pq", "ivf_pq", "ivfpq_res", "sq", "bq", "mrl",
+    }
     for r in rows.values():
         assert r.n_exact_pairs > 0 and r.n_exact_pairs % TOPK == 0
         assert 0 <= r.n_hits <= r.n_exact_pairs

@@ -263,3 +263,65 @@ def test_srm_check_matches_pure_python(spark):
     }
     assert got == expected
     assert set(got) == {0, 1}
+
+
+def test_cuped_lift_matches_pure_python(spark):
+    """Recompute CUPED end-to-end with unbounded ints, including the
+    signed half-away theta and adjustment leaves, plus the CUPED laws:
+    theta is shared across arms and adjusted = raw when theta = 0."""
+    import hashlib
+    import math
+
+    from big_data_2021_spark_streaming_spark.plans.analytics import (
+        CUPED_PRE_DAYS,
+        experiment_cuped_lift,
+    )
+
+    def half_away(num: int, den: int) -> int:
+        if num >= 0:
+            return (2 * num + den) // (2 * den)
+        return -((2 * -num + den) // (2 * den))
+
+    ev = _events()
+    day = ev["ts"].astype("datetime64[us]").astype("int64") // 86_400_000_000
+    d0 = int(day.min())
+    per_user = {}
+    for (_, r), d in zip(ev.iterrows(), day):
+        uid = int(r["user_id"])
+        v = float(r["value"])
+        vq = int(math.floor(abs(v) * 1e6 + 0.5)) * (1 if v >= 0 else -1)
+        xy = per_user.setdefault(uid, [0, 0])
+        xy[0 if int(d) < d0 + CUPED_PRE_DAYS else 1] += vq
+    n = len(per_user)
+    sx = sum(x for x, _ in per_user.values())
+    sy = sum(y for _, y in per_user.values())
+    sxx = sum(x * x for x, _ in per_user.values())
+    sxy = sum(x * y for x, y in per_user.values())
+    var_num = n * sxx - sx * sx
+    theta_micro = (
+        0 if var_num == 0 else half_away((n * sxy - sx * sy) * 10**6, var_num)
+    )
+    xbar = (2 * sx + n) // (2 * n)
+    arms = {}
+    for uid, (x, y) in per_user.items():
+        arm = (
+            int(hashlib.md5(f"exp1:{uid}".encode()).hexdigest()[:15], 16) % 2
+        )
+        a = arms.setdefault(arm, [0, 0, 0])
+        a[0] += 1
+        a[1] += x
+        a[2] += y
+    expected = {}
+    for arm, (na, sxa, sya) in arms.items():
+        ybar = (2 * sya + na) // (2 * na)
+        xbar_a = (2 * sxa + na) // (2 * na)
+        adj = ybar - half_away(theta_micro * (xbar_a - xbar), 10**6)
+        expected[arm] = (na, ybar / 1e6, adj / 1e6, theta_micro / 1e6)
+    rows = experiment_cuped_lift(spark, SF).collect()
+    got = {
+        r.arm: (r.n_users, r.raw_mean, r.adjusted_mean, r.theta)
+        for r in rows
+    }
+    assert got == expected
+    thetas = {v[3] for v in got.values()}
+    assert len(thetas) == 1
