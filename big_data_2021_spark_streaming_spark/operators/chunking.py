@@ -140,7 +140,84 @@ def doc_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _TOKS = _oracle_tokens()
 
+BUCKET_CAPS = (32, 64, 128, 256, 512, 1024, 2048, 4096)
+
+
+def _cap_case(col: str) -> str:
+    """Shared CASE ladder (both engines): smallest power-of-two bucket
+    ≥ n_tokens, clamped to BUCKET_CAPS[0] / BUCKET_CAPS[-1]."""
+    whens = " ".join(
+        f"WHEN {col} <= {c} THEN {c}" for c in BUCKET_CAPS[:-1]
+    )
+    return f"CASE {whens} ELSE {BUCKET_CAPS[-1]} END"
+
+
+def doc_length_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batching report — the OTHER way (beside
+    doc_packing's concatenate-and-cut) to keep context windows full:
+    route each doc to the smallest power-of-two bucket that holds it
+    and pad to the bucket cap. Reports, per bucket, the doc/token
+    volume and the exact padding-waste share (padded − real)/padded —
+    the number that decides packing vs bucketing for a training run.
+    Docs past the top cap are counted against it (they'd be chunked
+    first; see doc_chunking).
+
+    One scan, a ≤|BUCKET_CAPS|-key aggregate, pure integer math."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        F.size(tokens_col(F.col("text"))).cast("bigint").alias("n_tokens")
+    ).select(
+        "n_tokens", F.expr(_cap_case("n_tokens")).cast("bigint").alias("cap")
+    )
+    agg = base.groupBy("cap").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").alias("real_tokens"),
+        # tokens past the cap spill to chunking, so padded ≥ counted
+        F.sum(F.least(F.col("n_tokens"), F.col("cap"))).alias(
+            "in_cap_tokens"
+        ),
+    )
+    return agg.select(
+        "cap",
+        "n_docs",
+        "real_tokens",
+        (F.col("n_docs") * F.col("cap")).alias("padded_tokens"),
+        (
+            F.expr(
+                "(2 * (n_docs * cap - in_cap_tokens) * 1000000"
+                " + n_docs * cap) div (2 * n_docs * cap)"
+            )
+            / F.lit(1e6)
+        ).alias("padding_waste"),
+    )
+
+
 ORACLES: dict[str, str] = {}
+
+ORACLES["doc_length_bucketing"] = f"""
+    WITH base AS (
+        SELECT CAST(len({_oracle_tokens()}) AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    capped AS (
+        SELECT n_tokens,
+               CAST({_cap_case('n_tokens')} AS BIGINT) AS cap
+        FROM base
+    ),
+    agg AS (
+        SELECT cap,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS real_tokens,
+               CAST(SUM(least(n_tokens, cap)) AS BIGINT) AS in_cap_tokens
+        FROM capped GROUP BY cap
+    )
+    SELECT cap, n_docs, real_tokens,
+           n_docs * cap AS padded_tokens,
+           ((2 * (n_docs * cap - in_cap_tokens) * 1000000
+             + n_docs * cap) // (2 * n_docs * cap)) / 1e6
+               AS padding_waste
+    FROM agg
+"""
 
 ORACLES["doc_chunking"] = f"""
     WITH base AS (
@@ -204,6 +281,8 @@ ORACLES["doc_packing"] = f"""
 """
 
 QUERIES = {
+    # round-4j addition first: registry order = driver grading order
+    "doc_length_bucketing": doc_length_bucketing,
     "doc_chunking": doc_chunking,
     "doc_packing": doc_packing,
 }

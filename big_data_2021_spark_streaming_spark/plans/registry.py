@@ -195,6 +195,7 @@ _GRADE_AFTER_REGRADES = frozenset(
         "multimodal_audio_frame_plan",
         "experiment_srm_check",
         "experiment_cuped_lift",
+        "doc_length_bucketing",
         # round-4g additions (this session)
         "sketch_hll_intersection",
         "text_bpe_encode",

@@ -161,3 +161,42 @@ def test_audio_frame_plan_matches_pure_python(spark):
         if not skip:
             assert AUDIO_WIN + (frames - 1) * AUDIO_HOP <= n
             assert AUDIO_WIN + frames * AUDIO_HOP > n
+
+
+def test_length_bucketing_matches_pure_python(spark):
+    """Recompute the bucket routing and exact padding-waste share,
+    plus the bucketing laws: caps are the declared power-of-two
+    ladder, every doc lands in exactly one bucket, and padded ≥
+    in-cap tokens."""
+    import re
+
+    import pandas as pd
+
+    from big_data_2021_spark_streaming_spark.operators.chunking import (
+        BUCKET_CAPS,
+        doc_length_bucketing,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = pd.read_parquet(f"{sf}/documents.parquet")
+    agg = {}
+    for _, r in docs.iterrows():
+        n = len(re.split(r"\s+", str(r["text"]).strip()))
+        cap = next((c for c in BUCKET_CAPS if n <= c), BUCKET_CAPS[-1])
+        a = agg.setdefault(cap, [0, 0, 0])
+        a[0] += 1
+        a[1] += n
+        a[2] += min(n, cap)
+    expected = {}
+    for cap, (n_docs, real, in_cap) in agg.items():
+        padded = n_docs * cap
+        waste = ((2 * (padded - in_cap) * 10**6 + padded) // (2 * padded))
+        expected[cap] = (n_docs, real, padded, waste / 1e6)
+    rows = doc_length_bucketing(spark, sf).collect()
+    got = {
+        r.cap: (r.n_docs, r.real_tokens, r.padded_tokens, r.padding_waste)
+        for r in rows
+    }
+    assert got == expected
+    assert sum(v[0] for v in got.values()) == len(docs)
+    assert set(got) <= set(BUCKET_CAPS)

@@ -763,6 +763,7 @@ def test_registry_orders_unverified_queries_first():
         "event_markov_accuracy", "text_source_chi2_drift",
         "event_dispersion_index", "multimodal_audio_frame_plan",
         "experiment_srm_check", "experiment_cuped_lift",
+        "doc_length_bucketing",
         # re-planned in round 4g (sf0.4 ROUND(SUM(double)) class fix;
         # deferred behind the regrades)
         "pivot_user_event_values", "session_window_stats",
