@@ -1927,6 +1927,85 @@ def experiment_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MAPE_LAG_DAYS = 7  # seasonal-naive: day d forecast by day d-7
+
+
+def event_seasonal_naive_mape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast-baseline evaluation: MAPE (and bias) of the
+    seasonal-naive predictor — tomorrow looks like the same weekday
+    last week — over the dense daily count series per event type. Any
+    real forecasting model must beat this number; reporting it per
+    type is the standard pre-model sanity the revenue-forecast query
+    (forecast_revenue_change) assumes.
+
+    Exactness: each scored day's |actual − lag7| / actual is an exact
+    half-up micro leaf (counts are integers; zero-actual days are
+    excluded from MAPE, counted in n_zero_actual); the mean is an
+    integer division over the leaf sum. Bias keeps the sign with the
+    signed half-away split.
+
+    Scale: same shape as event_cusum_changepoint — one scan, (type,
+    day) partial aggregate, the lag runs over the calendar-bounded
+    dense grid."""
+    events = load_table(spark, sf_dir, "events")
+    daily = (
+        events.select("event_type", _epoch_us("ts").alias("_us"))
+        .select("event_type", F.expr("_us div 86400000000").alias("day"))
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    bounds = daily.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    grid = (
+        daily.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type", F.explode(F.sequence("d0", "d1")).alias("day")
+        )
+    )
+    dense = grid.join(daily, ["event_type", "day"], "left").select(
+        "event_type", "day", F.coalesce("c", F.lit(0)).alias("c")
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    scored = dense.withColumn(
+        "pred", F.lag("c", MAPE_LAG_DAYS).over(w)
+    ).where(F.col("pred").isNotNull())
+    leaves = scored.select(
+        "event_type",
+        "c",
+        "pred",
+        F.when(
+            F.col("c") > 0,
+            F.expr("(2 * abs(c - pred) * 1000000 + c) div (2 * c)"),
+        ).alias("ape_micro"),
+        (F.col("pred") - F.col("c")).alias("err"),
+    )
+    return leaves.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days_scored"),
+        F.sum(F.when(F.col("c") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_zero_actual"),
+        (
+            F.expr(
+                "(2 * sum(ape_micro) + count(ape_micro))"
+                " div (2 * count(ape_micro))"
+            )
+            / F.lit(1e6)
+        ).alias("mape"),
+        (
+            F.expr(
+                """case when sum(err) >= 0
+                    then (2 * sum(err) * 1000000 + count(1))
+                         div (2 * count(1))
+                    else -((2 * -sum(err) * 1000000 + count(1))
+                           div (2 * count(1)))
+                end"""
+            )
+            / F.lit(1e6)
+        ).alias("mean_bias"),
+    )
+
+
 CUPED_PRE_DAYS = 15  # first 15 corpus days = pre-experiment covariate
 
 
@@ -4190,6 +4269,7 @@ QUERIES: dict[str, object] = {
     "event_dispersion_index": event_dispersion_index,
     "experiment_srm_check": experiment_srm_check,
     "experiment_cuped_lift": experiment_cuped_lift,
+    "event_seasonal_naive_mape": event_seasonal_naive_mape,
     "user_value_gini": user_value_gini,
     "discount_quantity_ols": discount_quantity_ols,
     "customer_value_frontier": customer_value_frontier,

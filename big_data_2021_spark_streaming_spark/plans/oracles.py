@@ -2153,3 +2153,54 @@ ORACLES["experiment_cuped_lift"] = """
            theta_micro / 1e6 AS theta
     FROM per_arm CROSS JOIN theta
 """
+
+# Seasonal-naive MAPE twin: dense grid + lag-7, exact half-up micro
+# leaves (zero-actual days excluded from MAPE, counted), signed bias
+ORACLES["event_seasonal_naive_mape"] = """
+    WITH daily AS (
+        SELECT event_type,
+               epoch_us(ts) // 86400000000 AS day,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    bounds AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM daily),
+    grid AS (
+        SELECT t.event_type, gs.day
+        FROM (SELECT DISTINCT event_type FROM daily) t
+        CROSS JOIN (
+            SELECT unnest(generate_series(d0, d1)) AS day FROM bounds
+        ) gs
+    ),
+    dense AS (
+        SELECT g.event_type, g.day, COALESCE(d.c, 0) AS c
+        FROM grid g
+        LEFT JOIN daily d
+            ON d.event_type = g.event_type AND d.day = g.day
+    ),
+    scored AS (
+        SELECT event_type, c,
+               lag(c, 7) OVER (
+                   PARTITION BY event_type ORDER BY day) AS pred
+        FROM dense
+    ),
+    leaves AS (
+        SELECT event_type, c, pred,
+               CASE WHEN c > 0 THEN
+                   (2 * abs(c - pred) * 1000000 + c) // (2 * c)
+               END AS ape_micro,
+               pred - c AS err
+        FROM scored WHERE pred IS NOT NULL
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_days_scored,
+           CAST(SUM(CASE WHEN c = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_zero_actual,
+           ((2 * SUM(ape_micro) + COUNT(ape_micro))
+               // (2 * COUNT(ape_micro))) / 1e6 AS mape,
+           (CASE WHEN SUM(err) >= 0
+                THEN (2 * SUM(err) * 1000000 + COUNT(*)) // (2 * COUNT(*))
+                ELSE -((2 * -SUM(err) * 1000000 + COUNT(*))
+                       // (2 * COUNT(*)))
+            END) / 1e6 AS mean_bias
+    FROM leaves GROUP BY event_type
+"""

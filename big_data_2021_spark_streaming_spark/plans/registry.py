@@ -196,6 +196,7 @@ _GRADE_AFTER_REGRADES = frozenset(
         "experiment_srm_check",
         "experiment_cuped_lift",
         "doc_length_bucketing",
+        "event_seasonal_naive_mape",
         # round-4g additions (this session)
         "sketch_hll_intersection",
         "text_bpe_encode",

@@ -206,6 +206,7 @@ _BNLJ_INTENDED = frozenset(
         "t_closeness_audit",          # ≤|bands|-row global distribution onto QI groups
         "event_cusum_changepoint",    # 1-row day-span bounds onto the |types| frame
         "event_dispersion_index",     # same 1-row day-span bounds grid
+        "event_seasonal_naive_mape",  # same 1-row day-span bounds grid
         "experiment_srm_check",       # 1-row chi2 frame onto 2 arm rows
         "experiment_cuped_lift",      # 1-row bounds + pooled-moment frames
         "embedding_power_iteration",  # 1-row n/max/Rayleigh scalars onto ≤DIM²-row frames
@@ -763,7 +764,7 @@ def test_registry_orders_unverified_queries_first():
         "event_markov_accuracy", "text_source_chi2_drift",
         "event_dispersion_index", "multimodal_audio_frame_plan",
         "experiment_srm_check", "experiment_cuped_lift",
-        "doc_length_bucketing",
+        "doc_length_bucketing", "event_seasonal_naive_mape",
         # re-planned in round 4g (sf0.4 ROUND(SUM(double)) class fix;
         # deferred behind the regrades)
         "pivot_user_event_values", "session_window_stats",

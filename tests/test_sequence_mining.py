@@ -325,3 +325,45 @@ def test_cuped_lift_matches_pure_python(spark):
     assert got == expected
     thetas = {v[3] for v in got.values()}
     assert len(thetas) == 1
+
+
+def test_seasonal_naive_mape_matches_pure_python(spark):
+    from big_data_2021_spark_streaming_spark.plans.analytics import (
+        MAPE_LAG_DAYS,
+        event_seasonal_naive_mape,
+    )
+
+    ev = _events()
+    day = ev["ts"].astype("datetime64[us]").astype("int64") // 86_400_000_000
+    counts = Counter(zip(ev["event_type"], day))
+    d0, d1 = int(day.min()), int(day.max())
+    expected = {}
+    for t in set(ev["event_type"]):
+        xs = [counts.get((t, d), 0) for d in range(d0, d1 + 1)]
+        leaves, errs, zeros = [], [], 0
+        for i in range(MAPE_LAG_DAYS, len(xs)):
+            a, p = xs[i], xs[i - MAPE_LAG_DAYS]
+            errs.append(p - a)
+            if a == 0:
+                zeros += 1
+            else:
+                leaves.append((2 * abs(a - p) * 10**6 + a) // (2 * a))
+        n = len(errs)
+        se = sum(errs)
+        bias = (
+            (2 * se * 10**6 + n) // (2 * n)
+            if se >= 0
+            else -((2 * -se * 10**6 + n) // (2 * n))
+        )
+        expected[t] = (
+            n,
+            zeros,
+            ((2 * sum(leaves) + len(leaves)) // (2 * len(leaves))) / 1e6,
+            bias / 1e6,
+        )
+    rows = event_seasonal_naive_mape(spark, SF).collect()
+    got = {
+        r.event_type: (r.n_days_scored, r.n_zero_actual, r.mape, r.mean_bias)
+        for r in rows
+    }
+    assert got == expected
