@@ -1927,6 +1927,59 @@ def experiment_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def user_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / WAU stickiness per day — the engagement dashboard staple.
+    Trailing-7-day distinct users are NOT summable from daily counts,
+    so the distributed shape is the contribution-explode: each (user,
+    active-day) pair is exploded onto the ≤7 future days it keeps the
+    user active for, then ONE distinct + count per target day replaces
+    seven overlapping distinct windows. Days before a full 7-day
+    window are excluded (they'd understate WAU).
+
+    Exactness: all counts integers; stickiness = DAU/WAU half-up
+    micro. Scale: the explode is a bounded 7× of the |user × day|
+    frame (already ≪ events), one shuffle for the distinct."""
+    events = load_table(spark, sf_dir, "events")
+    user_days = (
+        events.select("user_id", _epoch_us("ts").alias("_us"))
+        .select("user_id", F.expr("_us div 86400000000").alias("day"))
+        .distinct()
+    )
+    dau = user_days.groupBy("day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("dau")
+    )
+    wau = (
+        user_days.select(
+            "user_id",
+            F.explode(
+                F.sequence(F.col("day"), F.col("day") + 6)
+            ).alias("day"),
+        )
+        .distinct()
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("wau"))
+    )
+    bounds = user_days.agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    return (
+        dau.join(wau, "day")
+        .crossJoin(F.broadcast(bounds))
+        .where(
+            (F.col("day") >= F.col("d0") + 6) & (F.col("day") <= F.col("d1"))
+        )
+        .select(
+            "day",
+            "dau",
+            "wau",
+            (
+                F.expr("(2 * dau * 1000000 + wau) div (2 * wau)")
+                / F.lit(1e6)
+            ).alias("stickiness"),
+        )
+    )
+
+
 MAPE_LAG_DAYS = 7  # seasonal-naive: day d forecast by day d-7
 
 
@@ -4270,6 +4323,7 @@ QUERIES: dict[str, object] = {
     "experiment_srm_check": experiment_srm_check,
     "experiment_cuped_lift": experiment_cuped_lift,
     "event_seasonal_naive_mape": event_seasonal_naive_mape,
+    "user_dau_wau_stickiness": user_dau_wau_stickiness,
     "user_value_gini": user_value_gini,
     "discount_quantity_ols": discount_quantity_ols,
     "customer_value_frontier": customer_value_frontier,

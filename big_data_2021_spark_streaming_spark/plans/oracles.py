@@ -2204,3 +2204,31 @@ ORACLES["event_seasonal_naive_mape"] = """
             END) / 1e6 AS mean_bias
     FROM leaves GROUP BY event_type
 """
+
+# DAU/WAU twin: same contribution-explode (each active (user, day)
+# covers days d..d+6), one distinct per target day, half-up micro
+ORACLES["user_dau_wau_stickiness"] = """
+    WITH user_days AS (
+        SELECT DISTINCT user_id,
+               epoch_us(ts) // 86400000000 AS day
+        FROM events
+    ),
+    dau AS (
+        SELECT day, CAST(COUNT(*) AS BIGINT) AS dau
+        FROM user_days GROUP BY day
+    ),
+    contrib AS (
+        SELECT DISTINCT user_id, day + d AS day
+        FROM user_days, unnest(range(0, 7)) AS t(d)
+    ),
+    wau AS (
+        SELECT day, CAST(COUNT(*) AS BIGINT) AS wau
+        FROM contrib GROUP BY day
+    ),
+    bounds AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM user_days)
+    SELECT dau.day, dau.dau, wau.wau,
+           ((2 * dau.dau * 1000000 + wau.wau) // (2 * wau.wau)) / 1e6
+               AS stickiness
+    FROM dau JOIN wau USING (day), bounds
+    WHERE dau.day >= bounds.d0 + 6 AND dau.day <= bounds.d1
+"""

@@ -197,6 +197,7 @@ _GRADE_AFTER_REGRADES = frozenset(
         "experiment_cuped_lift",
         "doc_length_bucketing",
         "event_seasonal_naive_mape",
+        "user_dau_wau_stickiness",
         # round-4g additions (this session)
         "sketch_hll_intersection",
         "text_bpe_encode",

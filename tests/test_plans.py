@@ -207,6 +207,7 @@ _BNLJ_INTENDED = frozenset(
         "event_cusum_changepoint",    # 1-row day-span bounds onto the |types| frame
         "event_dispersion_index",     # same 1-row day-span bounds grid
         "event_seasonal_naive_mape",  # same 1-row day-span bounds grid
+        "user_dau_wau_stickiness",    # 1-row day-span bounds filter
         "experiment_srm_check",       # 1-row chi2 frame onto 2 arm rows
         "experiment_cuped_lift",      # 1-row bounds + pooled-moment frames
         "embedding_power_iteration",  # 1-row n/max/Rayleigh scalars onto ≤DIM²-row frames
@@ -765,6 +766,7 @@ def test_registry_orders_unverified_queries_first():
         "event_dispersion_index", "multimodal_audio_frame_plan",
         "experiment_srm_check", "experiment_cuped_lift",
         "doc_length_bucketing", "event_seasonal_naive_mape",
+        "user_dau_wau_stickiness",
         # re-planned in round 4g (sf0.4 ROUND(SUM(double)) class fix;
         # deferred behind the regrades)
         "pivot_user_event_values", "session_window_stats",

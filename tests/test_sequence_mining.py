@@ -367,3 +367,37 @@ def test_seasonal_naive_mape_matches_pure_python(spark):
         for r in rows
     }
     assert got == expected
+
+
+def test_dau_wau_stickiness_matches_pure_python(spark):
+    """Recompute DAU/WAU by brute-force trailing-7-day set union —
+    independently pinning the contribution-explode rewrite — plus the
+    law DAU ≤ WAU (stickiness ≤ 1)."""
+    from big_data_2021_spark_streaming_spark.plans.analytics import (
+        user_dau_wau_stickiness,
+    )
+
+    ev = _events()
+    day = ev["ts"].astype("datetime64[us]").astype("int64") // 86_400_000_000
+    active = {}
+    for u, d in zip(ev["user_id"], day):
+        active.setdefault(int(d), set()).add(int(u))
+    d0, d1 = min(active), max(active)
+    expected = {}
+    for d in range(d0 + 6, d1 + 1):
+        if d not in active:
+            continue  # inner join on dau drops silent days
+        dau = len(active[d])
+        week = set()
+        for k in range(7):
+            week |= active.get(d - k, set())
+        wau = len(week)
+        expected[d] = (
+            dau,
+            wau,
+            ((2 * dau * 10**6 + wau) // (2 * wau)) / 1e6,
+        )
+    rows = user_dau_wau_stickiness(spark, SF).collect()
+    got = {r.day: (r.dau, r.wau, r.stickiness) for r in rows}
+    assert got == expected
+    assert all(d <= w for d, w, _ in got.values())
