@@ -1874,6 +1874,54 @@ def value_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def anomaly_detector_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Detector-agreement audit: how much the global z-score sweep
+    (value_zscore_anomalies — population outliers) and the per-user
+    EWMA burst detector (event_ewma_spikes — behavioral outliers)
+    agree on WHICH events are anomalous — the 1-row triage that says
+    whether the two signals are redundant or complementary before
+    anyone builds an alerting ensemble on them. Composes the two gated
+    builders verbatim; the oracle composes their gated SQL the same
+    way, so the overlap inherits both queries' proofs.
+
+    Scale: both inputs are flagged-event frames (≪ corpus); the
+    full-outer equi-join on event_id and the 1-row rollup are
+    negligible next to the detectors themselves."""
+    z = value_zscore_anomalies(spark, sf_dir).select(
+        F.col("event_id").alias("zid")
+    )
+    e = event_ewma_spikes(spark, sf_dir).select(
+        F.col("event_id").alias("eid")
+    )
+    joined = z.join(e, F.col("zid") == F.col("eid"), "full_outer")
+    return joined.agg(
+        F.sum(F.when(F.col("zid").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_zscore"),
+        F.sum(F.when(F.col("eid").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_ewma"),
+        F.sum(
+            F.when(
+                F.col("zid").isNotNull() & F.col("eid").isNotNull(), 1
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_both"),
+    ).select(
+        "n_zscore",
+        "n_ewma",
+        "n_both",
+        (
+            F.expr(
+                "(2 * n_both * 1000000 + (n_zscore + n_ewma - n_both))"
+                " div (2 * (n_zscore + n_ewma - n_both))"
+            )
+            / F.lit(1e6)
+        ).alias("jaccard"),
+    )
+
+
 def experiment_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A/B experimentation guardrail: assign every user to an arm by
     deterministic salted hash (the reproducible assignment a real
@@ -4324,6 +4372,7 @@ QUERIES: dict[str, object] = {
     "experiment_cuped_lift": experiment_cuped_lift,
     "event_seasonal_naive_mape": event_seasonal_naive_mape,
     "user_dau_wau_stickiness": user_dau_wau_stickiness,
+    "anomaly_detector_overlap": anomaly_detector_overlap,
     "user_value_gini": user_value_gini,
     "discount_quantity_ols": discount_quantity_ols,
     "customer_value_frontier": customer_value_frontier,

@@ -2232,3 +2232,32 @@ ORACLES["user_dau_wau_stickiness"] = """
     FROM dau JOIN wau USING (day), bounds
     WHERE dau.day >= bounds.d0 + 6 AND dau.day <= bounds.d1
 """
+
+# detector-overlap twin: composes the two gated anomaly oracles as
+# CTEs (the similarity_ann_recall pattern), so parity here inherits
+# both detectors' proofs
+ORACLES["anomaly_detector_overlap"] = f"""
+    WITH z AS ({ORACLES["value_zscore_anomalies"]}),
+    e AS ({ORACLES["event_ewma_spikes"]}),
+    j AS (
+        SELECT z.event_id AS zid, e.event_id AS eid
+        FROM z FULL JOIN e ON z.event_id = e.event_id
+    )
+    SELECT CAST(SUM(CASE WHEN zid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_zscore,
+           CAST(SUM(CASE WHEN eid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_ewma,
+           CAST(SUM(CASE WHEN zid IS NOT NULL AND eid IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+           ((2 * SUM(CASE WHEN zid IS NOT NULL AND eid IS NOT NULL
+                          THEN 1 ELSE 0 END) * 1000000
+             + (SUM(CASE WHEN zid IS NOT NULL THEN 1 ELSE 0 END)
+                + SUM(CASE WHEN eid IS NOT NULL THEN 1 ELSE 0 END)
+                - SUM(CASE WHEN zid IS NOT NULL AND eid IS NOT NULL
+                           THEN 1 ELSE 0 END)))
+            // (2 * (SUM(CASE WHEN zid IS NOT NULL THEN 1 ELSE 0 END)
+                     + SUM(CASE WHEN eid IS NOT NULL THEN 1 ELSE 0 END)
+                     - SUM(CASE WHEN zid IS NOT NULL AND eid IS NOT NULL
+                                THEN 1 ELSE 0 END)))) / 1e6 AS jaccard
+    FROM j
+"""

@@ -198,6 +198,7 @@ _GRADE_AFTER_REGRADES = frozenset(
         "doc_length_bucketing",
         "event_seasonal_naive_mape",
         "user_dau_wau_stickiness",
+        "anomaly_detector_overlap",
         # round-4g additions (this session)
         "sketch_hll_intersection",
         "text_bpe_encode",

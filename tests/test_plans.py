@@ -766,7 +766,7 @@ def test_registry_orders_unverified_queries_first():
         "event_dispersion_index", "multimodal_audio_frame_plan",
         "experiment_srm_check", "experiment_cuped_lift",
         "doc_length_bucketing", "event_seasonal_naive_mape",
-        "user_dau_wau_stickiness",
+        "user_dau_wau_stickiness", "anomaly_detector_overlap",
         # re-planned in round 4g (sf0.4 ROUND(SUM(double)) class fix;
         # deferred behind the regrades)
         "pivot_user_event_values", "session_window_stats",

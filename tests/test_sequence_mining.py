@@ -401,3 +401,25 @@ def test_dau_wau_stickiness_matches_pure_python(spark):
     got = {r.day: (r.dau, r.wau, r.stickiness) for r in rows}
     assert got == expected
     assert all(d <= w for d, w, _ in got.values())
+
+
+def test_anomaly_overlap_consistent_with_detectors(spark):
+    """The overlap report's counts must equal direct recomputation
+    from the two detector frames, and the Jaccard must match the
+    half-up micro of |A∩B|/|A∪B|."""
+    from big_data_2021_spark_streaming_spark.plans.analytics import (
+        anomaly_detector_overlap,
+        event_ewma_spikes,
+        value_zscore_anomalies,
+    )
+
+    a = {r.event_id for r in value_zscore_anomalies(spark, SF).collect()}
+    b = {r.event_id for r in event_ewma_spikes(spark, SF).collect()}
+    row = anomaly_detector_overlap(spark, SF).collect()[0]
+    assert (row.n_zscore, row.n_ewma, row.n_both) == (
+        len(a),
+        len(b),
+        len(a & b),
+    )
+    union = len(a | b)
+    assert row.jaccard == ((2 * len(a & b) * 10**6 + union) // (2 * union)) / 1e6
