@@ -1874,6 +1874,67 @@ def value_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def discount_tax_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence test between the discount and tax
+    columns (each bucketed to its exact percent level): the
+    column-pair dependence screen a CBO or feature-selection pass
+    runs to decide whether a joint histogram is worth keeping over
+    two marginals. Output is one row per discount level with its
+    chi² contribution plus the shared total statistic and degrees of
+    freedom — a readable dependence profile, not just one number.
+
+    Exactness: cells are integer counts; each cell's
+    (o·N − r·c)²/(N·r·c) micro leaf rides DECIMAL(38,0)/HUGEINT
+    exactly like text_source_chi2_drift; sums are BIGINT.
+
+    Scale: one scan → |levels²| contingency aggregate (both columns
+    are percent-quantized, so the grid is ≤ 11×9); everything after
+    the first aggregate is constant-size."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.expr("cast(round(l_discount * 100) as bigint)").alias("disc_pct"),
+        F.expr("cast(round(l_tax * 100) as bigint)").alias("tax_pct"),
+    )
+    cells = li.groupBy("disc_pct", "tax_pct").agg(
+        F.count(F.lit(1)).cast("bigint").alias("o")
+    )
+    rows_m = cells.groupBy("disc_pct").agg(F.sum("o").alias("r"))
+    cols_m = cells.groupBy("tax_pct").agg(F.sum("o").alias("c"))
+    n = cells.agg(
+        F.sum("o").alias("n"),
+        F.countDistinct("disc_pct").alias("n_disc"),
+        F.countDistinct("tax_pct").alias("n_tax"),
+    )
+    dec = "decimal(19,0)"
+    contrib = (
+        cells.join(rows_m, "disc_pct")
+        .join(F.broadcast(cols_m), "tax_pct")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "disc_pct",
+            F.expr(
+                f"(2 * (cast(o * n - r * c as {dec})"
+                f"      * cast(o * n - r * c as {dec})) * 1000000"
+                f" + (cast(n as decimal(13,0)) * r * c))"
+                f" div (2 * (cast(n as decimal(13,0)) * r * c))"
+            ).alias("cell_micro"),
+            "n_disc",
+            "n_tax",
+        )
+    )
+    per_level = contrib.groupBy("disc_pct", "n_disc", "n_tax").agg(
+        F.sum("cell_micro").alias("level_micro")
+    )
+    w_all = Window.partitionBy()  # ≤11-row frame: levels, not data
+    return per_level.select(
+        "disc_pct",
+        (F.col("level_micro") / F.lit(1e6)).alias("chi2_contrib"),
+        (F.sum("level_micro").over(w_all) / F.lit(1e6)).alias("chi2_total"),
+        ((F.col("n_disc") - 1) * (F.col("n_tax") - 1))
+        .cast("bigint")
+        .alias("dof"),
+    )
+
+
 def anomaly_detector_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Detector-agreement audit: how much the global z-score sweep
     (value_zscore_anomalies — population outliers) and the per-user
@@ -4373,6 +4434,7 @@ QUERIES: dict[str, object] = {
     "event_seasonal_naive_mape": event_seasonal_naive_mape,
     "user_dau_wau_stickiness": user_dau_wau_stickiness,
     "anomaly_detector_overlap": anomaly_detector_overlap,
+    "discount_tax_independence": discount_tax_independence,
     "user_value_gini": user_value_gini,
     "discount_quantity_ols": discount_quantity_ols,
     "customer_value_frontier": customer_value_frontier,

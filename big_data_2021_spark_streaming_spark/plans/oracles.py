@@ -2261,3 +2261,53 @@ ORACLES["anomaly_detector_overlap"] = f"""
                                 THEN 1 ELSE 0 END)))) / 1e6 AS jaccard
     FROM j
 """
+
+# discount×tax independence twin: same percent-quantized contingency
+# grid, HUGEINT micro leaves, window total over the <=11-level frame
+ORACLES["discount_tax_independence"] = """
+    WITH li AS (
+        SELECT CAST(ROUND(l_discount * 100) AS BIGINT) AS disc_pct,
+               CAST(ROUND(l_tax * 100) AS BIGINT) AS tax_pct
+        FROM lineitem
+    ),
+    cells AS (
+        SELECT disc_pct, tax_pct, CAST(COUNT(*) AS BIGINT) AS o
+        FROM li GROUP BY 1, 2
+    ),
+    rows_m AS (
+        SELECT disc_pct, CAST(SUM(o) AS BIGINT) AS r
+        FROM cells GROUP BY disc_pct
+    ),
+    cols_m AS (
+        SELECT tax_pct, CAST(SUM(o) AS BIGINT) AS c
+        FROM cells GROUP BY tax_pct
+    ),
+    n AS (
+        SELECT CAST(SUM(o) AS BIGINT) AS n,
+               CAST(COUNT(DISTINCT disc_pct) AS BIGINT) AS n_disc,
+               CAST(COUNT(DISTINCT tax_pct) AS BIGINT) AS n_tax
+        FROM cells
+    ),
+    contrib AS (
+        SELECT cells.disc_pct,
+               (2 * (CAST(o * n.n - r * c AS HUGEINT)
+                     * CAST(o * n.n - r * c AS HUGEINT)) * 1000000
+                + (CAST(n.n AS HUGEINT) * r * c))
+                   // (2 * (CAST(n.n AS HUGEINT) * r * c)) AS cell_micro,
+               n.n_disc, n.n_tax
+        FROM cells
+        JOIN rows_m USING (disc_pct)
+        JOIN cols_m USING (tax_pct)
+        CROSS JOIN n
+    ),
+    per_level AS (
+        SELECT disc_pct, n_disc, n_tax,
+               CAST(SUM(cell_micro) AS BIGINT) AS level_micro
+        FROM contrib GROUP BY 1, 2, 3
+    )
+    SELECT disc_pct,
+           level_micro / 1e6 AS chi2_contrib,
+           CAST(SUM(level_micro) OVER () AS BIGINT) / 1e6 AS chi2_total,
+           (n_disc - 1) * (n_tax - 1) AS dof
+    FROM per_level
+"""

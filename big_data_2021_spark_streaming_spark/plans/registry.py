@@ -199,6 +199,7 @@ _GRADE_AFTER_REGRADES = frozenset(
         "event_seasonal_naive_mape",
         "user_dau_wau_stickiness",
         "anomaly_detector_overlap",
+        "discount_tax_independence",
         # round-4g additions (this session)
         "sketch_hll_intersection",
         "text_bpe_encode",

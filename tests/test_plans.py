@@ -248,6 +248,7 @@ _GLOBAL_WINDOW_INTENDED = frozenset(
         "sketch_histogram_quantiles",  # ≤1024 histogram cells
         "text_bpe_encode",            # alphabet²-bounded vocabulary
         "text_heaps_law",             # |buckets| bucket summaries
+        "discount_tax_independence",  # <=11-level chi2-total frame
         "user_hazard_curve",          # |ages| calendar-bounded grid
         "user_value_concentration",   # |bands| banded partials
         "user_value_gini",            # |bands| banded-rank partials
@@ -767,6 +768,7 @@ def test_registry_orders_unverified_queries_first():
         "experiment_srm_check", "experiment_cuped_lift",
         "doc_length_bucketing", "event_seasonal_naive_mape",
         "user_dau_wau_stickiness", "anomaly_detector_overlap",
+        "discount_tax_independence",
         # re-planned in round 4g (sf0.4 ROUND(SUM(double)) class fix;
         # deferred behind the regrades)
         "pivot_user_event_values", "session_window_stats",

@@ -423,3 +423,44 @@ def test_anomaly_overlap_consistent_with_detectors(spark):
     )
     union = len(a | b)
     assert row.jaccard == ((2 * len(a & b) * 10**6 + union) // (2 * union)) / 1e6
+
+
+def test_discount_tax_independence_matches_pure_python(spark):
+    """Recompute the discount×tax chi-square with unbounded ints and
+    check the shared total equals the sum of per-level contributions."""
+    import math
+
+    import pandas as pd
+
+    from big_data_2021_spark_streaming_spark.plans.analytics import (
+        discount_tax_independence,
+    )
+
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")
+
+    def pct(x: float) -> int:
+        return int(math.floor(abs(x) * 100 + 0.5)) * (1 if x >= 0 else -1)
+
+    cells = Counter(
+        (pct(float(d)), pct(float(t)))
+        for d, t in zip(li["l_discount"], li["l_tax"])
+    )
+    rows = Counter()
+    cols = Counter()
+    for (d, t), o in cells.items():
+        rows[d] += o
+        cols[t] += o
+    n = sum(cells.values())
+    level_micro = Counter()
+    for (d, t), o in cells.items():
+        num = o * n - rows[d] * cols[t]
+        den = n * rows[d] * cols[t]
+        level_micro[d] += (2 * num * num * 10**6 + den) // (2 * den)
+    total = sum(level_micro.values())
+    dof = (len(rows) - 1) * (len(cols) - 1)
+    expected = {
+        d: (lm / 1e6, total / 1e6, dof) for d, lm in level_micro.items()
+    }
+    out = discount_tax_independence(spark, SF).collect()
+    got = {r.disc_pct: (r.chi2_contrib, r.chi2_total, r.dof) for r in out}
+    assert got == expected
