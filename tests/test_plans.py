@@ -170,6 +170,7 @@ _BNLJ_INTENDED = frozenset(
         "corpus_token_budget_plan",   # 1-row corpus-token total
         "linkage_fs_weights",         # 1-row u-statistics frame
         "user_hazard_curve",          # 1-row corpus-end bound
+        "discount_tax_independence",  # 1-row grand-total frame
         "sketch_hll_users",           # 1-row register summary × 1-row exact count
         "value_drift_tvd",            # 1-row global-bounds frame onto the scan
         "split_leakage_report",       # 1-row leak total onto the 3-row summary
