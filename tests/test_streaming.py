@@ -1146,3 +1146,67 @@ def test_ewma_spikes_batch_stream_equivalence(spark, tmp_path):
     assert any(r[1] > 6 for r in streamed), (
         "no spike in batch 2 — state never crossed the boundary"
     )
+
+
+def test_ewma_spikes_rocksdb_state_store_matches_batch(
+    spark, tmp_path, rocksdb_state_store
+):
+    """The EWMA detector's per-user array state on RocksDB must still
+    reproduce the batch plan exactly across a micro-batch boundary —
+    the applyInPandasWithState + list-state shape under the provider a
+    large cluster runs."""
+    import json as _json
+
+    import pandas as pd
+
+    from big_data_2021_spark_streaming_spark.plans.analytics import (
+        event_ewma_spikes,
+    )
+    from big_data_2021_spark_streaming_spark.streaming.pipeline import (
+        stream_ewma_spikes,
+        to_memory_sink,
+    )
+
+    vals = [1.0, 1.1, 0.9, 1.0, 1.05, 9.5, 1.0, 1.0, 12.25, 0.95]
+    rows = [
+        {
+            "event_id": i + 1,
+            "user_id": 11,
+            "ts": f"2024-01-01 00:{i:02d}:00",
+            "value": v,
+        }
+        for i, v in enumerate(vals)
+    ]
+    pdf = pd.DataFrame(rows)
+    pdf["ts"] = pd.to_datetime(pdf["ts"])
+    bdir = tmp_path / "batch"
+    bdir.mkdir()
+    pdf.to_parquet(bdir / "events.parquet")
+    batch = {
+        (r.user_id, r.event_id, r.value, r.n_hist, r.ewma)
+        for r in event_ewma_spikes(spark, str(bdir)).collect()
+    }
+    sdir = tmp_path / "stream"
+    sdir.mkdir()
+    (sdir / "b0.json").write_text(
+        "\n".join(_json.dumps(r) for r in rows[:5])
+    )
+    schema = "event_id LONG, user_id LONG, ts TIMESTAMP, value DOUBLE"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(sdir))
+    )
+    q = to_memory_sink(stream_ewma_spikes(stream), "ewma_rocks_sink")
+    try:
+        q.processAllAvailable()
+        (sdir / "b1.json").write_text(
+            "\n".join(_json.dumps(r) for r in rows[5:])
+        )
+        q.processAllAvailable()
+        streamed = {
+            tuple(r) for r in spark.table("ewma_rocks_sink").collect()
+        }
+    finally:
+        q.stop()
+    assert streamed == batch and batch
