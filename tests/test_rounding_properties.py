@@ -72,3 +72,29 @@ def test_signed_micro_division_matches_fraction_in_duckdb(cases):
         ).fetchall()
     ]
     assert got == [_round_half_away(a, b) for a, b in cases]
+
+
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=500_000_000),
+        min_size=1,
+        max_size=16,
+    ),
+)
+def test_ewma_telescoped_equals_untelescoped_floor(hist):
+    """The Spark plan folds Σ vqᵢ·2ⁱ / (2ᴸ−1) (telescoped) while the
+    DuckDB twin sums Σ vq·2^(16−d) / Σ 2^(16−d): both are the same
+    rational scaled by 2^(16−L), so the half-up integer divisions must
+    agree for EVERY history — the exact property the oracle parity of
+    event_ewma_spikes rests on."""
+    L = len(hist)
+    num_t = sum(x << i for i, x in enumerate(hist))
+    den_t = (1 << L) - 1
+    # untelescoped: distance d = L - i, weight 2^(16 - d)
+    num_u = sum(x << (16 - (L - i)) for i, x in enumerate(hist))
+    den_u = sum(1 << (16 - (L - i)) for i in range(L))
+    assert (2 * num_t + den_t) // (2 * den_t) == (
+        2 * num_u + den_u
+    ) // (2 * den_u)
+    f = Fraction(num_t, den_t)
+    assert Fraction(num_u, den_u) == f
