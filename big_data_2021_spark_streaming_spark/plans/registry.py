@@ -74,167 +74,29 @@ def all_queries() -> dict[str, QuerySpec]:
     # Final pass: any query the driver has ALREADY hash-verified green
     # on its CURRENT plan moves to the back, so an arbitrary budget
     # prefix grades the maximum number of never-verified entries.
-    # (_DRIVER_VERIFIED = CORRECTNESS_r02 ∪ CORRECTNESS_r03 greens,
-    # minus any name whose builder or oracle was re-planned after its
-    # last green — those must be regraded early.) Within the
-    # never-verified block, cheap families run before the ones that
-    # pay a one-time cache materialization (LSH pairs / cluster
-    # labels / gram sets), so a WALL-CLOCK budget also grades the most
-    # entries — harmless if the budget is a count.
+    # (_DRIVER_VERIFIED = CORRECTNESS_r02 ∪ r03 ∪ r04 greens, minus any
+    # name whose builder or oracle was re-planned after its last green —
+    # those must be regraded early.) Within the never-verified block,
+    # cheap families run before the ones that pay a one-time cache
+    # materialization (LSH pairs / cluster labels / gram sets), so a
+    # WALL-CLOCK budget also grades the most entries — harmless if the
+    # budget is a count.
+    # Within the unverified block, queries RE-PLANNED after a driver
+    # green grade before never-graded ones: their recorded green is on
+    # a superseded plan, so they carry stale-evidence risk the brand-new
+    # queries (which at least have replica/sf0.1/sf0.4 evidence on the
+    # current plan) do not.
     order = list(registry)
     front = sorted(
         (n for n in order if n not in _DRIVER_VERIFIED),
         key=lambda n: (
-            n in _GRADE_AFTER_REGRADES,
+            n not in _REPLANNED_AFTER_GREEN,
             _FAMILY_COST[family[n]],
             order.index(n),
         ),
     )
     back = [n for n in order if n in _DRIVER_VERIFIED]
     return {n: registry[n] for n in front + back}
-
-
-# The r03 verdict names 11 queries that MUST land inside the driver's
-# observed 50-query grading budget (8 never graded + 3 graded only
-# before their r02 re-plans). The never-verified block exceeds 50
-# entries, so without a tiebreak some of those 11 would miss the
-# budget AGAIN. Everything added AFTER the budget-fitting pass —
-# the newest code, with the least riding on a round-4 grade — defers
-# behind the whole non-deferred front block and grades in round 5.
-# Any query added later this round MUST be listed here too.
-_GRADE_AFTER_REGRADES = frozenset(
-    {
-        "dedup_pagerank",
-        "dedup_keep_manifest",
-        "dedup_semantic",
-        "dedup_cluster_histogram",
-        # round-4b additions (after the budget-fitting pass)
-        "text_bm25_search",
-        "layout_zorder_stats",
-        "mv_incremental_refresh",
-        "weighted_doc_sample",
-        "k_anonymity_audit",
-        "join_cardinality_estimate",
-        # round-4c additions (this session)
-        "similarity_range_search",
-        "similarity_diverse_topk",
-        "retrieval_rrf_fusion",
-        "l_diversity_audit",
-        "snapshot_asof_diff",
-        "dedup_graph_triangles",
-        "text_boilerplate_ngrams",
-        # round-4d additions (this session)
-        "corpus_cross_source_overlap",
-        "embedding_centroid_drift",
-        "lake_column_stats",
-        "event_path_topk",
-        "event_cooccurrence_lift",
-        # round-4e additions (this session)
-        "text_substring_dedup",
-        "text_encoding_audit",
-        "asof_attribution",
-        "multimodal_exact_dedup",
-        "multimodal_frame_neardup",
-        "text_heaps_law",
-        "customer_rfm_scores",
-        "text_bpe_train",
-        "user_simpson_diversity",
-        "value_winsorize",
-        "user_bot_periodicity",
-        "epoch_shuffle_plan",
-        # round-4f additions (this session)
-        "similarity_bq_topk",
-        "similarity_matryoshka_recall",
-        "value_mad_anomalies",
-        "orders_aging_buckets",
-        "event_dow_profile",
-        "t_closeness_audit",
-        "sketch_histogram_quantiles",
-        "multimodal_resize_plan",
-        "text_rake_keywords",
-        "dedup_kcore",
-        "event_cusum_changepoint",
-        "order_fulfillment_latency",
-        "event_user_bitmap",
-        "embedding_power_iteration",
-        "corpus_shard_plan",
-        "quality_dup_profile",
-        "similarity_recall_sweep",
-        "join_strategy_advisor",
-        "cohort_ltv_curve",
-        "supplier_return_rates",
-        "customer_order_streaks",
-        # round-4i additions (this session)
-        "dedup_prefix_filter",
-        "quality_auc_eval",
-        "dedup_lsh_recall_exact",
-        "text_bpe_fertility",
-        "text_lang_kappa",
-        "retrieval_mrr_eval",
-        "user_value_gini",
-        "discount_quantity_ols",
-        # round-4h additions (this session)
-        "retrieval_ndcg_eval",
-        "text_feature_hashing",
-        "customer_value_frontier",
-        "embedding_label_consensus",
-        "revenue_autocorr",
-        "basket_lift_pairs",
-        "dedup_crosslingual_pairs",
-        "data_quality_report",
-        # round-4j additions (this session)
-        "similarity_ivfpq_residual_topk",
-        "embedding_jl_distortion",
-        "event_ewma_spikes",
-        "corpus_token_budget_plan",
-        "linkage_fs_weights",
-        "user_hazard_curve",
-        "event_markov_accuracy",
-        "text_source_chi2_drift",
-        "event_dispersion_index",
-        "multimodal_audio_frame_plan",
-        "experiment_srm_check",
-        "experiment_cuped_lift",
-        "doc_length_bucketing",
-        "event_seasonal_naive_mape",
-        "user_dau_wau_stickiness",
-        "anomaly_detector_overlap",
-        "discount_tax_independence",
-        # round-4g additions (this session)
-        "sketch_hll_intersection",
-        "text_bpe_encode",
-        "corpus_source_minhash",
-        "embedding_norm_stats",
-        # round-4g re-plans (exact micro-unit rewrites after the sf0.4
-        # sweep caught the ROUND(SUM(double)) divergence class): last
-        # driver-green on the superseded plan, so they regrade — but
-        # deferred so they can't displace the 11 VERDICT-r03 priorities
-        "pivot_user_event_values",
-        "session_window_stats",
-        "sliding_window_stats",
-        "event_hourly_resample",
-        "running_user_value",
-        "pricing_summary",
-        "revenue_by_nation",
-        "top_customers",
-        "rollup_order_status",
-        "cube_event_stats",
-        "promo_revenue_ratio",
-        "supplier_balance_by_nation",
-        "salted_type_totals",
-        "small_qty_part_revenue",
-        "inactive_rich_customers",
-        "shipping_priority_topk",
-        "nation_pair_volume",
-        "market_share_by_year",
-        "part_profit_by_nation_year",
-        "disjunctive_part_revenue",
-        "user_trailing_hour_stats",
-        "daily_click_purchase_recon",
-        "forecast_revenue_change",
-        "grouping_sets_revenue",
-    }
-)
 
 
 # relative per-query gate cost at sf0.01 (Spark + DuckDB oracle),
@@ -255,42 +117,90 @@ _FAMILY_COST = {
 }
 
 
+# Unverified names whose builder or oracle was re-planned AFTER their
+# last driver green (the round-4g exact micro-unit conversion of every
+# displayed ROUND(SUM/AVG/ratio-of-double) aggregate). Their recorded
+# green is on a superseded plan, so they sort to the very front of the
+# grading order. Names move OUT of this set (into _DRIVER_VERIFIED)
+# when a CORRECTNESS_r{N}.json green lands on the current plan; names
+# move IN whenever a verified query's plan or oracle changes.
+_REPLANNED_AFTER_GREEN = frozenset(
+    {
+        "pivot_user_event_values", "session_window_stats",
+        "sliding_window_stats", "event_hourly_resample",
+        "running_user_value", "pricing_summary", "revenue_by_nation",
+        "top_customers", "rollup_order_status", "cube_event_stats",
+        "promo_revenue_ratio", "supplier_balance_by_nation",
+        "salted_type_totals", "small_qty_part_revenue",
+        "inactive_rich_customers", "shipping_priority_topk",
+        "nation_pair_volume", "market_share_by_year",
+        "part_profit_by_nation_year", "disjunctive_part_revenue",
+        "user_trailing_hour_stats", "daily_click_purchase_recon",
+        "forecast_revenue_change", "grouping_sets_revenue",
+    }
+)
+
+
 # Names hash-verified green by the driver on their CURRENT plan:
-# CORRECTNESS_r02.json ∪ CORRECTNESS_r03.json greens, minus the eight
-# queries re-planned in round 4 after their last green
-# (text_token_rarity, local_supplier_volume, text_repetition_signals,
-# text_length_histogram, similarity_ann_recall, user_event_gaps:
-# exact micro-unit rounding rewrites; props_map_stats: oracle
-# rewritten off string-concat JSON paths; kmeans_clusters: assignment
-# frame extracted, memoized and persisted for dedup_semantic;
-# range_join_click_purchase: r03 _epoch_us rewrite after its only
-# green, r02 — ungraded in r03, so it must regrade) — those
-# regrade early. The
-# 11 names the driver has never verified on current code (8 never
-# graded, 3 graded only pre-r02-re-plan) are likewise absent and sort
-# to the front.
+# CORRECTNESS_r02 ∪ r03 ∪ r04 greens (r04 folded at round-5 start;
+# the obsolete round-4 _GRADE_AFTER_REGRADES deferral set — which had
+# grown to cover every unverified name and so no longer discriminated —
+# was deleted at the same time, per VERDICT r04 item 1). Any name whose
+# builder or oracle is re-planned after its last green MUST be removed
+# from this set so it regrades early.
 _DRIVER_VERIFIED = frozenset(
     {
-        "asof_last_signup", "big_order_customers", "brand_supplier_variety",
-        "click_and_error_users", "clickers_not_purchasers", "curation_keep_list", "curation_multisignal_gate", "customer_order_distribution",
-        "date_parts", "dedup_clusters",
-        "dedup_exact", "dedup_minhash_lsh", "distinct_users_per_type", "embedding_dim_variance", "embedding_outliers", "event_rank_stats",
-        "event_type_union", "funnel_conversion",
-        "fuzzy_name_matches", "json_encode", "latest_event_per_user",
-        "lineitem_measures_unpivot", "multimodal_decode",
-        "multimodal_frame_sample", "multimodal_type_stats", "order_priority_semijoin", "parts_never_in_bulk_orders",
-        "peak_concurrent_sessions", "q1_filter", "q2_join_enrich",
-        "q3_window_collect_set", "recent_orders_lateral",
-        "returned_item_report", "returnflag_priority_counts", "rsvp_decode_failures", "rsvp_faithful_filter",
-        "rsvp_q2_payload", "similarity_ivf_occupancy", "similarity_ivf_pq_topk", "similarity_ivf_topk",
-        "similarity_lsh_signature", "similarity_lsh_topk", "similarity_pq_codes",
-        "similarity_pq_reconstruction", "similarity_pq_topk", "similarity_topk",
-        "sketch_event_stats", "sole_late_supplier", "text_fingerprint",
-        "text_lang_confusion", "text_lang_id",
-        "text_pii_scan", "text_prefix_clusters", "text_quality_score",
-        "text_tfidf_topterms", "text_token_stats",
-        "text_winnow_fingerprints", "top3_per_segment", "top_supplier_by_revenue", "user_retention_cohorts",
-        "user_type_scd2", "value_equidepth_deciles",
+        "asof_last_signup", "big_order_customers",
+        "brand_supplier_variety", "click_and_error_users",
+        "clickers_not_purchasers", "contrastive_negatives",
+        "corpus_mixture_report", "corpus_stratified_sample",
+        "curation_keep_list", "curation_multisignal_gate",
+        "customer_order_distribution", "date_parts",
+        "decontaminate_overlap", "dedup_clusters", "dedup_containment",
+        "dedup_embedding_nn", "dedup_exact", "dedup_incremental",
+        "dedup_jaccard_verify", "dedup_lsh_calibration",
+        "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_rate_report",
+        "dedup_simhash", "distinct_users_per_type", "doc_chunking",
+        "doc_packing", "embedding_covariance_pairs",
+        "embedding_dim_variance", "embedding_outliers",
+        "event_rank_stats", "event_transition_matrix",
+        "event_type_union", "excess_quantity_suppliers",
+        "fk_integrity_audit", "funnel_conversion", "fuzzy_name_matches",
+        "join_key_skew", "json_encode", "kmeans_clusters",
+        "latest_event_per_user", "lineitem_measures_unpivot",
+        "local_supplier_volume", "mixture_reweight_plan",
+        "multimodal_decode", "multimodal_frame_sample",
+        "multimodal_type_stats", "nation_supplier_hhi",
+        "order_priority_semijoin", "order_status_upsert",
+        "orders_monthly_growth", "parts_never_in_bulk_orders",
+        "peak_concurrent_sessions", "props_map_stats", "q1_filter",
+        "q2_join_enrich", "q3_window_collect_set",
+        "range_join_click_purchase", "recent_orders_lateral",
+        "regional_min_cost_supplier", "returned_item_report",
+        "returnflag_priority_counts", "rsvp_decode_failures",
+        "rsvp_faithful_filter", "rsvp_q2_payload",
+        "similarity_ann_recall", "similarity_ivf_occupancy",
+        "similarity_ivf_pq_topk", "similarity_ivf_topk",
+        "similarity_lsh_signature", "similarity_lsh_topk",
+        "similarity_pq_codes", "similarity_pq_reconstruction",
+        "similarity_pq_topk", "similarity_sq_quality",
+        "similarity_sq_topk", "similarity_topk",
+        "sketch_bloom_reduction", "sketch_cms_heavy_hitters",
+        "sketch_event_stats", "sketch_hll_merge", "sketch_hll_users",
+        "sole_late_supplier", "source_cap_report",
+        "split_leakage_report", "text_bigram_lm_score",
+        "text_bpe_pair_stats", "text_fingerprint",
+        "text_lang_confusion", "text_lang_id", "text_length_histogram",
+        "text_ngram_novelty", "text_pii_redact", "text_pii_scan",
+        "text_prefix_clusters", "text_quality_score",
+        "text_repetition_signals", "text_tfidf_topterms",
+        "text_token_rarity", "text_token_stats",
+        "text_winnow_fingerprints", "top3_per_segment",
+        "top_supplier_by_revenue", "train_split_assign",
+        "user_erasure_audit", "user_event_gaps",
+        "user_retention_cohorts", "user_type_scd2",
+        "user_value_concentration", "valuable_part_stock",
+        "value_drift_tvd", "value_equidepth_deciles",
         "value_percentiles", "value_zscore_anomalies",
     }
 )

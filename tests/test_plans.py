@@ -677,12 +677,15 @@ def test_registry_names_unique_across_modules():
 
 def test_registry_orders_unverified_queries_first():
     # grading order = registry order, and the driver's gate has a
-    # budget: every query the driver has never hash-verified on its
-    # current plan (including ones re-planned after their last green)
-    # must precede the verified block, so any budget prefix grades the
-    # maximum number of unverified entries
+    # budget (50/round observed in r02-r04): every query the driver has
+    # never hash-verified on its current plan must precede the verified
+    # block, so any budget prefix grades the maximum number of
+    # unverified entries. Round-5 start state: CORRECTNESS_r02|r03|r04
+    # greens folded into _DRIVER_VERIFIED (114 names), leaving the 116
+    # below unverified-on-current-plan.
     from big_data_2021_spark_streaming_spark.plans.registry import (
         _DRIVER_VERIFIED,
+        _REPLANNED_AFTER_GREEN,
         all_queries,
     )
 
@@ -690,111 +693,71 @@ def test_registry_orders_unverified_queries_first():
     first_back = next(i for i, n in enumerate(names) if n in _DRIVER_VERIFIED)
     assert all(n in _DRIVER_VERIFIED for n in names[first_back:])
     assert all(n not in _DRIVER_VERIFIED for n in names[:first_back])
-    # the round-4 front-runners: the queries new this round, 8 re-planned
-    # this round (exact micro-unit rounding / oracle rewrites), then
-    # the 8 never-graded + 3 pre-re-plan-graded queries VERDICT r03
-    # flagged
     assert set(names[:first_back]) == {
-        # new in round 4
-        "train_split_assign", "split_leakage_report", "source_cap_report",
-        "contrastive_negatives", "text_pii_redact", "dedup_pagerank",
-        "sketch_hll_users", "sketch_bloom_reduction",
-        "sketch_cms_heavy_hitters", "similarity_sq_topk",
-        "similarity_sq_quality", "value_drift_tvd", "text_ngram_novelty",
-        "embedding_covariance_pairs", "sketch_hll_merge",
-        "event_transition_matrix", "dedup_keep_manifest",
-        "user_value_concentration", "nation_supplier_hhi",
-        "doc_chunking", "doc_packing", "fk_integrity_audit",
-        "join_key_skew", "user_erasure_audit", "mixture_reweight_plan",
-        "dedup_cluster_histogram", "orders_monthly_growth",
-        "order_status_upsert", "regional_min_cost_supplier",
-        "valuable_part_stock", "excess_quantity_suppliers",
-        "dedup_semantic", "text_bpe_pair_stats", "text_bigram_lm_score",
-        "text_bm25_search", "layout_zorder_stats",
-        "mv_incremental_refresh", "weighted_doc_sample",
-        "k_anonymity_audit", "join_cardinality_estimate",
-        # re-planned in round 4
-        "local_supplier_volume", "props_map_stats", "text_token_rarity",
-        "text_repetition_signals", "text_length_histogram",
-        "similarity_ann_recall", "user_event_gaps", "kmeans_clusters",
-        "range_join_click_purchase",
-        # never driver-verified on current code (VERDICT r03)
-        "decontaminate_overlap", "corpus_stratified_sample",
-        "corpus_mixture_report", "dedup_lsh_calibration",
-        "dedup_incremental", "dedup_rate_report", "dedup_jaccard_verify",
-        "dedup_ngram_jaccard", "dedup_containment", "dedup_simhash",
-        "dedup_embedding_nn",
-        # new in round 4c (this session; deferred behind the regrades)
-        "similarity_range_search", "similarity_diverse_topk",
-        "retrieval_rrf_fusion", "l_diversity_audit", "snapshot_asof_diff",
-        "dedup_graph_triangles", "text_boilerplate_ngrams",
-        # new in round 4d (this session; deferred behind the regrades)
-        "corpus_cross_source_overlap", "embedding_centroid_drift",
-        "lake_column_stats", "event_path_topk", "event_cooccurrence_lift",
-        # new in round 4e (this session; deferred behind the regrades)
-        "text_substring_dedup", "text_encoding_audit", "asof_attribution",
-        "multimodal_exact_dedup", "multimodal_frame_neardup",
-        "text_heaps_law", "customer_rfm_scores", "text_bpe_train",
-        "user_simpson_diversity", "value_winsorize", "user_bot_periodicity",
-        "epoch_shuffle_plan",
-        # new in round 4f (this session; deferred behind the regrades)
-        "similarity_bq_topk", "similarity_matryoshka_recall",
-        "value_mad_anomalies", "orders_aging_buckets",
-        "event_dow_profile", "t_closeness_audit",
-        "sketch_histogram_quantiles", "multimodal_resize_plan",
-        "text_rake_keywords", "dedup_kcore", "event_cusum_changepoint",
-        "order_fulfillment_latency", "event_user_bitmap",
-        "embedding_power_iteration", "corpus_shard_plan",
-        "quality_dup_profile", "similarity_recall_sweep",
-        "join_strategy_advisor", "cohort_ltv_curve",
-        "supplier_return_rates", "customer_order_streaks",
-        # new in round 4g (this session; deferred behind the regrades)
-        "sketch_hll_intersection", "text_bpe_encode",
-        "corpus_source_minhash", "embedding_norm_stats",
-        # new in round 4h (this session; deferred behind the regrades)
-        "retrieval_ndcg_eval", "text_feature_hashing",
-        "customer_value_frontier", "embedding_label_consensus",
-        "revenue_autocorr", "basket_lift_pairs",
-        "dedup_crosslingual_pairs", "data_quality_report",
-        "dedup_prefix_filter", "quality_auc_eval",
-        "dedup_lsh_recall_exact", "text_bpe_fertility",
-        "text_lang_kappa", "retrieval_mrr_eval", "user_value_gini",
-        "discount_quantity_ols",
-        # new in round 4j (this session; deferred behind the regrades)
-        "similarity_ivfpq_residual_topk", "embedding_jl_distortion",
-        "event_ewma_spikes", "corpus_token_budget_plan",
-        "linkage_fs_weights", "user_hazard_curve",
-        "event_markov_accuracy", "text_source_chi2_drift",
-        "event_dispersion_index", "multimodal_audio_frame_plan",
-        "experiment_srm_check", "experiment_cuped_lift",
-        "doc_length_bucketing", "event_seasonal_naive_mape",
-        "user_dau_wau_stickiness", "anomaly_detector_overlap",
-        "discount_tax_independence",
-        # re-planned in round 4g (sf0.4 ROUND(SUM(double)) class fix;
-        # deferred behind the regrades)
-        "pivot_user_event_values", "session_window_stats",
-        "sliding_window_stats", "event_hourly_resample",
-        "running_user_value",
-        # re-planned in round 4g batch 2 (exact micro-unit conversion
-        # of every remaining ROUND(SUM/AVG/ratio-of-double) display)
-        "pricing_summary", "revenue_by_nation", "top_customers",
-        "rollup_order_status", "cube_event_stats", "promo_revenue_ratio",
-        "supplier_balance_by_nation", "salted_type_totals",
-        "small_qty_part_revenue", "inactive_rich_customers",
-        "shipping_priority_topk", "nation_pair_volume",
-        "market_share_by_year", "part_profit_by_nation_year",
-        "disjunctive_part_revenue", "user_trailing_hour_stats",
-        "daily_click_purchase_recon", "forecast_revenue_change",
-        "grouping_sets_revenue",
+        "anomaly_detector_overlap", "asof_attribution",
+        "basket_lift_pairs", "cohort_ltv_curve",
+        "corpus_cross_source_overlap", "corpus_shard_plan",
+        "corpus_source_minhash", "corpus_token_budget_plan",
+        "cube_event_stats", "customer_order_streaks",
+        "customer_rfm_scores", "customer_value_frontier",
+        "daily_click_purchase_recon", "data_quality_report",
+        "dedup_cluster_histogram", "dedup_crosslingual_pairs",
+        "dedup_graph_triangles", "dedup_kcore", "dedup_keep_manifest",
+        "dedup_lsh_recall_exact", "dedup_pagerank",
+        "dedup_prefix_filter", "dedup_semantic",
+        "discount_quantity_ols", "discount_tax_independence",
+        "disjunctive_part_revenue", "doc_length_bucketing",
+        "embedding_centroid_drift", "embedding_jl_distortion",
+        "embedding_label_consensus", "embedding_norm_stats",
+        "embedding_power_iteration", "epoch_shuffle_plan",
+        "event_cooccurrence_lift", "event_cusum_changepoint",
+        "event_dispersion_index", "event_dow_profile",
+        "event_ewma_spikes", "event_hourly_resample",
+        "event_markov_accuracy", "event_path_topk",
+        "event_seasonal_naive_mape", "event_user_bitmap",
+        "experiment_cuped_lift", "experiment_srm_check",
+        "forecast_revenue_change", "grouping_sets_revenue",
+        "inactive_rich_customers", "join_cardinality_estimate",
+        "join_strategy_advisor", "k_anonymity_audit",
+        "l_diversity_audit", "lake_column_stats", "layout_zorder_stats",
+        "linkage_fs_weights", "market_share_by_year",
+        "multimodal_audio_frame_plan", "multimodal_exact_dedup",
+        "multimodal_frame_neardup", "multimodal_resize_plan",
+        "mv_incremental_refresh", "nation_pair_volume",
+        "order_fulfillment_latency", "orders_aging_buckets",
+        "part_profit_by_nation_year", "pivot_user_event_values",
+        "pricing_summary", "promo_revenue_ratio", "quality_auc_eval",
+        "quality_dup_profile", "retrieval_mrr_eval",
+        "retrieval_ndcg_eval", "retrieval_rrf_fusion",
+        "revenue_autocorr", "revenue_by_nation", "rollup_order_status",
+        "running_user_value", "salted_type_totals",
+        "session_window_stats", "shipping_priority_topk",
+        "similarity_bq_topk", "similarity_diverse_topk",
+        "similarity_ivfpq_residual_topk",
+        "similarity_matryoshka_recall", "similarity_range_search",
+        "similarity_recall_sweep", "sketch_histogram_quantiles",
+        "sketch_hll_intersection", "sliding_window_stats",
+        "small_qty_part_revenue", "snapshot_asof_diff",
+        "supplier_balance_by_nation", "supplier_return_rates",
+        "t_closeness_audit", "text_bm25_search",
+        "text_boilerplate_ngrams", "text_bpe_encode",
+        "text_bpe_fertility", "text_bpe_train", "text_encoding_audit",
+        "text_feature_hashing", "text_heaps_law", "text_lang_kappa",
+        "text_rake_keywords", "text_source_chi2_drift",
+        "text_substring_dedup", "top_customers", "user_bot_periodicity",
+        "user_dau_wau_stickiness", "user_hazard_curve",
+        "user_simpson_diversity", "user_trailing_hour_stats",
+        "user_value_gini", "value_mad_anomalies", "value_winsorize",
+        "weighted_doc_sample",
     }
-    # the driver's observed grading budget is 50 queries per round
-    # (r02 and r03 both truncated there); the 11 VERDICT-r03-flagged
-    # regrades must all land inside that prefix
-    judge_regrades = {
-        "decontaminate_overlap", "corpus_stratified_sample",
-        "corpus_mixture_report", "dedup_lsh_calibration",
-        "dedup_incremental", "dedup_rate_report", "dedup_jaccard_verify",
-        "dedup_ngram_jaccard", "dedup_containment", "dedup_simhash",
-        "dedup_embedding_nn",
-    }
-    assert judge_regrades <= set(names[:50])
+    # highest stale-evidence risk first: the 24 analytics queries
+    # re-planned to exact micro-units AFTER their last driver green
+    # occupy the very front of the order, inside any plausible budget
+    assert set(names[: len(_REPLANNED_AFTER_GREEN)]) == set(
+        _REPLANNED_AFTER_GREEN
+    )
+    # VERDICT r04 done-criterion: the round-5 graded prefix must be 50
+    # names the driver has never graded green on current code, i.e.
+    # disjoint from every prior CORRECTNESS green (all folded into
+    # _DRIVER_VERIFIED at round-5 start)
+    assert not (set(names[:50]) & _DRIVER_VERIFIED)
