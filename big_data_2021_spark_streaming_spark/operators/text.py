@@ -2633,11 +2633,13 @@ def source_chi2_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     before it pollutes a training mix. Complements value_drift_tvd
     (numeric drift) with the text-side test.
 
-    Exactness: per cell, d = o·N − r·c is exact BIGINT; d² and the
-    denominator N·r·c exceed 63 bits at scale, so the half-up micro
-    contribution is computed in DECIMAL(38,0) (Spark) / HUGEINT
-    (DuckDB) — both exact integer spaces — and the per-source chi² is
-    an exact BIGINT sum of those micro leaves.
+    Exactness: the whole half-up micro leaf — d = o·N − r·c, d², and
+    the denominator N·r·c — is computed in DECIMAL(38,0) (Spark) /
+    HUGEINT (DuckDB), with o/n/r/c cast BEFORE the inner
+    multiplications (o·N alone passes 63 bits at scale, and a BIGINT
+    product wraps silently where the 128-bit spaces stay exact to 10³⁸
+    and fail loudly — NULL in Spark, error in DuckDB — beyond); the
+    per-source chi² is an exact BIGINT sum of those micro leaves.
 
     Scale: one token explode → |terms|-key count, top-50 via
     TakeOrdered, and a |sources×50| contingency grid built from
@@ -2673,14 +2675,20 @@ def source_chi2_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("o", F.lit(0)).cast("bigint").alias("o"),
         )
     )
+    # o/n/r/c are cast to DECIMAL(38,0) BEFORE the inner multiplications:
+    # o·N and r·c individually pass int64 long before d does, and a
+    # BIGINT product wraps silently while the decimal one stays exact to
+    # 10³⁸ and overflows to a loud NULL (DuckDB HUGEINT: loud error)
+    d38 = (
+        "(cast(o as decimal(38,0)) * n - cast(r as decimal(38,0)) * c)"
+    )
     contrib = grid.select(
         "source",
         "r",
         F.expr(
-            "(2 * (cast(o * n - r * c as decimal(19,0))"
-            "      * cast(o * n - r * c as decimal(19,0))) * 1000000"
-            " + (cast(n as decimal(13,0)) * r * c))"
-            " div (2 * (cast(n as decimal(13,0)) * r * c))"
+            f"(2 * ({d38} * {d38}) * 1000000"
+            f" + (cast(n as decimal(38,0)) * r * c))"
+            f" div (2 * (cast(n as decimal(38,0)) * r * c))"
         ).alias("chi2_cell_micro"),
     )
     return contrib.groupBy("source").agg(
@@ -2718,9 +2726,12 @@ _CHI2_SQL = f"""
         CROSS JOIN n
     ),
     contrib AS (
+        -- o/n/r/c cast to HUGEINT BEFORE the inner multiplications
+        -- (o*n alone passes int64 at scale)
         SELECT source, r,
-               (2 * (CAST(o * n - r * c AS HUGEINT)
-                     * CAST(o * n - r * c AS HUGEINT)) * 1000000
+               (2 * ((CAST(o AS HUGEINT) * n - CAST(r AS HUGEINT) * c)
+                     * (CAST(o AS HUGEINT) * n - CAST(r AS HUGEINT) * c))
+                   * 1000000
                 + (CAST(n AS HUGEINT) * r * c))
                    // (2 * (CAST(n AS HUGEINT) * r * c))
                    AS chi2_cell_micro

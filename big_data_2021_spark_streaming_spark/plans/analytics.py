@@ -1460,12 +1460,17 @@ def linkage_fs_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     ratios (m/u on agreement, (1−m)/(1−u) on disagreement) into match
     odds — the classic probabilistic linkage decision rule.
 
-    Exactness: u-probabilities are exact BIGINT rationals from one
-    value-frequency pass per field; each field ratio is the established
-    half-up micro division; the combined odds multiply three identical
-    micro integers as doubles in pinned left-to-right order, so both
-    engines produce bit-identical products (each factor < 2⁵³ — no
-    double rounding before the final division by 1e18).
+    Exactness: u-probabilities are exact integer rationals from one
+    value-frequency pass per field, and every u-statistic product rides
+    DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) — u_den grows as
+    |customers|², so 2·m·u_den·10⁶ passes int64 once |customers|
+    exceeds ~7·10⁵ (TPC-H sf≈5), and the 128-bit space keeps the ratio
+    exact to 10³⁸ with loud NULL/error on overflow instead of a silent
+    BIGINT wrap; each field ratio is the established half-up micro
+    division; the combined odds multiply three identical micro integers
+    as doubles in pinned left-to-right order, so both engines produce
+    bit-identical products (each factor < 2⁵³ — no double rounding
+    before the final division by 1e18).
 
     Scale: candidate work is bounded by the blocking join exactly as
     fuzzy_name_matches; the u-statistics are three |values|-key
@@ -1552,17 +1557,23 @@ def linkage_fs_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def field_weight(agree: F.Column, mn: int, md: int, u: str) -> F.Column:
+        # u_den ~ |customers|² pushes 2·m·u_den·10⁶ past int64 once
+        # |customers| exceeds ~7·10⁵ (TPC-H sf≈5), so every u-statistic
+        # product rides DECIMAL(38,0) (≡ DuckDB HUGEINT): exact to 10³⁸,
+        # and overflow is a loud NULL, never a silent BIGINT wrap
+        d = "cast(u_den as decimal(38,0))"
         return F.when(
             agree,
             F.expr(
-                f"(2 * {mn} * u_den * 1000000 + {md} * {u})"
-                f" div (2 * {md} * {u})"
+                f"(2 * {mn} * {d} * 1000000"
+                f" + {md} * cast({u} as decimal(38,0)))"
+                f" div (2 * {md} * cast({u} as decimal(38,0)))"
             ),
         ).otherwise(
             F.expr(
-                f"(2 * {md - mn} * u_den * 1000000"
-                f" + {md} * (u_den - {u}))"
-                f" div (2 * {md} * (u_den - {u}))"
+                f"(2 * {md - mn} * {d} * 1000000"
+                f" + {md} * ({d} - {u}))"
+                f" div (2 * {md} * ({d} - {u}))"
             )
         )
 
@@ -1904,7 +1915,10 @@ def discount_tax_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("disc_pct").alias("n_disc"),
         F.countDistinct("tax_pct").alias("n_tax"),
     )
-    dec = "decimal(19,0)"
+    # o/n/r/c cast to DECIMAL(38,0) BEFORE the inner multiplications
+    # (o·N and r·c individually pass int64 at scale; the 128-bit space
+    # overflows loudly — NULL/error — instead of BIGINT's silent wrap)
+    d38 = "(cast(o as decimal(38,0)) * n - cast(r as decimal(38,0)) * c)"
     contrib = (
         cells.join(rows_m, "disc_pct")
         .join(F.broadcast(cols_m), "tax_pct")
@@ -1912,10 +1926,9 @@ def discount_tax_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "disc_pct",
             F.expr(
-                f"(2 * (cast(o * n - r * c as {dec})"
-                f"      * cast(o * n - r * c as {dec})) * 1000000"
-                f" + (cast(n as decimal(13,0)) * r * c))"
-                f" div (2 * (cast(n as decimal(13,0)) * r * c))"
+                f"(2 * ({d38} * {d38}) * 1000000"
+                f" + (cast(n as decimal(38,0)) * r * c))"
+                f" div (2 * (cast(n as decimal(38,0)) * r * c))"
             ).alias("cell_micro"),
             "n_disc",
             "n_tax",
@@ -1994,7 +2007,9 @@ def experiment_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exactness: counts are integers; with E = (n_a+n_b)/2 the chi²
     collapses to the exact rational (n_a−n_b)²/(n_a+n_b) (half-up
-    micro); arm means ride the established per-row micro-unit sums.
+    micro); arm means ride the established per-row micro-unit sums
+    with the SIGNED half-away display split (value carries no sign
+    contract).
 
     Scale: one scan → per-user arm assignment is pure expression
     logic → 2-key aggregate; the chi² is a 1-row frame broadcast back
@@ -2030,7 +2045,16 @@ def experiment_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_users",
         "n_events",
         (
-            F.expr("(2 * _svq + n_events) div (2 * n_events)") / F.lit(1e6)
+            # value sums carry no sign contract, so the mean uses the
+            # signed half-away split (div truncates toward zero in both
+            # engines; the unsigned form would silently become
+            # half-toward-+inf on a negative-value events table)
+            F.expr(
+                "case when _svq >= 0"
+                " then (2 * _svq + n_events) div (2 * n_events)"
+                " else -((-2 * _svq + n_events) div (2 * n_events)) end"
+            )
+            / F.lit(1e6)
         ).alias("mean_value"),
         (F.col("_chi2_micro") / F.lit(1e6)).alias("srm_chi2"),
     )
@@ -2043,11 +2067,16 @@ def user_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     active-day) pair is exploded onto the ≤7 future days it keeps the
     user active for, then ONE distinct + count per target day replaces
     seven overlapping distinct windows. Days before a full 7-day
-    window are excluded (they'd understate WAU).
+    window are excluded (they'd understate WAU); every other in-range
+    day appears — the reporting grid is built densely from the corpus
+    day bounds, so a zero-activity day is REPORTED as dau=0 (and
+    stickiness 0) rather than silently omitted, which is the 'per day'
+    dashboard contract.
 
     Exactness: all counts integers; stickiness = DAU/WAU half-up
-    micro. Scale: the explode is a bounded 7× of the |user × day|
-    frame (already ≪ events), one shuffle for the distinct."""
+    micro, exact 0 when the trailing week is empty. Scale: the explode
+    is a bounded 7× of the |user × day| frame (already ≪ events), one
+    shuffle for the distinct; the day grid is calendar-bounded."""
     events = load_table(spark, sf_dir, "events")
     user_days = (
         events.select("user_id", _epoch_us("ts").alias("_us"))
@@ -2071,20 +2100,30 @@ def user_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounds = user_days.agg(
         F.min("day").alias("d0"), F.max("day").alias("d1")
     )
+    grid = bounds.select(
+        F.explode(
+            F.sequence(F.col("d0") + 6, F.col("d1"))
+        ).alias("day")
+    )
     return (
-        dau.join(wau, "day")
-        .crossJoin(F.broadcast(bounds))
-        .where(
-            (F.col("day") >= F.col("d0") + 6) & (F.col("day") <= F.col("d1"))
+        grid.join(dau, "day", "left")
+        .join(wau, "day", "left")
+        .select(
+            "day",
+            F.coalesce("dau", F.lit(0).cast("bigint")).alias("dau"),
+            F.coalesce("wau", F.lit(0).cast("bigint")).alias("wau"),
         )
         .select(
             "day",
             "dau",
             "wau",
-            (
+            F.when(
+                F.col("wau") > 0,
                 F.expr("(2 * dau * 1000000 + wau) div (2 * wau)")
-                / F.lit(1e6)
-            ).alias("stickiness"),
+                / F.lit(1e6),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("stickiness"),
         )
     )
 
@@ -2181,9 +2220,11 @@ def experiment_cuped_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exactness: θ's numerator n·Sxy − Sx·Sy and denominator n·Sxx − Sx²
     are exact integers on DECIMAL(38,0)/HUGEINT (per-user products
-    pass 63 bits); θ and the adjustment term are SIGNED half-away
-    micro divisions (sign split, since `div`/`//` truncate toward
-    zero); all-equal-X degenerates to θ = 0, not a division error.
+    pass 63 bits); θ, the pooled and per-arm means, and the adjustment
+    term are SIGNED half-away micro divisions (sign split, since
+    `div`/`//` truncate toward zero and the unsigned half-up form
+    would drift to half-toward-+inf on negative value sums);
+    all-equal-X degenerates to θ = 0, not a division error.
 
     Scale: one scan → |users| aggregate → one 5-number pooled moment
     row + a 2-row arm rollup; the moment row broadcasts back."""
@@ -2252,7 +2293,11 @@ def experiment_cuped_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
                         as bigint)
                 end"""
             ).alias("theta_micro"),
-            F.expr("(2 * sx + n) div (2 * n)").alias("xbar_micro"),
+            # signed half-away mean: x sums carry no sign contract
+            F.expr(
+                "case when sx >= 0 then (2 * sx + n) div (2 * n)"
+                " else -((-2 * sx + n) div (2 * n)) end"
+            ).alias("xbar_micro"),
         )
     )
     per_arm = per_user.groupBy("arm").agg(
@@ -2265,12 +2310,17 @@ def experiment_cuped_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "arm",
             "n_users",
-            F.expr("(2 * sy_a + n_users) div (2 * n_users)").alias(
-                "_ybar"
-            ),
-            F.expr("(2 * sx_a + n_users) div (2 * n_users)").alias(
-                "_xbar_a"
-            ),
+            # signed half-away arm means (value sums can be negative)
+            F.expr(
+                "case when sy_a >= 0"
+                " then (2 * sy_a + n_users) div (2 * n_users)"
+                " else -((-2 * sy_a + n_users) div (2 * n_users)) end"
+            ).alias("_ybar"),
+            F.expr(
+                "case when sx_a >= 0"
+                " then (2 * sx_a + n_users) div (2 * n_users)"
+                " else -((-2 * sx_a + n_users) div (2 * n_users)) end"
+            ).alias("_xbar_a"),
             "theta_micro",
             "xbar_micro",
         )

@@ -1910,26 +1910,34 @@ ORACLES["linkage_fs_weights"] = """
                CAST(nat_a = nat_b AS INTEGER) AS agree_nation,
                CAST(seg_a = seg_b AS INTEGER) AS agree_segment,
                CAST(bal_a = bal_b AS INTEGER) AS agree_balance,
+               -- u-statistic products on HUGEINT (Spark DECIMAL(38,0)):
+               -- 2*m*u_den*1e6 passes int64 once |customers| > ~7e5
                CASE WHEN nat_a = nat_b THEN
-                   (2 * 9 * u_den * 1000000 + 10 * u_nat)
-                       // (2 * 10 * u_nat)
+                   (2 * 9 * CAST(u_den AS HUGEINT) * 1000000
+                    + 10 * CAST(u_nat AS HUGEINT))
+                       // (2 * 10 * CAST(u_nat AS HUGEINT))
                ELSE
-                   (2 * 1 * u_den * 1000000 + 10 * (u_den - u_nat))
-                       // (2 * 10 * (u_den - u_nat))
+                   (2 * 1 * CAST(u_den AS HUGEINT) * 1000000
+                    + 10 * (CAST(u_den AS HUGEINT) - u_nat))
+                       // (2 * 10 * (CAST(u_den AS HUGEINT) - u_nat))
                END AS w_nat,
                CASE WHEN seg_a = seg_b THEN
-                   (2 * 4 * u_den * 1000000 + 5 * u_seg)
-                       // (2 * 5 * u_seg)
+                   (2 * 4 * CAST(u_den AS HUGEINT) * 1000000
+                    + 5 * CAST(u_seg AS HUGEINT))
+                       // (2 * 5 * CAST(u_seg AS HUGEINT))
                ELSE
-                   (2 * 1 * u_den * 1000000 + 5 * (u_den - u_seg))
-                       // (2 * 5 * (u_den - u_seg))
+                   (2 * 1 * CAST(u_den AS HUGEINT) * 1000000
+                    + 5 * (CAST(u_den AS HUGEINT) - u_seg))
+                       // (2 * 5 * (CAST(u_den AS HUGEINT) - u_seg))
                END AS w_seg,
                CASE WHEN bal_a = bal_b THEN
-                   (2 * 19 * u_den * 1000000 + 20 * u_bal)
-                       // (2 * 20 * u_bal)
+                   (2 * 19 * CAST(u_den AS HUGEINT) * 1000000
+                    + 20 * CAST(u_bal AS HUGEINT))
+                       // (2 * 20 * CAST(u_bal AS HUGEINT))
                ELSE
-                   (2 * 1 * u_den * 1000000 + 20 * (u_den - u_bal))
-                       // (2 * 20 * (u_den - u_bal))
+                   (2 * 1 * CAST(u_den AS HUGEINT) * 1000000
+                    + 20 * (CAST(u_den AS HUGEINT) - u_bal))
+                       // (2 * 20 * (CAST(u_den AS HUGEINT) - u_bal))
                END AS w_bal
         FROM pairs
     )
@@ -2078,14 +2086,19 @@ ORACLES["experiment_srm_check"] = """
         FROM per_arm
     )
     SELECT arm, n_users, n_events,
-           ((2 * svq + n_events) // (2 * n_events)) / 1e6 AS mean_value,
+           (CASE WHEN svq >= 0
+                THEN (2 * svq + n_events) // (2 * n_events)
+                ELSE -((-2 * svq + n_events) // (2 * n_events))
+            END) / 1e6 AS mean_value,
            chi2_micro / 1e6 AS srm_chi2
     FROM per_arm CROSS JOIN srm
 """
 
 # CUPED twin: same pre/post split, pooled moments on HUGEINT, SIGNED
-# half-away micro theta and adjustment (DuckDB // floors, so the sign
-# split is load-bearing, not stylistic)
+# half-away micro theta, means, and adjustment (integer `//` and `div`
+# both truncate toward zero, so the sign split is what makes the
+# rounding half-AWAY-from-zero rather than half-toward-+inf on
+# negative sums)
 ORACLES["experiment_cuped_lift"] = """
     WITH days AS (
         SELECT user_id,
@@ -2124,7 +2137,9 @@ ORACLES["experiment_cuped_lift"] = """
                    + (n * sxx - CAST(sx AS HUGEINT) * sx))
                   // (2 * (n * sxx - CAST(sx AS HUGEINT) * sx)))
         END AS BIGINT) AS theta_micro,
-               (2 * sx + n) // (2 * n) AS xbar_micro
+               -- signed half-away mean (x sums carry no sign contract)
+               CASE WHEN sx >= 0 THEN (2 * sx + n) // (2 * n)
+                    ELSE -((-2 * sx + n) // (2 * n)) END AS xbar_micro
         FROM pooled
     ),
     per_arm AS (
@@ -2133,25 +2148,32 @@ ORACLES["experiment_cuped_lift"] = """
                CAST(SUM(x) AS BIGINT) AS sx_a,
                CAST(SUM(y) AS BIGINT) AS sy_a
         FROM per_user GROUP BY arm
+    ),
+    arm_means AS (
+        SELECT arm, n_users,
+               CASE WHEN sy_a >= 0
+                    THEN (2 * sy_a + n_users) // (2 * n_users)
+                    ELSE -((-2 * sy_a + n_users) // (2 * n_users))
+               END AS ybar,
+               CASE WHEN sx_a >= 0
+                    THEN (2 * sx_a + n_users) // (2 * n_users)
+                    ELSE -((-2 * sx_a + n_users) // (2 * n_users))
+               END AS xbar_a
+        FROM per_arm
     )
     SELECT arm, n_users,
-           ((2 * sy_a + n_users) // (2 * n_users)) / 1e6 AS raw_mean,
-           (((2 * sy_a + n_users) // (2 * n_users))
+           ybar / 1e6 AS raw_mean,
+           (ybar
             - CASE
-                WHEN theta_micro
-                     * ((2 * sx_a + n_users) // (2 * n_users) - xbar_micro)
-                     >= 0 THEN
-                    (2 * theta_micro
-                       * ((2 * sx_a + n_users) // (2 * n_users) - xbar_micro)
+                WHEN theta_micro * (xbar_a - xbar_micro) >= 0 THEN
+                    (2 * theta_micro * (xbar_a - xbar_micro)
                      + 1000000) // 2000000
                 ELSE
-                    -((2 * -(theta_micro
-                        * ((2 * sx_a + n_users) // (2 * n_users)
-                           - xbar_micro))
+                    -((2 * -(theta_micro * (xbar_a - xbar_micro))
                        + 1000000) // 2000000)
               END) / 1e6 AS adjusted_mean,
            theta_micro / 1e6 AS theta
-    FROM per_arm CROSS JOIN theta
+    FROM arm_means CROSS JOIN theta
 """
 
 # Seasonal-naive MAPE twin: dense grid + lag-7, exact half-up micro
@@ -2206,7 +2228,9 @@ ORACLES["event_seasonal_naive_mape"] = """
 """
 
 # DAU/WAU twin: same contribution-explode (each active (user, day)
-# covers days d..d+6), one distinct per target day, half-up micro
+# covers days d..d+6), one distinct per target day, half-up micro;
+# the reporting grid is dense over the full-window day range, so
+# zero-activity days appear with dau=0 / stickiness=0
 ORACLES["user_dau_wau_stickiness"] = """
     WITH user_days AS (
         SELECT DISTINCT user_id,
@@ -2225,12 +2249,21 @@ ORACLES["user_dau_wau_stickiness"] = """
         SELECT day, CAST(COUNT(*) AS BIGINT) AS wau
         FROM contrib GROUP BY day
     ),
-    bounds AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM user_days)
-    SELECT dau.day, dau.dau, wau.wau,
-           ((2 * dau.dau * 1000000 + wau.wau) // (2 * wau.wau)) / 1e6
-               AS stickiness
-    FROM dau JOIN wau USING (day), bounds
-    WHERE dau.day >= bounds.d0 + 6 AND dau.day <= bounds.d1
+    bounds AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM user_days),
+    grid AS (
+        SELECT unnest(generate_series(d0 + 6, d1)) AS day FROM bounds
+    )
+    SELECT g.day,
+           COALESCE(dau.dau, 0) AS dau,
+           COALESCE(wau.wau, 0) AS wau,
+           CASE WHEN COALESCE(wau.wau, 0) > 0
+                THEN ((2 * COALESCE(dau.dau, 0) * 1000000 + wau.wau)
+                      // (2 * wau.wau)) / 1e6
+                ELSE CAST(0 AS DOUBLE)
+           END AS stickiness
+    FROM grid g
+    LEFT JOIN dau ON dau.day = g.day
+    LEFT JOIN wau ON wau.day = g.day
 """
 
 # detector-overlap twin: composes the two gated anomaly oracles as
@@ -2289,9 +2322,11 @@ ORACLES["discount_tax_independence"] = """
         FROM cells
     ),
     contrib AS (
+        -- o/n/r/c cast to HUGEINT BEFORE the inner multiplications
         SELECT cells.disc_pct,
-               (2 * (CAST(o * n.n - r * c AS HUGEINT)
-                     * CAST(o * n.n - r * c AS HUGEINT)) * 1000000
+               (2 * ((CAST(o AS HUGEINT) * n.n - CAST(r AS HUGEINT) * c)
+                     * (CAST(o AS HUGEINT) * n.n
+                        - CAST(r AS HUGEINT) * c)) * 1000000
                 + (CAST(n.n AS HUGEINT) * r * c))
                    // (2 * (CAST(n.n AS HUGEINT) * r * c)) AS cell_micro,
                n.n_disc, n.n_tax
