@@ -62,16 +62,20 @@ def main() -> None:
             print(f"bench error {name}: {e}", file=sys.stderr)
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
-    # "value" (the headline total) comes AFTER the 109-entry per-query
-    # dict: the driver archives only a fixed-size TAIL of this line, so
-    # trailing keys survive truncation while leading ones may not
+    # The driver archives only a fixed-size TAIL of this line, so order
+    # the payload worst-last: per-query timings cheapest-first (slowest
+    # queries stay visible), errored queries (-1.0) after those, and
+    # the headline total at the very end
+    ordered = dict(
+        sorted(timings.items(), key=lambda kv: (kv[1] < 0, kv[1]))
+    )
     print(
         json.dumps(
             {
                 "metric": "registry_total_runtime",
                 "unit": "sec",
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "queries": timings,
+                "queries": ordered,
                 "value": total,
             }
         )
