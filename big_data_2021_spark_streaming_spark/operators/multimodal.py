@@ -1,29 +1,35 @@
-"""Multimodal (binary) column plumbing: schema, Arrow batching, and
-decode/feature-extract stubs.
+"""Multimodal (binary) column plumbing: container synthesis, a REAL
+pure-stdlib container parser, and byte-digest kernels.
 
 Real pipelines carry images/audio/video as opaque ``binary`` columns
 with typed metadata structs, decoded inside ``mapInPandas`` so bytes
 stream through Arrow record batches and never materialize on the
-driver. The decode libraries (PIL/ffmpeg/etc.) are not in this
-container, so the decode kernel is split:
+driver. This module keeps that shape end-to-end real:
 
-- ``decode_asset_bytes``: the real-library path — raises
-  NotImplementedError with a clear message (STUB, by design).
-- ``fake_decode``: deterministic byte-level "decode" (length, first
-  byte, md5) used by tests and the oracle-checked query so the
-  Spark-side plumbing — binary encoding, Arrow batch shapes, UDF
-  signature, schema — is exercised for real.
+- ``build_container``: deterministic fixture generator emitting VALID
+  BMP / WAV (RIFF PCM) / PPM (P6) containers from each document —
+  byte-for-byte well-formed files a stock viewer could open.
+- ``parse_container``: the real decode path — sniffs the magic and
+  parses the container header with ``struct``/ASCII parsing only
+  (width/height/bpp for BMP, channels/rate/samples/duration for WAV,
+  width/height/maxval for PPM), raising ``ValueError`` on malformed
+  bytes. No third-party decode libs, no fake fallback.
+- ``digest_decode``: byte-level digest kernel (length, first byte,
+  md5) — NOT a decoder; the dedup/frame queries use it because their
+  DuckDB oracles can recompute the same md5 from the source text.
 
-``multimodal_decode`` builds the binary column from documents.text
-(utf-8 bytes standing in for image bytes), runs it through
-mapInPandas, and is oracle-checked against DuckDB computing the same
-features from the text — end-to-end proof the Arrow path preserves
-bytes exactly.
+``multimodal_decode`` is the gated end-to-end proof: synthesize the
+container in one Arrow kernel, parse it back in a second, and
+hash-match the PARSED metadata against DuckDB computing the expected
+geometry arithmetically — if the generator wrote a malformed header or
+the parser mis-read one, the row diverges. Bytes stay on executors the
+whole way; only the ~40-byte metadata rows shuffle.
 """
 
 from __future__ import annotations
 
 import hashlib
+import struct
 from collections.abc import Iterator
 
 import pandas as pd
@@ -60,20 +66,145 @@ DECODED_SCHEMA = StructType(
 )
 
 
-def decode_asset_bytes(payload: bytes, media_type: str):
-    """Real decode path — requires image/audio libs absent here.
+# --- real containers: deterministic synthesis + pure-stdlib parsing ---
 
-    STUB by design: wire PIL/torchaudio/PyAV here when deploying; the
-    Spark-side batching/schema contract stays identical.
-    """
-    raise NotImplementedError(
-        f"no decoder for media_type={media_type!r} in this environment; "
-        "use fake_decode for the deterministic test kernel"
-    )
+WAV_RATES = (8000, 16000, 44100)
 
 
-def fake_decode(payload: bytes) -> tuple[int, int, str]:
-    """Deterministic byte-level stand-in for a media decoder."""
+def build_container(doc_id: int, text: str) -> tuple[str, bytes]:
+    """Emit a VALID container for the document, keyed by doc_id % 3:
+    BMP (24-bit bottom-up, 4-byte row padding), WAV (RIFF PCM16 mono),
+    or PPM (P6, maxval 255). Geometry/sample counts are pure functions
+    of (doc_id, len(text)) so the DuckDB oracle can derive the expected
+    parse results arithmetically; payload bytes cycle the text."""
+    data = text.encode("utf-8") or b"\x00"
+    kind = doc_id % 3
+    if kind == 0:  # BMP
+        w, h = doc_id % 37 + 1, doc_id % 23 + 1
+        stride = (3 * w + 3) // 4 * 4
+        pixels = bytes(
+            data[(y * stride + i) % len(data)] if i < 3 * w else 0
+            for y in range(h)
+            for i in range(stride)
+        )
+        size = 54 + stride * h
+        header = struct.pack(
+            "<2sIHHI", b"BM", size, 0, 0, 54
+        ) + struct.pack(
+            "<IiiHHIIiiII", 40, w, h, 1, 24, 0, stride * h, 2835, 2835, 0, 0
+        )
+        return "image/bmp", header + pixels
+    if kind == 1:  # WAV
+        rate = WAV_RATES[(doc_id // 3) % 3]
+        n_samples = (len(text) * 7) % 3001 + 50
+        samples = bytes(
+            data[i % len(data)] for i in range(2 * n_samples)
+        )
+        header = (
+            struct.pack("<4sI4s", b"RIFF", 36 + len(samples), b"WAVE")
+            + struct.pack(
+                "<4sIHHIIHH", b"fmt ", 16, 1, 1, rate, rate * 2, 2, 16
+            )
+            + struct.pack("<4sI", b"data", len(samples))
+        )
+        return "audio/wav", header + samples
+    # PPM (P6)
+    w, h = doc_id % 29 + 1, doc_id % 17 + 1
+    header = f"P6\n{w} {h}\n255\n".encode("ascii")
+    pixels = bytes(data[i % len(data)] for i in range(3 * w * h))
+    return "image/ppm", header + pixels
+
+
+def parse_container(payload: bytes) -> dict:
+    """REAL pure-stdlib container parser: sniff the magic, parse the
+    header, cross-check declared sizes against the actual byte count.
+    Returns {media_type, n_bytes, width, height, sample_rate,
+    n_samples, duration_ms} with None for fields the container kind
+    lacks; raises ValueError on anything malformed — no silent
+    fallback, an undecodable asset must surface as an error row."""
+    n = len(payload)
+    out = {
+        "media_type": None,
+        "n_bytes": n,
+        "width": None,
+        "height": None,
+        "sample_rate": None,
+        "n_samples": None,
+        "duration_ms": None,
+    }
+    if payload[:2] == b"BM":
+        if n < 54:
+            raise ValueError("BMP truncated before headers")
+        size, _, _, offset = struct.unpack("<IHHI", payload[2:14])
+        (hsz, w, h, planes, bpp) = struct.unpack("<IiiHH", payload[14:30])
+        if size != n:
+            raise ValueError(f"BMP declared size {size} != actual {n}")
+        if hsz < 40 or planes != 1 or bpp not in (1, 4, 8, 24, 32):
+            raise ValueError("BMP info header malformed")
+        stride = (bpp * w + 31) // 32 * 4
+        if offset + stride * abs(h) > n:
+            raise ValueError("BMP pixel array exceeds file")
+        out.update(media_type="image/bmp", width=w, height=abs(h))
+        return out
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        riff_len = struct.unpack("<I", payload[4:8])[0]
+        if riff_len + 8 != n:
+            raise ValueError(f"RIFF declared {riff_len + 8} != actual {n}")
+        pos, fmt, data_len = 12, None, None
+        while pos + 8 <= n:
+            cid, clen = struct.unpack("<4sI", payload[pos : pos + 8])
+            body = payload[pos + 8 : pos + 8 + clen]
+            if len(body) < clen:
+                raise ValueError(f"{cid!r} chunk truncated")
+            if cid == b"fmt ":
+                if clen < 16:
+                    raise ValueError("fmt chunk truncated")
+                fmt = struct.unpack("<HHIIHH", body[:16])
+            elif cid == b"data":
+                data_len = clen
+            pos += 8 + clen + (clen & 1)  # chunks are word-aligned
+        if fmt is None or data_len is None:
+            raise ValueError("WAV missing fmt/data chunk")
+        audio_fmt, channels, rate, _, block, bits = fmt
+        if audio_fmt != 1 or channels < 1 or block != channels * bits // 8:
+            raise ValueError("WAV fmt chunk inconsistent")
+        n_samples = data_len // block
+        out.update(
+            media_type="audio/wav",
+            sample_rate=rate,
+            n_samples=n_samples,
+            # exact half-up milliseconds (matches the engine's integer
+            # display convention and the oracle's `//` twin)
+            duration_ms=(2 * n_samples * 1000 + rate) // (2 * rate),
+        )
+        return out
+    if payload[:2] == b"P6":
+        fields, pos = [], 2
+        while len(fields) < 3:
+            while pos < n and payload[pos : pos + 1].isspace():
+                pos += 1
+            if payload[pos : pos + 1] == b"#":  # comment to EOL
+                while pos < n and payload[pos] != 0x0A:
+                    pos += 1
+                continue
+            start = pos
+            while pos < n and not payload[pos : pos + 1].isspace():
+                pos += 1
+            if pos == start:
+                raise ValueError("PPM header truncated")
+            fields.append(int(payload[start:pos]))
+        pos += 1  # single whitespace after maxval
+        w, h, maxval = fields
+        if maxval != 255 or pos + 3 * w * h > n:
+            raise ValueError("PPM raster exceeds file or bad maxval")
+        out.update(media_type="image/ppm", width=w, height=h)
+        return out
+    raise ValueError(f"unsupported container magic {payload[:4]!r}")
+
+
+def digest_decode(payload: bytes) -> tuple[int, int, str]:
+    """Byte-level digest kernel (length, first byte, md5) — not a
+    decoder; used where the oracle can recompute the md5 from text."""
     return len(payload), payload[0] if payload else -1, hashlib.md5(payload).hexdigest()
 
 
@@ -91,13 +222,13 @@ def assets_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def decode_assets(assets: DataFrame) -> DataFrame:
-    """mapInPandas decode: Arrow-batched, schema-stable, zero driver
-    involvement. At 100 TB this is the shape for any per-asset kernel:
-    batch in, batch out, columnar both directions."""
+    """mapInPandas digest pass: Arrow-batched, schema-stable, zero
+    driver involvement. At 100 TB this is the shape for any per-asset
+    kernel: batch in, batch out, columnar both directions."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            decoded = [fake_decode(bytes(p)) for p in pdf["payload"]]
+            decoded = [digest_decode(bytes(p)) for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
@@ -114,8 +245,85 @@ def decode_assets(assets: DataFrame) -> DataFrame:
     return assets.mapInPandas(kernel, DECODED_SCHEMA)
 
 
+PARSED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("n_bytes", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("sample_rate", LongType()),
+        StructField("n_samples", LongType()),
+        StructField("duration_ms", LongType()),
+    ]
+)
+
+
+def synthesize_containers(docs: DataFrame) -> DataFrame:
+    """Arrow kernel 1 — the fixture generator: each document becomes a
+    VALID BMP/WAV/PPM container in a binary column. Runs on executors;
+    containers never visit the driver."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            built = [
+                build_container(int(d), t)
+                for d, t in zip(pdf["doc_id"], pdf["text"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": [b[0] for b in built],
+                    "payload": [b[1] for b in built],
+                    "meta_width": pd.Series(
+                        [0] * len(built), dtype="int32"
+                    ),
+                    "meta_height": pd.Series(
+                        [0] * len(built), dtype="int32"
+                    ),
+                }
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(kernel, ASSET_SCHEMA)
+
+
+def parse_assets(assets: DataFrame) -> DataFrame:
+    """Arrow kernel 2 — the REAL decode: parse each container's header
+    with the pure-stdlib parser. Output is ~40 bytes/asset of typed
+    metadata; the payload column dies here, so anything downstream
+    (joins, rollups) shuffles metadata only."""
+
+    int_cols = (
+        "n_bytes", "width", "height", "sample_rate", "n_samples",
+        "duration_ms",
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            parsed = [parse_container(bytes(p)) for p in pdf["payload"]]
+            out = {"doc_id": pdf["doc_id"].astype("int64")}
+            out["media_type"] = [p["media_type"] for p in parsed]
+            for c in int_cols:
+                out[c] = pd.array(
+                    [p[c] for p in parsed], dtype="Int64"
+                )
+            yield pd.DataFrame(out)
+
+    return assets.select("doc_id", "payload").mapInPandas(
+        kernel, PARSED_SCHEMA
+    )
+
+
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return decode_assets(assets_from_documents(spark, sf_dir))
+    """Gated end-to-end container round-trip: synthesize a valid
+    BMP/WAV/PPM per document, parse it back with the real stdlib
+    parser, return the PARSED metadata. The oracle derives the same
+    rows arithmetically from (doc_id, length(text)) — a malformed
+    header or a mis-read field diverges the hash. Two chained Arrow
+    kernels over the same partitioning: no shuffle until the verdict
+    rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    return parse_assets(synthesize_containers(docs))
 
 
 N_FRAMES = 4
@@ -297,14 +505,44 @@ def multimodal_frame_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES: dict[str, str] = {
-    # the documents text is plain ASCII in the fixtures, so utf-8 byte
-    # features are computable from the text itself
+    # expected parse results derived arithmetically from the container
+    # synthesis rules (geometry is a pure function of doc_id and the
+    # ASCII text length): BMP stride obeys 4-byte row padding, WAV
+    # duration is the engine's half-up integer milliseconds, PPM's
+    # header length depends on the digit counts of width/height. Any
+    # generator/parser disagreement on actual BYTES diverges n_bytes.
     "multimodal_decode": """
+        WITH geo AS (
+            SELECT doc_id,
+                   doc_id % 3 AS kind,
+                   doc_id % 37 + 1 AS bw, doc_id % 23 + 1 AS bh,
+                   ((3 * (doc_id % 37 + 1) + 3) // 4) * 4 AS stride,
+                   [8000, 16000, 44100][CAST((doc_id // 3) % 3 AS INTEGER) + 1]
+                       AS rate,
+                   (length(text) * 7) % 3001 + 50 AS ns,
+                   doc_id % 29 + 1 AS pw, doc_id % 17 + 1 AS ph
+            FROM documents
+        )
         SELECT doc_id,
-               CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
-               CAST(ascii(substr(text, 1, 1)) AS INTEGER) AS head_byte,
-               md5(text) AS content_md5
-        FROM documents
+               CASE kind WHEN 0 THEN 'image/bmp'
+                         WHEN 1 THEN 'audio/wav'
+                         ELSE 'image/ppm' END AS media_type,
+               CAST(CASE kind
+                    WHEN 0 THEN 54 + stride * bh
+                    WHEN 1 THEN 44 + 2 * ns
+                    ELSE 9 + length(CAST(pw AS VARCHAR))
+                           + length(CAST(ph AS VARCHAR)) + 3 * pw * ph
+               END AS BIGINT) AS n_bytes,
+               CAST(CASE kind WHEN 0 THEN bw WHEN 2 THEN pw END AS BIGINT)
+                   AS width,
+               CAST(CASE kind WHEN 0 THEN bh WHEN 2 THEN ph END AS BIGINT)
+                   AS height,
+               CAST(CASE kind WHEN 1 THEN rate END AS BIGINT) AS sample_rate,
+               CAST(CASE kind WHEN 1 THEN ns END AS BIGINT) AS n_samples,
+               CAST(CASE kind WHEN 1 THEN
+                   (2 * ns * 1000 + rate) // (2 * rate)
+               END AS BIGINT) AS duration_ms
+        FROM geo
     """,
     # same chunk arithmetic as sample_frames (ASCII text: bytes == chars);
     # chunk i is [i*L//n, (i+1)*L//n), 1-based substring start = s + 1

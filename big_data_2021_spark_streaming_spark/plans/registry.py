@@ -137,6 +137,10 @@ _REPLANNED_AFTER_GREEN = frozenset(
         "part_profit_by_nation_year", "disjunctive_part_revenue",
         "user_trailing_hour_stats", "daily_click_purchase_recon",
         "forecast_revenue_change", "grouping_sets_revenue",
+        # round 5: real-container rewrite (synthesize valid BMP/WAV/PPM,
+        # parse with the stdlib parser) replaced the byte-digest plan
+        # the r02 green graded
+        "multimodal_decode",
     }
 )
 
@@ -169,7 +173,7 @@ _DRIVER_VERIFIED = frozenset(
         "join_key_skew", "json_encode", "kmeans_clusters",
         "latest_event_per_user", "lineitem_measures_unpivot",
         "local_supplier_volume", "mixture_reweight_plan",
-        "multimodal_decode", "multimodal_frame_sample",
+        "multimodal_frame_sample",
         "multimodal_type_stats", "nation_supplier_hhi",
         "order_priority_semijoin", "order_status_upsert",
         "orders_monthly_growth", "parts_never_in_bulk_orders",

@@ -721,7 +721,8 @@ def test_registry_orders_unverified_queries_first():
         "join_strategy_advisor", "k_anonymity_audit",
         "l_diversity_audit", "lake_column_stats", "layout_zorder_stats",
         "linkage_fs_weights", "market_share_by_year",
-        "multimodal_audio_frame_plan", "multimodal_exact_dedup",
+        "multimodal_audio_frame_plan", "multimodal_decode",
+        "multimodal_exact_dedup",
         "multimodal_frame_neardup", "multimodal_resize_plan",
         "mv_incremental_refresh", "nation_pair_volume",
         "order_fulfillment_latency", "orders_aging_buckets",
