@@ -162,6 +162,113 @@ def kafka_batch_records(
     )
 
 
+def kafka_source_start(
+    spark: SparkSession, checkpoint_dir: str, source_index: int = 0
+) -> DataFrame:
+    """The stream's pre-batch-0 start offsets from ``sources/<i>/0``:
+    (topic, partition, start_offset). The offsets WAL only records each
+    batch's END offsets, so this file is the missing left edge of
+    batch 0's range."""
+    path = f"{checkpoint_dir.rstrip('/')}/sources/{source_index}"
+    parsed = (
+        spark.read.text(path, wholetext=True)
+        .select(
+            F.from_json(
+                F.element_at(F.split(F.trim("value"), "\n"), 2),
+                _KAFKA_OFFSETS_SCHEMA,
+            ).alias("m")
+        )
+        .select(F.explode("m").alias("topic", "parts"))
+    )
+    return parsed.select(
+        "topic",
+        F.explode("parts").alias("partition", "start_offset"),
+    ).select(
+        "topic",
+        F.col("partition").cast("int").alias("partition"),
+        "start_offset",
+    )
+
+
+def replay_batch_plan(
+    spark: SparkSession, checkpoint_dir: str, source_index: int = 0
+) -> DataFrame:
+    """The executable contract of every planned micro-batch: (batch_id,
+    topic, partition, start_offset, end_offset, records, committed).
+    Start offsets come from the PREVIOUS batch's WAL entry (the
+    ``sources/<i>/0`` file for batch 0) — exactly the arithmetic a
+    restarted MicroBatchExecution performs to rebuild an uncommitted
+    batch. The resume point after a crash is the row set where
+    ``committed`` is false (reference: batch 12, cf.
+    ``srapk_structure_streaming.py:173-179``'s checkpoint, offsets/12
+    present with no commits/12).
+
+    Scale: one row per (batch, topic, partition) of WAL metadata —
+    never data-sized; the lag window partitions by (topic, partition)."""
+    ends = kafka_batch_records(spark, checkpoint_dir, source_index)
+    start0 = kafka_source_start(spark, checkpoint_dir, source_index)
+    w = Window.partitionBy("topic", "partition").orderBy("batch_id")
+    with_start = ends.select(
+        "batch_id",
+        "topic",
+        "partition",
+        F.lag("end_offset").over(w).alias("_prev_end"),
+        "end_offset",
+    ).join(F.broadcast(start0), ["topic", "partition"], "left")
+    commits = checkpoint_commits(spark, checkpoint_dir).select(
+        "batch_id", F.lit(True).alias("committed")
+    )
+    return (
+        with_start.select(
+            "batch_id",
+            "topic",
+            "partition",
+            F.coalesce("_prev_end", "start_offset").alias("start_offset"),
+            "end_offset",
+            (
+                F.col("end_offset")
+                - F.coalesce("_prev_end", "start_offset")
+            ).alias("records"),
+        )
+        .join(commits, "batch_id", "left")
+        .select(
+            "batch_id",
+            "topic",
+            "partition",
+            "start_offset",
+            "end_offset",
+            "records",
+            F.coalesce("committed", F.lit(False)).alias("committed"),
+        )
+    )
+
+
+def replay_batch(
+    spark: SparkSession,
+    checkpoint_dir: str,
+    records: DataFrame,
+    batch_id: int,
+    source_index: int = 0,
+) -> DataFrame:
+    """EXECUTE a WAL batch against data: filter a records frame
+    carrying (topic, partition, offset) to exactly the offset ranges
+    the checkpoint planned for ``batch_id`` — the record set a
+    restarted query re-processes for its uncommitted batch. The range
+    frame is one row per (topic, partition), broadcast onto the records
+    scan, so the filter is a map-side semi-join: no shuffle of the
+    records themselves."""
+    ranges = (
+        replay_batch_plan(spark, checkpoint_dir, source_index)
+        .where(F.col("batch_id") == batch_id)
+        .select("topic", "partition", "start_offset", "end_offset")
+    )
+    j = records.join(F.broadcast(ranges), ["topic", "partition"])
+    return j.where(
+        (F.col("offset") >= F.col("start_offset"))
+        & (F.col("offset") < F.col("end_offset"))
+    ).drop("start_offset", "end_offset")
+
+
 def read_operator_state(
     spark: SparkSession,
     checkpoint_dir: str,

@@ -14,12 +14,17 @@ from pathlib import Path
 
 import pytest
 
+import pyspark.sql.functions as F
+
 from big_data_2021_spark_streaming_spark.streaming.state_inspect import (
     checkpoint_commits,
     checkpoint_offsets,
     checkpoint_progress_report,
     kafka_batch_records,
+    kafka_source_start,
     read_operator_state,
+    replay_batch,
+    replay_batch_plan,
     state_metadata,
     state_skew_report,
 )
@@ -124,3 +129,66 @@ def test_state_read_matches_query_output(spark, tmp_path):
     assert sum(r.state_rows for r in skew) == len(sink)
     assert all(r.state_rows > 0 for r in skew)  # empty partitions absent
     assert abs(sum(r.share_permille for r in skew) - 1000) <= len(skew)
+
+
+# --- WAL restore → resume point → batch replay (reference fidelity) ---
+
+
+@needs_reference
+def test_reference_source_start(spark):
+    """sources/0/0 is the stream's pre-batch-0 left edge: the real run
+    started the all_events topic at offset 21726."""
+    rows = kafka_source_start(spark, REF_CKPT).collect()
+    assert [(r.topic, r.partition, r.start_offset) for r in rows] == [
+        ("all_events", 0, 21726)
+    ]
+
+
+@needs_reference
+def test_reference_replay_plan_rebuilds_every_batch_range(spark):
+    """The WAL arithmetic a restarted MicroBatchExecution performs:
+    every batch's (start, end] range from consecutive end-offsets,
+    batch 0 anchored at sources/0/0. Pins the resume point — batch 12
+    is planned (offsets/12) but never committed (no commits/12), so it
+    is the batch a restart replays — and BASELINE.md's 135-record run
+    total."""
+    plan = {
+        r.batch_id: r for r in replay_batch_plan(spark, REF_CKPT).collect()
+    }
+    assert sorted(plan) == list(range(13))
+    b0 = plan[0]
+    assert (b0.start_offset, b0.end_offset, b0.records) == (21726, 21727, 1)
+    uncommitted = sorted(b for b, r in plan.items() if not r.committed)
+    assert uncommitted == [12]
+    b12 = plan[12]
+    assert (b12.start_offset, b12.end_offset, b12.records) == (
+        21849,
+        21861,
+        12,
+    )
+    assert sum(r.records for r in plan.values()) == 135
+
+
+@needs_reference
+def test_reference_replay_batch_executes_the_resume_point(spark):
+    """EXECUTES against the reference's artifacts: a surrogate record
+    log spans the topic's full offset range (Kafka retention outlived
+    the records, so payloads are deterministic stand-ins keyed by
+    offset), and replaying the uncommitted batch must select EXACTLY
+    the 12 records its WAL entry planned — then flow into downstream
+    batch logic like any micro-batch."""
+    records = spark.range(21726, 21861).select(
+        F.lit("all_events").alias("topic"),
+        F.lit(0).cast("int").alias("partition"),
+        F.col("id").alias("offset"),
+        F.concat(F.lit("evt-"), F.col("id")).alias("value"),
+    )
+    replayed = replay_batch(spark, REF_CKPT, records, batch_id=12)
+    got = sorted(r.offset for r in replayed.collect())
+    assert got == list(range(21849, 21861))
+    agg = replayed.groupBy("topic").count().collect()
+    assert (agg[0]["topic"], agg[0]["count"]) == ("all_events", 12)
+    # the WAL arithmetic is idempotent: an already-committed batch
+    # rebuilds its exact range too (exactly-once replay semantics)
+    b0 = replay_batch(spark, REF_CKPT, records, batch_id=0).collect()
+    assert [r.offset for r in b0] == [21726]
