@@ -127,3 +127,47 @@ def test_e2e_decode_covers_all_kinds_and_never_nulls_wrong_fields(spark):
             assert r.duration_ms is not None
         else:
             assert r.sample_rate is None and r.width >= 1 and r.height >= 1
+
+
+# --- property: synthesis/parse round-trip over the whole input space ---
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        doc_id=st.integers(min_value=0, max_value=2**62),
+        text=st.text(
+            alphabet=st.characters(codec="utf-8"), max_size=400
+        ),
+    )
+    def test_property_round_trip(doc_id, text):
+        media_type, payload = build_container(doc_id, text)
+        p = parse_container(payload)
+        assert p["media_type"] == media_type
+        assert p["n_bytes"] == len(payload)
+        kind = doc_id % 3
+        if kind == 1:
+            # length(text) in the oracle is CHARACTERS; the generator
+            # must key n_samples off characters too or non-ASCII text
+            # would diverge the twin
+            assert p["n_samples"] == (len(text) * 7) % 3001 + 50
+        else:
+            assert p["width"] >= 1 and p["height"] >= 1
+
+    @settings(max_examples=200, deadline=None)
+    @given(blob=st.binary(max_size=200))
+    def test_property_arbitrary_bytes_never_parse_silently(blob):
+        # random bytes either raise ValueError or, in the measure-zero
+        # case they form a valid header, must satisfy the size
+        # cross-checks the parser enforces
+        try:
+            p = parse_container(blob)
+        except ValueError:
+            return
+        assert p["n_bytes"] == len(blob)
+        assert p["media_type"] in ("image/bmp", "audio/wav", "image/ppm")
+
+except ImportError:  # hypothesis is in the baked image; belt-and-braces
+    pass
