@@ -192,3 +192,60 @@ def test_reference_replay_batch_executes_the_resume_point(spark):
     # rebuilds its exact range too (exactly-once replay semantics)
     b0 = replay_batch(spark, REF_CKPT, records, batch_id=0).collect()
     assert [r.offset for r in b0] == [21726]
+
+
+@needs_reference
+def test_reference_replay_feeds_the_reference_pipeline(spark):
+    """The full restore story: rebuild the uncommitted batch from the
+    WAL, then run the reference's own Q1/Q2 lineage over exactly that
+    record set — RSVP-shaped payloads keyed by offset, US rows on even
+    offsets. Batch 12 spans (21849, 21861], so Q1 must keep the 6 even
+    offsets and Q2 must enrich them with the full state name."""
+    import json as _json
+
+    from big_data_2021_spark_streaming_spark.plans.reference_queries import (
+        q1_us_meetups,
+        q2_us_meetups_enriched,
+    )
+    from big_data_2021_spark_streaming_spark.schemas import states_dimension
+
+    def rsvp(offset: int) -> str:
+        return _json.dumps(
+            {
+                "response": "yes",
+                "guests": 0,
+                "rsvp_id": offset,
+                "event": {
+                    "event_name": f"e{offset}",
+                    "event_id": f"id{offset}",
+                    "event_url": "u",
+                },
+                "group": {
+                    "group_city": "sf",
+                    "group_country": "us" if offset % 2 == 0 else "de",
+                    "group_id": offset,
+                    "group_name": "g",
+                    "group_state": "CA",
+                },
+            }
+        )
+
+    records = spark.createDataFrame(
+        [
+            ("all_events", 0, o, rsvp(o), "2021-06-08 23:47:03")
+            for o in range(21726, 21861)
+        ],
+        "topic STRING, partition INT, offset LONG, value STRING, timestamp STRING",
+    )
+    replayed = replay_batch(spark, REF_CKPT, records, batch_id=12)
+    q1 = q1_us_meetups(replayed, mode="normalized").collect()
+    assert sorted(r.rsvp_id for r in q1) == [
+        o for o in range(21849, 21861) if o % 2 == 0
+    ]
+    q2 = q2_us_meetups_enriched(
+        replayed, states_dimension(spark), mode="normalized"
+    ).collect()
+    payloads = [_json.loads(r.value) for r in q2]
+    assert len(payloads) == 6
+    assert {p["group_state"] for p in payloads} == {"CALIFORNIA"}
+    assert all("group_name" not in p for p in payloads)
