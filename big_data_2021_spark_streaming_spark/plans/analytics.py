@@ -341,8 +341,11 @@ def user_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     (0 = all types distinct, 1e6 = single-type user). The entropy-free
     diversity measure — Shannon needs ln(), whose last-ulp libm
     differences aren't IEEE-pinned across engines; Simpson is exact
-    integer rational. Two map-side-combinable aggregates on
-    (user, type) then (user); no joins, scan-speed at 100 TB."""
+    integer rational, with the 1e6-scaled numerator and the N(N−1)
+    pair counts on DECIMAL(38,0)/HUGEINT (a bot user past ~2·10⁶
+    same-type events would wrap the BIGINT form silently). Two
+    map-side-combinable aggregates on (user, type) then (user); no
+    joins, scan-speed at 100 TB."""
     events = load_table(spark, sf_dir, "events")
     per_type = events.groupBy("user_id", "event_type").agg(
         F.count(F.lit(1)).cast("bigint").alias("c")
@@ -359,8 +362,10 @@ def user_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(
             F.col("n_events") >= 2,
             F.expr(
-                "(2 * 1000000 * num + n_events * (n_events - 1))"
-                " div (2 * n_events * (n_events - 1))"
+                "(2 * 1000000 * cast(num as decimal(38,0))"
+                " + cast(n_events as decimal(38,0)) * (n_events - 1))"
+                " div (2 * cast(n_events as decimal(38,0))"
+                "      * (n_events - 1))"
             ),
         ).alias("simpson_micro"),
     )
@@ -3429,7 +3434,9 @@ def user_value_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     globally sorting users: a global ntile/row_number window would
     single-partition the user frame — the classic 100 TB cliff — so
     the only ordered window here runs over the ≤ ~40-row band frame.
-    All arithmetic exact (cents BIGINT, half-up micro shares)."""
+    All arithmetic exact: cents BIGINT, half-up micro shares with the
+    1e6-scaled products on DECIMAL(38,0)/HUGEINT (2e6·total-cents
+    wraps int64 silently past a ~$50B corpus)."""
     events = load_table(spark, sf_dir, "events")
     users = events.groupBy("user_id").agg(
         F.sum(F.expr("cast(round(value * 100) as bigint)")).alias("v_cents")
@@ -3454,13 +3461,19 @@ def user_value_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         "band_cents",
         F.sum("n_users").over(w_desc).alias("cum_users"),
         F.sum("band_cents").over(w_desc).alias("cum_cents"),
+        # the 1e6-scaled cumulative-cents products ride DECIMAL(38,0):
+        # 2e6 x corpus-total cents passes int64 around 5e12 cents
+        # (~$50B corpus), where BIGINT would wrap silently
         F.expr(
-            "(2 * 1000000 * sum(band_cents) over ("
-            "order by band desc rows between unbounded preceding and current row)"
+            "(2 * 1000000 * cast(sum(band_cents) over ("
+            "order by band desc rows between unbounded preceding"
+            " and current row) as decimal(38,0))"
             " + sum(band_cents) over ("
-            "order by band desc rows between unbounded preceding and unbounded following))"
-            " div (2 * sum(band_cents) over ("
-            "order by band desc rows between unbounded preceding and unbounded following))"
+            "order by band desc rows between unbounded preceding"
+            " and unbounded following))"
+            " div (2 * cast(sum(band_cents) over ("
+            "order by band desc rows between unbounded preceding"
+            " and unbounded following) as decimal(38,0)))"
         ).alias("cum_share_micro"),
     )
 

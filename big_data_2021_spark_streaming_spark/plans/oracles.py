@@ -233,10 +233,12 @@ ORACLES: dict[str, str] = {
         SELECT band, n_users, band_cents,
                CAST(SUM(n_users) OVER w1 AS BIGINT) AS cum_users,
                CAST(SUM(band_cents) OVER w1 AS BIGINT) AS cum_cents,
-               (2 * 1000000 * CAST(SUM(band_cents) OVER w1 AS BIGINT)
-                + CAST(SUM(band_cents) OVER w2 AS BIGINT))
-                   // (2 * CAST(SUM(band_cents) OVER w2 AS BIGINT))
-                   AS cum_share_micro
+               -- cumulative products on HUGEINT (2e6 x corpus cents
+               -- passes int64 at ~$50B corpus value)
+               CAST((2 * 1000000 * CAST(SUM(band_cents) OVER w1 AS HUGEINT)
+                     + CAST(SUM(band_cents) OVER w2 AS HUGEINT))
+                   // (2 * CAST(SUM(band_cents) OVER w2 AS HUGEINT))
+                   AS BIGINT) AS cum_share_micro
         FROM bands
         WINDOW w1 AS (ORDER BY band DESC
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
@@ -801,9 +803,13 @@ ORACLES["user_simpson_diversity"] = """
         FROM per_type GROUP BY user_id
     )
     SELECT user_id, n_events, n_types,
+           -- pair counts on HUGEINT: a ~2e6-same-type-event bot user
+           -- would wrap 2*1e6*num in BIGINT silently
            CASE WHEN n_events >= 2
-                THEN (2 * 1000000 * num + n_events * (n_events - 1))
-                     // (2 * n_events * (n_events - 1))
+                THEN CAST((2 * 1000000 * CAST(num AS HUGEINT)
+                           + CAST(n_events AS HUGEINT) * (n_events - 1))
+                     // (2 * CAST(n_events AS HUGEINT) * (n_events - 1))
+                     AS BIGINT)
            END AS simpson_micro
     FROM agg
 """

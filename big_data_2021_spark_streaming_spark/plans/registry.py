@@ -141,6 +141,10 @@ _REPLANNED_AFTER_GREEN = frozenset(
         # parse with the stdlib parser) replaced the byte-digest plan
         # the r02 green graded
         "multimodal_decode",
+        # round 5: cum_share_micro products moved to DECIMAL(38,0)/
+        # HUGEINT (2e6 x corpus cents wraps int64 at ~$50B corpus)
+        # after the r04 green
+        "user_value_concentration",
     }
 )
 
@@ -203,7 +207,7 @@ _DRIVER_VERIFIED = frozenset(
         "top_supplier_by_revenue", "train_split_assign",
         "user_erasure_audit", "user_event_gaps",
         "user_retention_cohorts", "user_type_scd2",
-        "user_value_concentration", "valuable_part_stock",
+        "valuable_part_stock",
         "value_drift_tvd", "value_equidepth_deciles",
         "value_percentiles", "value_zscore_anomalies",
     }

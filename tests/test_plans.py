@@ -748,6 +748,7 @@ def test_registry_orders_unverified_queries_first():
         "text_substring_dedup", "top_customers", "user_bot_periodicity",
         "user_dau_wau_stickiness", "user_hazard_curve",
         "user_simpson_diversity", "user_trailing_hour_stats",
+        "user_value_concentration",
         "user_value_gini", "value_mad_anomalies", "value_winsorize",
         "weighted_doc_sample",
     }
