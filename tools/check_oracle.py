@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import math
 import sys
+import time
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
@@ -80,21 +81,29 @@ def main() -> int:
 
     failures = []
     for name, spec in sorted(specs.items()):
+        t0 = time.perf_counter()
+
+        def took() -> str:
+            # flag slow gate entries so a sweep log doubles as the
+            # which-oracle-is-the-bottleneck profile
+            dt = time.perf_counter() - t0
+            return f" [{dt:.1f}s]" if dt >= 5 else ""
+
         try:
             sdf = spec.build(spark, sf_dir)
             spdf = sdf.toPandas()
         except Exception as e:
             failures.append(name)
-            print(f"FAIL {name}: spark error {type(e).__name__}: {e}")
+            print(f"FAIL {name}: spark error {type(e).__name__}: {e}{took()}", flush=True)
             continue
         if spec.oracle is None:
-            print(f"ok   {name}: {len(spdf)} rows (no oracle; rows-only)")
+            print(f"ok   {name}: {len(spdf)} rows (no oracle; rows-only){took()}", flush=True)
             continue
         try:
             ddf = con.execute(spec.oracle).df()
         except Exception as e:
             failures.append(name)
-            print(f"FAIL {name}: duckdb error {e}")
+            print(f"FAIL {name}: duckdb error {e}{took()}", flush=True)
             continue
         problems = []
         if len(spdf) != len(ddf):
@@ -117,9 +126,9 @@ def main() -> int:
                 problems.append(f"value mismatch{detail}")
         if problems:
             failures.append(name)
-            print(f"FAIL {name}: {'; '.join(problems)}")
+            print(f"FAIL {name}: {'; '.join(problems)}{took()}", flush=True)
         else:
-            print(f"PASS {name}: {len(spdf)} rows")
+            print(f"PASS {name}: {len(spdf)} rows{took()}", flush=True)
     spark.stop()
     print(f"\n{len(specs) - len(failures)}/{len(specs)} passed")
     return 1 if failures else 0
