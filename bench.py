@@ -42,6 +42,12 @@ def main() -> None:
         "dedup_containment",
         "similarity_pq_codes",
         "kmeans_clusters",
+        # the corpus/curation consumers of the shared MinHash-signature
+        # and multisignal-gate frames: without warming these, WHICH
+        # query pays the first-touch shifts between runs and shows up
+        # as a phantom 2-3x per-query "regression" in bench_diff
+        "corpus_source_minhash",
+        "curation_multisignal_gate",
     ):
         if warm in specs:
             try:
