@@ -99,10 +99,12 @@ def doc_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_in = Window.partitionBy("seg").orderBy("doc_id")
     within = toks.withColumn("cum_in_seg", F.sum("n_tokens").over(w_in))
     # one row per segment — the ONLY global-order window runs on this
-    # trivially small frame, then broadcasts back. Totals come from the
-    # windowed frame (max cumsum per segment), not a second corpus
-    # scan: the seg-hash Exchange is then shared (ReusedExchange), so
-    # the whole operator tokenizes the corpus exactly once.
+    # small frame, then joins back (strategy AQE's: segments are
+    # corpus/SEG, linear in the data, so no pinned broadcast). Totals
+    # come from the windowed frame (max cumsum per segment), not a
+    # second corpus scan: the seg-hash Exchange is then shared
+    # (ReusedExchange), so the whole operator tokenizes the corpus
+    # exactly once.
     w_seg = Window.orderBy("seg").rowsBetween(Window.unboundedPreceding, -1)
     prefix = (
         within.groupBy("seg")
@@ -115,7 +117,7 @@ def doc_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     placed = (
-        within.join(F.broadcast(prefix), "seg")
+        within.join(prefix, "seg")
         .withColumn(
             "cum_before", F.col("seg_prefix") + F.col("cum_in_seg") - F.col("n_tokens")
         )

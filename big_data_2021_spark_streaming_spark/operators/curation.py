@@ -1538,7 +1538,8 @@ def quality_auc_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id_a", "doc_id_b"
     )
     paired = _dedup._candidate_docs(pairs).withColumn("is_dup", F.lit(True))
-    labeled = qm.join(F.broadcast(paired), "doc_id", "left").select(
+    # candidate-doc frame grows with dup density — strategy is AQE's
+    labeled = qm.join(paired, "doc_id", "left").select(
         "qm", F.coalesce("is_dup", F.lit(False)).alias("is_dup")
     )
     g = labeled.groupBy("qm").agg(

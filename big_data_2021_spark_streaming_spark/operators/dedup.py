@@ -519,14 +519,18 @@ def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     novel, or a duplicate of its best-matching prior document.
 
     Scale shape — the whole point of the operator: the increment is
-    tiny next to the corpus, so its band signatures BROADCAST onto the
-    corpus band table (an equi-join on (band, sig) — candidate work is
-    bounded by true collisions), and the increment's full signatures
-    broadcast again for the estimate; the corpus is touched exactly
-    once, by its persisted signature frame shared with the other dedup
-    entries. No shuffle of corpus data at any stage. est_jaccard is
-    the exact rational matches/NUM_PERM, so it hash-compares with no
-    rounding concerns."""
+    small next to the corpus, so its band signatures land on the
+    corpus band table via an equi-join on (band, sig) — candidate
+    work is bounded by true collisions — and the increment's full
+    signatures join back for the estimate. Join STRATEGY is left to
+    Catalyst/AQE on purpose: the increment and candidate frames all
+    grow with data (a dup-dense corpus multiplies collisions — the
+    synthetic ×8 sweep drove the candidate frame past Spark's 8 GiB
+    broadcast hard limit and a pinned hint failed the job outright,
+    where AQE simply shuffles), so pinning ``F.broadcast`` here is a
+    latent job-killer, while AQE still picks broadcast whenever the
+    actual runtime size is small. est_jaccard is the exact rational
+    matches/NUM_PERM, so it hash-compares with no rounding concerns."""
     mh = _minhash_signatures(spark, sf_dir)
     bands = _band_rows(mh)
     new_bands = bands.where(F.col("source") == INCR_SOURCE)
@@ -534,7 +538,7 @@ def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = (
         old_bands.alias("o")
         .join(
-            F.broadcast(new_bands.alias("n")),
+            new_bands.alias("n"),
             (F.col("o.band") == F.col("n.band"))
             & (F.col("o.sig") == F.col("n.sig")),
         )
@@ -556,7 +560,7 @@ def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col(f"a{j}") == F.col(f"b{j}")).cast("int") for j in range(NUM_PERM)
     )
     scored = (
-        b.join(F.broadcast(cand.join(a, "new_id")), "old_id")
+        b.join(cand.join(a, "new_id"), "old_id")
         .select(
             "new_id",
             "old_id",
@@ -577,7 +581,7 @@ def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("source") == INCR_SOURCE)
         .select(F.col("doc_id").alias("new_id"))
     )
-    return new_docs.join(F.broadcast(best), "new_id", "left").select(
+    return new_docs.join(best, "new_id", "left").select(
         F.col("new_id").alias("doc_id"),
         F.col("old_id").isNull().alias("is_novel"),
         F.col("old_id").alias("dup_of"),
@@ -1749,7 +1753,8 @@ def prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     construction, no signature tuning.
 
     Plan shape, all relational:
-    1. shingle document-frequency table (vocabulary-sized — broadcast);
+    1. shingle document-frequency table (vocabulary-sized — joined
+       back; strategy AQE's, since vocabularies grow with the corpus);
     2. per-doc rank of shingles rarest-first (window partitioned BY
        DOC, never global) → each doc keeps only its ``n − ⌈τ·n⌉ + 1``
        rarest shingles as its prefix;
@@ -1771,12 +1776,16 @@ def prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates, not the corpus.
     """
     sh = _shingle_rows(spark, sf_dir)
-    # document frequency per shingle: vocabulary-sized, broadcast back
-    # onto the shingle rows — no corpus-scale shuffle to rank
+    # document frequency per shingle, joined back onto the shingle
+    # rows. Strategy left to AQE: the DF table is VOCABULARY-sized,
+    # which grows with the corpus (shingle vocabularies reach billions
+    # of rows at 100 TB — far past the 8 GiB broadcast hard limit), so
+    # a pinned broadcast would kill the job at scale; AQE broadcasts
+    # it while it is actually small and shuffles once it is not.
     freq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
     by_doc = Window.partitionBy("doc_id")
     ranked = (
-        sh.join(F.broadcast(freq), "s")
+        sh.join(freq, "s")
         .withColumn("pos", F.row_number().over(by_doc.orderBy("df", "s")))
         .withColumn("n", F.count(F.lit(1)).over(by_doc))
     )
@@ -1829,11 +1838,13 @@ def prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = sets.select(F.col("doc_id").alias("doc_id_a"), F.col("sh").alias("sh_a"))
     b = sets.select(F.col("doc_id").alias("doc_id_b"), F.col("sh").alias("sh_b"))
-    # both verify sides are bounded by candidate DOCS (not pairs) —
-    # broadcast them so the million-row pair frame never shuffles
+    # both verify sides are bounded by candidate DOCS (not pairs), but
+    # candidate docs still grow with the corpus — join strategy stays
+    # with AQE (broadcast while small, shuffle at scale) rather than a
+    # pinned hint that hard-fails past 8 GiB on a dup-dense corpus
     return (
-        cand.join(F.broadcast(a), "doc_id_a")
-        .join(F.broadcast(b), "doc_id_b")
+        cand.join(a, "doc_id_a")
+        .join(b, "doc_id_b")
         .select(
             "doc_id_a",
             "doc_id_b",
@@ -1942,8 +1953,9 @@ def lsh_recall_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     (global recall 0.027) while within-scope recall is 7/7 = 1.0. The
     audit turns that architecture trade-off into a graded number
     instead of a docstring claim. Both pair frames are
-    session-persisted by their owners; this query is two broadcast
-    joins over the (tiny) true-pair frame plus two single-row
+    session-persisted by their owners; this query is two equi-joins
+    over the true-pair frame (strategy AQE's — pair frames grow with
+    dup density, so no pinned broadcast) plus two single-row
     aggregates."""
     exact = _memoized_prefix_filter(spark, sf_dir).select(
         "doc_id_a",
@@ -1960,12 +1972,14 @@ def lsh_recall_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     sb = docs.select(
         F.col("doc_id").alias("doc_id_b"), F.col("source").alias("src_b")
     )
-    # pair frame broadcast: the corpus-scale documents scan streams
-    # past it, never shuffles
-    exact = sb.join(F.broadcast(sa.join(F.broadcast(exact), "doc_id_a")), "doc_id_b")
+    # pair frames grow with dup density (quadratically inside each
+    # duplicate cluster), so their join strategy is AQE's call — it
+    # broadcasts the tiny actuals here and shuffles at scale, where a
+    # pinned hint would hard-fail past the 8 GiB broadcast limit
+    exact = sb.join(sa.join(exact, "doc_id_a"), "doc_id_b")
     lsh = minhash_lsh_pairs(spark, sf_dir).select("doc_id_a", "doc_id_b")
     j = exact.join(
-        F.broadcast(lsh.withColumn("hit", F.lit(True))),
+        lsh.withColumn("hit", F.lit(True)),
         ["doc_id_a", "doc_id_b"],
         "left",
     ).select(

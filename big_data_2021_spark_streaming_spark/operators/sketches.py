@@ -446,7 +446,10 @@ def sketch_bloom_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg((F.sum(F.coalesce(F.col("set_"), F.lit(0))) == BLOOM_K).alias("bloom_pass"))
     )
     truth = needles.select(F.col("key")).distinct().withColumn("true_pass", F.lit(1))
-    joined = hit.join(F.broadcast(truth), "key", "left").select(
+    # the needle set is a customer-segment slice — SF-linear, so the
+    # join strategy is AQE's call (the bloom BITS frame above stays
+    # pinned: BLOOM_BITS rows is an algorithm constant)
+    joined = hit.join(truth, "key", "left").select(
         "bloom_pass", F.coalesce(F.col("true_pass"), F.lit(0)).alias("is_true")
     )
     return joined.agg(

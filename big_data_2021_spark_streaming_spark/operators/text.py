@@ -416,8 +416,9 @@ def token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     The rare flag is RELATIVE (token count × 100 < corpus total), so
     the semantics are scale-invariant across sf. Plan: one token
     explode, one groupBy(tok) for the frequency table (vocabulary-
-    sized — broadcast back; a 100 TB corpus would threshold it to a
-    top-K vocab exactly like production frequency tables), one
+    sized — joined back with the strategy left to AQE, since a real
+    corpus vocabulary outgrows the 8 GiB broadcast hard limit long
+    before 100 TB; AQE broadcasts it while small), one
     groupBy(doc_id)."""
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select(
@@ -425,7 +426,7 @@ def token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).where(F.col("tok") != "")
     cf = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
     total = cf.agg(F.sum("c").alias("total"))
-    scored = tok.join(F.broadcast(cf), "tok").crossJoin(F.broadcast(total))
+    scored = tok.join(cf, "tok").crossJoin(F.broadcast(total))
     n = F.count(F.lit(1))
     rare = (F.col("c") * (100 // RARE_PCT) < F.col("total")).cast("bigint")
     # both ratios as exact half-up integer unit division (1e4 / 1e6

@@ -9,8 +9,15 @@ generalization) over the driver's TPC-H-ish tables so a DuckDB oracle
 can hash-check it, and each is written plan-first for 100 TB:
 
 - filters/projections stay in the scan (PushedFilters / ReadSchema),
-- small dims are pinned ``F.broadcast`` (nation=25, region=5 rows —
-  exactly the reference's 56-row states dim pattern),
+- CONSTANT-size dims are pinned ``F.broadcast`` (nation=25, region=5
+  rows — exactly the reference's 56-row states dim pattern), as are
+  1-row/K-row stat frames; SF-LINEAR tables (customer, supplier,
+  part and their slices) are deliberately NOT pinned — Spark obeys a
+  pinned hint up to a hard 8 GiB limit and then fails the job, so at
+  the 100 TB design point those pins are latent job-killers, while
+  Catalyst/AQE broadcasts the same joins at small actual sizes and
+  shuffles them at scale (verified: the synthetic ×8 sweep drove a
+  pinned candidate-frame broadcast in dedup past the limit),
 - aggregates use built-in JVM functions only (whole-stage codegen; no
   Python in the hot path),
 - displayed SUM/AVG/ratio aggregates of doubles ride exact micro-unit
@@ -243,7 +250,10 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-join star aggregation (TPC-H Q5 pattern).
 
     lineitem⋈orders is the only big-big join (shuffle on orderkey, AQE
-    handles skew); customer/nation/region ride broadcast.
+    handles skew); nation/region ride pinned broadcast (constant-size
+    dims); the customer join's strategy is AQE's call — customer is
+    SF-linear, so it broadcasts at small scale and shuffles once it
+    outgrows the limit, where a pinned hint would hard-fail.
     """
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
@@ -251,7 +261,7 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load_table(spark, sf_dir, "nation")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
         .groupBy(F.col("n_name").alias("nation_name"))
         .agg(
@@ -272,7 +282,7 @@ def top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_cents(_sum_m6("o_totalprice"))).alias("total_spent")
     )
     return (
-        revenue.join(F.broadcast(customer), revenue.o_custkey == customer.c_custkey)
+        revenue.join(customer, revenue.o_custkey == customer.c_custkey)
         .select("c_custkey", "c_name", "total_spent")
         .orderBy(F.col("total_spent").desc(), F.col("c_custkey"))
         .limit(10)
@@ -665,7 +675,7 @@ def promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .groupBy(
             F.year("l_shipdate").alias("year"),
             F.month("l_shipdate").alias("month"),
@@ -1135,7 +1145,7 @@ def market_share_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         lineitem.join(
-            F.broadcast(part.where(F.col("p_type") == "PROMO").select("p_partkey")),
+            part.where(F.col("p_type") == "PROMO").select("p_partkey"),
             F.col("l_partkey") == F.col("p_partkey"),
             "left_semi",
         )
@@ -1174,7 +1184,7 @@ def part_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load_table(spark, sf_dir, "nation")
     return (
         lineitem.join(
-            F.broadcast(part.where(F.col("p_name").like("%red%")).select("p_partkey")),
+            part.where(F.col("p_name").like("%red%")).select("p_partkey"),
             F.col("l_partkey") == F.col("p_partkey"),
             "left_semi",
         )
@@ -1217,9 +1227,9 @@ def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cast("bigint")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
         .join(
-            F.broadcast(supplier),
+            supplier,
             (F.col("l_suppkey") == F.col("s_suppkey"))
             & (F.col("s_nationkey") == F.col("c_nationkey")),
         )
@@ -1270,7 +1280,7 @@ def returned_item_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        revenue.join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        revenue.join(customer, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .select(
             "c_custkey",
@@ -1334,7 +1344,7 @@ def disjunctive_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        lineitem.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        lineitem.join(part, F.col("l_partkey") == F.col("p_partkey"))
         .where(clause)
         .agg(
             F.expr(
@@ -1823,9 +1833,7 @@ def sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sole = per_order.where((F.col("n_supp") >= 2) & (F.col("n_slow") == 1))
     return (
-        sole.join(
-            F.broadcast(supplier), sole.slow_supp == supplier.s_suppkey
-        )
+        sole.join(supplier, sole.slow_supp == supplier.s_suppkey)
         .groupBy("s_name")
         .agg(F.countDistinct("o_orderkey").alias("numwait"))
     )
@@ -1836,15 +1844,16 @@ def brand_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
     — adapted to this schema (no partsupp): how many distinct suppliers
     shipped each (brand, size) of part, excluding suppliers in bad
     standing (negative account balance), who are removed by an anti-join
-    against a broadcast-size exclusion list exactly where Q16's NOT IN
-    comment-filter subquery sits."""
+    against the exclusion list (AQE broadcasts it while small — it is a
+    supplier slice, SF-linear, so no pinned hint) exactly where Q16's
+    NOT IN comment-filter subquery sits."""
     lineitem = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
     bad = load_table(spark, sf_dir, "supplier").where(
         F.col("s_acctbal") < 0
     ).select(F.col("s_suppkey").alias("l_suppkey"))
     return (
-        lineitem.join(F.broadcast(bad), "l_suppkey", "left_anti")
+        lineitem.join(bad, "l_suppkey", "left_anti")
         .join(part, lineitem.l_partkey == part.p_partkey)
         .groupBy("p_brand", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
@@ -3138,8 +3147,8 @@ def regional_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name", F.col("n_name").alias("nation_name"))
     )
     offers = (
-        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(sup_in_region), F.col("l_suppkey") == F.col("s_suppkey"))
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .join(sup_in_region, F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("p_partkey", "p_name", "s_suppkey", "s_name", "nation_name")
         .agg(
             F.sum(
@@ -3191,7 +3200,7 @@ def valuable_part_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
     ).select("s_suppkey")
     val = (
-        li.join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        li.join(sup, F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy(F.col("l_partkey").alias("partkey"))
         .agg(
             F.sum(
@@ -3234,7 +3243,7 @@ def excess_quantity_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     supplier = load_table(spark, sf_dir, "supplier")
     nation = load_table(spark, sf_dir, "nation")
     per_pair = (
-        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("l_suppkey", "l_partkey")
         .agg(F.sum(F.round("l_quantity").cast("bigint")).alias("sq"))
     )
@@ -3246,9 +3255,7 @@ def excess_quantity_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return (
-        qualified.join(
-            F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey")
-        )
+        qualified.join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .select("s_suppkey", "s_name", F.col("n_name").alias("nation_name"))
     )
@@ -3499,7 +3506,7 @@ def nation_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("v_cents")
     )
     by_nation = (
-        rev.join(F.broadcast(supplier.select("s_suppkey", "s_nationkey")),
+        rev.join(supplier.select("s_suppkey", "s_nationkey"),
                  F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(nation.select("n_nationkey", "n_name")),
               F.col("s_nationkey") == F.col("n_nationkey"))
@@ -4120,7 +4127,7 @@ def supplier_return_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_nationkey").alias("s_nationkey"), "n_name"
     )
     return (
-        per_supp.join(F.broadcast(supp), "l_suppkey")
+        per_supp.join(supp, "l_suppkey")
         .join(F.broadcast(nation), "s_nationkey")
         .select(
             F.col("l_suppkey").alias("s_suppkey"),
@@ -4356,7 +4363,7 @@ def discount_quantity_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
     m = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .groupBy("p_brand")
         .agg(
             F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),

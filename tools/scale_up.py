@@ -13,6 +13,21 @@ writes plain parquet the oracle gate can point at:
     python tools/scale_up.py /root/testdata/sf0.1 /tmp/sfbig0.4 4
     python tools/check_oracle.py /tmp/sfbig0.4
 
+Two modes, per the two questions a synthetic scale-up can answer:
+
+* ``dense`` (default): document copies stay near-duplicates of their
+  source (a one-token suffix), so every dup cluster grows K-fold and
+  pair frames grow ~K² — the ADVERSARIAL dup-dense corpus. Use it to
+  prove robustness (it is what drove the round-5 pinned candidate
+  broadcast past Spark's 8 GiB hard limit), not to read scaling
+  exponents: pair-based operators' OUTPUT grows quadratically here.
+* ``rep`` (representative): document copies get a copy-marker token
+  interleaved every second word and embeddings a per-copy orthogonal
+  sign-flip, so cross-copy similarity collapses and per-copy dup
+  density matches the source. Time-vs-data exponents measured on this
+  corpus (tools/scaling_curve.py) are interpretable: the workload
+  grows K-fold, not K²-fold.
+
 Dimension tables (region, nation) are copied as-is; every other
 table's keys shift by copy_index * KEY_OFFSET, mirroring how a real
 multi-tenant corpus concatenates shards. All perturbations are pure
@@ -45,11 +60,51 @@ FACTS = (
 )
 
 
-def _copy(table: str, df: pd.DataFrame, k: int) -> pd.DataFrame:
+def _rep_text(text: str, k: int) -> str:
+    """Rewrite every word with a copy-specific suffix (w → "w·qK").
+
+    The map is INJECTIVE on the vocabulary, so every within-copy token-
+    set / shingle-set Jaccard is preserved bit-for-bit (per-copy dup
+    density = the source corpus's), while cross-copy vocabularies are
+    DISJOINT, so cross-copy Jaccard is exactly 0 and pair frames grow
+    K-fold, not K²-fold — the precondition for reading time-vs-data
+    exponents off this corpus. This mirrors a real multi-shard corpus
+    where shards are distinct domains, the opposite pole from the
+    dense mode's every-doc-has-K-twins crawl."""
+    suffix = f"q{k}"
+    return " ".join(w + suffix for w in text.split())
+
+
+def _rep_flip(vec: list[float], k: int) -> list[float]:
+    """Per-copy deterministic sign flip of ~half the dimensions — an
+    orthogonal transform, so every WITHIN-copy cosine is bit-identical
+    to the source while cross-copy cosines collapse toward 0 (the dims
+    whose flips differ contribute with opposite signs)."""
+    return [
+        -x if ((d * 2654435761 + k * 40503) % 7) < 3 else x
+        for d, x in enumerate(vec)
+    ]
+
+
+def _copy(table: str, df: pd.DataFrame, k: int, mode: str = "dense") -> pd.DataFrame:
     if k == 0:
         return df
     out = df.copy()
     off = k * KEY_OFFSET
+    if mode == "rep":
+        if table == "documents":
+            out["doc_id"] += off
+            out["text"] = out["text"].map(lambda t: _rep_text(t, k))
+            out["n_chars"] = out["text"].str.len()
+            return out
+        if table == "embeddings":
+            out["vec_id"] += off
+            out["embedding"] = out["embedding"].map(
+                lambda v: _rep_flip([float(x) for x in v], k)
+            )
+            return out
+        # every other table: the dense perturbation is already
+        # representative (keys offset, numerics re-residued)
     if table == "customer":
         out["c_custkey"] += off
         out["c_name"] = out["c_name"] + f"-{k}"
@@ -98,7 +153,7 @@ def _copy(table: str, df: pd.DataFrame, k: int) -> pd.DataFrame:
     return out
 
 
-def scale_up(src: str, dst: str, factor: int) -> None:
+def scale_up(src: str, dst: str, factor: int, mode: str = "dense") -> None:
     dst_path = Path(dst)
     dst_path.mkdir(parents=True, exist_ok=True)
     for table in DIMENSIONS:
@@ -110,7 +165,7 @@ def scale_up(src: str, dst: str, factor: int) -> None:
         source = pq.read_table(f"{src}/{table}.parquet")
         df = source.to_pandas()
         big = pd.concat(
-            [_copy(table, df, k) for k in range(factor)], ignore_index=True
+            [_copy(table, df, k, mode) for k in range(factor)], ignore_index=True
         )
         # preserve the source schema exactly (int32 widths, float32
         # embedding lists, µs timestamps) — dtype drift here would test
@@ -121,6 +176,13 @@ def scale_up(src: str, dst: str, factor: int) -> None:
 
 
 if __name__ == "__main__":
-    if len(sys.argv) != 4:
-        sys.exit("usage: scale_up.py <src_sf_dir> <dst_dir> <factor>")
-    scale_up(sys.argv[1], sys.argv[2], int(sys.argv[3]))
+    if len(sys.argv) not in (4, 5) or (
+        len(sys.argv) == 5 and sys.argv[4] not in ("dense", "rep")
+    ):
+        sys.exit("usage: scale_up.py <src_sf_dir> <dst_dir> <factor> [dense|rep]")
+    scale_up(
+        sys.argv[1],
+        sys.argv[2],
+        int(sys.argv[3]),
+        sys.argv[4] if len(sys.argv) == 5 else "dense",
+    )
