@@ -288,3 +288,51 @@ def test_fs_weights_match_pure_python(spark):
     assert expected, "no candidate pairs at sf0.001 — scorer untested"
     for idx in (1, 2, 3):
         assert w(idx, True) > w(idx, False)
+
+
+# ---------------------------------------------------------------------
+# scale_up rep-mode name marker: cross-copy levenshtein >= 2
+# ---------------------------------------------------------------------
+
+
+def _lev(a: str, b: str) -> int:
+    m = [[0] * (len(b) + 1) for _ in range(len(a) + 1)]
+    for i in range(len(a) + 1):
+        m[i][0] = i
+    for j in range(len(b) + 1):
+        m[0][j] = j
+    for i in range(1, len(a) + 1):
+        for j in range(1, len(b) + 1):
+            m[i][j] = min(
+                m[i - 1][j] + 1,
+                m[i][j - 1] + 1,
+                m[i - 1][j - 1] + (a[i - 1] != b[j - 1]),
+            )
+    return m[len(a)][len(b)]
+
+
+def test_rep_name_marker_keeps_copies_outside_edit1_blocking():
+    """tools/scale_up.py rep mode's contract is that per-copy dup
+    density matches the source corpus — which requires every pair of
+    copy markers (and the unmarked k=0 original) to sit at levenshtein
+    >= 2, or the deletion-neighborhood-blocked family
+    (fuzzy_name_matches, linkage_fs_weights) gains K-1 artificial
+    cross-copy twins per base name and its pair frame grows ~K^2 (the
+    round-5 x50 sweep failure: >1 GiB of result rows). The doubled-
+    digit marker pins that property; the dense mode keeps the old
+    distance-1 markers as its deliberately adversarial corpus."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    from scale_up import _name_marker
+
+    marks = {0: ""}
+    marks.update({k: _name_marker(k, "rep") for k in range(1, 65)})
+    for a in marks:
+        for b in marks:
+            if a < b:
+                d = _lev("X" + marks[a], "X" + marks[b])
+                assert d >= 2, (a, b, marks[a], marks[b], d)
+    # dense mode is UNCHANGED: adjacent copies stay at distance 1
+    assert _lev("X" + _name_marker(1, "dense"), "X" + _name_marker(2, "dense")) == 1

@@ -86,11 +86,34 @@ def _rep_flip(vec: list[float], k: int) -> list[float]:
     ]
 
 
+def _name_marker(k: int, mode: str) -> str:
+    """Per-copy name suffix.
+
+    dense: "-{k}" — cross-copy names sit at levenshtein 1 ("X-1" vs
+    "X-2"), so every deletion-neighborhood-blocked operator
+    (fuzzy_name_matches, linkage_fs_weights) sees each base name gain
+    K−1 twins and its pair frame grow ~K²: the adversarial corpus, by
+    design.
+
+    rep: every digit of k DOUBLED ("-11", "-4499") — any two distinct
+    copies then differ in ≥2 character positions, so cross-copy
+    levenshtein ≥ 2 and single-deletion blocking admits no cross-copy
+    match: per-copy fuzzy-pair density equals the source corpus's, the
+    mode's stated contract. The round-5 ×50 sweep caught the old
+    shared "-{k}" scheme inflating the linkage pair frame ~1200× per
+    base name (>1 GiB of result rows — the gate's collect died), a
+    tool artifact no real multi-shard corpus reproduces.
+    """
+    digits = "".join(d * 2 for d in str(k))
+    return f"-{digits}" if mode == "rep" else f"-{k}"
+
+
 def _copy(table: str, df: pd.DataFrame, k: int, mode: str = "dense") -> pd.DataFrame:
     if k == 0:
         return df
     out = df.copy()
     off = k * KEY_OFFSET
+    mark = _name_marker(k, mode)
     if mode == "rep":
         if table == "documents":
             out["doc_id"] += off
@@ -107,15 +130,15 @@ def _copy(table: str, df: pd.DataFrame, k: int, mode: str = "dense") -> pd.DataF
         # representative (keys offset, numerics re-residued)
     if table == "customer":
         out["c_custkey"] += off
-        out["c_name"] = out["c_name"] + f"-{k}"
+        out["c_name"] = out["c_name"] + mark
         out["c_acctbal"] = (out["c_acctbal"] * 100 + k).round() / 100
     elif table == "supplier":
         out["s_suppkey"] += off
-        out["s_name"] = out["s_name"] + f"-{k}"
+        out["s_name"] = out["s_name"] + mark
         out["s_acctbal"] = (out["s_acctbal"] * 100 + k).round() / 100
     elif table == "part":
         out["p_partkey"] += off
-        out["p_name"] = out["p_name"] + f"-{k}"
+        out["p_name"] = out["p_name"] + mark
         out["p_retailprice"] = (out["p_retailprice"] * 100 + k).round() / 100
     elif table == "orders":
         out["o_orderkey"] += off
