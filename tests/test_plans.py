@@ -688,8 +688,9 @@ def test_registry_orders_unverified_queries_first():
     # never hash-verified on its current plan must precede the verified
     # block, so any budget prefix grades the maximum number of
     # unverified entries. Round-5 start state: CORRECTNESS_r02|r03|r04
-    # greens folded into _DRIVER_VERIFIED (114 names), leaving the 116
-    # below unverified-on-current-plan.
+    # greens folded into _DRIVER_VERIFIED (113 names after the round-5
+    # re-plans moved back out), leaving the 117 below
+    # unverified-on-current-plan.
     from big_data_2021_spark_streaming_spark.plans.registry import (
         _DRIVER_VERIFIED,
         _REPLANNED_AFTER_GREEN,
@@ -725,7 +726,7 @@ def test_registry_orders_unverified_queries_first():
         "experiment_cuped_lift", "experiment_srm_check",
         "forecast_revenue_change", "grouping_sets_revenue",
         "inactive_rich_customers", "join_cardinality_estimate",
-        "join_strategy_advisor", "k_anonymity_audit",
+        "join_strategy_advisor", "k_anonymity_audit", "kmeans_clusters",
         "l_diversity_audit", "lake_column_stats", "layout_zorder_stats",
         "linkage_fs_weights", "market_share_by_year",
         "multimodal_audio_frame_plan", "multimodal_decode",
