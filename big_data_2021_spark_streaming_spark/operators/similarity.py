@@ -723,13 +723,19 @@ def kmeans_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     and memoized like dedup's label frame.
 
     Scale shape (the same one MLlib's KMeans uses): centroids live on
-    the driver — they are K×DIM aggregate values, not data — and are
-    inlined as literal arrays into the assignment expression, so each
-    round is ONE corpus scan with a map-side-combined groupBy(cluster)
-    whose shuffle is K rows of (count, 64 sums). No crossJoin, no
-    window, no per-row Python. The per-round ``collect()`` moves ~K×DIM
-    numbers, which is the legitimate driver-side use: collecting an
-    aggregate, not the corpus.
+    the driver — they are k×DIM aggregate values, not data — and ride
+    back into the cluster as ONE broadcast row holding the sorted
+    centroid array; the per-row argmin is an F.transform/array_min
+    over that runtime array, so expression size (and codegen time) is
+    O(1) in k — inlining k centroids as literals recompiled a k×DIM
+    expression tree per Lloyd round, which at the k=128 rep-x16 corpus
+    cost ~150 s of pure JIT (measured round 5) for ~3 s of distance
+    math. Each round is ONE corpus scan with zero row shuffles: the
+    1-row crossJoin broadcasts, and the update's groupBy(cluster)
+    map-side-combines to k rows of (count, 64 sums). No window, no
+    per-row Python. The per-round ``collect()`` moves ~k×DIM numbers,
+    which is the legitimate driver-side use: collecting an aggregate,
+    not the corpus.
 
     Cross-engine exactness: component sums accumulate on
     DECIMAL(27,12) — exact and order-independent, immune to Spark's
@@ -749,25 +755,48 @@ def kmeans_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     # join frame instead — the MLlib shape — which only changes the
     # physical strategy, not the assignment values.
     k = _km_k(vecs.count())
+    # the n·k distance math is the job's compute bound, so it must use
+    # every core: a small corpus arrives as ONE parquet split (the x16
+    # rep corpus is a single ~16 MB row group → the whole Lloyd loop
+    # ran on one thread, 124 s for ~3 s of parallel math), so widen
+    # under-parallel scans once up front. At production scale the
+    # corpus already has >= defaultParallelism splits and this is a
+    # no-op — never an extra corpus shuffle.
+    want = spark.sparkContext.defaultParallelism
+    if vecs.rdd.getNumPartitions() < want:
+        vecs = vecs.repartition(want)
     cents: dict[int, list[float]] = {
         int(r["vec_id"]): [float(x) for x in r["v"]]
         for r in vecs.where(F.col("vec_id") < k).select("vec_id", "v").collect()
     }
 
-    def assign_expr() -> F.Column:
-        candidates = [
-            F.struct(
-                _sq_dist(F.col("v"), F.array(*[F.lit(x) for x in c])).alias("d"),
-                F.lit(cid).alias("cid"),
-            )
-            for cid, c in sorted(cents.items())
-        ]
-        # array_min on struct<d, cid> is lexicographic: argmin distance
-        # with a deterministic cluster-id tiebreak
-        return F.array_min(F.array(*candidates))
+    def cent_frame() -> DataFrame:
+        # the current centroids as ONE row holding the cid-sorted
+        # centroid array — broadcast data, not a k×DIM expression tree
+        return spark.createDataFrame(
+            [([{"cid": cid, "c": cents[cid]} for cid in sorted(cents)],)],
+            "cents array<struct<cid:int,c:array<double>>>",
+        )
+
+    # array_min on struct<d, cid> is lexicographic: argmin distance
+    # with a deterministic cluster-id tiebreak. Identical element order
+    # (cid-sorted) and per-centroid fold order as the literal-inlined
+    # form it replaced, so assignments are bit-for-bit unchanged.
+    best = F.array_min(
+        F.transform(
+            F.col("cents"),
+            lambda s: F.struct(
+                _sq_dist(F.col("v"), s["c"]).alias("d"),
+                s["cid"].alias("cid"),
+            ),
+        )
+    )
 
     for _ in range(KM_ITERS):
-        assigned = vecs.withColumn("cluster_id", assign_expr().getField("cid"))
+        assigned = (
+            vecs.crossJoin(F.broadcast(cent_frame()))
+            .withColumn("cluster_id", best.getField("cid"))
+        )
         sums = assigned.groupBy("cluster_id").agg(
             F.count(F.lit(1)).alias("n"),
             *[
@@ -782,13 +811,16 @@ def kmeans_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
         # clusters that captured no vectors keep their previous centroid
 
-    best = assign_expr()
-    out = vecs.select(
-        "vec_id",
-        "v",
-        best.getField("cid").alias("cluster_id"),
-        best.getField("d").alias("d"),
-    ).persist()
+    out = (
+        vecs.crossJoin(F.broadcast(cent_frame()))
+        .select(
+            "vec_id",
+            "v",
+            best.getField("cid").alias("cluster_id"),
+            best.getField("d").alias("d"),
+        )
+        .persist()
+    )
     for key in [k for k in _KM_MEMO if k[0] != memo_key[0]]:
         del _KM_MEMO[key]
     _KM_MEMO[memo_key] = out

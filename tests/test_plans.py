@@ -213,6 +213,8 @@ _BNLJ_INTENDED = frozenset(
         "experiment_cuped_lift",      # 1-row bounds + pooled-moment frames
         "embedding_power_iteration",  # 1-row n/max/Rayleigh scalars onto ≤DIM²-row frames
         "quality_dup_profile",        # 1-row corpus-count scalar onto the ranked frame
+        "kmeans_clusters",            # 1-row broadcast centroid-array (k×DIM aggregate, not data)
+        "dedup_semantic",             # same 1-row centroid array via the shared Lloyd assignment
         "similarity_recall_sweep",    # exact baseline + per-method broadcast-sized joins
         "join_strategy_advisor",      # 1-row stats scalars per FK edge
         "sketch_hll_intersection",    # |types|²-row pair grid (≤ dozens)
