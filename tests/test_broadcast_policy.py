@@ -112,6 +112,11 @@ _ALLOWED_PINS = frozenset(
         ("operators/similarity.py", "ivfpq_residual_topk", "cellcomp"),
         ("operators/similarity.py", "ivfpq_residual_topk", "probes"),
         ("operators/similarity.py", "ivfpq_residual_topk", "qtab"),
+        # the Lloyd centroid array: ONE row of k×DIM aggregate values
+        # (k = corpus_size div KM_TARGET_CLUSTER — reaches the 8 GiB
+        # pin limit only past ~4e9 vectors, where the documented
+        # broadcast-join seam applies anyway)
+        ("operators/similarity.py", "kmeans_assignments", "cent_frame"),
         ("operators/similarity.py", "label_centroid_distances", "cents"),
         ("operators/similarity.py", "label_consensus", "tot"),
         ("operators/similarity.py", "lsh_topk", "queries"),
