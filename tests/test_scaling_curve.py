@@ -63,3 +63,22 @@ def test_uses_largest_scale_pair(tmp_path):
     _bench_line({"q": 6.1}, big)  # ~2x on 2x data — linear
     r = _run(f"{small}=0.1", f"{mid}=0.4", f"{big}=0.8", "--fail")
     assert r.returncode == 0, r.stdout + r.stderr
+
+
+def test_recorded_round5_curve_passes_the_exponent_gate():
+    """Pin the round-5 recorded scaling artifacts: the committed
+    sf0.1 / rep-x4 / rep-x16 bench recordings must fit no query above
+    alpha 1.5 on their largest scale pair. This is the artifact the
+    BASELINE.md scaling-study entry points at — if a future change
+    replaces a recording with one that hides a super-linear query, the
+    gate fails here instead of silently in prose. (It found
+    dedup_semantic at alpha ~1.9 before the K-proportional fix.)"""
+    runs = [
+        (REPO / "bench_runs" / "sf0.1_r05b.json", 0.1),
+        (REPO / "bench_runs" / "sfrep0.4_r05.json", 0.4),
+        (REPO / "bench_runs" / "sfrep1.6_r05.json", 1.6),
+    ]
+    assert all(p.exists() for p, _ in runs)
+    r = _run(*[f"{p}={sf}" for p, sf in runs], "--fail")
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "PASS" in r.stdout
