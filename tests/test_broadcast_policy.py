@@ -113,9 +113,11 @@ _ALLOWED_PINS = frozenset(
         ("operators/similarity.py", "ivfpq_residual_topk", "probes"),
         ("operators/similarity.py", "ivfpq_residual_topk", "qtab"),
         # the Lloyd centroid array: ONE row of k×DIM aggregate values
-        # (k = corpus_size div KM_TARGET_CLUSTER — reaches the 8 GiB
-        # pin limit only past ~4e9 vectors, where the documented
-        # broadcast-join seam applies anyway)
+        # (k = corpus_size div KM_TARGET_CLUSTER). The binding limit is
+        # Spark's ~2 GiB single-row/BufferHolder bound — hit near k ~
+        # 4e6, i.e. ~1e9 vectors — well before the 8 GiB broadcast pin
+        # cap; that is where the documented k-row broadcast-join seam
+        # (the MLlib shape) takes over.
         ("operators/similarity.py", "kmeans_assignments", "cent_frame"),
         ("operators/similarity.py", "label_centroid_distances", "cents"),
         ("operators/similarity.py", "label_consensus", "tot"),

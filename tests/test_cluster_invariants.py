@@ -187,21 +187,34 @@ def test_graph_triangles_invariants(spark):
 
 def test_km_k_is_constant_at_graded_scales_and_proportional_past_floor():
     """The SemDeDup cluster-count rule: k = max(KM_K, n div
-    KM_TARGET_CLUSTER). Graded corpora (20 / 500 / 2000 vectors at
-    sf0.001 / 0.01 / 0.1) must all sit at the KM_K floor — the rule was
-    introduced mid-round-5 and driver-green results must stay
-    bit-identical — while past the floor expected cluster size is
-    bounded by KM_TARGET_CLUSTER, which keeps dedup_semantic's
+    KM_TARGET_CLUSTER). Every graded corpus must sit at the KM_K floor
+    — the rule was introduced mid-round-5 and driver-green results
+    must stay bit-identical — while past the floor expected cluster
+    size is bounded by KM_TARGET_CLUSTER, which keeps dedup_semantic's
     within-cluster pair stage linear in n (measured alpha dropped from
-    ~1.9 to ~1 on the x4/x16 rep corpora)."""
+    ~1.9 to ~1 on the x4/x16 rep corpora).
+
+    The floor claim is asserted against the LIVE graded corpora, not
+    hardcoded counts: sf0.1 ships 2000 embeddings and 2000//250 == 8
+    == KM_K, an exact-boundary fit — if a regenerated testdata ever
+    crosses 2249 embeddings, k silently becomes 9+ and every k-means
+    consumer's values change, so that drift must fail HERE first."""
+    from pathlib import Path
+
+    import pyarrow.parquet as pq
+
     from big_data_2021_spark_streaming_spark.operators.similarity import (
         KM_K,
         KM_TARGET_CLUSTER,
         _km_k,
     )
 
-    for graded_n in (20, 500, 2000):
-        assert _km_k(graded_n) == KM_K
+    for sf_dir in ("sf0.001", "sf0.01", "sf0.1"):
+        path = Path("/root/testdata") / sf_dir / "embeddings.parquet"
+        if not path.exists():
+            continue
+        n_live = pq.read_metadata(path).num_rows
+        assert _km_k(n_live) == KM_K, (sf_dir, n_live)
     for n in (8_000, 32_000, 100_000, 10**9):
         k = _km_k(n)
         assert k == n // KM_TARGET_CLUSTER
