@@ -73,12 +73,20 @@ def test_recorded_round5_curve_passes_the_exponent_gate():
     replaces a recording with one that hides a super-linear query, the
     gate fails here instead of silently in prose. (It found
     dedup_semantic at alpha ~1.9 before the K-proportional fix.)"""
-    runs = [
-        (REPO / "bench_runs" / "sf0.1_r05b.json", 0.1),
-        (REPO / "bench_runs" / "sfrep0.4_r05.json", 0.4),
-        (REPO / "bench_runs" / "sfrep1.6_r05.json", 1.6),
+    triples = [
+        # the study that caught the alpha-1.9 dedup_semantic (post-fix
+        # recordings, pre rank-seed rewrite)
+        ("sf0.1_r05b.json", "sfrep0.4_r05.json", "sfrep1.6_r05.json"),
+        # re-recorded on the final round-5 HEAD (rank-based seeds,
+        # cached widened corpus)
+        ("sf0.1_r05e.json", "sfrep0.4_r05b.json", "sfrep1.6_r05b.json"),
     ]
-    assert all(p.exists() for p, _ in runs)
-    r = _run(*[f"{p}={sf}" for p, sf in runs], "--fail")
-    assert r.returncode == 0, r.stdout + r.stderr
-    assert "PASS" in r.stdout
+    for names in triples:
+        runs = [
+            (REPO / "bench_runs" / n, sf)
+            for n, sf in zip(names, (0.1, 0.4, 1.6))
+        ]
+        assert all(p.exists() for p, _ in runs), names
+        r = _run(*[f"{p}={sf}" for p, sf in runs], "--fail")
+        assert r.returncode == 0, names + (r.stdout, r.stderr)
+        assert "PASS" in r.stdout
