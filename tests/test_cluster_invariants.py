@@ -222,3 +222,41 @@ def test_km_k_is_constant_at_graded_scales_and_proportional_past_floor():
     # monotone: more data never means fewer clusters
     ks = [_km_k(n) for n in range(0, 50_000, 1_000)]
     assert ks == sorted(ks)
+
+
+def test_kmeans_seeds_fill_on_offset_id_space(spark, tmp_path):
+    """Rank-based seeding regression pin (round-5 review finding): a
+    corpus whose vec_ids are ALL offset past k (a concatenated-shard
+    id space, exactly what tools/scale_up.py emits for copies k>=1)
+    must still train with a FULL seed set. The superseded `vec_id < k`
+    seed predicate realized zero seeds there: the Spark side crashed
+    on a NULL cluster_id in the Lloyd update and the DuckDB oracle
+    returned an empty assignment — and a partially-filled seed set
+    silently re-grows expected cluster size, the alpha~1.9 regime the
+    K-proportional rule exists to prevent."""
+    from pyspark.sql import functions as F
+
+    from big_data_2021_spark_streaming_spark.operators import similarity
+
+    sf = str(tmp_path / "offset_sf")
+    (tmp_path / "offset_sf").mkdir()
+    (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .withColumn("vec_id", F.col("vec_id") + F.lit(10_000_000))
+        .write.parquet(f"{sf}/embeddings.parquet")
+    )
+    try:
+        out = similarity.kmeans_assignments(spark, sf)
+        rows = out.select("cluster_id").distinct().collect()
+        n = spark.read.parquet(f"{sf}/embeddings.parquet").count()
+        k = similarity._km_k(n)
+        # every seed is a real (offset) vec_id and the trained
+        # assignment uses a full-size, deterministic cluster set
+        assert 1 <= len(rows) <= k
+        assert all(r.cluster_id >= 10_000_000 for r in rows)
+        assert out.count() == n
+    finally:
+        key = (spark.sparkContext.applicationId, sf)
+        frame = similarity._KM_MEMO.pop(key, None)
+        if frame is not None:
+            frame.unpersist()
