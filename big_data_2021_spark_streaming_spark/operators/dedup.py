@@ -711,13 +711,14 @@ def embedding_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
     random-hyperplane signature (shared with operators.similarity, so
     the DuckDB oracle reproduces every bucket bit-for-bit) cuts the
     block count to |labels|·2⁸ near-identical groups. Scale honesty
-    (round-5 curve: alpha 1.25 across the x4/x16 rep corpora): a FIXED
+    (round-5 curve: alpha ~1.0-1.25 across the x4/x16 rep corpora,
+    run-variance dominated at these absolute times): a FIXED
     signature width means per-bucket occupancy — and so the pair join
     — still grows ~N²/(|labels|·2⁸) asymptotically; width cannot
     simply grow with N the way the k-means K does, because every extra
     plane multiplies near-dup recall by (1 − θ/π). The corpus-scale
     near-dup path is dedup_semantic (cluster count ∝ N, constant
-    expected cluster size, measured alpha ~0.9) or a multi-table LSH
+    expected cluster size, measured alpha ~1.0) or a multi-table LSH
     (grow width AND table count to hold recall) if this operator's
     exact bucket semantics must be kept. Vectors alone in their bucket
     emit no row — the standard ANN-recall trade, with
