@@ -31,6 +31,20 @@ Scale posture — the whole point of sketches at 100 TB:
 - CMS counters are d·w = 3·1024 cells regardless of stream size —
   again one scan + tiny shuffle; estimates join a 20-row probe set
   against the counter table.
+
+Accuracy-vs-scale honesty (which knobs are corpus-size-free and which
+are not): HLL's relative error ~1.04/sqrt(m) and MinHash-LSH's band
+collision probabilities are PER-ITEM/PER-PAIR properties — constants
+here are scale-free and never need resizing. Bloom and CMS are NOT:
+a fixed m-bit Bloom saturates as the needle set grows (FPR -> 1; in
+production m is sized from the build-side count, m ≈ 1.44·k·|needles|
+for the target FPR — a one-row aggregate, exactly how Spark sizes its
+own runtime Bloom filters), and a fixed-w CMS's over-count bias grows
+~n/w (production sizes w from the target absolute error eps·n). The
+fixed sizes here keep the sketch CONTENTS deterministic for the
+cross-engine oracle; the fp_permille / bias columns these queries
+report are precisely the saturation detectors a production pipeline
+would alert on.
 """
 
 from __future__ import annotations
