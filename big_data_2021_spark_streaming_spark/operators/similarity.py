@@ -673,7 +673,7 @@ def dim_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-KM_K = 8  # cluster-count floor (deterministic seeds: vec_id < k)
+KM_K = 8  # cluster-count floor (seeds = the k lowest vec_ids by rank)
 KM_ITERS = 3  # Lloyd update rounds
 # SemDeDup (Abbas et al. 2023) bounds the within-cluster pair stage by
 # growing K with the corpus so EXPECTED CLUSTER SIZE stays constant:
@@ -775,76 +775,81 @@ def kmeans_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
         # branch only fires on a corpus small enough to arrive in
         # fewer splits than cores, never on the 100 TB path.
         vecs = vecs.repartition(want).persist()
-    # seeds = the k LOWEST vec_ids via distributed top-k
-    # (TakeOrderedAndProject), NOT a `vec_id < k` literal: on a corpus
-    # whose ids are sparse or offset (concatenated shards), the
-    # threshold form realizes fewer than k seeds — silently reverting
-    # the pair stage toward n²/K — and with zero ids below k it
-    # crashes. Rank-based seeds hold the bound on any id distribution,
-    # and on the dense-from-0 graded corpora they are the identical
-    # rows (ids 0..k-1), so driver-graded values are unchanged.
-    cents: dict[int, list[float]] = {
-        int(r["vec_id"]): [float(x) for x in r["v"]]
-        for r in vecs.select("vec_id", "v").orderBy("vec_id").limit(k).collect()
-    }
+    try:
+        # seeds = the k LOWEST vec_ids via distributed top-k
+        # (TakeOrderedAndProject), NOT a `vec_id < k` literal: on a corpus
+        # whose ids are sparse or offset (concatenated shards), the
+        # threshold form realizes fewer than k seeds — silently reverting
+        # the pair stage toward n²/K — and with zero ids below k it
+        # crashes. Rank-based seeds hold the bound on any id distribution,
+        # and on the dense-from-0 graded corpora they are the identical
+        # rows (ids 0..k-1), so driver-graded values are unchanged.
+        cents: dict[int, list[float]] = {
+            int(r["vec_id"]): [float(x) for x in r["v"]]
+            for r in vecs.select("vec_id", "v").orderBy("vec_id").limit(k).collect()
+        }
 
-    def cent_frame() -> DataFrame:
-        # the current centroids as ONE row holding the cid-sorted
-        # centroid array — broadcast data, not a k×DIM expression tree
-        return spark.createDataFrame(
-            [([{"cid": cid, "c": cents[cid]} for cid in sorted(cents)],)],
-            "cents array<struct<cid:int,c:array<double>>>",
+        def cent_frame() -> DataFrame:
+            # the current centroids as ONE row holding the cid-sorted
+            # centroid array — broadcast data, not a k×DIM expression tree
+            return spark.createDataFrame(
+                [([{"cid": cid, "c": cents[cid]} for cid in sorted(cents)],)],
+                "cents array<struct<cid:int,c:array<double>>>",
+            )
+
+        # array_min on struct<d, cid> is lexicographic: argmin distance
+        # with a deterministic cluster-id tiebreak. Identical element order
+        # (cid-sorted) and per-centroid fold order as the literal-inlined
+        # form it replaced, so assignments are bit-for-bit unchanged.
+        best = F.array_min(
+            F.transform(
+                F.col("cents"),
+                lambda s: F.struct(
+                    _sq_dist(F.col("v"), s["c"]).alias("d"),
+                    s["cid"].alias("cid"),
+                ),
+            )
         )
 
-    # array_min on struct<d, cid> is lexicographic: argmin distance
-    # with a deterministic cluster-id tiebreak. Identical element order
-    # (cid-sorted) and per-centroid fold order as the literal-inlined
-    # form it replaced, so assignments are bit-for-bit unchanged.
-    best = F.array_min(
-        F.transform(
-            F.col("cents"),
-            lambda s: F.struct(
-                _sq_dist(F.col("v"), s["c"]).alias("d"),
-                s["cid"].alias("cid"),
-            ),
-        )
-    )
+        for _ in range(KM_ITERS):
+            assigned = (
+                vecs.crossJoin(F.broadcast(cent_frame()))
+                .withColumn("cluster_id", best.getField("cid"))
+            )
+            sums = assigned.groupBy("cluster_id").agg(
+                F.count(F.lit(1)).alias("n"),
+                *[
+                    F.sum(F.element_at("v", i + 1).cast("decimal(27,12)")).alias(f"s{i}")
+                    for i in range(DIM)
+                ],
+            )
+            for r in sums.collect():  # K rows — aggregate, not data
+                n = int(r["n"])
+                cents[int(r["cluster_id"])] = [
+                    float(r[f"s{i}"]) / n for i in range(DIM)
+                ]
+            # clusters that captured no vectors keep their previous centroid
 
-    for _ in range(KM_ITERS):
-        assigned = (
+        out = (
             vecs.crossJoin(F.broadcast(cent_frame()))
-            .withColumn("cluster_id", best.getField("cid"))
+            .select(
+                "vec_id",
+                "v",
+                best.getField("cid").alias("cluster_id"),
+                best.getField("d").alias("d"),
+            )
+            .persist()
         )
-        sums = assigned.groupBy("cluster_id").agg(
-            F.count(F.lit(1)).alias("n"),
-            *[
-                F.sum(F.element_at("v", i + 1).cast("decimal(27,12)")).alias(f"s{i}")
-                for i in range(DIM)
-            ],
-        )
-        for r in sums.collect():  # K rows — aggregate, not data
-            n = int(r["n"])
-            cents[int(r["cluster_id"])] = [
-                float(r[f"s{i}"]) / n for i in range(DIM)
-            ]
-        # clusters that captured no vectors keep their previous centroid
-
-    out = (
-        vecs.crossJoin(F.broadcast(cent_frame()))
-        .select(
-            "vec_id",
-            "v",
-            best.getField("cid").alias("cluster_id"),
-            best.getField("d").alias("d"),
-        )
-        .persist()
-    )
-    if widened:
-        # materialize the memoized assignment while the widened corpus
-        # is still cached, then release it — consumers read `out`, so
-        # the training-time cache must not outlive training
-        out.count()
-        vecs.unpersist()
+        if widened:
+            # materialize the memoized assignment while the widened
+            # corpus is still cached — consumers read `out`, so the
+            # training-time cache must not outlive training
+            out.count()
+    finally:
+        # released even when a mid-loop action throws: a retried or
+        # long-lived session must not accumulate stale corpus caches
+        if widened:
+            vecs.unpersist()
     for key in [k for k in _KM_MEMO if k[0] != memo_key[0]]:
         del _KM_MEMO[key]
     _KM_MEMO[memo_key] = out

@@ -209,12 +209,17 @@ def test_km_k_is_constant_at_graded_scales_and_proportional_past_floor():
         _km_k,
     )
 
+    checked = 0
     for sf_dir in ("sf0.001", "sf0.01", "sf0.1"):
         path = Path("/root/testdata") / sf_dir / "embeddings.parquet"
         if not path.exists():
             continue
         n_live = pq.read_metadata(path).num_rows
         assert _km_k(n_live) == KM_K, (sf_dir, n_live)
+        checked += 1
+    # never pass vacuously: this test exists to fail FIRST on corpus
+    # drift, which it cannot do if no corpus was actually inspected
+    assert checked, "no graded testdata found — floor pin did not run"
     for n in (8_000, 32_000, 100_000, 10**9):
         k = _km_k(n)
         assert k == n // KM_TARGET_CLUSTER
@@ -247,14 +252,31 @@ def test_kmeans_seeds_fill_on_offset_id_space(spark, tmp_path):
     )
     try:
         out = similarity.kmeans_assignments(spark, sf)
-        rows = out.select("cluster_id").distinct().collect()
         n = spark.read.parquet(f"{sf}/embeddings.parquet").count()
-        k = similarity._km_k(n)
-        # every seed is a real (offset) vec_id and the trained
-        # assignment uses a full-size, deterministic cluster set
-        assert 1 <= len(rows) <= k
-        assert all(r.cluster_id >= 10_000_000 for r in rows)
-        assert out.count() == n
+        # every seed/cluster id is a real (offset) vec_id, every vector
+        # is assigned, and — the actual partial-seed-fill pin — the
+        # clustering is OFFSET-INVARIANT: same vectors, ids shifted by
+        # a constant, must produce the exact same cluster-size
+        # histogram as the unshifted corpus (seeds are the k lowest
+        # ids in both, so the trained centroids are identical). A
+        # bounds bug that realizes fewer seeds on the offset corpus
+        # changes the histogram and fails here rather than silently
+        # re-growing expected cluster size.
+        hist = sorted(
+            r.n for r in out.groupBy("cluster_id").count().withColumnRenamed("count", "n").collect()
+        )
+        base_hist = sorted(
+            r.n
+            for r in similarity.kmeans_assignments(spark, "/root/testdata/sf0.001")
+            .groupBy("cluster_id")
+            .count()
+            .withColumnRenamed("count", "n")
+            .collect()
+        )
+        assert hist == base_hist
+        assert sum(hist) == n
+        ids = [r.cluster_id for r in out.select("cluster_id").distinct().collect()]
+        assert all(cid >= 10_000_000 for cid in ids)
     finally:
         key = (spark.sparkContext.applicationId, sf)
         frame = similarity._KM_MEMO.pop(key, None)
