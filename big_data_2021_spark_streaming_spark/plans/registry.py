@@ -118,115 +118,96 @@ _FAMILY_COST = {
 
 
 # Unverified names whose builder or oracle was re-planned AFTER their
-# last driver green (the round-4g exact micro-unit conversion of every
-# displayed ROUND(SUM/AVG/ratio-of-double) aggregate). Their recorded
-# green is on a superseded plan, so they sort to the very front of the
-# grading order. Names move OUT of this set (into _DRIVER_VERIFIED)
+# last driver green. Names move OUT of this set (into _DRIVER_VERIFIED)
 # when a CORRECTNESS_r{N}.json green lands on the current plan; names
-# move IN whenever a verified query's plan or oracle changes.
-_REPLANNED_AFTER_GREEN = frozenset(
-    {
-        "pivot_user_event_values", "session_window_stats",
-        "sliding_window_stats", "event_hourly_resample",
-        "running_user_value", "pricing_summary", "revenue_by_nation",
-        "top_customers", "rollup_order_status", "cube_event_stats",
-        "promo_revenue_ratio", "supplier_balance_by_nation",
-        "salted_type_totals", "small_qty_part_revenue",
-        "inactive_rich_customers", "shipping_priority_topk",
-        "nation_pair_volume", "market_share_by_year",
-        "part_profit_by_nation_year", "disjunctive_part_revenue",
-        "user_trailing_hour_stats", "daily_click_purchase_recon",
-        "forecast_revenue_change", "grouping_sets_revenue",
-        # round 5: real-container rewrite (synthesize valid BMP/WAV/PPM,
-        # parse with the stdlib parser) replaced the byte-digest plan
-        # the r02 green graded
-        "multimodal_decode",
-        # round 5: cum_share_micro products moved to DECIMAL(38,0)/
-        # HUGEINT (2e6 x corpus cents wraps int64 at ~$50B corpus)
-        # after the r04 green
-        "user_value_concentration",
-        # round 5: k-means cluster count made corpus-proportional
-        # (k = max(KM_K, n div KM_TARGET_CLUSTER), both engines) after
-        # the scaling curve measured dedup_semantic at alpha ~1.9 with
-        # fixed K. Graded corpora sit below the floor so values are
-        # unchanged, but the oracle's seed predicate changed — regrade.
-        "kmeans_clusters",
-        "dedup_semantic",
-    }
-)
+# move IN whenever a verified query's plan or oracle changes. Round-6
+# start state: EMPTY — all 28 round-5 re-plans (24 exact-arithmetic
+# rewrites, the multimodal_decode container parser, the
+# user_value_concentration DECIMAL(38,0) products, and the K-prop
+# kmeans_clusters/dedup_semantic pair) were regraded green by the
+# driver in CORRECTNESS_r05.json on their current plans.
+_REPLANNED_AFTER_GREEN: frozenset[str] = frozenset()
 
 
 # Names hash-verified green by the driver on their CURRENT plan:
-# CORRECTNESS_r02 ∪ r03 ∪ r04 greens (r04 folded at round-5 start;
-# the obsolete round-4 _GRADE_AFTER_REGRADES deferral set — which had
-# grown to cover every unverified name and so no longer discriminated —
-# was deleted at the same time, per VERDICT r04 item 1). Any name whose
-# builder or oracle is re-planned after its last green MUST be removed
-# from this set so it regrades early — with ONE scoped exception:
+# CORRECTNESS_r02 ∪ r03 ∪ r04 ∪ r05 greens (r05's 50 folded at round-6
+# start; all were hash-green, zero errors). Any name whose builder or
+# oracle is re-planned after its last green MUST be removed from this
+# set (into _REPLANNED_AFTER_GREEN) so it regrades early — with ONE
+# scoped exception, enforced mechanically by
+# tests/test_plans.py::test_verified_builders_unchanged_since_green:
 # a pure JOIN-STRATEGY change (adding/removing an ``F.broadcast`` hint,
 # nothing else) cannot change result VALUES — broadcast vs shuffle is
-# a physical execution choice over the same logical join — so the
-# round-5 broadcast-pin audit (un-pinning every hint whose input grows
-# with data, after the synthetic ×8 sweep drove a pinned candidate
-# broadcast past Spark's 8 GiB hard limit) does NOT invalidate value
-# greens. Each of those 24 queries was re-proven by the local replica
-# at sf0.01 on the new plan the same day (see BASELINE.md, round 5);
-# burning 24 of the driver's 50 grading slots to re-hash values a
-# strategy hint cannot touch would starve the 117 genuinely
-# never-verified names another round.
+# a physical execution choice over the same logical join — so such a
+# diff does not invalidate a value green (the round-5 broadcast-pin
+# audit relied on this; the lint now makes it checkable instead of
+# argued).
 _DRIVER_VERIFIED = frozenset(
     {
-        "asof_last_signup", "big_order_customers",
+        "anomaly_detector_overlap", "asof_last_signup", "big_order_customers",
         "brand_supplier_variety", "click_and_error_users",
         "clickers_not_purchasers", "contrastive_negatives",
         "corpus_mixture_report", "corpus_stratified_sample",
-        "curation_keep_list", "curation_multisignal_gate",
-        "customer_order_distribution", "date_parts",
-        "decontaminate_overlap", "dedup_clusters", "dedup_containment",
-        "dedup_embedding_nn", "dedup_exact", "dedup_incremental",
-        "dedup_jaccard_verify", "dedup_lsh_calibration",
-        "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_rate_report",
-        "dedup_simhash", "distinct_users_per_type", "doc_chunking",
-        "doc_packing", "embedding_covariance_pairs",
-        "embedding_dim_variance", "embedding_outliers",
-        "event_rank_stats", "event_transition_matrix",
+        "cube_event_stats", "curation_keep_list", "curation_multisignal_gate",
+        "customer_order_distribution", "daily_click_purchase_recon",
+        "data_quality_report", "date_parts", "decontaminate_overlap",
+        "dedup_clusters", "dedup_containment", "dedup_embedding_nn",
+        "dedup_exact", "dedup_incremental", "dedup_jaccard_verify",
+        "dedup_lsh_calibration", "dedup_minhash_lsh", "dedup_ngram_jaccard",
+        "dedup_rate_report", "dedup_semantic", "dedup_simhash",
+        "discount_tax_independence", "disjunctive_part_revenue",
+        "distinct_users_per_type", "doc_chunking", "doc_length_bucketing",
+        "doc_packing", "embedding_covariance_pairs", "embedding_dim_variance",
+        "embedding_outliers", "event_dispersion_index", "event_ewma_spikes",
+        "event_hourly_resample", "event_markov_accuracy", "event_rank_stats",
+        "event_seasonal_naive_mape", "event_transition_matrix",
         "event_type_union", "excess_quantity_suppliers",
-        "fk_integrity_audit", "funnel_conversion", "fuzzy_name_matches",
-        "join_key_skew", "json_encode",
-        "latest_event_per_user", "lineitem_measures_unpivot",
-        "local_supplier_volume", "mixture_reweight_plan",
-        "multimodal_frame_sample",
-        "multimodal_type_stats", "nation_supplier_hhi",
+        "experiment_cuped_lift", "experiment_srm_check", "fk_integrity_audit",
+        "forecast_revenue_change", "funnel_conversion", "fuzzy_name_matches",
+        "grouping_sets_revenue", "inactive_rich_customers",
+        "join_cardinality_estimate", "join_key_skew", "join_strategy_advisor",
+        "json_encode", "k_anonymity_audit", "kmeans_clusters",
+        "l_diversity_audit", "lake_column_stats", "latest_event_per_user",
+        "layout_zorder_stats", "lineitem_measures_unpivot",
+        "linkage_fs_weights", "local_supplier_volume", "market_share_by_year",
+        "mixture_reweight_plan", "multimodal_decode",
+        "multimodal_frame_sample", "multimodal_type_stats",
+        "nation_pair_volume", "nation_supplier_hhi",
         "order_priority_semijoin", "order_status_upsert",
-        "orders_monthly_growth", "parts_never_in_bulk_orders",
-        "peak_concurrent_sessions", "props_map_stats", "q1_filter",
-        "q2_join_enrich", "q3_window_collect_set",
-        "range_join_click_purchase", "recent_orders_lateral",
-        "regional_min_cost_supplier", "returned_item_report",
-        "returnflag_priority_counts", "rsvp_decode_failures",
-        "rsvp_faithful_filter", "rsvp_q2_payload",
-        "similarity_ann_recall", "similarity_ivf_occupancy",
-        "similarity_ivf_pq_topk", "similarity_ivf_topk",
-        "similarity_lsh_signature", "similarity_lsh_topk",
-        "similarity_pq_codes", "similarity_pq_reconstruction",
-        "similarity_pq_topk", "similarity_sq_quality",
-        "similarity_sq_topk", "similarity_topk",
+        "orders_monthly_growth", "part_profit_by_nation_year",
+        "parts_never_in_bulk_orders", "peak_concurrent_sessions",
+        "pivot_user_event_values", "pricing_summary", "promo_revenue_ratio",
+        "props_map_stats", "q1_filter", "q2_join_enrich",
+        "q3_window_collect_set", "range_join_click_purchase",
+        "recent_orders_lateral", "regional_min_cost_supplier",
+        "returned_item_report", "returnflag_priority_counts",
+        "revenue_by_nation", "rollup_order_status", "rsvp_decode_failures",
+        "rsvp_faithful_filter", "rsvp_q2_payload", "running_user_value",
+        "salted_type_totals", "session_window_stats",
+        "shipping_priority_topk", "similarity_ann_recall",
+        "similarity_ivf_occupancy", "similarity_ivf_pq_topk",
+        "similarity_ivf_topk", "similarity_lsh_signature",
+        "similarity_lsh_topk", "similarity_pq_codes",
+        "similarity_pq_reconstruction", "similarity_pq_topk",
+        "similarity_sq_quality", "similarity_sq_topk", "similarity_topk",
         "sketch_bloom_reduction", "sketch_cms_heavy_hitters",
-        "sketch_event_stats", "sketch_hll_merge", "sketch_hll_users",
-        "sole_late_supplier", "source_cap_report",
-        "split_leakage_report", "text_bigram_lm_score",
-        "text_bpe_pair_stats", "text_fingerprint",
+        "sketch_event_stats", "sketch_histogram_quantiles",
+        "sketch_hll_intersection", "sketch_hll_merge", "sketch_hll_users",
+        "sliding_window_stats", "small_qty_part_revenue",
+        "sole_late_supplier", "source_cap_report", "split_leakage_report",
+        "supplier_balance_by_nation", "t_closeness_audit",
+        "text_bigram_lm_score", "text_bpe_pair_stats", "text_fingerprint",
         "text_lang_confusion", "text_lang_id", "text_length_histogram",
         "text_ngram_novelty", "text_pii_redact", "text_pii_scan",
         "text_prefix_clusters", "text_quality_score",
-        "text_repetition_signals", "text_tfidf_topterms",
-        "text_token_rarity", "text_token_stats",
-        "text_winnow_fingerprints", "top3_per_segment",
-        "top_supplier_by_revenue", "train_split_assign",
-        "user_erasure_audit", "user_event_gaps",
-        "user_retention_cohorts", "user_type_scd2",
-        "valuable_part_stock",
-        "value_drift_tvd", "value_equidepth_deciles",
-        "value_percentiles", "value_zscore_anomalies",
+        "text_repetition_signals", "text_tfidf_topterms", "text_token_rarity",
+        "text_token_stats", "text_winnow_fingerprints", "top3_per_segment",
+        "top_customers", "top_supplier_by_revenue", "train_split_assign",
+        "user_dau_wau_stickiness", "user_erasure_audit", "user_event_gaps",
+        "user_hazard_curve", "user_retention_cohorts",
+        "user_trailing_hour_stats", "user_type_scd2",
+        "user_value_concentration", "valuable_part_stock", "value_drift_tvd",
+        "value_equidepth_deciles", "value_percentiles",
+        "value_zscore_anomalies",
     }
 )

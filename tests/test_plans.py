@@ -686,13 +686,13 @@ def test_registry_names_unique_across_modules():
 
 def test_registry_orders_unverified_queries_first():
     # grading order = registry order, and the driver's gate has a
-    # budget (50/round observed in r02-r04): every query the driver has
+    # budget (50/round observed in r02-r05): every query the driver has
     # never hash-verified on its current plan must precede the verified
     # block, so any budget prefix grades the maximum number of
-    # unverified entries. Round-5 start state: CORRECTNESS_r02|r03|r04
-    # greens folded into _DRIVER_VERIFIED (113 names after the round-5
-    # re-plans moved back out), leaving the 117 below
-    # unverified-on-current-plan.
+    # unverified entries. Round-6 start state: CORRECTNESS_r02..r05
+    # greens all folded into _DRIVER_VERIFIED (161 names), leaving the
+    # 69 below unverified-on-current-plan; round 6's 50-budget grades
+    # 50 of them and round 7 finishes the remaining 19.
     from big_data_2021_spark_streaming_spark.plans.registry import (
         _DRIVER_VERIFIED,
         _REPLANNED_AFTER_GREEN,
@@ -704,72 +704,42 @@ def test_registry_orders_unverified_queries_first():
     assert all(n in _DRIVER_VERIFIED for n in names[first_back:])
     assert all(n not in _DRIVER_VERIFIED for n in names[:first_back])
     assert set(names[:first_back]) == {
-        "anomaly_detector_overlap", "asof_attribution",
-        "basket_lift_pairs", "cohort_ltv_curve",
+        "asof_attribution", "basket_lift_pairs", "cohort_ltv_curve",
         "corpus_cross_source_overlap", "corpus_shard_plan",
         "corpus_source_minhash", "corpus_token_budget_plan",
-        "cube_event_stats", "customer_order_streaks",
-        "customer_rfm_scores", "customer_value_frontier",
-        "daily_click_purchase_recon", "data_quality_report",
-        "dedup_cluster_histogram", "dedup_crosslingual_pairs",
-        "dedup_graph_triangles", "dedup_kcore", "dedup_keep_manifest",
-        "dedup_lsh_recall_exact", "dedup_pagerank",
-        "dedup_prefix_filter", "dedup_semantic",
-        "discount_quantity_ols", "discount_tax_independence",
-        "disjunctive_part_revenue", "doc_length_bucketing",
+        "customer_order_streaks", "customer_rfm_scores",
+        "customer_value_frontier", "dedup_cluster_histogram",
+        "dedup_crosslingual_pairs", "dedup_graph_triangles", "dedup_kcore",
+        "dedup_keep_manifest", "dedup_lsh_recall_exact", "dedup_pagerank",
+        "dedup_prefix_filter", "discount_quantity_ols",
         "embedding_centroid_drift", "embedding_jl_distortion",
         "embedding_label_consensus", "embedding_norm_stats",
         "embedding_power_iteration", "epoch_shuffle_plan",
         "event_cooccurrence_lift", "event_cusum_changepoint",
-        "event_dispersion_index", "event_dow_profile",
-        "event_ewma_spikes", "event_hourly_resample",
-        "event_markov_accuracy", "event_path_topk",
-        "event_seasonal_naive_mape", "event_user_bitmap",
-        "experiment_cuped_lift", "experiment_srm_check",
-        "forecast_revenue_change", "grouping_sets_revenue",
-        "inactive_rich_customers", "join_cardinality_estimate",
-        "join_strategy_advisor", "k_anonymity_audit", "kmeans_clusters",
-        "l_diversity_audit", "lake_column_stats", "layout_zorder_stats",
-        "linkage_fs_weights", "market_share_by_year",
-        "multimodal_audio_frame_plan", "multimodal_decode",
-        "multimodal_exact_dedup",
+        "event_dow_profile", "event_path_topk", "event_user_bitmap",
+        "multimodal_audio_frame_plan", "multimodal_exact_dedup",
         "multimodal_frame_neardup", "multimodal_resize_plan",
-        "mv_incremental_refresh", "nation_pair_volume",
-        "order_fulfillment_latency", "orders_aging_buckets",
-        "part_profit_by_nation_year", "pivot_user_event_values",
-        "pricing_summary", "promo_revenue_ratio", "quality_auc_eval",
-        "quality_dup_profile", "retrieval_mrr_eval",
-        "retrieval_ndcg_eval", "retrieval_rrf_fusion",
-        "revenue_autocorr", "revenue_by_nation", "rollup_order_status",
-        "running_user_value", "salted_type_totals",
-        "session_window_stats", "shipping_priority_topk",
-        "similarity_bq_topk", "similarity_diverse_topk",
-        "similarity_ivfpq_residual_topk",
-        "similarity_matryoshka_recall", "similarity_range_search",
-        "similarity_recall_sweep", "sketch_histogram_quantiles",
-        "sketch_hll_intersection", "sliding_window_stats",
-        "small_qty_part_revenue", "snapshot_asof_diff",
-        "supplier_balance_by_nation", "supplier_return_rates",
-        "t_closeness_audit", "text_bm25_search",
-        "text_boilerplate_ngrams", "text_bpe_encode",
-        "text_bpe_fertility", "text_bpe_train", "text_encoding_audit",
-        "text_feature_hashing", "text_heaps_law", "text_lang_kappa",
-        "text_rake_keywords", "text_source_chi2_drift",
-        "text_substring_dedup", "top_customers", "user_bot_periodicity",
-        "user_dau_wau_stickiness", "user_hazard_curve",
-        "user_simpson_diversity", "user_trailing_hour_stats",
-        "user_value_concentration",
-        "user_value_gini", "value_mad_anomalies", "value_winsorize",
-        "weighted_doc_sample",
+        "mv_incremental_refresh", "order_fulfillment_latency",
+        "orders_aging_buckets", "quality_auc_eval", "quality_dup_profile",
+        "retrieval_mrr_eval", "retrieval_ndcg_eval", "retrieval_rrf_fusion",
+        "revenue_autocorr", "similarity_bq_topk", "similarity_diverse_topk",
+        "similarity_ivfpq_residual_topk", "similarity_matryoshka_recall",
+        "similarity_range_search", "similarity_recall_sweep",
+        "snapshot_asof_diff", "supplier_return_rates", "text_bm25_search",
+        "text_boilerplate_ngrams", "text_bpe_encode", "text_bpe_fertility",
+        "text_bpe_train", "text_encoding_audit", "text_feature_hashing",
+        "text_heaps_law", "text_lang_kappa", "text_rake_keywords",
+        "text_source_chi2_drift", "text_substring_dedup",
+        "user_bot_periodicity", "user_simpson_diversity", "user_value_gini",
+        "value_mad_anomalies", "value_winsorize", "weighted_doc_sample",
     }
-    # highest stale-evidence risk first: the 24 analytics queries
-    # re-planned to exact micro-units AFTER their last driver green
-    # occupy the very front of the order, inside any plausible budget
+    # re-planned-after-green names (stale-evidence risk) sort to the
+    # very front; round-6 start state is the empty set — every r05
+    # re-plan was regraded green on its current plan
     assert set(names[: len(_REPLANNED_AFTER_GREEN)]) == set(
         _REPLANNED_AFTER_GREEN
     )
-    # VERDICT r04 done-criterion: the round-5 graded prefix must be 50
-    # names the driver has never graded green on current code, i.e.
-    # disjoint from every prior CORRECTNESS green (all folded into
-    # _DRIVER_VERIFIED at round-5 start)
+    # VERDICT r05 done-criterion: the round-6 graded prefix must be 50
+    # names absent from every prior CORRECTNESS green (r02 ∪ .. ∪ r05,
+    # all folded into _DRIVER_VERIFIED at round-6 start)
     assert not (set(names[:50]) & _DRIVER_VERIFIED)
