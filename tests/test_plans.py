@@ -743,3 +743,88 @@ def test_registry_orders_unverified_queries_first():
     # names absent from every prior CORRECTNESS green (r02 ∪ .. ∪ r05,
     # all folded into _DRIVER_VERIFIED at round-6 start)
     assert not (set(names[:50]) & _DRIVER_VERIFIED)
+
+
+def test_verified_builders_unchanged_since_green():
+    # VERDICT r05 item 4: the broadcast-pin green-preservation argument,
+    # mechanized. Every _DRIVER_VERIFIED name's normalized plan
+    # fingerprint (builder AST closure with F.broadcast call sites
+    # stripped, docstrings dropped, in-package helpers + UPPER constants
+    # folded in transitively, oracle SQL verbatim) must equal the
+    # baseline recorded at its fold. A mismatch means the plan or oracle
+    # was re-planned after its green: move the name into
+    # _REPLANNED_AFTER_GREEN (and out of _DRIVER_VERIFIED) so it
+    # regrades early — never regenerate the baseline mid-round.
+    from big_data_2021_spark_streaming_spark.plans.registry import (
+        _DRIVER_VERIFIED,
+    )
+    from tools.plan_fingerprint import current_fingerprints, load_baseline
+
+    baseline = load_baseline()
+    current = current_fingerprints()
+    assert set(baseline) == set(_DRIVER_VERIFIED) == set(current)
+    stale = sorted(n for n in current if current[n] != baseline[n])
+    assert not stale, (
+        f"builders/oracles re-planned after their driver green: {stale} — "
+        "move them into _REPLANNED_AFTER_GREEN (registry.py) and out of "
+        "_DRIVER_VERIFIED; regenerate verified_fingerprints.json only at "
+        "the next fold"
+    )
+
+
+def test_fingerprint_broadcast_exemption_mechanics():
+    # the ONE exemption class must be exactly join-strategy hints:
+    # adding/removing F.broadcast leaves the fingerprint unchanged,
+    # while any value-bearing edit (a constant, a filter) changes it
+    import importlib.util
+    import pathlib
+    import sys
+    import tempfile
+    import textwrap
+    import types
+
+    from tools.plan_fingerprint import builder_fingerprint
+
+    # four VERSIONS of the same builder name `b` (edits happen in place
+    # in a real re-plan), loaded from disk so inspect.getsource works
+    versions = {
+        "hinted": "return dim.join(F.broadcast(fact), 'k').filter('v > 3')",
+        "plain": "return dim.join(fact, 'k').filter('v > 3')",
+        "edited": "return dim.join(fact, 'k').filter('v > 4')",
+        "doc": "'''docstring-only diff'''\n    "
+        "return dim.join(fact, 'k').filter('v > 3')",
+    }
+    fps = {}
+    with tempfile.TemporaryDirectory() as td:
+        for tag, body in versions.items():
+            mod_path = pathlib.Path(td) / f"fp_fixture_{tag}.py"
+            mod_path.write_text(
+                textwrap.dedent(f"def b(spark, sf):\n    {body}\n")
+            )
+            spec = importlib.util.spec_from_file_location(
+                "fp_fixture_mod", mod_path
+            )
+            mod = importlib.util.module_from_spec(spec)
+            sys.modules["fp_fixture_mod"] = mod
+            try:
+                spec.loader.exec_module(mod)
+                fps[tag] = builder_fingerprint(
+                    "b", types.SimpleNamespace(build=mod.b, oracle="SELECT 1")
+                )
+            finally:
+                del sys.modules["fp_fixture_mod"]
+    hinted, plain, edited, doc = (
+        fps["hinted"], fps["plain"], fps["edited"], fps["doc"]
+    )
+    # broadcast hint: exempt (same logical join, physical strategy only)
+    assert hinted == plain
+    # docstrings: exempt (prose cannot change a plan)
+    assert doc == plain
+    # a value-bearing edit: NOT exempt
+    assert edited != plain
+    # an oracle edit: NOT exempt
+    assert builder_fingerprint(
+        "x", types.SimpleNamespace(build=builder_fingerprint, oracle="A")
+    ) != builder_fingerprint(
+        "x", types.SimpleNamespace(build=builder_fingerprint, oracle="B")
+    )
