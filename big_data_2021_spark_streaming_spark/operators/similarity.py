@@ -1064,8 +1064,15 @@ def kmeans_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
             # assignment while the widened corpus is still cached AND
             # truncates its lineage past the widening repartition —
             # a plain persist() kept the shuffle in the lineage, so a
-            # later cache eviction silently re-paid scan+shuffle
-            out = out.localCheckpoint()
+            # later cache eviction silently re-paid scan+shuffle. The
+            # persist ON TOP matters for a different reason: consumers
+            # (dedup_semantic's within-cluster self-join) re-scan this
+            # frame many times, and a bare checkpoint RDD scan is a
+            # row-at-a-time ScanExistingRDD — measured ~3x slower for
+            # the pair stage than the columnar InMemoryTableScan the
+            # r05 persist gave them. Checkpoint for lineage, cache for
+            # the hot path.
+            out = out.localCheckpoint().persist()
         else:
             out = out.persist()
     finally:
