@@ -67,7 +67,53 @@ def get_session(
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    try:
+        _ship_package(spark)
+    except Exception:
+        pass  # best-effort: repo-root cwd still works without it
+    return spark
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make this package importable on Spark PYTHON WORKERS regardless
+    of the driver process's cwd.
+
+    The Arrow ``mapInPandas`` operators (multimodal, similarity)
+    cloudpickle their functions BY REFERENCE, so executors must import
+    ``big_data_2021_spark_streaming_spark`` themselves. A driver-side
+    ``sys.path.insert`` (``__spark_entry__``) does not propagate to
+    workers — they only see PYTHONPATH, pyFiles, and their cwd. Running
+    from the repo root masks this (worker cwd is on its path); any
+    other cwd fails with ModuleNotFoundError inside the worker. Zip the
+    package once per session and ``addPyFile`` it — the live-session
+    mechanism Spark provides for exactly this."""
+    import pathlib
+    import tempfile
+    import zipfile
+
+    marker = "spark.big_data_2021_spark_streaming_spark.shipped"
+    try:
+        if spark.conf.get(marker, None) == "true":
+            return
+    except Exception:
+        pass
+    pkg_root = pathlib.Path(__file__).resolve().parent
+    zpath = pathlib.Path(tempfile.gettempdir()) / (
+        f"big_data_2021_spark_streaming_spark_pkg_"
+        f"{spark.sparkContext.applicationId}.zip"
+    )
+    if not zpath.exists():
+        with zipfile.ZipFile(zpath, "w") as z:
+            for f in sorted(pkg_root.rglob("*")):
+                if "__pycache__" in f.parts or not f.is_file():
+                    continue
+                z.write(f, f"{pkg_root.name}/{f.relative_to(pkg_root)}")
+    spark.sparkContext.addPyFile(str(zpath))
+    try:
+        spark.conf.set(marker, "true")
+    except Exception:
+        pass
 
 
 def configure_existing(spark: SparkSession) -> SparkSession:
@@ -84,4 +130,8 @@ def configure_existing(spark: SparkSession) -> SparkSession:
             spark.conf.set(k, v)
         except Exception:
             pass  # static conf on a live session — keep going
+    try:
+        _ship_package(spark)
+    except Exception:
+        pass  # best-effort: repo-root cwd still works without it
     return spark

@@ -296,12 +296,15 @@ def test_no_unintended_cartesian_nested_loop_or_global_window_anywhere(spark):
 
 def test_no_driver_side_collect_outside_lloyd_loop():
     # .collect()/.toPandas() in an operator means it isn't distributed.
-    # The legitimate exceptions are all in operators/similarity.py's
-    # Lloyd machinery, and each is a bounded AGGREGATE, never data rows:
-    # the broadcast tier's seed + per-round k-row sum collects (k <=
-    # LLOYD_BROADCAST_MAX, asserted by _cent_frame), and the
-    # distributed tier's occupied-cell-id collect (<= k_coarse <=
-    # LLOYD_BROADCAST_MAX ints per round).
+    # The legitimate exceptions are each a bounded AGGREGATE, never
+    # data rows: operators/similarity.py's Lloyd machinery (the
+    # broadcast tier's seed + per-round k-row sum collects, k <=
+    # LLOYD_BROADCAST_MAX asserted by _cent_frame, and the distributed
+    # tier's occupied-cell-id collect, <= k_coarse ints per round), and
+    # streaming/pipeline.py's COW MERGE writer collecting the batch's
+    # DISTINCT touched-partition values (bounded by the batch's key
+    # spread — the per-batch bookkeeping every table format's MERGE
+    # planner also holds driver-side).
     import re
     from pathlib import Path
 
@@ -314,8 +317,12 @@ def test_no_driver_side_collect_outside_lloyd_loop():
             code = line.split("#", 1)[0]
             if re.search(r"\.(collect|toPandas)\(\)", code):
                 hits.append((py.name, i))
-    assert all(f == "similarity.py" for f, _ in hits), hits
-    assert len(hits) <= 3, hits
+    by_file: dict[str, int] = {}
+    for f, _ in hits:
+        by_file[f] = by_file.get(f, 0) + 1
+    assert set(by_file) <= {"similarity.py", "pipeline.py"}, hits
+    assert by_file.get("similarity.py", 0) <= 3, hits
+    assert by_file.get("pipeline.py", 0) <= 1, hits
 
 
 def test_session_window_single_shuffle(spark):
