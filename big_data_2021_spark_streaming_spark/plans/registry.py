@@ -120,100 +120,109 @@ _FAMILY_COST = {
 # Unverified names whose builder or oracle was re-planned AFTER their
 # last driver green. Names move OUT of this set (into _DRIVER_VERIFIED)
 # when a CORRECTNESS_r{N}.json green lands on the current plan; names
-# move IN whenever a verified query's plan or oracle changes. Round-6
-# start state was EMPTY (all 28 round-5 re-plans regraded green in
-# CORRECTNESS_r05); the round-6 tiered-Lloyd rewrite (VERDICT r05
-# item 3: kmeans_assignments gained the distributed-centroid tier for
-# k > LLOYD_BROADCAST_MAX, a footer-metadata corpus count, and
-# lineage-truncating localCheckpoint on the widened path) re-planned
-# the two queries that share that frame. Graded-scale values are
-# bit-identical (the broadcast tier is the same algorithm refactored;
-# replica-green at sf0.01 on the new code), but the standing rule is
-# plan change => regrade.
-_REPLANNED_AFTER_GREEN: frozenset[str] = frozenset(
-    {"kmeans_clusters", "dedup_semantic"}
-)
+# move IN whenever a verified query's plan or oracle changes. Round-7
+# start state is EMPTY: the round-6 tiered-Lloyd pair
+# (kmeans_clusters, dedup_semantic) regraded hash-green in
+# CORRECTNESS_r06 on the tiered plan.
+_REPLANNED_AFTER_GREEN: frozenset[str] = frozenset()
 
 
 # Names hash-verified green by the driver on their CURRENT plan:
-# CORRECTNESS_r02 ∪ r03 ∪ r04 ∪ r05 greens (r05's 50 folded at round-6
-# start; all were hash-green, zero errors). Any name whose builder or
-# oracle is re-planned after its last green MUST be removed from this
-# set (into _REPLANNED_AFTER_GREEN) so it regrades early — with ONE
-# scoped exception, enforced mechanically by
+# CORRECTNESS_r02 ∪ r03 ∪ r04 ∪ r05 ∪ r06 greens (r06's 50 folded at
+# round-7 start; all hash-green, zero errors → 209 names). Any name
+# whose builder or oracle is re-planned after its last green MUST be
+# removed from this set (into _REPLANNED_AFTER_GREEN) so it regrades
+# early — with ONE scoped exception, enforced mechanically by
 # tests/test_plans.py::test_verified_builders_unchanged_since_green:
 # a pure JOIN-STRATEGY change (adding/removing an ``F.broadcast`` hint,
 # nothing else) cannot change result VALUES — broadcast vs shuffle is
 # a physical execution choice over the same logical join — so such a
 # diff does not invalidate a value green (the round-5 broadcast-pin
-# audit relied on this; the lint now makes it checkable instead of
-# argued).
+# audit relied on this; the lint makes it checkable instead of argued).
 _DRIVER_VERIFIED = frozenset(
     {
-        "anomaly_detector_overlap", "asof_last_signup", "big_order_customers",
-        "brand_supplier_variety", "click_and_error_users",
-        "clickers_not_purchasers", "contrastive_negatives",
-        "corpus_mixture_report", "corpus_stratified_sample",
-        "cube_event_stats", "curation_keep_list", "curation_multisignal_gate",
-        "customer_order_distribution", "daily_click_purchase_recon",
+        "anomaly_detector_overlap", "asof_attribution", "asof_last_signup",
+        "basket_lift_pairs", "big_order_customers", "brand_supplier_variety",
+        "click_and_error_users", "clickers_not_purchasers",
+        "cohort_ltv_curve", "contrastive_negatives", "corpus_mixture_report",
+        "corpus_stratified_sample", "cube_event_stats", "curation_keep_list",
+        "curation_multisignal_gate", "customer_order_distribution",
+        "customer_order_streaks", "customer_rfm_scores",
+        "customer_value_frontier", "daily_click_purchase_recon",
         "data_quality_report", "date_parts", "decontaminate_overlap",
         "dedup_clusters", "dedup_containment", "dedup_embedding_nn",
         "dedup_exact", "dedup_incremental", "dedup_jaccard_verify",
         "dedup_lsh_calibration", "dedup_minhash_lsh", "dedup_ngram_jaccard",
-        "dedup_rate_report", "dedup_simhash",
-        "discount_tax_independence", "disjunctive_part_revenue",
-        "distinct_users_per_type", "doc_chunking", "doc_length_bucketing",
-        "doc_packing", "embedding_covariance_pairs", "embedding_dim_variance",
-        "embedding_outliers", "event_dispersion_index", "event_ewma_spikes",
-        "event_hourly_resample", "event_markov_accuracy", "event_rank_stats",
+        "dedup_rate_report", "dedup_semantic", "dedup_simhash",
+        "discount_quantity_ols", "discount_tax_independence",
+        "disjunctive_part_revenue", "distinct_users_per_type", "doc_chunking",
+        "doc_length_bucketing", "doc_packing", "embedding_covariance_pairs",
+        "embedding_dim_variance", "embedding_jl_distortion",
+        "embedding_label_consensus", "embedding_outliers",
+        "embedding_power_iteration", "event_cooccurrence_lift",
+        "event_cusum_changepoint", "event_dispersion_index",
+        "event_dow_profile", "event_ewma_spikes", "event_hourly_resample",
+        "event_markov_accuracy", "event_path_topk", "event_rank_stats",
         "event_seasonal_naive_mape", "event_transition_matrix",
-        "event_type_union", "excess_quantity_suppliers",
+        "event_type_union", "event_user_bitmap", "excess_quantity_suppliers",
         "experiment_cuped_lift", "experiment_srm_check", "fk_integrity_audit",
         "forecast_revenue_change", "funnel_conversion", "fuzzy_name_matches",
         "grouping_sets_revenue", "inactive_rich_customers",
         "join_cardinality_estimate", "join_key_skew", "join_strategy_advisor",
-        "json_encode", "k_anonymity_audit", 
+        "json_encode", "k_anonymity_audit", "kmeans_clusters",
         "l_diversity_audit", "lake_column_stats", "latest_event_per_user",
         "layout_zorder_stats", "lineitem_measures_unpivot",
         "linkage_fs_weights", "local_supplier_volume", "market_share_by_year",
-        "mixture_reweight_plan", "multimodal_decode",
-        "multimodal_frame_sample", "multimodal_type_stats",
-        "nation_pair_volume", "nation_supplier_hhi",
-        "order_priority_semijoin", "order_status_upsert",
+        "mixture_reweight_plan", "multimodal_audio_frame_plan",
+        "multimodal_decode", "multimodal_exact_dedup",
+        "multimodal_frame_neardup", "multimodal_frame_sample",
+        "multimodal_resize_plan", "multimodal_type_stats",
+        "mv_incremental_refresh", "nation_pair_volume", "nation_supplier_hhi",
+        "order_fulfillment_latency", "order_priority_semijoin",
+        "order_status_upsert", "orders_aging_buckets",
         "orders_monthly_growth", "part_profit_by_nation_year",
         "parts_never_in_bulk_orders", "peak_concurrent_sessions",
         "pivot_user_event_values", "pricing_summary", "promo_revenue_ratio",
         "props_map_stats", "q1_filter", "q2_join_enrich",
         "q3_window_collect_set", "range_join_click_purchase",
         "recent_orders_lateral", "regional_min_cost_supplier",
+        "retrieval_mrr_eval", "retrieval_ndcg_eval", "retrieval_rrf_fusion",
         "returned_item_report", "returnflag_priority_counts",
-        "revenue_by_nation", "rollup_order_status", "rsvp_decode_failures",
-        "rsvp_faithful_filter", "rsvp_q2_payload", "running_user_value",
-        "salted_type_totals", "session_window_stats",
+        "revenue_autocorr", "revenue_by_nation", "rollup_order_status",
+        "rsvp_decode_failures", "rsvp_faithful_filter", "rsvp_q2_payload",
+        "running_user_value", "salted_type_totals", "session_window_stats",
         "shipping_priority_topk", "similarity_ann_recall",
-        "similarity_ivf_occupancy", "similarity_ivf_pq_topk",
-        "similarity_ivf_topk", "similarity_lsh_signature",
+        "similarity_bq_topk", "similarity_ivf_occupancy",
+        "similarity_ivf_pq_topk", "similarity_ivf_topk",
+        "similarity_ivfpq_residual_topk", "similarity_lsh_signature",
         "similarity_lsh_topk", "similarity_pq_codes",
         "similarity_pq_reconstruction", "similarity_pq_topk",
-        "similarity_sq_quality", "similarity_sq_topk", "similarity_topk",
-        "sketch_bloom_reduction", "sketch_cms_heavy_hitters",
-        "sketch_event_stats", "sketch_histogram_quantiles",
-        "sketch_hll_intersection", "sketch_hll_merge", "sketch_hll_users",
-        "sliding_window_stats", "small_qty_part_revenue",
-        "sole_late_supplier", "source_cap_report", "split_leakage_report",
-        "supplier_balance_by_nation", "t_closeness_audit",
-        "text_bigram_lm_score", "text_bpe_pair_stats", "text_fingerprint",
-        "text_lang_confusion", "text_lang_id", "text_length_histogram",
-        "text_ngram_novelty", "text_pii_redact", "text_pii_scan",
-        "text_prefix_clusters", "text_quality_score",
-        "text_repetition_signals", "text_tfidf_topterms", "text_token_rarity",
-        "text_token_stats", "text_winnow_fingerprints", "top3_per_segment",
-        "top_customers", "top_supplier_by_revenue", "train_split_assign",
-        "user_dau_wau_stickiness", "user_erasure_audit", "user_event_gaps",
-        "user_hazard_curve", "user_retention_cohorts",
+        "similarity_recall_sweep", "similarity_sq_quality",
+        "similarity_sq_topk", "similarity_topk", "sketch_bloom_reduction",
+        "sketch_cms_heavy_hitters", "sketch_event_stats",
+        "sketch_histogram_quantiles", "sketch_hll_intersection",
+        "sketch_hll_merge", "sketch_hll_users", "sliding_window_stats",
+        "small_qty_part_revenue", "snapshot_asof_diff", "sole_late_supplier",
+        "source_cap_report", "split_leakage_report",
+        "supplier_balance_by_nation", "supplier_return_rates",
+        "t_closeness_audit", "text_bigram_lm_score", "text_bm25_search",
+        "text_boilerplate_ngrams", "text_bpe_encode", "text_bpe_fertility",
+        "text_bpe_pair_stats", "text_bpe_train", "text_encoding_audit",
+        "text_feature_hashing", "text_fingerprint", "text_heaps_law",
+        "text_lang_confusion", "text_lang_id", "text_lang_kappa",
+        "text_length_histogram", "text_ngram_novelty", "text_pii_redact",
+        "text_pii_scan", "text_prefix_clusters", "text_quality_score",
+        "text_rake_keywords", "text_repetition_signals",
+        "text_source_chi2_drift", "text_substring_dedup",
+        "text_tfidf_topterms", "text_token_rarity", "text_token_stats",
+        "text_winnow_fingerprints", "top3_per_segment", "top_customers",
+        "top_supplier_by_revenue", "train_split_assign",
+        "user_bot_periodicity", "user_dau_wau_stickiness",
+        "user_erasure_audit", "user_event_gaps", "user_hazard_curve",
+        "user_retention_cohorts", "user_simpson_diversity",
         "user_trailing_hour_stats", "user_type_scd2",
-        "user_value_concentration", "valuable_part_stock", "value_drift_tvd",
-        "value_equidepth_deciles", "value_percentiles",
-        "value_zscore_anomalies",
+        "user_value_concentration", "user_value_gini", "valuable_part_stock",
+        "value_drift_tvd", "value_equidepth_deciles", "value_mad_anomalies",
+        "value_percentiles", "value_winsorize", "value_zscore_anomalies",
     }
 )
