@@ -1217,8 +1217,246 @@ def _data_quality_sql() -> str:
 ORACLES["data_quality_report"] = _data_quality_sql()
 
 
+VACUUM_BATCH = 50  # docs per simulated micro-batch write (one file each)
+VACUUM_TARGET = 8192  # compaction output target (chars stand in for bytes)
+VACUUM_SMALL = 1500  # files below this are compaction-eligible
+
+
+def vacuum_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction (OPTIMIZE/VACUUM) planner — the sibling of
+    ``layout_zorder_stats`` on the write side: the documents corpus was
+    landed as one file per (source, micro-batch) ingest write (the
+    classic streaming-sink pathology), and the planner emits, per
+    source partition, the bin-packed rewrite: which files are small
+    enough to compact (< VACUUM_SMALL), how many target-sized outputs
+    the running-byte-sum packing produces, and the share of partition
+    bytes the rewrite touches. This is the job a lakehouse table
+    service runs nightly; the touched-bytes share is its I/O budget.
+
+    Scale: the manifest frame (one row per file) is |corpus|/batch-size
+    — always orders of magnitude smaller than the data, so the
+    per-source packing window runs over manifest rows, never documents;
+    the only corpus-sized operation is the one groupBy building the
+    manifest (map-side combinable). All shares are exact half-up
+    micro-unit integers."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source",
+        F.expr(f"doc_id div {VACUUM_BATCH}").alias("batch_id"),
+        F.col("n_chars").cast("bigint").alias("nb"),
+    )
+    manifest = docs.groupBy("source", "batch_id").agg(
+        F.sum("nb").alias("bytes")
+    )
+    # bin-pack ONLY the small files, per source, in write (batch) order:
+    # output file id = prior small-bytes div TARGET — pure arithmetic,
+    # no per-bin state
+    w = (
+        Window.partitionBy("source")
+        .orderBy("batch_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    packed = (
+        manifest.filter(F.col("bytes") < VACUUM_SMALL)
+        .withColumn(
+            "prior", F.coalesce(F.sum("bytes").over(w), F.lit(0))
+        )
+        .withColumn("out_file", F.expr(f"prior div {VACUUM_TARGET}"))
+    )
+    small = packed.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("small_files"),
+        F.sum("bytes").cast("bigint").alias("small_bytes"),
+        F.countDistinct("out_file").cast("bigint").alias("out_files"),
+    )
+    totals = manifest.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_files"),
+        F.sum("bytes").cast("bigint").alias("total_bytes"),
+    )
+    return (
+        totals.join(small, "source", "left")
+        .select(
+            "source",
+            "n_files",
+            "total_bytes",
+            F.coalesce("small_files", F.lit(0)).alias("small_files"),
+            F.coalesce("small_bytes", F.lit(0)).alias("small_bytes"),
+            F.coalesce("out_files", F.lit(0)).alias("out_files"),
+            (
+                F.coalesce("small_files", F.lit(0))
+                - F.coalesce("out_files", F.lit(0))
+            ).alias("files_saved"),
+            F.expr(
+                "(2 * coalesce(small_bytes, 0) * 1000000 + total_bytes)"
+                " div (2 * total_bytes)"
+            ).alias("rewrite_share_micro"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLES["vacuum_compaction_plan"] = f"""
+    WITH manifest AS (
+        SELECT source, doc_id // {VACUUM_BATCH} AS batch_id,
+               CAST(SUM(n_chars) AS BIGINT) AS bytes
+        FROM documents
+        GROUP BY source, doc_id // {VACUUM_BATCH}
+    ),
+    packed AS (
+        SELECT source, bytes,
+               CAST(COALESCE(SUM(bytes) OVER (
+                   PARTITION BY source ORDER BY batch_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS BIGINT) // {VACUUM_TARGET} AS out_file
+        FROM manifest WHERE bytes < {VACUUM_SMALL}
+    ),
+    small AS (
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS small_files,
+               CAST(SUM(bytes) AS BIGINT) AS small_bytes,
+               CAST(COUNT(DISTINCT out_file) AS BIGINT) AS out_files
+        FROM packed GROUP BY source
+    ),
+    totals AS (
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_files,
+               CAST(SUM(bytes) AS BIGINT) AS total_bytes
+        FROM manifest GROUP BY source
+    )
+    SELECT t.source, t.n_files, t.total_bytes,
+           CAST(COALESCE(s.small_files, 0) AS BIGINT) AS small_files,
+           CAST(COALESCE(s.small_bytes, 0) AS BIGINT) AS small_bytes,
+           CAST(COALESCE(s.out_files, 0) AS BIGINT) AS out_files,
+           CAST(COALESCE(s.small_files, 0) - COALESCE(s.out_files, 0)
+                AS BIGINT) AS files_saved,
+           CAST((2 * COALESCE(s.small_bytes, 0) * 1000000 + t.total_bytes)
+                // (2 * t.total_bytes) AS BIGINT) AS rewrite_share_micro
+    FROM totals t LEFT JOIN small s ON t.source = s.source
+    ORDER BY t.source
+"""
+
+
+def partition_pruning_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-key selection audit: for each candidate partition
+    layout of ``orders`` (by order month, by priority, by customer
+    hash-bucket) and each point-probe dimension, the exact expected
+    fraction of table bytes scanned after partition pruning, assuming
+    the probed value is uniform over the dimension's distinct values.
+    A layout prunes perfectly on its own key and degrades to the share
+    of partitions that *contain* the probed value elsewhere — the
+    number that decides which column earns the partition key on a
+    100 TB table (``layout_zorder_stats`` answers the same question
+    one level down, for file zone maps inside a partition).
+
+    E[scan] = Σ_v bytes(partitions containing v) / (V · total_bytes),
+    and Σ_v collapses to a sum over DISTINCT (partition, value) pairs —
+    so the whole audit is one scan, two map-side-combinable groupBys
+    per layout×dimension pair, and exact integer micro-unit division.
+    """
+    dims = {
+        "month": "CAST(year(o_orderdate) * 100 + month(o_orderdate)"
+        " AS BIGINT)",
+        "priority": "o_orderpriority",
+        "cust_bucket": "CAST(o_custkey % 32 AS BIGINT)",
+    }
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.expr(dims["month"]).alias("month"),
+        F.expr(dims["cust_bucket"]).alias("cust_bucket"),
+        F.expr(dims["priority"]).alias("priority"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("nb"),
+    )
+    frames = []
+    for layout in dims:
+        part_bytes = orders.groupBy(F.col(layout).alias("part")).agg(
+            F.sum("nb").alias("part_bytes"),
+            F.count(F.lit(1)).alias("part_rows"),
+        )
+        for probe in dims:
+            pairs = (
+                orders.select(F.col(layout).alias("part"), F.col(probe))
+                .distinct()
+                .groupBy("part")
+                .agg(F.count(F.lit(1)).alias("n_vals"))
+            )
+            hit = part_bytes.join(pairs, "part").agg(
+                F.sum(
+                    F.col("part_bytes").cast("decimal(38,0)")
+                    * F.col("n_vals")
+                ).alias("hit_bytes"),
+                F.sum("part_bytes").alias("total_bytes"),
+                F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+            )
+            vals = orders.agg(
+                F.countDistinct(probe).cast("bigint").alias("n_vals_total")
+            )
+            frames.append(
+                hit.crossJoin(F.broadcast(vals)).select(
+                    F.lit(layout).alias("layout"),
+                    F.lit(probe).alias("probe_dim"),
+                    "n_parts",
+                    "n_vals_total",
+                    # hit_bytes×1e6 exceeds int64 (cents × thousands of
+                    # values × 1e6) → DECIMAL(38,0), ≡ DuckDB HUGEINT
+                    F.expr(
+                        "cast((2 * cast(hit_bytes as decimal(38,0))"
+                        " * 1000000 + cast(n_vals_total as decimal(38,0))"
+                        " * total_bytes)"
+                        " div (2 * cast(n_vals_total as decimal(38,0))"
+                        " * total_bytes) as bigint)"
+                    ).alias("scan_frac_micro"),
+                )
+            )
+    return reduce(DataFrame.unionByName, frames).orderBy(
+        "layout", "probe_dim"
+    )
+
+
+def _pruning_sql() -> str:
+    dims = {
+        "month": "CAST(year(o_orderdate) * 100 + month(o_orderdate)"
+        " AS BIGINT)",
+        "priority": "o_orderpriority",
+        "cust_bucket": "CAST(o_custkey % 32 AS BIGINT)",
+    }
+    selects = []
+    for layout in dims:
+        for probe in dims:
+            selects.append(f"""
+    SELECT '{layout}' AS layout, '{probe}' AS probe_dim,
+           n_parts, n_vals_total,
+           CAST((2 * CAST(hit_bytes AS HUGEINT) * 1000000
+                 + CAST(n_vals_total AS HUGEINT) * total_bytes)
+                // (2 * CAST(n_vals_total AS HUGEINT) * total_bytes)
+                AS BIGINT) AS scan_frac_micro
+    FROM (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_parts,
+               CAST(SUM(part_bytes * n_vals) AS HUGEINT) AS hit_bytes,
+               CAST(SUM(part_bytes) AS BIGINT) AS total_bytes
+        FROM (
+            SELECT part, SUM(nb) AS part_bytes FROM (
+                SELECT {dims[layout]} AS part,
+                       CAST(round(o_totalprice * 100) AS BIGINT) AS nb
+                FROM orders) GROUP BY part
+        ) b JOIN (
+            SELECT part, CAST(COUNT(*) AS BIGINT) AS n_vals FROM (
+                SELECT DISTINCT {dims[layout]} AS part,
+                       {dims[probe]} AS v
+                FROM orders) GROUP BY part
+        ) p USING (part)
+    ), (
+        SELECT CAST(COUNT(DISTINCT {dims[probe]}) AS BIGINT)
+               AS n_vals_total
+        FROM orders
+    )""")
+    return "\nUNION ALL\n".join(selects) + "\n    ORDER BY layout, probe_dim"
+
+
+ORACLES["partition_pruning_audit"] = _pruning_sql()
+
+
 QUERIES = {
-    # new-in-round-4h entry first: registry order = driver grading order
+    # round-7 entries first: registry order = driver grading order
+    "vacuum_compaction_plan": vacuum_compaction_plan,
+    "partition_pruning_audit": partition_pruning_audit,
+    # round-4h entry
     "data_quality_report": data_quality_report,
     # new-in-round-4f entries next
     "join_strategy_advisor": join_strategy_advisor,

@@ -20,7 +20,15 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..sources.batch import load_table
 from ..operators.text import quality_lineage
-from ..operators import dedup as _dedup
+from ..operators import dedup as _dedup  # oracle-SQL fragments only
+from ..operators.dedup import (
+    NUM_PERM as DEDUP_NUM_PERM,
+    _candidate_docs,
+    _minhash_signatures,
+    _token_sets,
+    minhash_lsh_pairs,
+    near_dup_clusters,
+)
 
 QUALITY_MIN = 0.5
 KEEP_LANGS = ("en", "es", "fr", "de")
@@ -41,7 +49,7 @@ def curation_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
     quality = quality_lineage(docs).select("doc_id", "quality")
-    clusters = _dedup.near_dup_clusters(spark, sf_dir).select(
+    clusters = near_dup_clusters(spark, sf_dir).select(
         "doc_id", "cluster_id", "is_canonical"
     )
     lang_ok = F.col("lang").isin(*KEEP_LANGS)
@@ -280,8 +288,8 @@ def source_minhash_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     the signatures hash — the acceptance metric), all exact micro-unit
     integers. |sources|² pair grid is a handful of rows (intended
     BNLJ)."""
-    mh = _dedup._minhash_signatures(spark, sf_dir)
-    n_perm = _dedup.NUM_PERM
+    mh = _minhash_signatures(spark, sf_dir)
+    n_perm = DEDUP_NUM_PERM
     per_source = mh.groupBy("source").agg(
         *[F.min(f"mh{j}").alias(f"mh{j}") for j in range(n_perm)]
     )
@@ -300,7 +308,7 @@ def source_minhash_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     toks = (
-        _dedup._token_sets(spark, sf_dir)
+        _token_sets(spark, sf_dir)
         .select("source", F.explode("tok").alias("t"))
         .distinct()
     )
@@ -1006,7 +1014,7 @@ def train_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ..functions.hashing import h60
 
-    clusters = _dedup.near_dup_clusters(spark, sf_dir)
+    clusters = near_dup_clusters(spark, sf_dir)
     bucket = h60(
         F.concat(F.lit("split:"), F.col("cluster_id").cast("string"))
     ) % 100
@@ -1138,7 +1146,7 @@ def contrastive_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = anchors.select("anchor_id", "k", neg_id.alias("neg_id")).where(
         F.col("neg_id") != F.col("anchor_id")
     )
-    labels = _dedup.near_dup_clusters(spark, sf_dir).select(
+    labels = near_dup_clusters(spark, sf_dir).select(
         "doc_id", "cluster_id"
     )
     a_lab = labels.select(
@@ -1453,7 +1461,7 @@ def quality_dup_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "decile"
         ),
     )
-    clusters = _dedup.near_dup_clusters(spark, sf_dir).select(
+    clusters = near_dup_clusters(spark, sf_dir).select(
         "doc_id", "is_canonical"
     )
     return (
@@ -1534,10 +1542,10 @@ def quality_auc_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.expr("cast(round(quality * 1000000) as bigint)").alias("qm"),
     )
-    pairs = _dedup.minhash_lsh_pairs(spark, sf_dir).select(
+    pairs = minhash_lsh_pairs(spark, sf_dir).select(
         "doc_id_a", "doc_id_b"
     )
-    paired = _dedup._candidate_docs(pairs).withColumn("is_dup", F.lit(True))
+    paired = _candidate_docs(pairs).withColumn("is_dup", F.lit(True))
     # candidate-doc frame grows with dup density — strategy is AQE's
     labeled = qm.join(paired, "doc_id", "left").select(
         "qm", F.coalesce("is_dup", F.lit(False)).alias("is_dup")

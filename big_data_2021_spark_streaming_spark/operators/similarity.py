@@ -750,8 +750,21 @@ def _corpus_rows(sf_dir: str) -> int | None:
         import pyarrow.parquet as pq
 
         path = pathlib.Path(sf_dir) / "embeddings.parquet"
+        # mirror Spark's data-file filter: skip any file under a path
+        # component starting with '_' or '.' (_temporary/ leftovers,
+        # hidden dirs) — counting those would silently inflate k vs the
+        # committed rows the oracle counts
         files = (
-            [path] if path.is_file() else sorted(path.glob("**/*.parquet"))
+            [path]
+            if path.is_file()
+            else sorted(
+                f
+                for f in path.glob("**/*.parquet")
+                if not any(
+                    part.startswith(("_", "."))
+                    for part in f.relative_to(path).parts
+                )
+            )
         )
         if not files:
             return None

@@ -2749,8 +2749,252 @@ _CHI2_SQL = f"""
 ORACLES["text_source_chi2_drift"] = _CHI2_SQL
 
 
+def hapax_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source hapax-legomena and type-token profile: vocabulary
+    size, number of terms seen exactly once (hapax), total tokens, and
+    the two ratios curation teams read them through — hapax share of
+    the vocabulary (high = open, natural text; low = template churn)
+    and type-token ratio. The per-source grain makes it a source-
+    quality screen: a crawler stuck in a calendar widget shows a
+    cratered hapax share long before eyeballing samples would.
+
+    Scale: explode → ONE (source, token) groupBy (map-side
+    combinable) → per-source aggregation of the term-frequency frame
+    (|vocab| rows, not |tokens|). Ratios are exact half-up micro."""
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select(
+            "source", F.explode(tokens_col(F.col("text"))).alias("tok")
+        )
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+    )
+    return (
+        tf.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("vocab"),
+            F.sum((F.col("freq") == 1).cast("bigint"))
+            .cast("bigint")
+            .alias("hapax"),
+            F.sum("freq").cast("bigint").alias("n_tokens"),
+        )
+        .select(
+            "source",
+            "vocab",
+            "hapax",
+            "n_tokens",
+            F.expr(
+                "(2 * hapax * 1000000 + vocab) div (2 * vocab)"
+            ).alias("hapax_share_micro"),
+            F.expr(
+                "(2 * vocab * 1000000 + n_tokens) div (2 * n_tokens)"
+            ).alias("ttr_micro"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLES["text_hapax_stats"] = f"""
+    WITH tf AS (
+        SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS freq
+        FROM (
+            SELECT source, unnest({_oracle_tokens()}) AS tok
+            FROM documents
+        ) GROUP BY source, tok
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS vocab,
+           CAST(SUM(CASE WHEN freq = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS hapax,
+           CAST(SUM(freq) AS BIGINT) AS n_tokens,
+           CAST((2 * SUM(CASE WHEN freq = 1 THEN 1 ELSE 0 END) * 1000000
+                 + COUNT(*)) // (2 * COUNT(*)) AS BIGINT)
+               AS hapax_share_micro,
+           CAST((2 * COUNT(*) * 1000000 + SUM(freq)) // (2 * SUM(freq))
+                AS BIGINT) AS ttr_micro
+    FROM tf GROUP BY source
+    ORDER BY source
+"""
+
+
+ZIPF_KS = (1, 5, 10, 25, 100)
+
+
+def zipf_topshare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf coverage curve: the share of ALL corpus tokens covered by
+    the top-k vocabulary terms, for k in ZIPF_KS — the exact numbers
+    behind 'the top 100 words are a third of the corpus'. Tokenizer
+    teams read this to size merge budgets; curation reads a too-flat
+    curve as template spam (one page repeated) and a too-steep one as
+    vocabulary collapse.
+
+    Ranks come from ``_exact_global_rank`` on the term-frequency frame
+    (|vocab| rows) with metric -freq — the banded two-phase rank, no
+    single-partition sort. The coverage sums collapse to ONE
+    conditional aggregation over the ranked vocabulary, stacked to a
+    row per k. Shares are exact half-up micro."""
+    from ..plans.analytics import _exact_global_rank
+
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select(F.explode(tokens_col(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+        .withColumn("neg_freq", -F.col("freq"))
+    )
+    ranked = _exact_global_rank(tf, "neg_freq", "tok", "rnk")
+    aggs = [F.sum("freq").alias("total")]
+    for k in ZIPF_KS:
+        aggs.append(
+            F.sum(F.when(F.col("rnk") <= k, F.col("freq")).otherwise(0))
+            .cast("bigint")
+            .alias(f"top_{k}")
+        )
+    one = ranked.agg(*aggs)
+    stack = ", ".join(f"{k}, top_{k}" for k in ZIPF_KS)
+    return one.select(
+        F.expr(
+            f"stack({len(ZIPF_KS)}, {stack}) AS (k, top_tokens)"
+        ),
+        "total",
+    ).select(
+        F.col("k").cast("bigint").alias("k"),
+        F.col("top_tokens").cast("bigint").alias("top_tokens"),
+        F.col("total").cast("bigint").alias("total_tokens"),
+        F.expr(
+            "(2 * top_tokens * 1000000 + total) div (2 * total)"
+        ).alias("coverage_micro"),
+    )
+
+
+def _zipf_sql() -> str:
+    cases = ", ".join(
+        f"CAST(SUM(CASE WHEN rnk <= {k} THEN freq ELSE 0 END) AS BIGINT)"
+        f" AS top_{k}"
+        for k in ZIPF_KS
+    )
+    rows = "\nUNION ALL\n".join(
+        f"""
+    SELECT CAST({k} AS BIGINT) AS k, top_{k} AS top_tokens,
+           total AS total_tokens,
+           CAST((2 * top_{k} * 1000000 + total) // (2 * total) AS BIGINT)
+               AS coverage_micro
+    FROM agg"""
+        for k in ZIPF_KS
+    )
+    return f"""
+    WITH tf AS (
+        SELECT tok, CAST(COUNT(*) AS BIGINT) AS freq
+        FROM (
+            SELECT unnest({_oracle_tokens()}) AS tok FROM documents
+        ) GROUP BY tok
+    ),
+    ranked AS (
+        SELECT freq,
+               ROW_NUMBER() OVER (ORDER BY freq DESC, tok) AS rnk
+        FROM tf
+    ),
+    agg AS (
+        SELECT CAST(SUM(freq) AS BIGINT) AS total, {cases} FROM ranked
+    )
+    {rows}"""
+
+
+ORACLES["text_zipf_topshare"] = _zipf_sql()
+
+
+def char_class_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source character-class composition — letters, digits,
+    whitespace, and everything else, as exact micro shares of the
+    partition's characters. The cheapest corpus-health screen there
+    is: OCR dumps skew 'other', log spam skews digits, and a healthy
+    prose source is letter-dominated. One scan, regexp_replace
+    length-difference counting (JVM-side, no UDF), map-side
+    combinable sums."""
+    docs = load_table(spark, sf_dir, "documents")
+
+    def n_cls(pat: str) -> F.Column:
+        # count of chars matching the class = length minus length with
+        # the class deleted (regexp_count would count matches, not chars)
+        return (
+            F.length("text")
+            - F.length(F.regexp_replace("text", pat, ""))
+        ).cast("bigint")
+
+    per_doc = docs.select(
+        "source",
+        F.length("text").cast("bigint").alias("n_chars"),
+        n_cls("[A-Za-z]").alias("n_letters"),
+        n_cls("[0-9]").alias("n_digits"),
+        n_cls(r"\s").alias("n_spaces"),
+    )
+    agg = per_doc.groupBy("source").agg(
+        F.sum("n_chars").alias("n_chars"),
+        F.sum("n_letters").alias("n_letters"),
+        F.sum("n_digits").alias("n_digits"),
+        F.sum("n_spaces").alias("n_spaces"),
+    )
+    share = (
+        lambda c: F.expr(
+            f"(2 * {c} * 1000000 + n_chars) div (2 * n_chars)"
+        ).alias(f"{c.removeprefix('n_')}_share_micro")
+    )
+    return agg.select(
+        "source",
+        "n_chars",
+        share("n_letters"),
+        share("n_digits"),
+        share("n_spaces"),
+        F.expr(
+            "(2 * (n_chars - n_letters - n_digits - n_spaces) * 1000000"
+            " + n_chars) div (2 * n_chars)"
+        ).alias("other_share_micro"),
+    ).orderBy("source")
+
+
+ORACLES["text_char_class_profile"] = """
+    WITH per_doc AS (
+        SELECT source,
+               CAST(length(text) AS BIGINT) AS n_chars,
+               CAST(length(text)
+                    - length(regexp_replace(text, '[A-Za-z]', '', 'g'))
+                    AS BIGINT) AS n_letters,
+               CAST(length(text)
+                    - length(regexp_replace(text, '[0-9]', '', 'g'))
+                    AS BIGINT) AS n_digits,
+               CAST(length(text)
+                    - length(regexp_replace(text, '\\s', '', 'g'))
+                    AS BIGINT) AS n_spaces
+        FROM documents
+    ),
+    agg AS (
+        SELECT source,
+               CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+               CAST(SUM(n_letters) AS BIGINT) AS n_letters,
+               CAST(SUM(n_digits) AS BIGINT) AS n_digits,
+               CAST(SUM(n_spaces) AS BIGINT) AS n_spaces
+        FROM per_doc GROUP BY source
+    )
+    SELECT source, n_chars,
+           CAST((2 * n_letters * 1000000 + n_chars) // (2 * n_chars)
+                AS BIGINT) AS letters_share_micro,
+           CAST((2 * n_digits * 1000000 + n_chars) // (2 * n_chars)
+                AS BIGINT) AS digits_share_micro,
+           CAST((2 * n_spaces * 1000000 + n_chars) // (2 * n_chars)
+                AS BIGINT) AS spaces_share_micro,
+           CAST((2 * (n_chars - n_letters - n_digits - n_spaces)
+                 * 1000000 + n_chars) // (2 * n_chars) AS BIGINT)
+               AS other_share_micro
+    FROM agg ORDER BY source
+"""
+
+
 QUERIES = {
-    # round-4i additions first: registry order = driver grading order
+    # round-7 additions first: registry order = driver grading order
+    "text_hapax_stats": hapax_stats,
+    "text_zipf_topshare": zipf_topshare,
+    "text_char_class_profile": char_class_profile,
+    # round-4i additions
     "text_source_chi2_drift": source_chi2_drift,
     "text_lang_kappa": lang_id_kappa,
     "text_bpe_fertility": bpe_fertility,

@@ -20,6 +20,44 @@ discovered empirically and relied on throughout:
 from __future__ import annotations
 
 ORACLES: dict[str, str] = {
+    "merge_touched_partitions": """
+        WITH matched AS (
+            SELECT o_orderkey FROM orders WHERE o_orderkey % 101 = 5
+        ),
+        batch AS (
+            SELECT o_orderkey, 'update' AS op FROM matched
+            UNION ALL
+            SELECT o_orderkey + 20000000, 'insert' FROM matched
+        ),
+        bp AS (
+            SELECT o_orderkey % 101 AS part_id,
+                   CAST(COUNT(*) AS BIGINT) AS batch_rows,
+                   CAST(SUM(CASE WHEN op = 'update' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_updates,
+                   CAST(SUM(CASE WHEN op = 'insert' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_inserts
+            FROM batch GROUP BY o_orderkey % 101
+        ),
+        sp AS (
+            SELECT o_orderkey % 101 AS part_id,
+                   CAST(COUNT(*) AS BIGINT) AS state_rows_read
+            FROM orders GROUP BY o_orderkey % 101
+        ),
+        t AS (
+            SELECT bp.part_id, bp.batch_rows, bp.n_updates, bp.n_inserts,
+                   CAST(COALESCE(sp.state_rows_read, 0) AS BIGINT)
+                       AS state_rows_read,
+                   CAST(COALESCE(sp.state_rows_read, 0) + bp.n_inserts
+                        AS BIGINT) AS rows_after_merge,
+                   CAST((2 * COALESCE(sp.state_rows_read, 0) * 1000000
+                         + bp.batch_rows) // (2 * bp.batch_rows)
+                        AS BIGINT) AS readback_amp_micro
+            FROM bp LEFT JOIN sp ON bp.part_id = sp.part_id
+        )
+        SELECT t.*, CAST(101 - (SELECT COUNT(*) FROM t) AS BIGINT)
+                   AS untouched_parts
+        FROM t ORDER BY part_id
+    """,
     "snapshot_asof_diff": """
         WITH bounded AS (
             SELECT * FROM events

@@ -121,10 +121,19 @@ _FAMILY_COST = {
 # last driver green. Names move OUT of this set (into _DRIVER_VERIFIED)
 # when a CORRECTNESS_r{N}.json green lands on the current plan; names
 # move IN whenever a verified query's plan or oracle changes. Round-7
-# start state is EMPTY: the round-6 tiered-Lloyd pair
-# (kmeans_clusters, dedup_semantic) regraded hash-green in
-# CORRECTNESS_r06 on the tiered plan.
-_REPLANNED_AFTER_GREEN: frozenset[str] = frozenset()
+# re-plans: the ADVICE r06 closures touched two shared lineages —
+# _corpus_rows gained Spark's _/.-prefixed data-file filter (re-plans
+# the Lloyd pair kmeans_clusters + dedup_semantic), and curation's
+# builders switched from fingerprint-invisible `_dedup.x` attribute
+# references to traversable bare-name imports (re-plans the four
+# verified consumers). Values are expected unchanged; the standing
+# rule is plan change => regrade.
+_REPLANNED_AFTER_GREEN: frozenset[str] = frozenset(
+    {
+        "contrastive_negatives", "curation_keep_list", "dedup_semantic",
+        "kmeans_clusters", "split_leakage_report", "train_split_assign",
+    }
+)
 
 
 # Names hash-verified green by the driver on their CURRENT plan:
@@ -144,8 +153,8 @@ _DRIVER_VERIFIED = frozenset(
         "anomaly_detector_overlap", "asof_attribution", "asof_last_signup",
         "basket_lift_pairs", "big_order_customers", "brand_supplier_variety",
         "click_and_error_users", "clickers_not_purchasers",
-        "cohort_ltv_curve", "contrastive_negatives", "corpus_mixture_report",
-        "corpus_stratified_sample", "cube_event_stats", "curation_keep_list",
+        "cohort_ltv_curve", "corpus_mixture_report",
+        "corpus_stratified_sample", "cube_event_stats",
         "curation_multisignal_gate", "customer_order_distribution",
         "customer_order_streaks", "customer_rfm_scores",
         "customer_value_frontier", "daily_click_purchase_recon",
@@ -153,26 +162,26 @@ _DRIVER_VERIFIED = frozenset(
         "dedup_clusters", "dedup_containment", "dedup_embedding_nn",
         "dedup_exact", "dedup_incremental", "dedup_jaccard_verify",
         "dedup_lsh_calibration", "dedup_minhash_lsh", "dedup_ngram_jaccard",
-        "dedup_rate_report", "dedup_semantic", "dedup_simhash",
-        "discount_quantity_ols", "discount_tax_independence",
-        "disjunctive_part_revenue", "distinct_users_per_type", "doc_chunking",
-        "doc_length_bucketing", "doc_packing", "embedding_covariance_pairs",
-        "embedding_dim_variance", "embedding_jl_distortion",
-        "embedding_label_consensus", "embedding_outliers",
-        "embedding_power_iteration", "event_cooccurrence_lift",
-        "event_cusum_changepoint", "event_dispersion_index",
-        "event_dow_profile", "event_ewma_spikes", "event_hourly_resample",
-        "event_markov_accuracy", "event_path_topk", "event_rank_stats",
-        "event_seasonal_naive_mape", "event_transition_matrix",
-        "event_type_union", "event_user_bitmap", "excess_quantity_suppliers",
-        "experiment_cuped_lift", "experiment_srm_check", "fk_integrity_audit",
+        "dedup_rate_report", "dedup_simhash", "discount_quantity_ols",
+        "discount_tax_independence", "disjunctive_part_revenue",
+        "distinct_users_per_type", "doc_chunking", "doc_length_bucketing",
+        "doc_packing", "embedding_covariance_pairs", "embedding_dim_variance",
+        "embedding_jl_distortion", "embedding_label_consensus",
+        "embedding_outliers", "embedding_power_iteration",
+        "event_cooccurrence_lift", "event_cusum_changepoint",
+        "event_dispersion_index", "event_dow_profile", "event_ewma_spikes",
+        "event_hourly_resample", "event_markov_accuracy", "event_path_topk",
+        "event_rank_stats", "event_seasonal_naive_mape",
+        "event_transition_matrix", "event_type_union", "event_user_bitmap",
+        "excess_quantity_suppliers", "experiment_cuped_lift",
+        "experiment_srm_check", "fk_integrity_audit",
         "forecast_revenue_change", "funnel_conversion", "fuzzy_name_matches",
         "grouping_sets_revenue", "inactive_rich_customers",
         "join_cardinality_estimate", "join_key_skew", "join_strategy_advisor",
-        "json_encode", "k_anonymity_audit", "kmeans_clusters",
-        "l_diversity_audit", "lake_column_stats", "latest_event_per_user",
-        "layout_zorder_stats", "lineitem_measures_unpivot",
-        "linkage_fs_weights", "local_supplier_volume", "market_share_by_year",
+        "json_encode", "k_anonymity_audit", "l_diversity_audit",
+        "lake_column_stats", "latest_event_per_user", "layout_zorder_stats",
+        "lineitem_measures_unpivot", "linkage_fs_weights",
+        "local_supplier_volume", "market_share_by_year",
         "mixture_reweight_plan", "multimodal_audio_frame_plan",
         "multimodal_decode", "multimodal_exact_dedup",
         "multimodal_frame_neardup", "multimodal_frame_sample",
@@ -203,26 +212,25 @@ _DRIVER_VERIFIED = frozenset(
         "sketch_histogram_quantiles", "sketch_hll_intersection",
         "sketch_hll_merge", "sketch_hll_users", "sliding_window_stats",
         "small_qty_part_revenue", "snapshot_asof_diff", "sole_late_supplier",
-        "source_cap_report", "split_leakage_report",
-        "supplier_balance_by_nation", "supplier_return_rates",
-        "t_closeness_audit", "text_bigram_lm_score", "text_bm25_search",
-        "text_boilerplate_ngrams", "text_bpe_encode", "text_bpe_fertility",
-        "text_bpe_pair_stats", "text_bpe_train", "text_encoding_audit",
-        "text_feature_hashing", "text_fingerprint", "text_heaps_law",
-        "text_lang_confusion", "text_lang_id", "text_lang_kappa",
-        "text_length_histogram", "text_ngram_novelty", "text_pii_redact",
-        "text_pii_scan", "text_prefix_clusters", "text_quality_score",
-        "text_rake_keywords", "text_repetition_signals",
+        "source_cap_report", "supplier_balance_by_nation",
+        "supplier_return_rates", "t_closeness_audit", "text_bigram_lm_score",
+        "text_bm25_search", "text_boilerplate_ngrams", "text_bpe_encode",
+        "text_bpe_fertility", "text_bpe_pair_stats", "text_bpe_train",
+        "text_encoding_audit", "text_feature_hashing", "text_fingerprint",
+        "text_heaps_law", "text_lang_confusion", "text_lang_id",
+        "text_lang_kappa", "text_length_histogram", "text_ngram_novelty",
+        "text_pii_redact", "text_pii_scan", "text_prefix_clusters",
+        "text_quality_score", "text_rake_keywords", "text_repetition_signals",
         "text_source_chi2_drift", "text_substring_dedup",
         "text_tfidf_topterms", "text_token_rarity", "text_token_stats",
         "text_winnow_fingerprints", "top3_per_segment", "top_customers",
-        "top_supplier_by_revenue", "train_split_assign",
-        "user_bot_periodicity", "user_dau_wau_stickiness",
-        "user_erasure_audit", "user_event_gaps", "user_hazard_curve",
-        "user_retention_cohorts", "user_simpson_diversity",
-        "user_trailing_hour_stats", "user_type_scd2",
-        "user_value_concentration", "user_value_gini", "valuable_part_stock",
-        "value_drift_tvd", "value_equidepth_deciles", "value_mad_anomalies",
-        "value_percentiles", "value_winsorize", "value_zscore_anomalies",
+        "top_supplier_by_revenue", "user_bot_periodicity",
+        "user_dau_wau_stickiness", "user_erasure_audit", "user_event_gaps",
+        "user_hazard_curve", "user_retention_cohorts",
+        "user_simpson_diversity", "user_trailing_hour_stats",
+        "user_type_scd2", "user_value_concentration", "user_value_gini",
+        "valuable_part_stock", "value_drift_tvd", "value_equidepth_deciles",
+        "value_mad_anomalies", "value_percentiles", "value_winsorize",
+        "value_zscore_anomalies",
     }
 )

@@ -20,6 +20,7 @@ We instead pin the configs that matter at 100 TB:
 from __future__ import annotations
 
 import os
+import sys
 
 from pyspark.sql import SparkSession
 
@@ -70,8 +71,14 @@ def get_session(
     spark = builder.getOrCreate()
     try:
         _ship_package(spark)
-    except Exception:
-        pass  # best-effort: repo-root cwd still works without it
+    except Exception as e:
+        # best-effort: repo-root cwd still works without it — but say
+        # so, or a broken zip surfaces later as an opaque worker-side
+        # ModuleNotFoundError with no clue it was a shipping failure
+        print(
+            f"warning: could not ship package to workers: {e}",
+            file=sys.stderr,
+        )
     return spark
 
 
@@ -87,7 +94,12 @@ def _ship_package(spark: SparkSession) -> None:
     from the repo root masks this (worker cwd is on its path); any
     other cwd fails with ModuleNotFoundError inside the worker. Zip the
     package once per session and ``addPyFile`` it — the live-session
-    mechanism Spark provides for exactly this."""
+    mechanism Spark provides for exactly this.
+
+    Caveat: the zip is keyed by applicationId and shipped once per
+    session, so package code EDITED while a session is live keeps
+    running the stale zip on workers until the session restarts —
+    restart the session after editing operator code."""
     import pathlib
     import tempfile
     import zipfile
@@ -132,6 +144,9 @@ def configure_existing(spark: SparkSession) -> SparkSession:
             pass  # static conf on a live session — keep going
     try:
         _ship_package(spark)
-    except Exception:
-        pass  # best-effort: repo-root cwd still works without it
+    except Exception as e:
+        print(
+            f"warning: could not ship package to workers: {e}",
+            file=sys.stderr,
+        )
     return spark

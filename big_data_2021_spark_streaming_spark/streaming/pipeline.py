@@ -303,20 +303,45 @@ def merge_upsert_partitioned_writer(
     idempotent under re-merging the same rows — MERGE(S ∪ B ∪ B) ≡
     MERGE(S ∪ B) — provided ``order_cols`` end in a unique tiebreak.
     A lakehouse deployment swaps step 3 for a transactional commit;
-    steps 1–2 and the merge plan are identical."""
+    steps 1–2 and the merge plan are identical.
+
+    CONTRACT: ``part_expr`` must be a pure function of ``key_cols``
+    (e.g. ``"user_id % 8"``) — partition-pruned COW is only correct
+    when a key's partition value can never change between batches; a
+    value-derived partition (say, the update date) would strand the
+    key's stale row in a directory this batch never rewrites, and
+    reads would return two rows for the key. Enforced mechanically:
+    the expression must resolve against a keys-only projection, so a
+    writer configured with a non-key partition expression fails fast
+    on its first batch instead of silently corrupting state."""
     from pyspark.sql import Window
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         state_dir = f"{out_dir}/state"
+        try:
+            batch_df.select(*key_cols).select(F.expr(part_expr))
+        except Exception as e:
+            raise ValueError(
+                f"part_expr {part_expr!r} must be a pure function of the "
+                f"key columns {list(key_cols)}: partition-pruned COW "
+                "MERGE is only correct when a key's partition value "
+                "never changes between batches"
+            ) from e
         b = batch_df.withColumn(part_col, F.expr(part_expr))
         touched = [r[0] for r in b.select(part_col).distinct().collect()]
         cols = b.columns
         merged = b
+        # isin() never matches NULL — a null partition value (part_expr
+        # of a null key component) gets its own explicit predicate so
+        # its state rows are still read back and merged
+        pruned = F.col(part_col).isin(
+            [t for t in touched if t is not None]
+        )
+        if any(t is None for t in touched):
+            pruned = pruned | F.col(part_col).isNull()
         try:
-            state = spark.read.parquet(state_dir).where(
-                F.col(part_col).isin(touched)
-            )
+            state = spark.read.parquet(state_dir).where(pruned)
             merged = state.select(cols).unionByName(b)
         except Exception as e:  # first batch: no state yet
             if "PATH_NOT_FOUND" not in str(e) and "Path does not exist" not in str(e):

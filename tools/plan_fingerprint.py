@@ -240,6 +240,78 @@ def _closure_parts(fn, seen: set[str], parts: dict[str, str]) -> None:
             _closure_parts(val, seen, parts)
 
 
+def fingerprint_escapes(build) -> list[str]:
+    """Closure edges the fingerprint CANNOT see (ADVICE r06): an
+    in-package module referenced by attribute (``operators.foo(...)``)
+    or a referenced lowercase module-level data constant would let an
+    edit slip past the staleness lint — the fingerprint only folds in
+    bare-Name function references, closure cells, function-local
+    ``from X import Y`` edges, and UPPERCASE constants. Rather than
+    widening the traversal (attribute roots are unboundedly aliasable),
+    the repo bans the escaping patterns outright; this returns the
+    violations for the enforcing test."""
+    viol: list[str] = []
+
+    def walk(fn, seen: set[str]) -> None:
+        try:
+            fn = _unwrap(fn)
+        except TypeError:
+            return
+        key = f"{fn.__module__}.{fn.__qualname__}"
+        if key in seen:
+            return
+        seen.add(key)
+        module = sys.modules.get(fn.__module__)
+        if module is None or not fn.__module__.startswith(_PKG):
+            return
+        for name in _referenced_names(fn):
+            val = getattr(module, name, None)
+            if val is None:
+                continue
+            if isinstance(val, types.ModuleType) and getattr(
+                val, "__name__", ""
+            ).startswith(_PKG):
+                viol.append(
+                    f"{key}: references in-package module {name!r} by "
+                    "attribute — invisible to the plan fingerprint; use "
+                    "'from ... import name' instead"
+                )
+            elif isinstance(val, types.FunctionType) and val.__module__.startswith(
+                _PKG
+            ):
+                walk(val, seen)
+            elif (
+                isinstance(val, _CONST_TYPES)
+                and not name.isupper()
+                and not _is_runtime_cache(name)
+            ):
+                viol.append(
+                    f"{key}: references lowercase module-level constant "
+                    f"{name!r} — invisible to the plan fingerprint; "
+                    "rename it UPPERCASE so edits invalidate greens"
+                )
+        if fn.__closure__:
+            for var, cell in zip(
+                fn.__code__.co_freevars, fn.__closure__, strict=True
+            ):
+                try:
+                    val = cell.cell_contents
+                except ValueError:
+                    continue
+                if callable(val) and getattr(val, "__module__", "").startswith(
+                    _PKG
+                ):
+                    walk(val, seen)
+        for val in _local_imports(fn):
+            if isinstance(val, types.FunctionType) and val.__module__.startswith(
+                _PKG
+            ):
+                walk(val, seen)
+
+    walk(build, set())
+    return viol
+
+
 def builder_fingerprint(name: str, spec) -> str:
     parts: dict[str, str] = {}
     _closure_parts(spec.build, set(), parts)
