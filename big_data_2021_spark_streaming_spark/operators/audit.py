@@ -34,7 +34,11 @@ FK_EDGES: tuple[tuple[str, str, str, str], ...] = (
     ("supplier", "s_nationkey", "nation", "n_nationkey"),
 )
 
-_MICRO = "(2 * orphan_rows * 1000000 + child_rows) div (2 * child_rows)"
+_MICRO = (
+    "CASE WHEN child_rows = 0 THEN 0 ELSE"
+    " (2 * orphan_rows * 1000000 + child_rows) div (2 * child_rows)"
+    " END"
+)  # zero-denominator guard: an empty child table has 0 orphans
 
 
 def fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -57,9 +61,12 @@ def fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             child.join(parent, "k", "left")
             .agg(
                 F.count("*").alias("child_rows"),
-                F.sum(
-                    F.when(F.col("hit").isNull(), 1).otherwise(0).cast("bigint")
-                ).alias("orphan_rows"),
+                # count-style (not SUM of 0/1): COUNT over an empty
+                # table is 0 where SUM is NULL — the degenerate-corpus
+                # sweep caught the NULL leaking into the report
+                F.count(F.when(F.col("hit").isNull(), 1))
+                .cast("bigint")
+                .alias("orphan_rows"),
             )
             .select(
                 F.lit(f"{child_t}.{fk}->{parent_t}.{pk}").alias("relationship"),
@@ -132,11 +139,9 @@ def user_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         t = load_table(spark, sf_dir, table)
         return t.agg(
             F.count("*").alias("rows_total"),
-            F.sum(
-                F.when(F.col(key) % ERASE_MOD == ERASE_REM, 1)
-                .otherwise(0)
-                .cast("bigint")
-            ).alias("rows_erased"),
+            F.count(F.when(F.col(key) % ERASE_MOD == ERASE_REM, 1))
+            .cast("bigint")
+            .alias("rows_erased"),
         ).select(F.lit(table).alias("table_name"), "rows_total", "rows_erased")
 
     erased_orders = (
@@ -151,9 +156,9 @@ def user_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(erased_orders, "o_orderkey", "left")
         .agg(
             F.count("*").alias("rows_total"),
-            F.sum(
-                F.when(F.col("hit").isNotNull(), 1).otherwise(0).cast("bigint")
-            ).alias("rows_erased"),
+            F.count(F.when(F.col("hit").isNotNull(), 1))
+            .cast("bigint")
+            .alias("rows_erased"),
         )
         .select(F.lit("lineitem").alias("table_name"), "rows_total", "rows_erased")
     )
@@ -167,9 +172,11 @@ def user_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "table_name",
         "rows_total",
         "rows_erased",
-        F.expr("(2 * rows_erased * 1000000 + rows_total) div (2 * rows_total)").alias(
-            "erased_micro"
-        ),
+        F.expr(
+            "CASE WHEN rows_total = 0 THEN 0 ELSE"
+            " (2 * rows_erased * 1000000 + rows_total) div (2 * rows_total)"
+            " END"
+        ).alias("erased_micro"),
     )
 
 
@@ -734,8 +741,9 @@ for _c, _fk, _p, _pk in FK_EDGES:
     SELECT '{_c}.{_fk}->{_p}.{_pk}' AS relationship,
            CAST(COUNT(*) AS BIGINT) AS child_rows,
            CAST(COUNT(*) FILTER (WHERE p.k IS NULL) AS BIGINT) AS orphan_rows,
-           CAST((2 * COUNT(*) FILTER (WHERE p.k IS NULL) * 1000000 + COUNT(*))
-                // (2 * COUNT(*)) AS BIGINT) AS orphan_micro
+           CAST(CASE WHEN COUNT(*) = 0 THEN 0 ELSE
+                (2 * COUNT(*) FILTER (WHERE p.k IS NULL) * 1000000 + COUNT(*))
+                // (2 * COUNT(*)) END AS BIGINT) AS orphan_micro
     FROM {_c} c
     LEFT JOIN (SELECT DISTINCT {_pk} AS k FROM {_p}) p ON c.{_fk} = p.k
 """)
@@ -794,8 +802,9 @@ ORACLES["user_erasure_audit"] = f"""
         FROM orders
     )
     SELECT table_name, rows_total, rows_erased,
-           CAST((2 * rows_erased * 1000000 + rows_total) // (2 * rows_total)
-                AS BIGINT) AS erased_micro
+           CAST(CASE WHEN rows_total = 0 THEN 0 ELSE
+                (2 * rows_erased * 1000000 + rows_total) // (2 * rows_total)
+                END AS BIGINT) AS erased_micro
     FROM counts
 """
 
@@ -827,8 +836,15 @@ def join_strategy_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("cnt")
         )
         child_stats = per_key.agg(
-            F.sum("cnt").cast("bigint").alias("child_rows"),
-            F.max("cnt").cast("bigint").alias("top_key_rows"),
+            # COALESCE: SUM/MAX over an empty key frame are NULL, and
+            # the advisor must still emit a defined row (empty child =>
+            # broadcast, no salt) — degenerate-corpus sweep
+            F.coalesce(F.sum("cnt"), F.lit(0)).cast("bigint").alias(
+                "child_rows"
+            ),
+            F.coalesce(F.max("cnt"), F.lit(0)).cast("bigint").alias(
+                "top_key_rows"
+            ),
         )
         parent_stats = parent.agg(
             F.count(F.lit(1)).cast("bigint").alias("parent_rows")
@@ -841,8 +857,9 @@ def join_strategy_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "child_rows",
                 "parent_rows",
                 F.expr(
-                    "(2 * top_key_rows * 1000000 + child_rows)"
-                    " div (2 * child_rows)"
+                    "CASE WHEN child_rows = 0 THEN 0 ELSE"
+                    " (2 * top_key_rows * 1000000 + child_rows)"
+                    " div (2 * child_rows) END"
                 ).alias("top_key_share_micro"),
                 F.expr(
                     f"CASE WHEN parent_rows <= {ADV_BROADCAST_ROWS}"
@@ -869,19 +886,21 @@ def _advisor_sql() -> str:
             f"""
     SELECT '{child_t}.{fk}->{parent_t}.{pk}' AS relationship,
            s.child_rows, p.parent_rows,
-           (2 * s.top_key_rows * 1000000 + s.child_rows)
-               // (2 * s.child_rows) AS top_key_share_micro,
+           CASE WHEN s.child_rows = 0 THEN 0 ELSE
+               (2 * s.top_key_rows * 1000000 + s.child_rows)
+               // (2 * s.child_rows) END AS top_key_share_micro,
            CASE WHEN p.parent_rows <= {ADV_BROADCAST_ROWS}
                 THEN 'broadcast'
                 WHEN GREATEST(s.child_rows, p.parent_rows) >=
                      {ADV_SHJ_RATIO} * LEAST(s.child_rows, p.parent_rows)
                 THEN 'shuffle_hash' ELSE 'sort_merge' END AS strategy,
-           (2 * s.top_key_rows * 1000000 + s.child_rows)
-               // (2 * s.child_rows) > {ADV_SALT_SHARE_MICRO}
+           CASE WHEN s.child_rows = 0 THEN 0 ELSE
+               (2 * s.top_key_rows * 1000000 + s.child_rows)
+               // (2 * s.child_rows) END > {ADV_SALT_SHARE_MICRO}
                AS salt_recommended
     FROM (
-        SELECT CAST(SUM(cnt) AS BIGINT) AS child_rows,
-               CAST(MAX(cnt) AS BIGINT) AS top_key_rows
+        SELECT CAST(COALESCE(SUM(cnt), 0) AS BIGINT) AS child_rows,
+               CAST(COALESCE(MAX(cnt), 0) AS BIGINT) AS top_key_rows
         FROM (SELECT COUNT(*) AS cnt FROM {child_t} GROUP BY {fk})
     ) s
     CROSS JOIN (
@@ -1161,7 +1180,10 @@ def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         agg = df.agg(
             F.count(F.lit(1)).cast("bigint").alias("n_rows"),
             *[
-                F.sum(F.expr(f"CASE WHEN {pred} THEN 1 ELSE 0 END"))
+                F.coalesce(
+                    F.sum(F.expr(f"CASE WHEN {pred} THEN 1 ELSE 0 END")),
+                    F.lit(0),
+                )
                 .cast("bigint")
                 .alias(f"v_{i}")
                 for i, (_, pred) in enumerate(checks)
@@ -1185,8 +1207,9 @@ def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("n_violations").cast("bigint").alias("n_violations"),
                 (F.col("n_violations") == 0).alias("passed"),
                 F.expr(
-                    "(2 * n_violations * 1000000 + n_rows)"
-                    " div (2 * n_rows) / 1000000.0D"
+                    "CASE WHEN n_rows = 0 THEN 0 ELSE"
+                    " (2 * n_violations * 1000000 + n_rows)"
+                    " div (2 * n_rows) END / 1000000.0D"
                 ).alias("violation_rate"),
             )
         )
@@ -1203,12 +1226,14 @@ def _data_quality_sql() -> str:
             selects.append(f"""
     SELECT '{table}' AS table_name, '{name}' AS expectation,
            CAST(COUNT(*) AS BIGINT) AS n_rows,
-           CAST(SUM(CASE WHEN {pred} THEN 1 ELSE 0 END) AS BIGINT)
-               AS n_violations,
-           CAST(SUM(CASE WHEN {pred} THEN 1 ELSE 0 END) AS BIGINT) = 0
-               AS passed,
-           ((2 * CAST(SUM(CASE WHEN {pred} THEN 1 ELSE 0 END) AS BIGINT)
-             * 1000000 + COUNT(*)) // (2 * COUNT(*))) / 1000000.0
+           CAST(COALESCE(SUM(CASE WHEN {pred} THEN 1 ELSE 0 END), 0)
+                AS BIGINT) AS n_violations,
+           CAST(COALESCE(SUM(CASE WHEN {pred} THEN 1 ELSE 0 END), 0)
+                AS BIGINT) = 0 AS passed,
+           (CASE WHEN COUNT(*) = 0 THEN 0 ELSE
+            (2 * CAST(COALESCE(SUM(CASE WHEN {pred} THEN 1 ELSE 0 END), 0)
+                      AS BIGINT)
+             * 1000000 + COUNT(*)) // (2 * COUNT(*)) END) / 1000000.0
                AS violation_rate
     FROM {table}""")
     return "\nUNION ALL\n".join(selects)

@@ -1337,15 +1337,12 @@ ORACLES["epoch_shuffle_plan"] = f"""
 SHARD_BYTES = 8192  # target shard payload (chars stand in for bytes)
 
 
-def corpus_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic shard bin-packing — the plan for writing the
-    corpus out as fixed-size training shards (WebDataset/TFRecord
-    style): documents are laid out in salted-hash order (source-mixing
-    by construction, reproducible across engines and cluster sizes —
-    the epoch_shuffle_plan contract) and cut into shards at
-    SHARD_BYTES boundaries of the running payload size. Reports each
-    shard's doc count, payload, and source diversity — the QC that
-    catches a shard holding one giant document or a single source.
+def _shard_placement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-document shard placement — the shared layout
+    step of ``corpus_shard_plan`` (which summarizes it per shard) and
+    ``corpus_cross_shard_dups`` (which joins near-dup pairs onto it):
+    documents in salted-hash order, cut at SHARD_BYTES boundaries of
+    the running payload. Returns (doc_id, source, nb, shard_id).
 
     The running sum uses the banded two-phase prefix shape (bands are
     a pure function of the uniform hash, so band population is
@@ -1387,7 +1384,7 @@ def corpus_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )  # ≤512 rows: the unpartitioned window is bounded
-    placed = in_band.join(F.broadcast(offs), "band").select(
+    return in_band.join(F.broadcast(offs), "band").select(
         "doc_id",
         "source",
         "nb",
@@ -1395,10 +1392,62 @@ def corpus_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"(band_off + prior_in_band) div {SHARD_BYTES}"
         ).alias("shard_id"),
     )
-    return placed.groupBy("shard_id").agg(
+
+
+def corpus_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic shard bin-packing — the plan for writing the
+    corpus out as fixed-size training shards (WebDataset/TFRecord
+    style), summarized per shard: doc count, payload, and source
+    diversity — the QC that catches a shard holding one giant document
+    or a single source. Placement comes from ``_shard_placement``
+    (salted-hash order cut at SHARD_BYTES boundaries; see there for
+    the banded two-phase prefix shape)."""
+    return _shard_placement(spark, sf_dir).groupBy("shard_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum("nb").cast("bigint").alias("payload_chars"),
         F.count_distinct("source").cast("bigint").alias("n_sources"),
+    )
+
+
+def corpus_cross_shard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How many near-dup pairs STRADDLE training-shard boundaries —
+    the number that decides whether per-shard (local) dedup is good
+    enough or the corpus needs the global pass: the salted-hash shard
+    layout deliberately scatters sources, so near-identical documents
+    almost always land in different shards and a shard-local dedup
+    would miss them. One row: pair counts intra/inter shard and the
+    inter share in exact micro.
+
+    Scale: reuses the persisted LSH pair frame (bounded: band-blocked
+    candidates only) and joins each side onto the deterministic
+    placement frame — two equi-joins on doc_id, then a 1-row
+    aggregate."""
+    from .dedup import minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(spark, sf_dir).select("doc_id_a", "doc_id_b")
+    place = _shard_placement(spark, sf_dir).select("doc_id", "shard_id")
+    pa = place.select(
+        F.col("doc_id").alias("doc_id_a"), F.col("shard_id").alias("sa")
+    )
+    pb = place.select(
+        F.col("doc_id").alias("doc_id_b"), F.col("shard_id").alias("sb")
+    )
+    j = pairs.join(pa, "doc_id_a").join(pb, "doc_id_b")
+    return j.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum((F.col("sa") == F.col("sb")).cast("bigint"))
+        .cast("bigint")
+        .alias("intra_shard"),
+        F.sum((F.col("sa") != F.col("sb")).cast("bigint"))
+        .cast("bigint")
+        .alias("inter_shard"),
+    ).select(
+        "n_pairs",
+        "intra_shard",
+        "inter_shard",
+        F.expr(
+            "(2 * inter_shard * 1000000 + n_pairs) div (2 * n_pairs)"
+        ).alias("inter_share_micro"),
     )
 
 
@@ -1519,6 +1568,134 @@ ORACLES["quality_dup_profile"] = f"""
 """
 
 
+def quality_budget_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-vs-budget tradeoff curve: rank the corpus best-first by
+    exact micro quality, cut into deciles, and report each decile's
+    token yield plus the cumulative tokens and cumulative corpus share
+    — the curve a data lead reads to answer 'if we only train on the
+    top-k% by quality, how many tokens is that?'. The retrospective
+    companion of ``corpus_token_budget_plan`` (which packs to a fixed
+    cap in arrival order).
+
+    Ranks come from ``_exact_global_rank`` on negated micro quality
+    (banded two-phase — no single-partition sort); the only
+    unpartitioned window runs over the ≤10 decile rows."""
+    from ..plans.analytics import _exact_global_rank
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    q = (
+        quality_lineage(docs)
+        .select(
+            "doc_id",
+            F.expr("cast(round(quality * 1000000) as bigint)").alias("qm"),
+            F.col("n_tokens").cast("bigint").alias("nb"),
+        )
+        .withColumn("neg_qm", -F.col("qm"))
+    )
+    ranked = _exact_global_rank(q, "neg_qm", "doc_id", "rnk")
+    n_frame = q.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("nb").cast("bigint").alias("total_tokens"),
+    )
+    deciled = ranked.crossJoin(F.broadcast(n_frame)).select(
+        F.expr(f"cast(1 + ((rnk - 1) * {QD_DECILES}) div n as int)").alias(
+            "decile"
+        ),
+        "nb",
+        "total_tokens",
+    )
+    per = deciled.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("nb").cast("bigint").alias("tokens"),
+        F.max("total_tokens").alias("_tt"),
+    )
+    w = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = F.sum("tokens").over(w)
+    return per.select(
+        "decile",
+        "n_docs",
+        "tokens",
+        cum.cast("bigint").alias("cum_tokens"),
+        F.expr(
+            "(2 * cum_tokens * 1000000 + _tt) div (2 * _tt)"
+        ).alias("cum_share_micro"),
+    ).orderBy("decile")
+
+
+ORACLES["curation_quality_budget_curve"] = f"""
+    WITH qm AS (
+        SELECT doc_id, CAST(ROUND(quality * 1000000) AS BIGINT) AS qm,
+               CAST(n_tokens AS BIGINT) AS nb
+        FROM ({_quality_sub()}) q
+    ),
+    ranked AS (
+        SELECT doc_id, nb,
+               ROW_NUMBER() OVER (ORDER BY qm DESC, doc_id) AS rnk,
+               CAST(COUNT(*) OVER () AS BIGINT) AS n,
+               CAST(SUM(nb) OVER () AS BIGINT) AS tt
+        FROM qm
+    ),
+    per AS (
+        SELECT CAST(1 + ((rnk - 1) * {QD_DECILES}) // n AS INTEGER)
+                   AS decile,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(nb) AS BIGINT) AS tokens,
+               CAST(MAX(tt) AS BIGINT) AS tt
+        FROM ranked GROUP BY 1
+    )
+    SELECT decile, n_docs, tokens,
+           CAST(SUM(tokens) OVER (ORDER BY decile) AS BIGINT)
+               AS cum_tokens,
+           CAST((2 * SUM(tokens) OVER (ORDER BY decile) * 1000000 + tt)
+                // (2 * tt) AS BIGINT) AS cum_share_micro
+    FROM per ORDER BY decile
+"""
+
+
+ORACLES["corpus_cross_shard_dups"] = f"""
+    WITH RECURSIVE {_dedup._MH_CTE},
+    {_dedup._BANDS_CTE},
+    lsh_pairs AS (
+        SELECT cand.doc_id_a, cand.doc_id_b
+        FROM cand
+        JOIN mh a ON a.doc_id = cand.doc_id_a
+        JOIN mh b ON b.doc_id = cand.doc_id_b
+        WHERE ({_dedup._MATCHES}) / {float(_dedup.NUM_PERM)}
+              >= {_dedup.EST_THRESHOLD}
+    ),
+    sdocs AS (
+        SELECT doc_id, CAST(n_chars AS BIGINT) AS nb,
+               {_shard_hash_sql()} AS hk
+        FROM documents
+    ),
+    placed AS (
+        SELECT doc_id,
+               CAST(COALESCE(SUM(nb) OVER (
+                   ORDER BY hk, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) // {SHARD_BYTES} AS BIGINT) AS shard_id
+        FROM sdocs
+    ),
+    j AS (
+        SELECT pa.shard_id AS sa, pb.shard_id AS sb
+        FROM lsh_pairs p
+        JOIN placed pa ON pa.doc_id = p.doc_id_a
+        JOIN placed pb ON pb.doc_id = p.doc_id_b
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(CASE WHEN sa = sb THEN 1 ELSE 0 END) AS BIGINT)
+               AS intra_shard,
+           CAST(SUM(CASE WHEN sa <> sb THEN 1 ELSE 0 END) AS BIGINT)
+               AS inter_shard,
+           CAST((2 * SUM(CASE WHEN sa <> sb THEN 1 ELSE 0 END) * 1000000
+                 + COUNT(*)) // (2 * COUNT(*)) AS BIGINT)
+               AS inter_share_micro
+    FROM j
+"""
+
+
 def quality_auc_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT ROC-AUC of the quality score as a near-dup detector —
     the threshold-free companion to quality_dup_profile's deciles.
@@ -1635,7 +1812,10 @@ ORACLES["quality_auc_eval"] = f"""
 
 
 QUERIES = {
-    # new-in-round-4 entries first: registry order = driver grading order
+    # round-7 entries first: registry order = driver grading order
+    "curation_quality_budget_curve": quality_budget_curve,
+    "corpus_cross_shard_dups": corpus_cross_shard_dups,
+    # new-in-round-4 entries
     "corpus_token_budget_plan": token_budget_plan,
     "quality_auc_eval": quality_auc_eval,
     "corpus_source_minhash": source_minhash_similarity,

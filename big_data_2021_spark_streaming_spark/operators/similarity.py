@@ -3408,8 +3408,202 @@ bq_topk = _session_memo("bq")(bq_topk)
 _mrl_prefix_pairs = _session_memo("mrl_pairs")(_mrl_prefix_pairs)
 
 
+def cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster label purity of the trained Lloyd clustering: for
+    each k-means cell, the vector count, distinct labels present, the
+    majority label (ties broken toward the smallest label id), and the
+    majority share in exact micro — the clustering-quality report read
+    against a supervised label column before trusting the cells for
+    SemDeDup or IVF routing.
+
+    Scale: consumes the memoized per-session Lloyd assignment (one
+    training per session, shared with kmeans_clusters/dedup_semantic),
+    joins labels on vec_id, and reduces to (cluster, label) cells; the
+    majority pick is a window PARTITIONED by cluster over ≤|labels|
+    cell rows."""
+    assign = kmeans_assignments(spark, sf_dir).select("vec_id", "cluster_id")
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("label").cast("bigint").alias("label")
+    )
+    cell = (
+        assign.join(emb, "vec_id")
+        .groupBy("cluster_id", "label")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("n").desc(), "label"
+    )
+    top = (
+        cell.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("label").alias("top_label"),
+            F.col("n").alias("top_n"),
+        )
+    )
+    per = cell.groupBy("cluster_id").agg(
+        F.sum("n").cast("bigint").alias("n_vecs"),
+        F.count(F.lit(1)).cast("bigint").alias("n_labels"),
+    )
+    return (
+        per.join(top, "cluster_id")
+        .select(
+            "cluster_id",
+            "n_vecs",
+            "n_labels",
+            "top_label",
+            "top_n",
+            F.expr(
+                "(2 * top_n * 1000000 + n_vecs) div (2 * n_vecs)"
+            ).alias("purity_micro"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
+ORACLES["similarity_cluster_purity"] = (
+    "WITH "
+    + kmeans_assign_cte_sql(materialized=True).removeprefix("WITH ")
+    + """,
+    cell AS (
+        SELECT a.cluster_id, CAST(e.label AS BIGINT) AS label,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM assign a JOIN embeddings e USING (vec_id)
+        GROUP BY a.cluster_id, e.label
+    ),
+    top AS (
+        SELECT cluster_id, label AS top_label, n AS top_n FROM (
+            SELECT cluster_id, label, n,
+                   row_number() OVER (PARTITION BY cluster_id
+                                      ORDER BY n DESC, label) AS rn
+            FROM cell) WHERE rn = 1
+    ),
+    per AS (
+        SELECT cluster_id, CAST(SUM(n) AS BIGINT) AS n_vecs,
+               CAST(COUNT(*) AS BIGINT) AS n_labels
+        FROM cell GROUP BY cluster_id
+    )
+    SELECT p.cluster_id, p.n_vecs, p.n_labels, t.top_label, t.top_n,
+           CAST((2 * t.top_n * 1000000 + p.n_vecs) // (2 * p.n_vecs)
+                AS BIGINT) AS purity_micro
+    FROM per p JOIN top t USING (cluster_id)
+    ORDER BY p.cluster_id
+"""
+)
+
+
+def dim_mean_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(label, dimension) mean vs the global per-dimension mean —
+    the embedding-drift companion to ``embedding_dim_variance``: a
+    label cohort whose mean has moved off the global mean in a few
+    dimensions is the signature of encoder drift or a poisoned slice.
+
+    Exactness: 6-decimal-rounded components summed in DECIMAL (the
+    dim_variance recipe), then the displayed means are EXACT signed
+    half-away micro-unit integers — the first cut displayed
+    ROUND(double_mean, 6) and hit the documented cross-engine ROUND
+    boundary at sf0.1 (Spark rounds BigDecimal's shortest repr, DuckDB
+    the raw double); integer division cannot. Two map-side-combinable
+    groupBys on the exploded frame, joined on the ≤DIM-row global
+    frame."""
+    vecs = _vectors(spark, sf_dir)
+    exploded = vecs.select(
+        F.col("label").cast("bigint").alias("label"),
+        F.posexplode("v").alias("dim", "x"),
+    )
+    v6 = F.round("x", 6).cast("decimal(18,6)")
+    per = exploded.groupBy("label", "dim").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+        F.sum(v6).alias("s1"),
+    )
+    glob = exploded.groupBy("dim").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_all"),
+        F.sum(v6).alias("g1"),
+    )
+
+    def mean_micro(s: str, n: str) -> str:
+        # signed half-away micro mean of an exact DECIMAL(·,6) sum:
+        # S = s·1e6 is integral by construction
+        return (
+            f"case when {s} >= 0"
+            f" then (2 * cast({s} * 1000000 as decimal(38,0)) + {n})"
+            f" div (2 * {n})"
+            f" else -((-2 * cast({s} * 1000000 as decimal(38,0)) + {n})"
+            f" div (2 * {n})) end"
+        )
+
+    ml = mean_micro("s1", "n_vecs")
+    mg = mean_micro("g1", "n_all")
+    return (
+        per.join(glob, "dim")
+        .select(
+            "label",
+            "dim",
+            "n_vecs",
+            F.expr(f"cast({ml} as bigint)").alias("_ml"),
+            F.expr(f"cast({mg} as bigint)").alias("_mg"),
+        )
+        .select(
+            "label",
+            "dim",
+            "n_vecs",
+            (F.col("_ml") / F.lit(1e6)).alias("mean_label"),
+            (F.col("_mg") / F.lit(1e6)).alias("mean_global"),
+            ((F.col("_ml") - F.col("_mg")) / F.lit(1e6)).alias("mean_shift"),
+        )
+        .orderBy("label", "dim")
+    )
+
+
+def _mean_shift_mm_sql(s: str, n: str) -> str:
+    return f"""CASE WHEN {s} >= 0
+               THEN (2 * CAST({s} * 1000000 AS HUGEINT) + {n})
+                    // (2 * {n})
+               ELSE -((-2 * CAST({s} * 1000000 AS HUGEINT) + {n})
+                      // (2 * {n})) END"""
+
+
+ORACLES["embedding_dim_mean_shift"] = f"""
+    WITH ex AS (
+        SELECT CAST(label AS BIGINT) AS label,
+               unnest(range(0, len(embedding))) AS dim,
+               unnest(CAST(embedding AS DOUBLE[])) AS x
+        FROM embeddings
+    ),
+    per AS (
+        SELECT label, CAST(dim AS INTEGER) AS dim,
+               CAST(COUNT(*) AS BIGINT) AS n_vecs,
+               SUM(CAST(ROUND(x, 6) AS DECIMAL(18,6))) AS s1
+        FROM ex GROUP BY 1, 2
+    ),
+    gdim AS (
+        SELECT CAST(dim AS INTEGER) AS dim,
+               CAST(COUNT(*) AS BIGINT) AS n_all,
+               SUM(CAST(ROUND(x, 6) AS DECIMAL(18,6))) AS g1
+        FROM ex GROUP BY 1
+    ),
+    micro AS (
+        SELECT p.label, p.dim, p.n_vecs,
+               CAST({_mean_shift_mm_sql('p.s1', 'p.n_vecs')} AS BIGINT)
+                   AS ml,
+               CAST({_mean_shift_mm_sql('g.g1', 'g.n_all')} AS BIGINT)
+                   AS mg
+        FROM per p JOIN gdim g USING (dim)
+    )
+    SELECT label, dim, n_vecs,
+           ml / 1e6 AS mean_label,
+           mg / 1e6 AS mean_global,
+           (ml - mg) / 1e6 AS mean_shift
+    FROM micro ORDER BY label, dim
+"""
+
+
 QUERIES = {
-    # new-in-round-4 entries first: registry order = driver grading order
+    # round-7 entries first: registry order = driver grading order
+    "similarity_cluster_purity": cluster_purity,
+    "embedding_dim_mean_shift": dim_mean_shift,
+    # new-in-round-4 entries
     "similarity_ivfpq_residual_topk": ivfpq_residual_topk,
     "embedding_jl_distortion": jl_distortion,
     "retrieval_mrr_eval": mrr_eval,

@@ -3208,6 +3208,127 @@ def order_status_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def order_backlog_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly open-order backlog: an order opens in its order month
+    and closes in the month its LAST line ships (orders with no lines
+    stay open), and the backlog at month m is cumulative opens minus
+    cumulative closes — the classic +1/−1 interval-count reduced to
+    month grain. This is the ops dashboard series behind 'are we
+    shipping faster than we book'.
+
+    Scale: per-order close month is one map-side-combinable groupBy of
+    lineitem; opens are a groupBy of orders; everything downstream
+    (full-outer month merge + running sum) runs on the |year-months|
+    calendar frame — the unpartitioned window is bounded by the
+    calendar, never the fact tables."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    opens = (
+        orders.select(
+            F.expr(
+                "CAST(year(o_orderdate) * 100 + month(o_orderdate)"
+                " AS BIGINT)"
+            ).alias("month")
+        )
+        .groupBy("month")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_opened"))
+    )
+    closes = (
+        li.groupBy("l_orderkey")
+        .agg(F.max("l_shipdate").alias("last_ship"))
+        .select(
+            F.expr(
+                "CAST(year(last_ship) * 100 + month(last_ship) AS BIGINT)"
+            ).alias("month")
+        )
+        .groupBy("month")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_closed"))
+    )
+    months = opens.join(closes, "month", "full_outer").select(
+        "month",
+        F.coalesce("n_opened", F.lit(0)).cast("bigint").alias("n_opened"),
+        F.coalesce("n_closed", F.lit(0)).cast("bigint").alias("n_closed"),
+    )
+    w = Window.orderBy("month").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return months.select(
+        "month",
+        "n_opened",
+        "n_closed",
+        F.sum(F.col("n_opened") - F.col("n_closed"))
+        .over(w)
+        .cast("bigint")
+        .alias("backlog"),
+    ).orderBy("month")
+
+
+def orders_priority_mix_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Priority-mix drift by order year: each (year, priority) cell's
+    share of its year vs the priority's all-time share, plus the
+    chi2-style drift contribution yt·(p−g)²/g — the monitoring stat
+    that flags a quarter where e.g. URGENT orders quietly doubled.
+    The same shape as ``text_source_chi2_drift`` applied to the
+    orders dimension.
+
+    Scale: three map-side-combinable groupBys over one scan lineage;
+    all joins are on year/priority cell frames (dozens of rows, left
+    to AQE), and the only broadcast pin is the 1-row grand total.
+    Drift math runs on DECIMAL(38,0) — yt·Δµ² exceeds int64 once a
+    year holds ~10⁸ orders."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.expr("CAST(year(o_orderdate) AS BIGINT)").alias("year"),
+        F.col("o_orderpriority").alias("priority"),
+    )
+    cells = o.groupBy("year", "priority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders")
+    )
+    yt = o.groupBy("year").agg(
+        F.count(F.lit(1)).cast("bigint").alias("year_total")
+    )
+    gp = o.groupBy("priority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("prio_total")
+    )
+    tot = o.agg(F.count(F.lit(1)).cast("bigint").alias("grand_total"))
+    gshare = gp.crossJoin(F.broadcast(tot)).select(
+        "priority",
+        F.expr(
+            "(2 * prio_total * 1000000 + grand_total)"
+            " div (2 * grand_total)"
+        ).alias("global_share_micro"),
+    )
+    return (
+        cells.join(yt, "year")
+        .join(gshare, "priority")
+        .select(
+            "year",
+            "priority",
+            "n_orders",
+            F.expr(
+                "(2 * n_orders * 1000000 + year_total) div (2 * year_total)"
+            ).alias("share_micro"),
+            "global_share_micro",
+            "year_total",
+        )
+        .select(
+            "year",
+            "priority",
+            "n_orders",
+            "share_micro",
+            "global_share_micro",
+            F.expr(
+                "cast((2 * cast(year_total as decimal(38,0))"
+                " * (share_micro - global_share_micro)"
+                " * (share_micro - global_share_micro)"
+                " + global_share_micro)"
+                " div (2 * cast(global_share_micro as decimal(38,0)))"
+                " as bigint)"
+            ).alias("drift_chi2_micro"),
+        )
+        .orderBy("year", "priority")
+    )
+
+
 def regional_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q2 pattern — the correlated-MIN supplier-selection shape:
     for every qualifying part, the supplier(s) in one region offering
@@ -4587,6 +4708,8 @@ QUERIES: dict[str, object] = {
     # most recently go FIRST so they are graded before the suite that
     # already has multiple green rounds on record.
     "merge_touched_partitions": merge_touched_partitions,
+    "order_backlog_timeseries": order_backlog_timeseries,
+    "orders_priority_mix_shift": orders_priority_mix_shift,
     "event_ewma_spikes": event_ewma_spikes,
     "linkage_fs_weights": linkage_fs_weights,
     "user_hazard_curve": user_hazard_curve,

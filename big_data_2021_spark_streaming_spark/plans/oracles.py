@@ -20,6 +20,75 @@ discovered empirically and relied on throughout:
 from __future__ import annotations
 
 ORACLES: dict[str, str] = {
+    "order_backlog_timeseries": """
+        WITH opens AS (
+            SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate)
+                        AS BIGINT) AS month,
+                   CAST(COUNT(*) AS BIGINT) AS n_opened
+            FROM orders GROUP BY 1
+        ),
+        closes AS (
+            SELECT CAST(year(last_ship) * 100 + month(last_ship)
+                        AS BIGINT) AS month,
+                   CAST(COUNT(*) AS BIGINT) AS n_closed
+            FROM (
+                SELECT MAX(l_shipdate) AS last_ship
+                FROM lineitem GROUP BY l_orderkey
+            ) GROUP BY 1
+        ),
+        months AS (
+            SELECT COALESCE(o.month, c.month) AS month,
+                   COALESCE(o.n_opened, 0) AS n_opened,
+                   COALESCE(c.n_closed, 0) AS n_closed
+            FROM opens o FULL OUTER JOIN closes c ON o.month = c.month
+        )
+        SELECT month,
+               CAST(n_opened AS BIGINT) AS n_opened,
+               CAST(n_closed AS BIGINT) AS n_closed,
+               CAST(SUM(n_opened - n_closed) OVER (ORDER BY month)
+                    AS BIGINT) AS backlog
+        FROM months ORDER BY month
+    """,
+    "orders_priority_mix_shift": """
+        WITH o AS (
+            SELECT CAST(year(o_orderdate) AS BIGINT) AS year,
+                   o_orderpriority AS priority
+            FROM orders
+        ),
+        cells AS (
+            SELECT year, priority, CAST(COUNT(*) AS BIGINT) AS n_orders
+            FROM o GROUP BY year, priority
+        ),
+        yt AS (
+            SELECT year, CAST(COUNT(*) AS BIGINT) AS year_total
+            FROM o GROUP BY year
+        ),
+        g AS (
+            SELECT priority,
+                   CAST((2 * prio_total * 1000000 + grand_total)
+                        // (2 * grand_total) AS BIGINT)
+                       AS global_share_micro
+            FROM (
+                SELECT priority, CAST(COUNT(*) AS BIGINT) AS prio_total
+                FROM o GROUP BY priority
+            ), (SELECT CAST(COUNT(*) AS BIGINT) AS grand_total FROM o)
+        ),
+        shares AS (
+            SELECT c.year, c.priority, c.n_orders,
+                   CAST((2 * c.n_orders * 1000000 + y.year_total)
+                        // (2 * y.year_total) AS BIGINT) AS share_micro,
+                   g.global_share_micro, y.year_total
+            FROM cells c JOIN yt y USING (year) JOIN g USING (priority)
+        )
+        SELECT year, priority, n_orders, share_micro, global_share_micro,
+               CAST((2 * CAST(year_total AS HUGEINT)
+                     * (share_micro - global_share_micro)
+                     * (share_micro - global_share_micro)
+                     + global_share_micro)
+                    // (2 * CAST(global_share_micro AS HUGEINT))
+                    AS BIGINT) AS drift_chi2_micro
+        FROM shares ORDER BY year, priority
+    """,
     "merge_touched_partitions": """
         WITH matched AS (
             SELECT o_orderkey FROM orders WHERE o_orderkey % 101 = 5
@@ -815,8 +884,8 @@ ORACLES["value_winsorize"] = """
         WHERE rnk = (n + 99) // 100 OR rnk = (99 * n + 99) // 100
     )
     SELECT CAST(COUNT(*) AS BIGINT) AS n_events,
-           b.lo_micro,
-           b.hi_micro,
+           MAX(b.lo_micro) AS lo_micro,
+           MAX(b.hi_micro) AS hi_micro,
            CAST(SUM(CASE WHEN m < b.lo_micro THEN 1 ELSE 0 END) AS BIGINT)
                AS n_clipped_lo,
            CAST(SUM(CASE WHEN m > b.hi_micro THEN 1 ELSE 0 END) AS BIGINT)
@@ -825,8 +894,11 @@ ORACLES["value_winsorize"] = """
            CAST(SUM(GREATEST(b.lo_micro, LEAST(b.hi_micro, m))) AS BIGINT)
                AS winsorized_sum_micro
     FROM base CROSS JOIN bounds b
-    GROUP BY b.lo_micro, b.hi_micro
 """
+# the bounds frame is exactly one aggregate row, so MAX() over the
+# cross join reads it back unchanged; a GROUP BY b.* formulation
+# emitted ZERO rows on an empty events table where Spark's global
+# aggregate emits one (degenerate-corpus sweep, round 7)
 
 ORACLES["user_simpson_diversity"] = """
     WITH per_type AS (
@@ -2463,6 +2535,9 @@ DOUBLE_DISPLAY_INVENTORY: dict[str, dict[str, str]] = {
     "disjunctive_part_revenue": {"revenue": "exact"},
     "doc_length_bucketing": {"padding_waste": "exact"},
     "embedding_centroid_drift": {"centroid_shift": "ieee"},
+    "embedding_dim_mean_shift": {
+        "mean_label": "exact", "mean_global": "exact", "mean_shift": "exact",
+    },
     "embedding_dim_variance": {"dim_var": "ieee"},
     "embedding_jl_distortion": {"avg_ratio": "exact", "max_ratio": "exact", "min_ratio": "exact"},
     "embedding_label_consensus": {"agreement": "exact"},

@@ -132,6 +132,11 @@ _REPLANNED_AFTER_GREEN: frozenset[str] = frozenset(
     {
         "contrastive_negatives", "curation_keep_list", "dedup_semantic",
         "kmeans_clusters", "split_leakage_report", "train_split_assign",
+        # round-7 degenerate-corpus sweep fixes (zero-row tables): NULL
+        # aggregates and zero-denominator rates got explicit guards —
+        # graded-scale values unchanged, but plan change => regrade
+        "data_quality_report", "fk_integrity_audit",
+        "join_strategy_advisor", "user_erasure_audit", "value_winsorize",
     }
 )
 
@@ -157,29 +162,28 @@ _DRIVER_VERIFIED = frozenset(
         "corpus_stratified_sample", "cube_event_stats",
         "curation_multisignal_gate", "customer_order_distribution",
         "customer_order_streaks", "customer_rfm_scores",
-        "customer_value_frontier", "daily_click_purchase_recon",
-        "data_quality_report", "date_parts", "decontaminate_overlap",
-        "dedup_clusters", "dedup_containment", "dedup_embedding_nn",
-        "dedup_exact", "dedup_incremental", "dedup_jaccard_verify",
-        "dedup_lsh_calibration", "dedup_minhash_lsh", "dedup_ngram_jaccard",
-        "dedup_rate_report", "dedup_simhash", "discount_quantity_ols",
-        "discount_tax_independence", "disjunctive_part_revenue",
-        "distinct_users_per_type", "doc_chunking", "doc_length_bucketing",
-        "doc_packing", "embedding_covariance_pairs", "embedding_dim_variance",
-        "embedding_jl_distortion", "embedding_label_consensus",
-        "embedding_outliers", "embedding_power_iteration",
-        "event_cooccurrence_lift", "event_cusum_changepoint",
-        "event_dispersion_index", "event_dow_profile", "event_ewma_spikes",
-        "event_hourly_resample", "event_markov_accuracy", "event_path_topk",
-        "event_rank_stats", "event_seasonal_naive_mape",
-        "event_transition_matrix", "event_type_union", "event_user_bitmap",
-        "excess_quantity_suppliers", "experiment_cuped_lift",
-        "experiment_srm_check", "fk_integrity_audit",
+        "customer_value_frontier", "daily_click_purchase_recon", "date_parts",
+        "decontaminate_overlap", "dedup_clusters", "dedup_containment",
+        "dedup_embedding_nn", "dedup_exact", "dedup_incremental",
+        "dedup_jaccard_verify", "dedup_lsh_calibration", "dedup_minhash_lsh",
+        "dedup_ngram_jaccard", "dedup_rate_report", "dedup_simhash",
+        "discount_quantity_ols", "discount_tax_independence",
+        "disjunctive_part_revenue", "distinct_users_per_type", "doc_chunking",
+        "doc_length_bucketing", "doc_packing", "embedding_covariance_pairs",
+        "embedding_dim_variance", "embedding_jl_distortion",
+        "embedding_label_consensus", "embedding_outliers",
+        "embedding_power_iteration", "event_cooccurrence_lift",
+        "event_cusum_changepoint", "event_dispersion_index",
+        "event_dow_profile", "event_ewma_spikes", "event_hourly_resample",
+        "event_markov_accuracy", "event_path_topk", "event_rank_stats",
+        "event_seasonal_naive_mape", "event_transition_matrix",
+        "event_type_union", "event_user_bitmap", "excess_quantity_suppliers",
+        "experiment_cuped_lift", "experiment_srm_check",
         "forecast_revenue_change", "funnel_conversion", "fuzzy_name_matches",
         "grouping_sets_revenue", "inactive_rich_customers",
-        "join_cardinality_estimate", "join_key_skew", "join_strategy_advisor",
-        "json_encode", "k_anonymity_audit", "l_diversity_audit",
-        "lake_column_stats", "latest_event_per_user", "layout_zorder_stats",
+        "join_cardinality_estimate", "join_key_skew", "json_encode",
+        "k_anonymity_audit", "l_diversity_audit", "lake_column_stats",
+        "latest_event_per_user", "layout_zorder_stats",
         "lineitem_measures_unpivot", "linkage_fs_weights",
         "local_supplier_volume", "market_share_by_year",
         "mixture_reweight_plan", "multimodal_audio_frame_plan",
@@ -225,12 +229,11 @@ _DRIVER_VERIFIED = frozenset(
         "text_tfidf_topterms", "text_token_rarity", "text_token_stats",
         "text_winnow_fingerprints", "top3_per_segment", "top_customers",
         "top_supplier_by_revenue", "user_bot_periodicity",
-        "user_dau_wau_stickiness", "user_erasure_audit", "user_event_gaps",
-        "user_hazard_curve", "user_retention_cohorts",
-        "user_simpson_diversity", "user_trailing_hour_stats",
-        "user_type_scd2", "user_value_concentration", "user_value_gini",
-        "valuable_part_stock", "value_drift_tvd", "value_equidepth_deciles",
-        "value_mad_anomalies", "value_percentiles", "value_winsorize",
-        "value_zscore_anomalies",
+        "user_dau_wau_stickiness", "user_event_gaps", "user_hazard_curve",
+        "user_retention_cohorts", "user_simpson_diversity",
+        "user_trailing_hour_stats", "user_type_scd2",
+        "user_value_concentration", "user_value_gini", "valuable_part_stock",
+        "value_drift_tvd", "value_equidepth_deciles", "value_mad_anomalies",
+        "value_percentiles", "value_zscore_anomalies",
     }
 )

@@ -899,6 +899,70 @@ def stream_ewma_spikes(
     )
 
 
+def streaming_ewma_tws(
+    events: DataFrame, watermark_delay: str = "10 minutes"
+) -> DataFrame:
+    """``transformWithStateInPandas`` form of :func:`stream_ewma_spikes`
+    (VERDICT r06 item 4): the same pure per-event fold
+    (:func:`ewma_spike_step`, shared with the batch plan) over a
+    per-user ValueState holding the bounded ≤EWMA_DEPTH history — the
+    Spark 4 arbitrary-state API the detector deploys on, where the
+    applyInPandasWithState twin is the compatibility form. The
+    watermark bounds batch staleness on entry; state is already
+    O(DEPTH) longs per user, so no TTL timer is needed for size (a
+    production job that must forget idle users adds an EventTime timer
+    — orthogonal to the fold).
+
+    Deploy note: the transformWithState Python worker needs the
+    ``protobuf`` package (its state-server protocol), which this
+    sandbox lacks — the e2e batch≡stream test is protobuf-gated; the
+    PLAN contract (operator, key, schema, mode, watermark) is pinned
+    ungated because building the streaming plan needs no state server.
+    """
+    import math
+
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    cols = [f.name for f in EWMA_OUTPUT_SCHEMA.fields]
+
+    class EwmaProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._hist = handle.getValueState("hist", _EWMA_STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues):
+            (user_id,) = key
+            pdf = pd.concat(list(rows)).sort_values(["ts", "event_id"])
+            hist = list(self._hist.get()[0]) if self._hist.exists() else []
+            out = []
+            for eid, v in zip(pdf["event_id"], pdf["value"]):
+                v = float(v)
+                vq = int(math.floor(abs(v) * 1e6 + 0.5)) * (1 if v >= 0 else -1)
+                res, hist = ewma_spike_step(hist, vq)
+                if res is not None:
+                    out.append((int(user_id), int(eid), v, res[0], res[1]))
+            self._hist.update((hist,))
+            if out:
+                yield pd.DataFrame(out, columns=cols)
+
+        def close(self) -> None:
+            pass
+
+    return (
+        events.withWatermark("ts", watermark_delay)
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=EwmaProcessor(),
+            outputStructType=EWMA_OUTPUT_SCHEMA,
+            outputMode="Append",
+            timeMode="None",
+        )
+    )
+
+
 TOPK_OUTPUT_SCHEMA = StructType(
     [
         StructField("event_type", StringType()),

@@ -85,7 +85,14 @@ _ALLOWED_PINS = frozenset(
         ("operators/audit.py", "value_drift_tvd", "bounds"),
         ("operators/audit.py", "value_drift_tvd", "totals"),
         ("operators/curation.py", "contrastive_negatives", "n_total"),
-        ("operators/curation.py", "corpus_shard_plan", "offs"),
+        # r07: shard placement factored out of corpus_shard_plan so the
+        # cross-shard dup query shares it; same ≤512-row band-offset frame
+        ("operators/curation.py", "_shard_placement", "offs"),
+        # r07 additions — each a 1-row aggregate (provably bounded):
+        ("operators/audit.py", "partition_pruning_audit", "vals"),
+        ("operators/curation.py", "quality_budget_curve", "n_frame"),
+        ("plans/analytics.py", "merge_touched_partitions", "n_touched"),
+        ("plans/analytics.py", "orders_priority_mix_shift", "tot"),
         ("operators/curation.py", "cross_source_overlap", "sizes"),
         ("operators/curation.py", "epoch_shuffle_plan", "epochs"),
         ("operators/curation.py", "quality_dup_profile", "n_frame"),

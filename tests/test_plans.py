@@ -224,6 +224,9 @@ _BNLJ_INTENDED = frozenset(
         "partition_pruning_audit",    # 1-row distinct-value total per layout×probe cell
         "merge_touched_partitions",   # 1-row touched-count scalar onto ≤|parts| rows
         "text_zipf_topshare",         # 1-row rank-extremes scalar onto the |vocab| frame
+        "orders_priority_mix_shift",  # 1-row grand-total scalar onto |priorities| rows
+        "curation_quality_budget_curve",  # 1-row n/total scalars onto the ranked frame
+        "similarity_cluster_purity",  # 1-row broadcast centroid-array via the Lloyd memo
     }
 )
 
@@ -241,6 +244,7 @@ _BNLJ_INTENDED = frozenset(
 _GLOBAL_WINDOW_INTENDED: dict[str, str] = {
     "corpus_mixture_report": "|source×bucket| strata summary rows",
     "corpus_shard_plan": "|bands| band summaries (<=512 rows)",
+    "corpus_cross_shard_dups": "|bands| band summaries (<=512 rows)",
     "corpus_token_budget_plan": "|bands| band-offset partials",
     "customer_rfm_scores": "|bands| banded-rank partials",
     "customer_value_frontier": "|bands| prefix-max partials",
@@ -248,9 +252,11 @@ _GLOBAL_WINDOW_INTENDED: dict[str, str] = {
     "join_key_skew": "top-10 limit output",
     "mixture_reweight_plan": "|strata| summary rows",
     "orders_monthly_growth": "|year-months| calendar-bounded series",
+    "order_backlog_timeseries": "|year-months| calendar-bounded series",
     "peak_concurrent_sessions": "|days| per-day partials",
     "quality_auc_eval": "|distinct scores| group frame",
     "quality_dup_profile": "|bands| banded-rank partials",
+    "curation_quality_budget_curve": "|bands| partials + <=10 decile rows",
     "retrieval_rrf_fusion": "limit-k ranker pools",
     "similarity_ivf_occupancy": "|NLIST| cell summaries",
     "sketch_histogram_quantiles": "<=1024 histogram cells",
@@ -272,7 +278,7 @@ def test_global_window_allowlist_is_capped_and_justified():
     # the audited size requires raising the cap here IN THE SAME DIFF
     # as the new entry's justification, which the fingerprint/review
     # flow then sees together.
-    assert len(_GLOBAL_WINDOW_INTENDED) <= 24, (
+    assert len(_GLOBAL_WINDOW_INTENDED) <= 26, (
         "global-window allowlist grew past its audited cap — audit the "
         "new entry's bounded-frame argument and raise the cap in the "
         "same change"
@@ -914,4 +920,7 @@ def test_double_display_inventory_matches_schemas(spark):
             counts[cl] = counts.get(cl, 0) + 1
     # the documented totals (oracles.py header block): changing the mix
     # means re-arguing the claim, so the drift must be loud
-    assert counts == {"exact": 133, "source": 14, "ieee": 20, "sketch": 1}, counts
+    # r07: +3 exact (embedding_dim_mean_shift's three micro-integer
+    # means — its first ROUND(double) cut hit the cross-engine ROUND
+    # boundary at sf0.1 and was rewritten exact before ever grading)
+    assert counts == {"exact": 136, "source": 14, "ieee": 20, "sketch": 1}, counts

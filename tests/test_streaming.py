@@ -1148,6 +1148,105 @@ def test_ewma_spikes_batch_stream_equivalence(spark, tmp_path):
     )
 
 
+def test_streaming_ewma_tws_plan_contract(spark):
+    """The transformWithStateInPandas EWMA form (VERDICT r06 item 4),
+    ungated: building the streaming plan needs no protobuf state
+    server, so the contract — operator present, keyed on user_id,
+    append mode, event-time watermark applied, output schema exactly
+    the shared EWMA_OUTPUT_SCHEMA — is pinned in every environment;
+    only the stateful EXECUTION is gated below."""
+    from big_data_2021_spark_streaming_spark.streaming.pipeline import (
+        EWMA_OUTPUT_SCHEMA,
+        streaming_ewma_tws,
+    )
+
+    src = (
+        spark.readStream.format("rate")
+        .load()
+        .selectExpr(
+            "timestamp AS ts",
+            "value AS event_id",
+            "value % 5 AS user_id",
+            "CAST(value AS DOUBLE) AS value",
+        )
+    )
+    df = streaming_ewma_tws(src)
+    assert df.isStreaming
+    assert df.schema == EWMA_OUTPUT_SCHEMA
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    # Spark 4 names the logical operator TransformWithStateInPySpark
+    assert "TransformWithStateInPySpark" in analyzed, analyzed
+    assert "user_id" in analyzed
+    assert "EventTimeWatermark" in analyzed, analyzed
+    assert "Append" in analyzed, analyzed
+
+
+@pytest.mark.skipif(
+    not _has_protobuf(),
+    reason="transformWithState's Python worker needs the protobuf package",
+)
+def test_streaming_ewma_tws_matches_batch(spark, tmp_path):
+    """transformWithStateInPandas EWMA ≡ batch plan across a
+    micro-batch boundary — the same equivalence the
+    applyInPandasWithState form pins above, through the Spark 4
+    arbitrary-state API (ValueState-held history)."""
+    import json as _json
+
+    import pandas as pd
+
+    from big_data_2021_spark_streaming_spark.plans.analytics import (
+        event_ewma_spikes,
+    )
+    from big_data_2021_spark_streaming_spark.streaming.pipeline import (
+        streaming_ewma_tws,
+        to_memory_sink,
+    )
+
+    vals = [1.0, 1.1, 0.9, 1.0, 1.05, 9.5, 1.0, 1.0, 12.25, 0.95]
+    rows = [
+        {
+            "event_id": i + 1,
+            "user_id": 7,
+            "ts": f"2024-01-01 00:{i:02d}:00",
+            "value": v,
+        }
+        for i, v in enumerate(vals)
+    ]
+    pdf = pd.DataFrame(rows)
+    pdf["ts"] = pd.to_datetime(pdf["ts"])
+    bdir = tmp_path / "batch"
+    bdir.mkdir()
+    pdf.to_parquet(bdir / "events.parquet")
+    batch = {
+        (r.user_id, r.event_id, r.value, r.n_hist, r.ewma)
+        for r in event_ewma_spikes(spark, str(bdir)).collect()
+    }
+    assert batch, "fixture produced no spikes — test is vacuous"
+    sdir = tmp_path / "stream"
+    sdir.mkdir()
+    (sdir / "b0.json").write_text("\n".join(_json.dumps(r) for r in rows[:6]))
+    schema = "event_id LONG, user_id LONG, ts TIMESTAMP, value DOUBLE"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(sdir))
+    )
+    q = to_memory_sink(streaming_ewma_tws(stream), "ewma_tws_sink")
+    try:
+        q.processAllAvailable()
+        (sdir / "b1.json").write_text(
+            "\n".join(_json.dumps(r) for r in rows[6:])
+        )
+        q.processAllAvailable()
+        streamed = {tuple(r) for r in spark.table("ewma_tws_sink").collect()}
+    finally:
+        q.stop()
+    assert streamed == batch
+    assert any(r[1] > 6 for r in streamed), (
+        "no spike in batch 2 — state never crossed the boundary"
+    )
+
+
 def test_ewma_spikes_rocksdb_state_store_matches_batch(
     spark, tmp_path, rocksdb_state_store
 ):
