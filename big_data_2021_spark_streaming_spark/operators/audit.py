@@ -1247,6 +1247,121 @@ VACUUM_TARGET = 8192  # compaction output target (chars stand in for bytes)
 VACUUM_SMALL = 1500  # files below this are compaction-eligible
 
 
+def _write_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simulated lake write manifest: one row per (source, micro-batch)
+    ingest file with its payload bytes — the frame the vacuum planner
+    packs and the skew audit profiles. |corpus|/VACUUM_BATCH rows,
+    always orders of magnitude smaller than the data."""
+    return (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "source",
+            F.expr(f"doc_id div {VACUUM_BATCH}").alias("batch_id"),
+            F.col("n_chars").cast("bigint").alias("nb"),
+        )
+        .groupBy("source", "batch_id")
+        .agg(F.sum("nb").alias("bytes"))
+    )
+
+
+def lake_file_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-size skew profile of the write manifest, per source
+    partition: file count, total/median/max bytes, half-up mean, the
+    max-to-mean ratio in micro, and the small-file share — the
+    dashboard that decides WHICH partitions the vacuum planner visits
+    first (a partition whose max-to-mean is ~1 and small-share ~0 needs
+    no compaction pass at all). Median is the exact lower median by
+    (bytes, batch_id) rank — a window over manifest rows partitioned
+    by source, never over documents."""
+    manifest = _write_manifest(spark, sf_dir)
+    w = Window.partitionBy("source").orderBy("bytes", "batch_id")
+    ranked = manifest.withColumn("rn", F.row_number().over(w))
+    stats = manifest.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_files"),
+        F.sum("bytes").cast("bigint").alias("total_bytes"),
+        F.max("bytes").cast("bigint").alias("max_bytes"),
+        F.sum((F.col("bytes") < VACUUM_SMALL).cast("bigint"))
+        .cast("bigint")
+        .alias("small_files"),
+    )
+    med = (
+        ranked.join(stats.select("source", "n_files"), "source")
+        .where(F.col("rn") == F.expr("(n_files + 1) div 2"))
+        .select("source", F.col("bytes").alias("p50_bytes"))
+    )
+    return (
+        stats.join(med, "source")
+        .select(
+            "source",
+            "n_files",
+            "total_bytes",
+            "p50_bytes",
+            "max_bytes",
+            F.expr(
+                "(2 * total_bytes + n_files) div (2 * n_files)"
+            ).alias("mean_bytes"),
+            "small_files",
+        )
+        .select(
+            "source",
+            "n_files",
+            "total_bytes",
+            "p50_bytes",
+            "max_bytes",
+            "mean_bytes",
+            F.expr(
+                "(2 * max_bytes * 1000000 + mean_bytes)"
+                " div (2 * mean_bytes)"
+            ).alias("max_to_mean_micro"),
+            F.expr(
+                "(2 * small_files * 1000000 + n_files) div (2 * n_files)"
+            ).alias("small_share_micro"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLES["lake_file_skew_audit"] = f"""
+    WITH manifest AS (
+        SELECT source, doc_id // {VACUUM_BATCH} AS batch_id,
+               CAST(SUM(n_chars) AS BIGINT) AS bytes
+        FROM documents
+        GROUP BY source, doc_id // {VACUUM_BATCH}
+    ),
+    stats AS (
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_files,
+               CAST(SUM(bytes) AS BIGINT) AS total_bytes,
+               CAST(MAX(bytes) AS BIGINT) AS max_bytes,
+               CAST(SUM(CASE WHEN bytes < {VACUUM_SMALL} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS small_files
+        FROM manifest GROUP BY source
+    ),
+    med AS (
+        SELECT source, bytes AS p50_bytes FROM (
+            SELECT source, bytes, batch_id,
+                   ROW_NUMBER() OVER (PARTITION BY source
+                                      ORDER BY bytes, batch_id) AS rn,
+                   CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT)
+                       AS n_files
+            FROM manifest
+        ) WHERE rn = (n_files + 1) // 2
+    )
+    SELECT s.source, s.n_files, s.total_bytes, m.p50_bytes, s.max_bytes,
+           CAST((2 * s.total_bytes + s.n_files) // (2 * s.n_files)
+                AS BIGINT) AS mean_bytes,
+           CAST((2 * s.max_bytes * 1000000
+                 + (2 * s.total_bytes + s.n_files) // (2 * s.n_files))
+                // (2 * ((2 * s.total_bytes + s.n_files)
+                         // (2 * s.n_files))) AS BIGINT)
+               AS max_to_mean_micro,
+           CAST((2 * s.small_files * 1000000 + s.n_files)
+                // (2 * s.n_files) AS BIGINT) AS small_share_micro
+    FROM stats s JOIN med m ON s.source = m.source
+    ORDER BY s.source
+"""
+
+
 def vacuum_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Small-file compaction (OPTIMIZE/VACUUM) planner — the sibling of
     ``layout_zorder_stats`` on the write side: the documents corpus was
@@ -1264,14 +1379,7 @@ def vacuum_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     the only corpus-sized operation is the one groupBy building the
     manifest (map-side combinable). All shares are exact half-up
     micro-unit integers."""
-    docs = load_table(spark, sf_dir, "documents").select(
-        "source",
-        F.expr(f"doc_id div {VACUUM_BATCH}").alias("batch_id"),
-        F.col("n_chars").cast("bigint").alias("nb"),
-    )
-    manifest = docs.groupBy("source", "batch_id").agg(
-        F.sum("nb").alias("bytes")
-    )
+    manifest = _write_manifest(spark, sf_dir)
     # bin-pack ONLY the small files, per source, in write (batch) order:
     # output file id = prior small-bytes div TARGET — pure arithmetic,
     # no per-bin state
@@ -1480,6 +1588,7 @@ ORACLES["partition_pruning_audit"] = _pruning_sql()
 QUERIES = {
     # round-7 entries first: registry order = driver grading order
     "vacuum_compaction_plan": vacuum_compaction_plan,
+    "lake_file_skew_audit": lake_file_skew_audit,
     "partition_pruning_audit": partition_pruning_audit,
     # round-4h entry
     "data_quality_report": data_quality_report,

@@ -720,7 +720,13 @@ def simhash_hamming_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     MinHash LSH bands — never an all-pairs product); the distinct
     collapses the ≤4 band collisions per pair before the bit_count,
     and the histogram is a ≤33-row aggregate."""
-    sig = simhash(spark, sf_dir)
+    # persist the signature frame (2 longs per doc): the band self-join
+    # otherwise recomputes the token-explode + 32-sum lineage for BOTH
+    # sides (no ReusedExchange across the aliased join inputs — the
+    # plan showed 4 parquet scans). The query's dominant cost is the
+    # within-bucket pair stage itself, which is inherent; the persist
+    # just stops the signature aggregate from running twice.
+    sig = simhash(spark, sf_dir).persist()
     n_bands = SIMHASH_BITS // SIMHASH_BAND_BITS
     stack = ", ".join(
         f"{b}, (simhash div {1 << (b * SIMHASH_BAND_BITS)})"

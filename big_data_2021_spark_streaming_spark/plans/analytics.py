@@ -3208,6 +3208,71 @@ def order_status_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Benford first-digit expectation log10(1+1/d) in half-up micro units —
+# compile-time constants inlined identically in both engines, so no
+# runtime log() (whose last-ulp behavior differs across libm builds)
+BENFORD_MICRO = {
+    1: 301030, 2: 176091, 3: 124939, 4: 96910, 5: 79181,
+    6: 66947, 7: 57992, 8: 51153, 9: 45757,
+}
+
+
+def event_value_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-significant-digit screen over positive event
+    values — the classic fabricated-data / unit-mixing detector: a
+    value column that is genuinely multiplicative spans enough orders
+    of magnitude to follow log10(1+1/d); a capped, defaulted, or
+    synthetic one visibly does not. Reports per digit the exact count,
+    observed share, the Benford expectation, and the chi2 drift
+    contribution n·(p−e)²/e — all exact micro integers; the first
+    digit comes from the micro-quantized value's decimal string, never
+    a runtime log10.
+
+    Scale: one scan, one 9-key map-side-combinable aggregate, one
+    1-row total broadcast."""
+    events = load_table(spark, sf_dir, "events")
+    digits = events.select(
+        F.expr("cast(round(value * 1000000) as bigint)").alias("vq")
+    ).where(F.col("vq") > 0).select(
+        F.expr("cast(substring(cast(vq as string), 1, 1) as bigint)").alias(
+            "digit"
+        )
+    )
+    per = digits.groupBy("digit").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    tot = digits.agg(F.count(F.lit(1)).cast("bigint").alias("total"))
+    exp_case = "CASE digit " + " ".join(
+        f"WHEN {d} THEN {m}" for d, m in BENFORD_MICRO.items()
+    ) + " END"
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            "n",
+            F.expr(
+                "(2 * n * 1000000 + total) div (2 * total)"
+            ).alias("share_micro"),
+            F.expr(f"cast({exp_case} as bigint)").alias("benford_micro"),
+            "total",
+        )
+        .select(
+            "digit",
+            "n",
+            "share_micro",
+            "benford_micro",
+            F.expr(
+                "cast((2 * cast(total as decimal(38,0))"
+                " * (share_micro - benford_micro)"
+                " * (share_micro - benford_micro) + benford_micro)"
+                " div (2 * cast(benford_micro as decimal(38,0)))"
+                " as bigint)"
+            ).alias("chi2_micro"),
+        )
+        .orderBy("digit")
+    )
+
+
 def order_backlog_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Monthly open-order backlog: an order opens in its order month
     and closes in the month its LAST line ships (orders with no lines
@@ -4708,6 +4773,7 @@ QUERIES: dict[str, object] = {
     # most recently go FIRST so they are graded before the suite that
     # already has multiple green rounds on record.
     "merge_touched_partitions": merge_touched_partitions,
+    "event_value_benford": event_value_benford,
     "order_backlog_timeseries": order_backlog_timeseries,
     "orders_priority_mix_shift": orders_priority_mix_shift,
     "event_ewma_spikes": event_ewma_spikes,

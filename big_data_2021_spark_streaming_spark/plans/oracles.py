@@ -20,6 +20,36 @@ discovered empirically and relied on throughout:
 from __future__ import annotations
 
 ORACLES: dict[str, str] = {
+    "event_value_benford": """
+        WITH digits AS (
+            SELECT CAST(substring(CAST(vq AS VARCHAR), 1, 1) AS BIGINT)
+                       AS digit
+            FROM (
+                SELECT CAST(ROUND(value * 1000000) AS BIGINT) AS vq
+                FROM events
+            ) WHERE vq > 0
+        ),
+        per AS (
+            SELECT digit, CAST(COUNT(*) AS BIGINT) AS n
+            FROM digits GROUP BY digit
+        ),
+        tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM digits),
+        shares AS (
+            SELECT digit, n,
+                   CAST((2 * n * 1000000 + total) // (2 * total)
+                        AS BIGINT) AS share_micro,
+                   CAST(CASE digit WHEN 1 THEN 301030 WHEN 2 THEN 176091 WHEN 3 THEN 124939 WHEN 4 THEN 96910 WHEN 5 THEN 79181 WHEN 6 THEN 66947 WHEN 7 THEN 57992 WHEN 8 THEN 51153 WHEN 9 THEN 45757 END AS BIGINT) AS benford_micro,
+                   total
+            FROM per, tot
+        )
+        SELECT digit, n, share_micro, benford_micro,
+               CAST((2 * CAST(total AS HUGEINT)
+                     * (share_micro - benford_micro)
+                     * (share_micro - benford_micro) + benford_micro)
+                    // (2 * CAST(benford_micro AS HUGEINT))
+                    AS BIGINT) AS chi2_micro
+        FROM shares ORDER BY digit
+    """,
     "order_backlog_timeseries": """
         WITH opens AS (
             SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate)

@@ -93,6 +93,7 @@ _ALLOWED_PINS = frozenset(
         ("operators/curation.py", "quality_budget_curve", "n_frame"),
         ("plans/analytics.py", "merge_touched_partitions", "n_touched"),
         ("plans/analytics.py", "orders_priority_mix_shift", "tot"),
+        ("plans/analytics.py", "event_value_benford", "tot"),
         ("operators/curation.py", "cross_source_overlap", "sizes"),
         ("operators/curation.py", "epoch_shuffle_plan", "epochs"),
         ("operators/curation.py", "quality_dup_profile", "n_frame"),

@@ -227,6 +227,7 @@ _BNLJ_INTENDED = frozenset(
         "orders_priority_mix_shift",  # 1-row grand-total scalar onto |priorities| rows
         "curation_quality_budget_curve",  # 1-row n/total scalars onto the ranked frame
         "similarity_cluster_purity",  # 1-row broadcast centroid-array via the Lloyd memo
+        "event_value_benford",        # 1-row digit-total scalar onto 9 digit rows
     }
 )
 
@@ -775,6 +776,39 @@ def test_registry_orders_unverified_queries_first():
     # not wasted budget).
     assert debt <= set(names[:50])
     assert first_back <= 50
+
+
+def test_pending_fingerprints_cover_unverified_queries():
+    # VERDICT r06 item 8: every not-yet-driver-verified query's
+    # fingerprint is recorded at registration
+    # (plans/pending_fingerprints.json), so the NEXT round's fold can
+    # prove the plan the driver graded is the plan being folded. The
+    # file must cover exactly the unverified set and match current
+    # code — regenerate it (python tools/plan_fingerprint.py) with any
+    # pre-grade edit; unlike the verified baseline there is no green
+    # to protect, only grade-to-fold continuity to witness.
+    from big_data_2021_spark_streaming_spark.plans.registry import (
+        _DRIVER_VERIFIED,
+    )
+    from tools.plan_fingerprint import (
+        builder_fingerprint,
+        load_pending,
+    )
+
+    pending = load_pending()
+    specs = all_queries()
+    unverified = {n for n in specs if n not in _DRIVER_VERIFIED}
+    assert set(pending) == unverified, (
+        sorted(set(pending) ^ unverified)
+    )
+    stale = sorted(
+        n for n in pending
+        if builder_fingerprint(n, specs[n]) != pending[n]
+    )
+    assert not stale, (
+        f"pending queries edited since their fingerprints were recorded:"
+        f" {stale} — rerun python tools/plan_fingerprint.py"
+    )
 
 
 def test_no_fingerprint_escaping_references():

@@ -339,11 +339,29 @@ def load_baseline() -> dict[str, str]:
     return json.loads(_BASELINE.read_text())
 
 
+_PENDING = _BASELINE.with_name("pending_fingerprints.json")
+
+
+def load_pending() -> dict[str, str]:
+    return json.loads(_PENDING.read_text())
+
+
 def main() -> None:
     sys.path.insert(0, str(_BASELINE.parent.parent.parent))
     fps = current_fingerprints()
     _BASELINE.write_text(json.dumps(fps, indent=1, sort_keys=True) + "\n")
     print(f"wrote {_BASELINE} ({len(fps)} verified queries)")
+    # VERDICT r06 item 8: not-yet-verified queries enter the staleness
+    # regime from DAY ONE — their fingerprints are recorded here at
+    # registration, so the next round's fold can verify the plan the
+    # driver graded is the plan being folded. Unlike the verified
+    # baseline (regenerate ONLY at fold), this file regenerates with
+    # any pre-grade edit — pending queries have no green to protect,
+    # the file just pins what the driver will see.
+    allfps = current_fingerprints(only_verified=False)
+    pend = {n: h for n, h in allfps.items() if n not in fps}
+    _PENDING.write_text(json.dumps(pend, indent=1, sort_keys=True) + "\n")
+    print(f"wrote {_PENDING} ({len(pend)} pending queries)")
 
 
 if __name__ == "__main__":
