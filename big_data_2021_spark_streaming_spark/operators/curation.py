@@ -52,7 +52,10 @@ def curation_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     clusters = near_dup_clusters(spark, sf_dir).select(
         "doc_id", "cluster_id", "is_canonical"
     )
-    lang_ok = F.col("lang").isin(*KEEP_LANGS)
+    # COALESCE: a NULL lang must FAIL the language gate, not propagate
+    # NULL through keep/reason (a NULL-lang doc fell through the when
+    # chain to 'ok' — NULL-bearing-corpus sweep, round 7)
+    lang_ok = F.coalesce(F.col("lang").isin(*KEEP_LANGS), F.lit(False))
     quality_ok = F.col("quality") >= QUALITY_MIN
     reason = (
         F.when(~F.col("is_canonical"), F.lit("near_dup"))
@@ -431,12 +434,13 @@ ORACLES["curation_keep_list"] = f"""
            COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
            (d.doc_id = COALESCE(c.cluster_id, d.doc_id)
             AND q.quality >= {QUALITY_MIN}
-            AND d.lang IN {KEEP_LANGS}) AS keep,
+            AND COALESCE(d.lang IN {KEEP_LANGS}, FALSE)) AS keep,
            CASE
                WHEN d.doc_id <> COALESCE(c.cluster_id, d.doc_id)
                    THEN 'near_dup'
                WHEN q.quality < {QUALITY_MIN} THEN 'low_quality'
-               WHEN d.lang NOT IN {KEEP_LANGS} THEN 'lang'
+               WHEN NOT COALESCE(d.lang IN {KEEP_LANGS}, FALSE)
+                   THEN 'lang'
                ELSE 'ok'
            END AS reason
     FROM documents d

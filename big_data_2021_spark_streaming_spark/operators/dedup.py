@@ -716,10 +716,19 @@ def simhash_hamming_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-dup threshold separates real rewrites from hash noise.
 
     Scale: pairs form ONLY within band-value buckets (an equi-join on
-    (band_id, band_value), the same bounded-blocking class as the
-    MinHash LSH bands — never an all-pairs product); the distinct
+    (band_id, band_value) — never an all-pairs product); the distinct
     collapses the ≤4 band collisions per pair before the bit_count,
-    and the histogram is a ≤33-row aggregate."""
+    and the histogram is a ≤33-row aggregate. Scale honesty (the
+    ``embedding_nn`` fixed-width caveat applies here too): an 8-bit
+    band has only 256 values, so RANDOM collisions make the candidate
+    stage ~n²/(256·4)·4 asymptotically — fine for the calibration runs
+    this view exists for (measured 22 s at 80k docs on local[32];
+    sub-linear x4→x16 because fixed overhead still dominates), but the
+    corpus-scale near-dup path remains MinHash LSH, whose banded
+    bucket space is hash-sized rather than 2^band_bits. Widening bands
+    (e.g. 64-bit signatures × 16-bit bands) trades the pigeonhole
+    recall bound for quadratically fewer random collisions if this
+    operator must run corpus-wide."""
     # persist the signature frame (2 longs per doc): the band self-join
     # otherwise recomputes the token-explode + 32-sum lineage for BOTH
     # sides (no ReusedExchange across the aliased join inputs — the
@@ -1796,7 +1805,11 @@ def crosslingual_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang_lo",
         "lang_hi",
         "n_pairs",
-        (F.col("lang_lo") != F.col("lang_hi")).alias("is_cross"),
+        # null-safe: a both-NULL-lang cell is same-language, not a
+        # NULL verdict (NULL-bearing-corpus sweep, round 7); one-sided
+        # NULLs never reach here — least/greatest drop them identically
+        # in both engines
+        (~F.col("lang_lo").eqNullSafe(F.col("lang_hi"))).alias("is_cross"),
         F.expr(
             "(2 * n_pairs * 1000000 + total) div (2 * total) / 1000000.0D"
         ).alias("pair_share"),
@@ -1818,7 +1831,7 @@ ORACLES["dedup_crosslingual_pairs"] = f"""
     ),
     t AS (SELECT CAST(SUM(n_pairs) AS BIGINT) AS total FROM g)
     SELECT lang_lo, lang_hi, n_pairs,
-           lang_lo <> lang_hi AS is_cross,
+           lang_lo IS DISTINCT FROM lang_hi AS is_cross,
            ((2 * n_pairs * 1000000 + total) // (2 * total)) / 1000000.0
                AS pair_share
     FROM g CROSS JOIN t

@@ -2874,7 +2874,11 @@ def value_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     reproducible across engines or cluster layouts — a winsorized
     training corpus must clip at the SAME values everywhere."""
     events = load_table(spark, sf_dir, "events")
-    base = events.select(
+    # a NULL measurement is not a measurement: excluded explicitly, or
+    # NULLs land in the rank frame where the engines ORDER them
+    # differently (Spark NULLS FIRST asc, DuckDB NULLS LAST) and the
+    # percentile bounds diverge (NULL-bearing-corpus sweep, round 7)
+    base = events.where(F.col("value").isNotNull()).select(
         "event_id", F.expr("cast(round(value * 1000000) as bigint)").alias("m")
     )
     ranked = _exact_global_rank(base, "m", "event_id", "rnk")

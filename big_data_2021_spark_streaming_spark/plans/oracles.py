@@ -900,7 +900,7 @@ ORACLES["value_winsorize"] = """
     WITH base AS (
         SELECT event_id,
                CAST(ROUND(value * 1000000) AS BIGINT) AS m
-        FROM events
+        FROM events WHERE value IS NOT NULL
     ),
     ranked AS (
         SELECT m,
