@@ -1480,31 +1480,35 @@ def partition_pruning_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     one level down, for file zone maps inside a partition).
 
     E[scan] = Σ_v bytes(partitions containing v) / (V · total_bytes),
-    and Σ_v collapses to a sum over DISTINCT (partition, value) pairs —
-    so the whole audit is one scan, two map-side-combinable groupBys
-    per layout×dimension pair, and exact integer micro-unit division.
+    and Σ_v collapses to a sum over DISTINCT (partition, value) pairs.
+    Plan shape: ONE corpus scan builds the full 3-dimension cell frame
+    (≤ |months|·|priorities|·32 rows, persisted — a bounded aggregate,
+    not data), and every layout×probe metric is derived from it by
+    small-frame arithmetic; the first cut re-aggregated the corpus per
+    cell (21 scans of orders for a 9-row report).
     """
-    dims = {
-        "month": "CAST(year(o_orderdate) * 100 + month(o_orderdate)"
-        " AS BIGINT)",
-        "priority": "o_orderpriority",
-        "cust_bucket": "CAST(o_custkey % 32 AS BIGINT)",
-    }
+    dims = ("month", "priority", "cust_bucket")
     orders = load_table(spark, sf_dir, "orders").select(
-        F.expr(dims["month"]).alias("month"),
-        F.expr(dims["cust_bucket"]).alias("cust_bucket"),
-        F.expr(dims["priority"]).alias("priority"),
+        F.expr(
+            "CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT)"
+        ).alias("month"),
+        F.expr("CAST(o_custkey % 32 AS BIGINT)").alias("cust_bucket"),
+        F.col("o_orderpriority").alias("priority"),
         F.round(F.col("o_totalprice") * 100).cast("bigint").alias("nb"),
+    )
+    cells = (
+        orders.groupBy("month", "priority", "cust_bucket")
+        .agg(F.sum("nb").alias("nb"))
+        .persist()
     )
     frames = []
     for layout in dims:
-        part_bytes = orders.groupBy(F.col(layout).alias("part")).agg(
-            F.sum("nb").alias("part_bytes"),
-            F.count(F.lit(1)).alias("part_rows"),
+        part_bytes = cells.groupBy(F.col(layout).alias("part")).agg(
+            F.sum("nb").alias("part_bytes")
         )
         for probe in dims:
             pairs = (
-                orders.select(F.col(layout).alias("part"), F.col(probe))
+                cells.select(F.col(layout).alias("part"), F.col(probe))
                 .distinct()
                 .groupBy("part")
                 .agg(F.count(F.lit(1)).alias("n_vals"))
@@ -1517,8 +1521,10 @@ def partition_pruning_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum("part_bytes").alias("total_bytes"),
                 F.count(F.lit(1)).cast("bigint").alias("n_parts"),
             )
-            vals = orders.agg(
-                F.countDistinct(probe).cast("bigint").alias("n_vals_total")
+            vals = (
+                cells.select(probe)
+                .distinct()
+                .agg(F.count(F.lit(1)).cast("bigint").alias("n_vals_total"))
             )
             frames.append(
                 hit.crossJoin(F.broadcast(vals)).select(

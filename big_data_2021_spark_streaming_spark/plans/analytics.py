@@ -3242,10 +3242,12 @@ def event_value_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
             "digit"
         )
     )
+    # one scan: the 9-row digit histogram persists and the total rolls
+    # up from it instead of re-scanning events
     per = digits.groupBy("digit").agg(
         F.count(F.lit(1)).cast("bigint").alias("n")
-    )
-    tot = digits.agg(F.count(F.lit(1)).cast("bigint").alias("total"))
+    ).persist()
+    tot = per.agg(F.sum("n").cast("bigint").alias("total"))
     exp_case = "CASE digit " + " ".join(
         f"WHEN {d} THEN {m}" for d, m in BENFORD_MICRO.items()
     ) + " END"
@@ -3349,16 +3351,24 @@ def orders_priority_mix_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(year(o_orderdate) AS BIGINT)").alias("year"),
         F.col("o_orderpriority").alias("priority"),
     )
-    cells = o.groupBy("year", "priority").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_orders")
+    # ONE corpus scan: the (year, priority) cell frame (≤ dozens of
+    # rows, persisted) — year totals, priority totals, and the grand
+    # total all roll up from it instead of re-scanning orders (the
+    # first cut paid 4 scans for a 35-row report)
+    cells = (
+        o.groupBy("year", "priority")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"))
+        .persist()
     )
-    yt = o.groupBy("year").agg(
-        F.count(F.lit(1)).cast("bigint").alias("year_total")
+    yt = cells.groupBy("year").agg(
+        F.sum("n_orders").cast("bigint").alias("year_total")
     )
-    gp = o.groupBy("priority").agg(
-        F.count(F.lit(1)).cast("bigint").alias("prio_total")
+    gp = cells.groupBy("priority").agg(
+        F.sum("n_orders").cast("bigint").alias("prio_total")
     )
-    tot = o.agg(F.count(F.lit(1)).cast("bigint").alias("grand_total"))
+    tot = cells.agg(
+        F.sum("n_orders").cast("bigint").alias("grand_total")
+    )
     gshare = gp.crossJoin(F.broadcast(tot)).select(
         "priority",
         F.expr(
