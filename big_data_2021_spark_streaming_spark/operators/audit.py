@@ -255,8 +255,11 @@ def value_drift_tvd(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
             F.col("n1").alias("n_first"),
             F.col("n2").alias("n_second"),
+            # an empty half means no drift is measurable: tvd := 0
+            # (r08 single-row sweep; ANSI div-by-zero crash otherwise)
             F.expr(
-                "(2 * 1000000 * num + 2 * n1 * n2) div (4 * n1 * n2)"
+                "CASE WHEN n1 = 0 OR n2 = 0 THEN 0 ELSE"
+                " (2 * 1000000 * num + 2 * n1 * n2) div (4 * n1 * n2) END"
             ).alias("tvd_micro"),
             "top_shift_bucket",
         )
@@ -727,8 +730,9 @@ ORACLES["value_drift_tvd"] = f"""
     SELECT event_type,
            n1 AS n_first,
            n2 AS n_second,
+           CASE WHEN n1 = 0 OR n2 = 0 THEN 0 ELSE
            (2 * 1000000 * CAST(SUM(d) AS BIGINT) + 2 * n1 * n2)
-               // (4 * n1 * n2) AS tvd_micro,
+               // (4 * n1 * n2) END AS tvd_micro,
            CAST(MAX(CASE WHEN rn = 1 THEN bucket END) AS INTEGER)
                AS top_shift_bucket
     FROM diffs
@@ -1004,11 +1008,14 @@ def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_nationkey",
             "c_mktsegment",
             "group_size",
+            # a single global band means every distribution coincides:
+            # EMD := 0 (r08 single-row sweep; ANSI crash on (B−1)=0)
             F.expr(
-                "cast((2 * absdiff * 1000000"
+                "CASE WHEN n_bands <= 1 THEN cast(0 as bigint) ELSE"
+                " cast((2 * absdiff * 1000000"
                 " + cast(group_size as decimal(19,0)) * n_total * (n_bands - 1))"
                 " div (2 * cast(group_size as decimal(19,0)) * n_total"
-                "      * (n_bands - 1)) as bigint)"
+                "      * (n_bands - 1)) as bigint) END"
             ).alias("emd_micro"),
         )
         .select(
@@ -1073,13 +1080,15 @@ ORACLES["t_closeness_audit"] = f"""
         FROM totals GROUP BY 1, 2, 3
     )
     SELECT c_nationkey, c_mktsegment, group_size,
-           CAST((2 * absdiff * 1000000
+           CAST(CASE WHEN n_bands <= 1 THEN 0 ELSE
+                (2 * absdiff * 1000000
                  + group_size * n_total * (n_bands - 1))
-                // (2 * group_size * n_total * (n_bands - 1))
+                // (2 * group_size * n_total * (n_bands - 1)) END
                AS BIGINT) AS emd_micro,
-           CAST((2 * absdiff * 1000000
+           CAST(CASE WHEN n_bands <= 1 THEN 0 ELSE
+                (2 * absdiff * 1000000
                  + group_size * n_total * (n_bands - 1))
-                // (2 * group_size * n_total * (n_bands - 1))
+                // (2 * group_size * n_total * (n_bands - 1)) END
                AS BIGINT) > {T_CLOSE_MICRO} AS breached
     FROM agg
 """
@@ -1309,9 +1318,15 @@ def lake_file_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p50_bytes",
             "max_bytes",
             "mean_bytes",
+            # zero-denominator ratio := 0 (r07 degenerate policy, ADVICE
+            # r07): the half-up mean rounds to 0 when a source's files
+            # total < n_files/2 bytes, so the guard is on the computed
+            # mean. n_files needs no guard — it is a group count, ≥ 1
+            # whenever the row exists.
             F.expr(
-                "(2 * max_bytes * 1000000 + mean_bytes)"
-                " div (2 * mean_bytes)"
+                "CASE WHEN mean_bytes = 0 THEN 0 ELSE"
+                " (2 * max_bytes * 1000000 + mean_bytes)"
+                " div (2 * mean_bytes) END"
             ).alias("max_to_mean_micro"),
             F.expr(
                 "(2 * small_files * 1000000 + n_files) div (2 * n_files)"
@@ -1350,10 +1365,12 @@ ORACLES["lake_file_skew_audit"] = f"""
     SELECT s.source, s.n_files, s.total_bytes, m.p50_bytes, s.max_bytes,
            CAST((2 * s.total_bytes + s.n_files) // (2 * s.n_files)
                 AS BIGINT) AS mean_bytes,
-           CAST((2 * s.max_bytes * 1000000
+           CAST(CASE WHEN (2 * s.total_bytes + s.n_files)
+                          // (2 * s.n_files) = 0 THEN 0 ELSE
+                (2 * s.max_bytes * 1000000
                  + (2 * s.total_bytes + s.n_files) // (2 * s.n_files))
                 // (2 * ((2 * s.total_bytes + s.n_files)
-                         // (2 * s.n_files))) AS BIGINT)
+                         // (2 * s.n_files))) END AS BIGINT)
                AS max_to_mean_micro,
            CAST((2 * s.small_files * 1000000 + s.n_files)
                 // (2 * s.n_files) AS BIGINT) AS small_share_micro
@@ -1417,9 +1434,13 @@ def vacuum_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.coalesce("small_files", F.lit(0))
                 - F.coalesce("out_files", F.lit(0))
             ).alias("files_saved"),
+            # zero-denominator rate := 0 (r07 degenerate policy, ADVICE
+            # r07): a partition holding only zero-byte files has no I/O
+            # budget to spend
             F.expr(
-                "(2 * coalesce(small_bytes, 0) * 1000000 + total_bytes)"
-                " div (2 * total_bytes)"
+                "CASE WHEN total_bytes = 0 THEN 0 ELSE"
+                " (2 * coalesce(small_bytes, 0) * 1000000 + total_bytes)"
+                " div (2 * total_bytes) END"
             ).alias("rewrite_share_micro"),
         )
         .orderBy("source")
@@ -1460,8 +1481,9 @@ ORACLES["vacuum_compaction_plan"] = f"""
            CAST(COALESCE(s.out_files, 0) AS BIGINT) AS out_files,
            CAST(COALESCE(s.small_files, 0) - COALESCE(s.out_files, 0)
                 AS BIGINT) AS files_saved,
-           CAST((2 * COALESCE(s.small_bytes, 0) * 1000000 + t.total_bytes)
-                // (2 * t.total_bytes) AS BIGINT) AS rewrite_share_micro
+           CAST(CASE WHEN t.total_bytes = 0 THEN 0 ELSE
+                (2 * COALESCE(s.small_bytes, 0) * 1000000 + t.total_bytes)
+                // (2 * t.total_bytes) END AS BIGINT) AS rewrite_share_micro
     FROM totals t LEFT JOIN small s ON t.source = s.source
     ORDER BY t.source
 """

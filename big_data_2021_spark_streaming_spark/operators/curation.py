@@ -1449,8 +1449,11 @@ def corpus_cross_shard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_pairs",
         "intra_shard",
         "inter_shard",
+        # zero-denominator rate := 0 (r07 degenerate policy, ADVICE r07):
+        # no LSH pairs means nothing straddles a shard
         F.expr(
-            "(2 * inter_shard * 1000000 + n_pairs) div (2 * n_pairs)"
+            "CASE WHEN n_pairs = 0 THEN 0 ELSE"
+            " (2 * inter_shard * 1000000 + n_pairs) div (2 * n_pairs) END"
         ).alias("inter_share_micro"),
     )
 
@@ -1693,8 +1696,9 @@ ORACLES["corpus_cross_shard_dups"] = f"""
                AS intra_shard,
            CAST(SUM(CASE WHEN sa <> sb THEN 1 ELSE 0 END) AS BIGINT)
                AS inter_shard,
-           CAST((2 * SUM(CASE WHEN sa <> sb THEN 1 ELSE 0 END) * 1000000
-                 + COUNT(*)) // (2 * COUNT(*)) AS BIGINT)
+           CAST(CASE WHEN COUNT(*) = 0 THEN 0 ELSE
+                (2 * SUM(CASE WHEN sa <> sb THEN 1 ELSE 0 END) * 1000000
+                 + COUNT(*)) // (2 * COUNT(*)) END AS BIGINT)
                AS inter_share_micro
     FROM j
 """

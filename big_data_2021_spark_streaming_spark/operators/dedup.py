@@ -772,6 +772,203 @@ def simhash_hamming_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Corpus-scale SimHash variant (SURVEY §7.4d item 3; the escape hatch
+# the 8-bit histogram's docstring names): 60-bit signatures × 15-bit
+# bands. OWN constants — SIMHASH_BITS belongs to the driver-verified
+# dedup_simhash and must not move. 60 bits (not 64) because h60's
+# universe is 60 bits and bit 59 keeps the signature positive in a
+# BIGINT on both engines (the same reasoning as BITMAP_BITS_PER_WORD);
+# 4 bands of 15 bits preserve the pigeonhole recall bound for
+# hamming ≤ 3 while shrinking random band collisions by 2^7 per band
+# vs the 8-bit layout — the quadratic term in the candidate stage
+# drops from n²/(256·4) to n²/(32768·4).
+SIMHASH_WIDE_BITS = 60
+SIMHASH_WIDE_BAND_BITS = 15
+SIMHASH_WIDE_NEAR = 3
+
+
+def simhash_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit SimHash per document — same Charikar construction as
+    :func:`simhash` at twice the width (one hash aggregate, 60
+    conditional sums, bit assembly stays in BIGINT)."""
+    exploded = _token_sets(spark, sf_dir).select(
+        "doc_id", F.explode("tok").alias("t")
+    )
+    h = h60(F.col("t"))
+    sums = [
+        F.sum(
+            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"s{i}")
+        for i in range(SIMHASH_WIDE_BITS)
+    ]
+    per_doc = exploded.groupBy("doc_id").agg(*sums)
+    sig = sum(
+        F.when(F.col(f"s{i}") >= 0, F.lit(2**i).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        for i in range(SIMHASH_WIDE_BITS)
+    )
+    return per_doc.select("doc_id", sig.alias("simhash"))
+
+
+def simhash_wide_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming histogram of the WIDE SimHash candidate pairs — the
+    corpus-scale twin of :func:`simhash_hamming_histogram`: same
+    band-bucket equi-join shape (never all-pairs), but each 15-bit
+    band has 32768 values, so the random-collision asymptote shrinks
+    by 128× per band and the candidate stage stays pair-bounded far
+    deeper into the corpus. Run next to the 8-bit histogram, the two
+    views calibrate the width-vs-recall trade on real data. The
+    signature frame (2 longs per doc) is persisted for the same
+    no-ReusedExchange reason as the 8-bit variant."""
+    sig = simhash_wide(spark, sf_dir).persist()
+    n_bands = SIMHASH_WIDE_BITS // SIMHASH_WIDE_BAND_BITS
+    stack = ", ".join(
+        f"{b}, (simhash div {1 << (b * SIMHASH_WIDE_BAND_BITS)})"
+        f" % {1 << SIMHASH_WIDE_BAND_BITS}"
+        for b in range(n_bands)
+    )
+    bands = sig.select(
+        "doc_id",
+        "simhash",
+        F.expr(f"stack({n_bands}, {stack}) as (band_id, bv)"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = (
+        a.join(b, ["band_id", "bv"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("da"),
+            F.col("b.doc_id").alias("db"),
+            F.expr("bit_count(a.simhash ^ b.simhash)")
+            .cast("bigint")
+            .alias("hamming"),
+        )
+        .distinct()
+    )
+    return (
+        pairs.groupBy("hamming")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+        .select(
+            "hamming",
+            "n_pairs",
+            (F.col("hamming") <= SIMHASH_WIDE_NEAR).alias("is_near"),
+        )
+        .orderBy("hamming")
+    )
+
+
+KMV_K = 64  # k-minimum-values sketch size
+_POW2_60 = 1 << 60  # h60's hash universe
+
+
+def minhash_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) distinct-SHINGLE cardinality estimate per
+    source, next to the exact count and the relative error — the
+    estimator that falls out of the MinHash machinery for free (a
+    MinHash signature IS the k=1 KMV per permutation), tying the dedup
+    signatures to the sketch family: est = (K−1)·2⁶⁰ / h₍K₎ where
+    h₍K₎ is the K-th smallest distinct 60-bit shingle hash (Bar-Yossef
+    et al. 2002). The universe is the character-3-gram shingle set
+    (the same NGRAM_N grams dedup_ngram_jaccard verifies with — NOT
+    word tokens, whose fixed 31-word synthetic vocabulary sits below
+    any useful K and would never exercise the estimator). Distinctness
+    is over HASHED shingles on both engines, so a (negligible,
+    2⁻⁶⁰-scale) collision undercounts both sides identically and the
+    hash gate stays exact.
+
+    Scale shape: the distinct-(source, hash) reduction is the one
+    corpus-scale shuffle (map-side partial distinct). The K-th-smallest
+    selection is the banded two-phase rank (a hot source never funnels
+    through one sort task) with FIXED arithmetic bands — h60 is uniform
+    on the known domain [0, 2⁶⁰), so ``h div 2⁵⁰`` yields 1024 balanced
+    bands with no extent pre-pass; the generic ``_exact_group_rank``
+    would overflow here, its ``(metric − mn) × 1024`` banding exceeding
+    int64 on 60-bit metrics. The estimate itself is exact
+    DECIMAL(38,0)//BIGINT arithmetic ≡ DuckDB HUGEINT, so the ~2⁶⁶
+    numerator never touches a double. A source with fewer than K
+    distinct tokens has no K-th value — the sketch holds the whole set
+    and the estimate IS the exact count (the KMV small-set convention).
+    """
+    # per-source gram rows: same relational-explode shape as
+    # _char_gram_rows (a transform() lambda recomputes the whole-doc
+    # regexp per element — see that docstring), carried per SOURCE here
+    # rather than per doc, so the distinct is (source, hash)-keyed
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source",
+        F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))).alias("norm"),
+    )
+    n_grams = F.length("norm") - (NGRAM_N - 1)
+    grams = docs.select(
+        "source",
+        "norm",
+        F.explode(
+            F.when(n_grams >= 1, F.sequence(F.lit(1), n_grams)).otherwise(
+                F.array().cast("array<int>")
+            )
+        ).alias("pos"),
+    ).select(
+        "source", F.col("norm").substr(F.col("pos"), F.lit(NGRAM_N)).alias("g")
+    )
+    dh = (
+        grams.select("source", h60(F.col("g")).alias("h"))
+        .distinct()
+        .persist()  # feeds the count AND the banded rank (≥2 passes)
+    )
+    ns = dh.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_exact")
+    )
+    banded = dh.withColumn("_band", F.expr(f"int(h div {1 << 50})"))
+    w_in = Window.partitionBy("source", "_band").orderBy("h")
+    w_off = (
+        Window.partitionBy("source")
+        .orderBy("_band")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = (
+        banded.groupBy("source", "_band")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .select(
+            "source",
+            "_band",
+            F.coalesce(F.sum("_c").over(w_off), F.lit(0)).alias("_off"),
+        )
+    )
+    ranked = (
+        banded.withColumn("_r_in", F.row_number().over(w_in))
+        .join(F.broadcast(offs), ["source", "_band"])
+        .select(
+            "source", "h", (F.col("_off") + F.col("_r_in")).alias("rnk")
+        )
+    )
+    kth = ranked.where(F.col("rnk") == KMV_K).select(
+        "source", F.col("h").alias("hk")
+    )
+    est = F.expr(
+        f"CAST(CAST({KMV_K - 1} AS DECIMAL(38,0))"
+        f" * CAST({_POW2_60} AS DECIMAL(38,0))"
+        " div CAST(hk AS DECIMAL(38,0)) AS BIGINT)"
+    )
+    return (
+        ns.join(kth, "source", "left")
+        .select(
+            "source",
+            "n_exact",
+            F.coalesce(est, F.col("n_exact")).alias("est_kmv"),
+        )
+        .select(
+            "source",
+            "n_exact",
+            "est_kmv",
+            F.expr(
+                "(2 * abs(est_kmv - n_exact) * 1000000 + n_exact)"
+                " div (2 * n_exact)"
+            ).alias("rel_err_micro"),
+        )
+        .orderBy("source")
+    )
+
+
 def embedding_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup: each vector's (approximate) nearest
     neighbor within its ``(label, hyperplane-LSH signature)`` bucket.
@@ -996,6 +1193,88 @@ ORACLES["dedup_simhash_hamming"] = f"""
     SELECT hamming, CAST(COUNT(*) AS BIGINT) AS n_pairs,
            hamming <= {SIMHASH_NEAR} AS is_near
     FROM pairs GROUP BY hamming ORDER BY hamming
+"""
+
+
+_SIMHASH_WIDE_SUMS = ",\n               ".join(
+    f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS s{i}"
+    for i in range(SIMHASH_WIDE_BITS)
+)
+_SIMHASH_WIDE_SIG = " + ".join(
+    f"CASE WHEN s{i} >= 0 THEN CAST({2**i} AS BIGINT) ELSE 0 END"
+    for i in range(SIMHASH_WIDE_BITS)
+)
+
+ORACLES["dedup_simhash_wide"] = f"""
+    WITH exploded AS (
+        SELECT doc_id, {h60_sql('sh')} AS h
+        FROM (SELECT doc_id, unnest({_TOK_SQL}) AS sh FROM documents)
+    ),
+    sums AS (
+        SELECT doc_id,
+           {_SIMHASH_WIDE_SUMS}
+        FROM exploded GROUP BY doc_id
+    ),
+    sigs AS (SELECT doc_id, {_SIMHASH_WIDE_SIG} AS simhash FROM sums),
+    bands AS (
+        SELECT doc_id, simhash, band_id,
+               (simhash >> (band_id * {SIMHASH_WIDE_BAND_BITS}))
+                   & {(1 << SIMHASH_WIDE_BAND_BITS) - 1} AS bv
+        FROM sigs, (
+            SELECT unnest([{", ".join(str(b) for b in range(SIMHASH_WIDE_BITS // SIMHASH_WIDE_BAND_BITS))}])
+                AS band_id
+        )
+    ),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS da, b.doc_id AS db,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT)
+                   AS hamming
+        FROM bands a JOIN bands b
+          ON a.band_id = b.band_id AND a.bv = b.bv
+         AND a.doc_id < b.doc_id
+    )
+    SELECT hamming, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           hamming <= {SIMHASH_WIDE_NEAR} AS is_near
+    FROM pairs GROUP BY hamming ORDER BY hamming
+"""
+
+ORACLES["dedup_minhash_cardinality"] = f"""
+    WITH dh AS (
+        SELECT DISTINCT source, {h60_sql('g')} AS h
+        FROM (
+            SELECT source,
+                   unnest(list_transform(
+                       range(1, greatest(length(norm) - {NGRAM_N - 2}, 1)),
+                       i -> substring(norm, i, {NGRAM_N}))) AS g
+            FROM (SELECT source,
+                         lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))
+                             AS norm
+                  FROM documents)
+        )
+    ),
+    ns AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_exact
+        FROM dh GROUP BY source
+    ),
+    kth AS (
+        SELECT source, h AS hk FROM (
+            SELECT source, h,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY source ORDER BY h) AS rnk
+            FROM dh
+        ) WHERE rnk = {KMV_K}
+    ),
+    est AS (
+        SELECT ns.source, ns.n_exact,
+               CAST(COALESCE(
+                   ({KMV_K - 1} * CAST({_POW2_60} AS HUGEINT)) // kth.hk,
+                   ns.n_exact) AS BIGINT) AS est_kmv
+        FROM ns LEFT JOIN kth ON ns.source = kth.source
+    )
+    SELECT source, n_exact, est_kmv,
+           CAST((2 * abs(est_kmv - n_exact) * 1000000 + n_exact)
+                // (2 * n_exact) AS BIGINT) AS rel_err_micro
+    FROM est ORDER BY source
 """
 
 
@@ -1291,7 +1570,14 @@ def keep_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     session shared with every clusters consumer), so the marginal cost
     is one join to documents plus a cluster-keyed aggregate; the
     dropped-id arrays are bounded by cluster size, which the LSH
-    threshold bounds by construction."""
+    threshold bounds by construction.
+
+    ``dropped_ids`` is serialized to a comma-joined string — the
+    driver's hash gate cannot canonicalize array cells (same
+    convention as q3's ``event_types``, enforced registry-wide by
+    ``tests/test_plans.py::test_no_array_or_map_output_columns``); the
+    ids are sorted NUMERICALLY before the string cast so both engines
+    agree on element order."""
     labels = near_dup_clusters(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
     joined = labels.join(docs, "doc_id")
@@ -1299,10 +1585,13 @@ def keep_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined.groupBy("cluster_id")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_members"),
-            F.sort_array(
-                F.collect_list(
-                    F.when(~F.col("is_canonical"), F.col("doc_id"))
-                )
+            F.array_join(
+                F.sort_array(
+                    F.collect_list(
+                        F.when(~F.col("is_canonical"), F.col("doc_id"))
+                    )
+                ).cast("array<string>"),
+                ",",
             ).alias("dropped_ids"),
             F.coalesce(
                 F.sum(F.when(~F.col("is_canonical"), F.col("n_chars"))), F.lit(0)
@@ -1317,8 +1606,9 @@ def keep_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLES["dedup_keep_manifest"] = f"""
     SELECT cluster_id,
            CAST(COUNT(*) AS BIGINT) AS n_members,
-           list_sort(list(c.doc_id) FILTER (WHERE NOT is_canonical))
-               AS dropped_ids,
+           array_to_string(
+               list_sort(list(c.doc_id) FILTER (WHERE NOT is_canonical)),
+               ',') AS dropped_ids,
            CAST(COALESCE(SUM(CASE WHEN NOT is_canonical THEN d.n_chars END),
                          0) AS BIGINT) AS freed_chars
     FROM ({ORACLES["dedup_clusters"]}) c
@@ -2216,7 +2506,10 @@ ORACLES["dedup_lsh_recall_exact"] = f"""
 
 
 QUERIES = {
-    # round-7 entry first: registry order = driver grading order
+    # round-8 additions first: registry order = driver grading order
+    "dedup_simhash_wide": simhash_wide_hamming,
+    "dedup_minhash_cardinality": minhash_cardinality,
+    # round-7 entry next
     "dedup_simhash_hamming": simhash_hamming_histogram,
     "dedup_lsh_recall_exact": lsh_recall_vs_exact,
     "dedup_prefix_filter": _memoized_prefix_filter,

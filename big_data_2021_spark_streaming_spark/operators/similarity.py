@@ -655,7 +655,9 @@ def dim_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
     Relational posexplode (one row per component), DECIMAL-exact
     moment sums over 6-decimal-rounded components, variance as the
     identical IEEE expression in both engines (the zscore pattern).
-    One shuffle on (label, dim) — 64×|labels| result rows."""
+    One shuffle on (label, dim) — 64×|labels| result rows. Labels
+    observed once are excluded (r08 single-row sweep): one vector has
+    no sample variance, and Spark's ANSI mode crashes on (n−1)=0."""
     vecs = _vectors(spark, sf_dir)
     exploded = vecs.select("label", F.posexplode("v").alias("dim", "x"))
     v6 = F.round("x", 6).cast("decimal(18,6)")
@@ -663,7 +665,7 @@ def dim_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_vecs"),
         F.sum(v6).alias("s1"),
         F.sum(v6 * v6).alias("s2"),
-    )
+    ).where(F.col("n_vecs") >= 2)
     s1d = F.col("s1").cast("double")
     s2d = F.col("s2").cast("double")
     nd = F.col("n_vecs").cast("double")
@@ -1730,6 +1732,7 @@ ORACLES["embedding_dim_variance"] = """
                SUM(CAST(ROUND(x, 6) AS DECIMAL(18,6))
                    * CAST(ROUND(x, 6) AS DECIMAL(18,6))) AS s2
         FROM ex GROUP BY 1, 2
+        HAVING COUNT(*) >= 2
     )
     SELECT label, dim, n_vecs,
            ROUND((CAST(s2 AS DOUBLE)
@@ -2471,8 +2474,13 @@ def power_iteration_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id").cast("int").alias("gd"),
         F.lit(1_000_000).cast("bigint").alias("v"),
     )
+    # mx = 0 means the moment matrix is identically zero (n = 1: every
+    # n·sxy − s·s cancels) — the iterate collapses to the zero vector
+    # instead of ANSI-crashing on the renormalizing division (r08
+    # single-row sweep)
     half_away = (
-        "CASE WHEN w < 0 THEN"
+        "CASE WHEN mx = 0 THEN cast(0 as bigint)"
+        " WHEN w < 0 THEN"
         " -cast((2 * (-w) * 1000000 + mx) div (2 * mx) as bigint)"
         " ELSE cast((2 * w * 1000000 + mx) div (2 * mx) as bigint) END"
     )
@@ -2505,7 +2513,8 @@ def power_iteration_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             F.expr(
-                "CASE WHEN num < 0 THEN"
+                "CASE WHEN den = 0 THEN cast(0 as bigint)"
+                " WHEN num < 0 THEN"
                 " -cast((2 * (-num) + den) div (2 * den) as bigint)"
                 " ELSE cast((2 * num + den) div (2 * den) as bigint) END"
             ).alias("lambda_scaled")
@@ -2518,7 +2527,8 @@ def power_iteration_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _power_iteration_sql() -> str:
     half_away = (
-        "CASE WHEN w < 0 THEN"
+        "CASE WHEN mx = 0 THEN CAST(0 AS BIGINT)"
+        " WHEN w < 0 THEN"
         " -CAST((2 * (-w) * 1000000 + mx) // (2 * mx) AS BIGINT)"
         " ELSE CAST((2 * w * 1000000 + mx) // (2 * mx) AS BIGINT) END"
     )
@@ -2580,7 +2590,8 @@ def _power_iteration_sql() -> str:
         GROUP BY m.gd1
     ),
     ray AS (
-        SELECT CASE WHEN num < 0 THEN
+        SELECT CASE WHEN den = 0 THEN CAST(0 AS BIGINT)
+               WHEN num < 0 THEN
                    -CAST((2 * (-num) + den) // (2 * den) AS BIGINT)
                ELSE CAST((2 * num + den) // (2 * den) AS BIGINT) END
                    AS lambda_scaled

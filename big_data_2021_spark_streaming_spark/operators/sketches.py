@@ -580,10 +580,14 @@ def sketch_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     row-number — no single-partition fact sort); every division runs
     on non-negative offsets from the global min so Spark's
     truncate-toward-zero ``div`` and DuckDB's floor ``//`` agree even
-    for negative values."""
+    for negative values. NULL values are excluded at the scan (r08,
+    both engines): a NULL is not a measurement, and engines place
+    NULLs at opposite ends of the rank order."""
     from ..plans.analytics import _exact_global_rank
 
-    events = load_table(spark, sf_dir, "events")
+    events = load_table(spark, sf_dir, "events").where(
+        F.col("value").isNotNull()
+    )
     base = events.select(
         "event_id",
         F.expr("cast(round(value * 1000000) as bigint)").alias("m"),
@@ -672,6 +676,7 @@ ORACLES["sketch_histogram_quantiles"] = f"""
     WITH base AS (
         SELECT event_id, CAST(ROUND(value * 1000000) AS BIGINT) AS m
         FROM events
+        WHERE value IS NOT NULL
     ),
     ext AS (
         SELECT MIN(m) AS mn, MAX(m) AS mx,

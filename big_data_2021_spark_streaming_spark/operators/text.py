@@ -2910,7 +2910,13 @@ def char_class_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     is: OCR dumps skew 'other', log spam skews digits, and a healthy
     prose source is letter-dominated. One scan, regexp_replace
     length-difference counting (JVM-side, no UDF), map-side
-    combinable sums."""
+    combinable sums.
+
+    Whitespace is an EXPLICIT character class (ADVICE r07): Java's
+    ``\\s`` includes U+000B vertical tab while DuckDB's RE2 ``\\s``
+    does not, so a corpus containing VT would diverge the two share
+    columns; both engines now use the identical literal set
+    ``[ \\t\\n\\x0B\\f\\r]`` (Java's definition, spelled out)."""
     docs = load_table(spark, sf_dir, "documents")
 
     def n_cls(pat: str) -> F.Column:
@@ -2926,7 +2932,7 @@ def char_class_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("text").cast("bigint").alias("n_chars"),
         n_cls("[A-Za-z]").alias("n_letters"),
         n_cls("[0-9]").alias("n_digits"),
-        n_cls(r"\s").alias("n_spaces"),
+        n_cls(r"[ \t\n\x0B\f\r]").alias("n_spaces"),
     )
     agg = per_doc.groupBy("source").agg(
         F.sum("n_chars").alias("n_chars"),
@@ -2952,6 +2958,123 @@ def char_class_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("source")
 
 
+LONG_WORD_LEN = 6  # "long word" threshold, sized so the share is
+# non-degenerate on the synthetic corpus (its max word length is 8)
+
+
+def word_len_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source word-length profile — count, exact micro mean length,
+    exact median length, max, and the share of long (≥ LONG_WORD_LEN
+    chars) words. Tokenizer-health at a glance: a source whose median
+    word length jumps is concatenated/boilerplate text; one whose long
+    share spikes is code or URLs — both are token-budget hazards a
+    curation pass wants surfaced before BPE fertility pays for them.
+
+    Scale shape: the one corpus-scale stage is the word explode, which
+    reduces MAP-SIDE to (source, len) cells (lengths are small ints —
+    the same value-domain-histogram move as
+    ``order_ship_latency_quantiles``); every statistic including the
+    exact median reads off the ≤|sources|·|lengths| cell frame, so
+    there is never a per-source sort of words. All displays are exact
+    integers (micro mean via half-up div from BIGINT sums)."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "source", F.explode(F.split(F.trim("text"), r"\s+")).alias("w")
+    )
+    cells = (
+        words.groupBy("source", F.length("w").alias("len"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .persist()  # tiny: feeds stats AND the median cumulative
+    )
+    stats = cells.groupBy("source").agg(
+        F.sum("c").cast("bigint").alias("n_words"),
+        F.sum(F.col("len").cast("bigint") * F.col("c"))
+        .cast("bigint")
+        .alias("sum_len"),
+        F.max("len").cast("bigint").alias("max_len"),
+        F.sum(F.when(F.col("len") >= LONG_WORD_LEN, F.col("c")).otherwise(0))
+        .cast("bigint")
+        .alias("n_long"),
+    )
+    w_cum = (
+        Window.partitionBy("source")
+        .orderBy("len")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = cells.select(
+        F.col("source").alias("csrc"), "len", F.sum("c").over(w_cum).alias("cum")
+    )
+    med = (
+        cum.join(
+            F.broadcast(
+                stats.select(
+                    F.col("source").alias("csrc"),
+                    F.expr("(n_words + 1) div 2").alias("r"),
+                )
+            ),
+            "csrc",
+        )
+        .where(F.col("cum") >= F.col("r"))
+        .groupBy("csrc")
+        .agg(F.min("len").cast("bigint").alias("p50_len"))
+    )
+    return (
+        stats.join(med, stats["source"] == med["csrc"])
+        .select(
+            "source",
+            "n_words",
+            F.expr("(2 * sum_len * 1000000 + n_words) div (2 * n_words)")
+            .alias("mean_len_micro"),
+            "p50_len",
+            "max_len",
+            F.expr("(2 * n_long * 1000000 + n_words) div (2 * n_words)")
+            .alias("long_share_micro"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLES["text_word_len_profile"] = f"""
+    WITH cells AS (
+        SELECT source, CAST(length(w) AS BIGINT) AS len,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM (SELECT source,
+                     unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+              FROM documents)
+        GROUP BY 1, 2
+    ),
+    stats AS (
+        SELECT source,
+               CAST(SUM(c) AS BIGINT) AS n_words,
+               CAST(SUM(len * c) AS BIGINT) AS sum_len,
+               CAST(MAX(len) AS BIGINT) AS max_len,
+               CAST(SUM(CASE WHEN len >= {LONG_WORD_LEN} THEN c ELSE 0 END)
+                    AS BIGINT) AS n_long
+        FROM cells GROUP BY source
+    ),
+    cum AS (
+        SELECT source, len,
+               SUM(c) OVER (PARTITION BY source ORDER BY len
+                            ROWS UNBOUNDED PRECEDING) AS cum
+        FROM cells
+    ),
+    med AS (
+        SELECT c.source, CAST(MIN(c.len) AS BIGINT) AS p50_len
+        FROM cum c JOIN stats s
+          ON s.source = c.source AND c.cum >= (s.n_words + 1) // 2
+        GROUP BY c.source
+    )
+    SELECT s.source, s.n_words,
+           CAST((2 * s.sum_len * 1000000 + s.n_words) // (2 * s.n_words)
+                AS BIGINT) AS mean_len_micro,
+           m.p50_len, s.max_len,
+           CAST((2 * s.n_long * 1000000 + s.n_words) // (2 * s.n_words)
+                AS BIGINT) AS long_share_micro
+    FROM stats s JOIN med m ON s.source = m.source
+    ORDER BY s.source
+"""
+
+
 ORACLES["text_char_class_profile"] = """
     WITH per_doc AS (
         SELECT source,
@@ -2963,7 +3086,8 @@ ORACLES["text_char_class_profile"] = """
                     - length(regexp_replace(text, '[0-9]', '', 'g'))
                     AS BIGINT) AS n_digits,
                CAST(length(text)
-                    - length(regexp_replace(text, '\\s', '', 'g'))
+                    - length(regexp_replace(text, '[ \\t\\n\\x0B\\f\\r]',
+                                            '', 'g'))
                     AS BIGINT) AS n_spaces
         FROM documents
     ),
@@ -2990,7 +3114,9 @@ ORACLES["text_char_class_profile"] = """
 
 
 QUERIES = {
-    # round-7 additions first: registry order = driver grading order
+    # round-8 addition first: registry order = driver grading order
+    "text_word_len_profile": word_len_profile,
+    # round-7 additions next
     "text_hapax_stats": hapax_stats,
     "text_zipf_topshare": zipf_topshare,
     "text_char_class_profile": char_class_profile,

@@ -1372,8 +1372,15 @@ def running_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     shortest decimal repr of a double while DuckDB rounds the raw
     binary value, so a quotient landing on a .xxxx5 boundary flipped.
     One shuffle on user_id; frames are O(1) running state per row.
+
+    NULL measurements are excluded at the scan (r08, both engines): a
+    NULL value is not a measurement, and letting it through makes the
+    running count/sum semantics engine-specific (Spark count("value")
+    vs DuckDB COUNT(*) frame rows).
     """
-    events = load_table(spark, sf_dir, "events")
+    events = load_table(spark, sf_dir, "events").where(
+        F.col("value").isNotNull()
+    )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     micro = F.round(F.col("value") * 1e6).cast("bigint")
     inner = events.select(
@@ -1687,8 +1694,13 @@ def user_trailing_hour_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def event_rank_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ntile + percent_rank over a total per-type order (value ties
     broken by event_id so both engines rank identically). percent_rank
-    is the exact rational (rank−1)/(n−1) — deterministic cross-engine."""
-    events = load_table(spark, sf_dir, "events")
+    is the exact rational (rank−1)/(n−1) — deterministic cross-engine.
+    NULL values are excluded at the scan (r08): Spark sorts NULLS FIRST
+    ascending where DuckDB sorts NULLS LAST, so a NULL entering the
+    rank frame shifts every rank differently per engine."""
+    events = load_table(spark, sf_dir, "events").where(
+        F.col("value").isNotNull()
+    )
     w = Window.partitionBy("event_type").orderBy("value", "event_id")
     return events.select(
         "event_id",
@@ -1872,7 +1884,12 @@ def value_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact sums with the SAME expression shape in both engines, so every
     intermediate is an identically-rounded IEEE value — no
     last-ulp-summation drift (the Window-SUM trap documented in
-    oracles.py)."""
+    oracles.py).
+
+    Groups with n < 2 are excluded (r08 single-row sweep): a sample
+    standard deviation needs two observations — Spark's ANSI mode
+    CRASHES on the (n−1)=0 division where DuckDB returns NULL, and a
+    one-event type cannot flag anomalies anyway."""
     events = load_table(spark, sf_dir, "events")
     v6 = F.round("value", 6).cast("decimal(18,6)")
     augmented = events.select("event_id", "event_type", "value", v6.alias("v6"))
@@ -1880,7 +1897,7 @@ def value_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum("v6").alias("s1"),
         F.sum(F.col("v6") * F.col("v6")).alias("s2"),
-    )
+    ).where(F.col("n") >= 2)
     s1d = F.col("s1").cast("double")
     s2d = F.col("s2").cast("double")
     nd = F.col("n").cast("double")
@@ -2114,9 +2131,17 @@ def user_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounds = user_days.agg(
         F.min("day").alias("d0"), F.max("day").alias("d1")
     )
+    # a corpus shorter than the 7-day window has NO fully-covered day:
+    # emit zero rows. Spark's sequence(start, stop) silently DESCENDS
+    # when start > stop (7 phantom days) where DuckDB's
+    # generate_series returns empty — caught by the r08 single-row
+    # sweep; the guard pins the empty-grid semantics in both engines.
     grid = bounds.select(
         F.explode(
-            F.sequence(F.col("d0") + 6, F.col("d1"))
+            F.when(
+                F.col("d0") + 6 <= F.col("d1"),
+                F.sequence(F.col("d0") + 6, F.col("d1")),
+            ).otherwise(F.array().cast("array<bigint>"))
         ).alias("day")
     )
     return (
@@ -2411,11 +2436,15 @@ def event_dispersion_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(1e6)
         ).alias("daily_mean"),
         (
+            # one observed day has no sample variance: dispersion := 0
+            # (r08 single-row sweep; Spark ANSI crashes on the (n−1)=0
+            # division where DuckDB returns NULL)
             F.expr(
-                "(2 * (cast(n_days as decimal(19,0)) * q"
+                "CASE WHEN n_days <= 1 THEN 0 ELSE"
+                " (2 * (cast(n_days as decimal(19,0)) * q"
                 "      - cast(s as decimal(19,0)) * s) * 1000000"
                 " + (n_days - 1) * s)"
-                " div (2 * (n_days - 1) * cast(s as decimal(19,0)))"
+                " div (2 * (n_days - 1) * cast(s as decimal(19,0))) END"
             )
             / F.lit(1e6)
         ).alias("dispersion"),
@@ -2650,10 +2679,15 @@ def value_equidepth_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equi-depth histogram: ntile(10) splits each event_type's values
     into ten equal-count buckets with exact bounds — the profile that
     drives skew-aware partitioning and bucketed sampling choices. One
-    shuffle on event_type; the sort is per-partition within the window."""
+    shuffle on event_type; the sort is per-partition within the window.
+    NULL values are excluded at the scan (r08): engines disagree on
+    NULL sort placement (Spark FIRST / DuckDB LAST), which would shift
+    every decile boundary."""
     from pyspark.sql import Window
 
-    events = load_table(spark, sf_dir, "events")
+    events = load_table(spark, sf_dir, "events").where(
+        F.col("value").isNotNull()
+    )
     w = Window.partitionBy("event_type").orderBy("value", "event_id")
     binned = events.select(
         "event_type",
@@ -3940,8 +3974,12 @@ def value_mad_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     across engines/layouts, and an anomaly GATE must flag the same
     rows everywhere. The base and deviation frames are persisted:
     each feeds a rank (which references its input ~4×) plus the final
-    aggregate."""
-    events = load_table(spark, sf_dir, "events")
+    aggregate. NULL values are excluded at the scan (r08): a NULL in
+    the rank frame shifts the median pick per engine (NULLS FIRST vs
+    LAST) and is not a measurement."""
+    events = load_table(spark, sf_dir, "events").where(
+        F.col("value").isNotNull()
+    )
     base = events.select(
         "event_type",
         "event_id",
@@ -4177,8 +4215,15 @@ def event_ewma_spikes(spark: SparkSession, sf_dir: str) -> DataFrame:
     frame (ROWS 16 PRECEDING), state O(DEPTH) per user exactly like
     the streaming implementation would keep, never a per-user
     re-scan. Values here are strictly positive; a signed variant
-    would re-sign the half-up division (see _cents_signed)."""
-    events = load_table(spark, sf_dir, "events")
+    would re-sign the half-up division (see _cents_signed).
+
+    NULL measurements are excluded at the scan (r08, both engines):
+    Spark's collect_list silently skips NULLs while the oracle's
+    bounded self-join counts the row, so a NULL in the history frame
+    desynchronizes the two EWMA denominators."""
+    events = load_table(spark, sf_dir, "events").where(
+        F.col("value").isNotNull()
+    )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     seqd = events.select(
         "user_id",
@@ -4781,11 +4826,125 @@ def customer_value_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def event_value_log2_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log₂-bucket value histogram per event type — the long-tail
+    profile (doubling buckets) that sizes value skew at a glance, the
+    way engine ANALYZE histograms and latency dashboards do. The
+    bucket index is floor(log₂(micro)) computed EXACTLY as
+    ``length(bin(micro)) − 1`` — integer-string arithmetic both
+    engines define identically, never a double log whose last ulp
+    could flip a boundary value's bucket (the ROUND-divergence class).
+    Non-positive micro values get bucket −1; NULL measurements are
+    excluded at the scan (r08 NULL policy). One scan, map-side
+    combinable (type, bucket) aggregate, ≤ |types|·~40 output rows."""
+    events = load_table(spark, sf_dir, "events").where(
+        F.col("value").isNotNull()
+    )
+    m = F.expr("cast(round(value * 1000000) as bigint)")
+    bucket = (
+        F.when(m <= 0, F.lit(-1))
+        .otherwise(F.length(F.bin(m)) - 1)
+        .cast("int")
+    )
+    return (
+        events.select(
+            "event_type", bucket.alias("bucket"), m.alias("micro")
+        )
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.min("micro").alias("min_micro"),
+            F.max("micro").alias("max_micro"),
+        )
+        .orderBy("event_type", "bucket")
+    )
+
+
+SHIP_QS = (50, 90, 99)  # latency percentiles reported per ship mode
+
+
+def order_ship_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-RETURNFLAG order-to-ship latency p50/p90/p99 via the
+    VALUE-DOMAIN HISTOGRAM (SURVEY §7.4d item 3; the seed said
+    per-shipmode, but the synthetic lineitem carries no l_shipmode —
+    l_returnflag plays the same small-cardinality grouping role and
+    asks a real question: do eventually-returned items ship slower?)
+    — the cheaper sibling
+    of ``order_fulfillment_latency``'s banded rank: latency in days is
+    a small integer, so instead of ranking every lineitem row the scan
+    reduces map-side to (shipmode, lag_days) cells — at 100 TB that is
+    ≤ |modes|·|days| ≈ a few thousand rows off a trillion-row join —
+    and every percentile is an exact rank statistic read off the
+    bounded per-mode cumulative (rank ⌈q·n/100⌉, the
+    ``sketch_histogram_quantiles`` convention, here EXACT because the
+    histogram domain is the value domain itself, not a bucketing).
+    Never a per-group sort; the only corpus-scale work is the
+    orders⋈lineitem equi-join the latency definition requires.
+
+    Long output (shipmode, q, n_items, lag_days): one row per
+    percentile, exact small ints on both engines."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_returnflag", "l_shipdate"
+    )
+    cells = (
+        orders.join(li, "o_orderkey")
+        .select(
+            "l_returnflag",
+            F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate"))
+            .cast("bigint")
+            .alias("lag"),
+        )
+        .groupBy("l_returnflag", "lag")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .persist()  # ≤|modes|·|days| rows: feeds the cumulative AND ns
+    )
+    w_cum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("lag")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = cells.select(
+        "l_returnflag", "lag", F.sum("c").over(w_cum).alias("cum")
+    )
+    ns = cells.groupBy("l_returnflag").agg(
+        F.sum("c").cast("bigint").alias("n_items")
+    )
+    # targets rides a RENAMED key: cum and ns share the cells lineage,
+    # so an un-aliased join would be an ambiguous self-reference
+    targets = ns.select(
+        F.col("l_returnflag").alias("tf"),
+        "n_items",
+        F.explode(F.array(*[F.lit(q) for q in SHIP_QS])).alias("q"),
+    ).select(
+        "tf",
+        "n_items",
+        "q",
+        F.expr("(q * n_items + 99) div 100").alias("r"),
+    )
+    return (
+        cum.join(
+            F.broadcast(targets),
+            (F.col("l_returnflag") == F.col("tf")) & (F.col("cum") >= F.col("r")),
+        )
+        .groupBy("tf", "q", "n_items")
+        .agg(F.min("lag").alias("lag_days"))
+        .select(
+            F.col("tf").alias("l_returnflag"), "q", "n_items", "lag_days"
+        )
+        .orderBy("l_returnflag", "q")
+    )
+
+
 QUERIES: dict[str, object] = {
     # dict order = registry order = driver grading order (its gate has
     # a budget; see plans/registry.py) — entries added or re-planned
     # most recently go FIRST so they are graded before the suite that
     # already has multiple green rounds on record.
+    "order_ship_latency_quantiles": order_ship_latency_quantiles,
+    "event_value_log2_histogram": event_value_log2_histogram,
     "merge_touched_partitions": merge_touched_partitions,
     "event_value_benford": event_value_benford,
     "order_backlog_timeseries": order_backlog_timeseries,

@@ -1253,7 +1253,7 @@ ORACLES["running_user_value"] = """
                    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS mov_n
         FROM (SELECT event_id, user_id, ts,
                      CAST(ROUND(value * 1000000) AS BIGINT) AS m
-              FROM events)
+              FROM events WHERE value IS NOT NULL)
     )
 """
 
@@ -1262,6 +1262,7 @@ ORACLES["event_rank_stats"] = """
            CAST(ntile(4) OVER w AS INTEGER) AS quartile,
            ROUND(percent_rank() OVER w, 6) AS pct_rank
     FROM events
+    WHERE value IS NOT NULL
     WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
 """
 
@@ -1330,6 +1331,7 @@ ORACLES["value_zscore_anomalies"] = """
                SUM(v6) AS s1,
                SUM(v6 * v6) AS s2
         FROM v GROUP BY event_type
+        HAVING COUNT(*) >= 2
     ),
     scored AS (
         SELECT v.event_id, v.event_type,
@@ -1430,6 +1432,7 @@ ORACLES["value_equidepth_deciles"] = """
                    PARTITION BY event_type ORDER BY value, event_id
                ) AS decile
         FROM events
+        WHERE value IS NOT NULL
     )
     SELECT event_type,
            CAST(decile AS INTEGER) AS decile,
@@ -1592,6 +1595,7 @@ ORACLES["value_mad_anomalies"] = """
         SELECT event_type, event_id,
                CAST(ROUND(value * 1000000) AS BIGINT) AS m
         FROM events
+        WHERE value IS NOT NULL
     ),
     ranked AS (
         SELECT event_type, m,
@@ -1725,6 +1729,57 @@ ORACLES["event_cusum_changepoint"] = """
            CAST((2 * CAST(s_abs AS BIGINT) * 1000000 + n_days * total)
                 // (2 * n_days * total) AS BIGINT) AS peak_micro
     FROM top WHERE rk = 1
+"""
+
+# integer log2 via binary-string length — exact in both engines, no
+# double log at bucket boundaries
+ORACLES["event_value_log2_histogram"] = """
+    SELECT event_type,
+           CAST(CASE WHEN m <= 0 THEN -1
+                     ELSE length(bin(m)) - 1 END AS INTEGER) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(MIN(m) AS BIGINT) AS min_micro,
+           CAST(MAX(m) AS BIGINT) AS max_micro
+    FROM (SELECT event_type, CAST(ROUND(value * 1000000) AS BIGINT) AS m
+          FROM events WHERE value IS NOT NULL)
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+"""
+
+# value-domain-histogram twin of the Spark builder: same (mode, lag)
+# cells, same ceil-rank ⌈q·n/100⌉ target, smallest lag with cum ≥ r
+ORACLES["order_ship_latency_quantiles"] = """
+    WITH cells AS (
+        SELECT l_returnflag,
+               CAST(date_diff('day', CAST(o_orderdate AS DATE),
+                              CAST(l_shipdate AS DATE)) AS BIGINT) AS lag,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT l_returnflag, lag,
+               SUM(c) OVER (PARTITION BY l_returnflag ORDER BY lag
+                            ROWS UNBOUNDED PRECEDING) AS cum
+        FROM cells
+    ),
+    ns AS (
+        SELECT l_returnflag, CAST(SUM(c) AS BIGINT) AS n_items FROM cells
+        GROUP BY l_returnflag
+    ),
+    targets AS (
+        SELECT l_returnflag, n_items, q,
+               (q * n_items + 99) // 100 AS r
+        FROM ns CROSS JOIN (SELECT unnest([50, 90, 99]) AS q)
+    )
+    SELECT t.l_returnflag,
+           CAST(t.q AS INTEGER) AS q,
+           t.n_items,
+           CAST(MIN(c.lag) AS BIGINT) AS lag_days
+    FROM targets t JOIN cum c
+      ON c.l_returnflag = t.l_returnflag AND c.cum >= t.r
+    GROUP BY t.l_returnflag, t.q, t.n_items
+    ORDER BY t.l_returnflag, t.q
 """
 
 ORACLES["order_fulfillment_latency"] = """
@@ -1976,6 +2031,7 @@ ORACLES["event_ewma_spikes"] = """
                row_number() OVER (
                    PARTITION BY user_id ORDER BY ts, event_id) AS seq
         FROM events
+        WHERE value IS NOT NULL
     ),
     hist AS (
         SELECT e.user_id, e.event_id, e.value, e.vq,
@@ -2205,10 +2261,11 @@ ORACLES["event_dispersion_index"] = """
     SELECT event_type, n_days, s AS n_events,
            ((2 * s * 1000000 + n_days) // (2 * n_days)) / 1e6
                AS daily_mean,
-           ((2 * (CAST(n_days AS HUGEINT) * q
+           (CASE WHEN n_days <= 1 THEN 0 ELSE
+            (2 * (CAST(n_days AS HUGEINT) * q
                   - CAST(s AS HUGEINT) * s) * 1000000
              + (n_days - 1) * s)
-            // (2 * (n_days - 1) * CAST(s AS HUGEINT))) / 1e6
+            // (2 * (n_days - 1) * CAST(s AS HUGEINT)) END) / 1e6
                AS dispersion
     FROM moments
 """

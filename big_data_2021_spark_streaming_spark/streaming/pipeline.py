@@ -310,24 +310,47 @@ def merge_upsert_partitioned_writer(
     when a key's partition value can never change between batches; a
     value-derived partition (say, the update date) would strand the
     key's stale row in a directory this batch never rewrites, and
-    reads would return two rows for the key. Enforced mechanically:
-    the expression must resolve against a keys-only projection, so a
-    writer configured with a non-key partition expression fails fast
-    on its first batch instead of silently corrupting state."""
+    reads would return two rows for the key. Mechanical enforcement
+    (first batch, fail-fast): the expression must RESOLVE against a
+    keys-only projection (catches any non-key column reference), must
+    be DETERMINISTIC per Catalyst (catches rand()-style expressions),
+    and must reference at least one key column (catches literals and
+    batch-varying zero-arg calls like current_date(), which Catalyst
+    marks deterministic yet violate purity across batches). What this
+    cannot catch: a deterministic key-referencing expression that
+    smuggles batch state in some other way — that residue is the
+    caller's contract, not a checked invariant (ADVICE r07)."""
     from pyspark.sql import Window
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         state_dir = f"{out_dir}/state"
+        contract = (
+            f"part_expr {part_expr!r} must be a pure function of the "
+            f"key columns {list(key_cols)}: partition-pruned COW "
+            "MERGE is only correct when a key's partition value "
+            "never changes between batches"
+        )
         try:
-            batch_df.select(*key_cols).select(F.expr(part_expr))
+            probe = batch_df.select(*key_cols).select(
+                F.expr(part_expr).alias("_p")
+            )
         except Exception as e:
+            raise ValueError(contract) from e
+        try:  # classic-JVM introspection; absent on exotic backends
+            jexpr = probe._jdf.queryExecution().analyzed().expressions().head()
+            deterministic = jexpr.deterministic()
+            refs_keys = not jexpr.references().isEmpty()
+        except Exception:
+            deterministic = refs_keys = True
+        if not deterministic:
+            raise ValueError(contract + " (expression is nondeterministic)")
+        if not refs_keys:
             raise ValueError(
-                f"part_expr {part_expr!r} must be a pure function of the "
-                f"key columns {list(key_cols)}: partition-pruned COW "
-                "MERGE is only correct when a key's partition value "
-                "never changes between batches"
-            ) from e
+                contract + " (expression references no key column — a "
+                "constant or zero-arg call like current_date() can "
+                "change a key's partition between batches)"
+            )
         b = batch_df.withColumn(part_col, F.expr(part_expr))
         touched = [r[0] for r in b.select(part_col).distinct().collect()]
         cols = b.columns

@@ -90,6 +90,14 @@ _ALLOWED_PINS = frozenset(
         ("operators/curation.py", "_shard_placement", "offs"),
         # r07 additions — each a 1-row aggregate (provably bounded):
         ("operators/audit.py", "partition_pruning_audit", "vals"),
+        # r08 additions — bounded by algorithm constants:
+        # offs: one row per (source, band) with band = h div 2^50 on a
+        # 60-bit domain → ≤ 1024 bands × |sources| rows
+        ("operators/dedup.py", "minhash_cardinality", "offs"),
+        # stats: one aggregate row per source (projected to (source, r))
+        ("operators/text.py", "word_len_profile", "stats"),
+        # targets: |returnflag| × |SHIP_QS| rank targets (≤ 3×3 rows)
+        ("plans/analytics.py", "order_ship_latency_quantiles", "targets"),
         ("operators/curation.py", "quality_budget_curve", "n_frame"),
         ("plans/analytics.py", "merge_touched_partitions", "n_touched"),
         ("plans/analytics.py", "orders_priority_mix_shift", "tot"),

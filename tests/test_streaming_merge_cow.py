@@ -169,3 +169,35 @@ def test_real_stream_drives_the_writer(spark, tmp_path):
         (int(r["user_id"]), int(r["event_id"])) for r in latest.collect()
     }
     assert got == want
+
+
+def test_part_expr_contract_rejects_impure_expressions(spark, tmp_path):
+    # ADVICE r07: the purity check must catch more than unresolvable
+    # column references — a key-independent expression (a literal, or a
+    # zero-arg call Catalyst marks deterministic like current_date())
+    # resolves against the keys-only projection yet can move a key's
+    # partition between batches, stranding stale rows COW never
+    # rewrites. The writer now rejects: non-key column refs (resolution
+    # failure), nondeterministic expressions, and expressions that
+    # reference no key column at all.
+    import pytest
+
+    batch = _events(spark).limit(5)
+
+    def attempt(expr):
+        w = merge_upsert_partitioned_writer(
+            str(tmp_path / "x"), "p", expr, ["user_id"], ["ts", "event_id"]
+        )
+        w(batch, 0)
+
+    for bad in ("value % 8", "rand()", "current_date()", "42"):
+        with pytest.raises(ValueError, match="pure function"):
+            attempt(bad)
+    # the legitimate key-derived expression still writes
+    ok = merge_upsert_partitioned_writer(
+        str(tmp_path / "ok"), "p", PART_EXPR, ["user_id"], ["ts", "event_id"]
+    )
+    ok(batch, 0)
+    # latest-per-key: one state row per distinct user in the batch
+    want = batch.select("user_id").distinct().count()
+    assert spark.read.parquet(str(tmp_path / "ok/state")).count() == want

@@ -603,3 +603,79 @@ def test_source_chi2_drift_matches_pure_python(spark):
     got = {rr.source: (rr.n_top_tokens, rr.dof, rr.chi2) for rr in rows}
     assert got == expected
     assert all(v[2] >= 0 for v in got.values())
+
+
+def test_char_class_whitespace_is_engine_identical_on_vt(spark):
+    # ADVICE r07: Java \s includes U+000B vertical tab, RE2 \s does
+    # not — char_class_profile now uses the explicit literal class
+    # [ \t\n\x0B\f\r] in BOTH engines. Pin the definition on a string
+    # containing every member (including VT) so a regression to \s in
+    # either engine fails here instead of on a future VT-bearing corpus.
+    import duckdb
+    from pyspark.sql import functions as F
+
+    s = "a\x0bb c\td\ne\ff\rg"  # 6 whitespace chars under Java \s
+    spark_n = (
+        spark.createDataFrame([(s,)], "text string")
+        .select(
+            (
+                F.length("text")
+                - F.length(
+                    F.regexp_replace("text", r"[ \t\n\x0B\f\r]", "")
+                )
+            ).alias("n")
+        )
+        .collect()[0]["n"]
+    )
+    duck_n = duckdb.connect().execute(
+        "SELECT length(?) - length(regexp_replace(?,"
+        " '[ \\t\\n\\x0B\\f\\r]', '', 'g'))",
+        [s, s],
+    ).fetchone()[0]
+    assert spark_n == duck_n == 6
+
+
+def test_minhash_cardinality_matches_pure_python(spark):
+    # KMV estimator (round-8): recompute per-source distinct-3-gram
+    # hash sets in pure python, the K-th smallest, and the exact
+    # integer estimate (K-1)*2^60 // h_K — including the small-set
+    # convention (fewer than K distinct shingles => est == exact),
+    # which is the path sf0.001 exercises for some sources.
+    import hashlib
+    import re
+
+    from big_data_2021_spark_streaming_spark.operators.dedup import (
+        KMV_K,
+        NGRAM_N,
+        minhash_cardinality,
+    )
+
+    def h60(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    per_source: dict[str, set[int]] = defaultdict(set)
+    docs = _docs()
+    for source, text in zip(docs["source"], docs["text"]):
+        norm = re.sub(r"\s+", " ", text.strip()).lower()
+        for i in range(max(len(norm) - NGRAM_N + 1, 0)):
+            per_source[source].add(h60(norm[i : i + NGRAM_N]))
+
+    rows = minhash_cardinality(spark, SF).collect()
+    assert {r.source for r in rows} == set(per_source)
+    exercised_estimator = 0
+    for r in rows:
+        hs = sorted(per_source[r.source])
+        assert r.n_exact == len(hs)
+        if len(hs) >= KMV_K:
+            want = (KMV_K - 1) * (1 << 60) // hs[KMV_K - 1]
+            exercised_estimator += 1
+        else:
+            want = len(hs)  # small-set convention
+        assert r.est_kmv == want
+        n = r.n_exact
+        assert r.rel_err_micro == (
+            2 * abs(r.est_kmv - n) * 1_000_000 + n
+        ) // (2 * n)
+    # the estimator path (not just the small-set fallback) must be
+    # exercised somewhere, or the query is vacuous
+    assert exercised_estimator > 0

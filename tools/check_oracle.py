@@ -36,17 +36,33 @@ TABLES = (
 ).split()
 
 
+class DriverContractError(TypeError):
+    """A cell shape the DRIVER's canonicalizer cannot grade."""
+
+
 def canon(v) -> str:
     """Canonical, dtype-sensitive cell representation.
 
     int 2 and float 2.0 canonicalize DIFFERENTLY (matching the driver's
     pandas-based hash); floats are rounded to 9 places first so
     last-ulp engine drift doesn't flag.
+
+    Collection cells are REJECTED, not serialized: the driver's pandas
+    canonicalizer (sort_values → Categorical factorize) crashes on
+    numpy arrays ("unhashable type"), so a query whose values this
+    replica could happily compare would still burn a graded round —
+    exactly what happened to dedup_keep_manifest for three rounds
+    (CORRECTNESS_r07 err). Crash-parity here means the contract
+    violation fails LOCALLY first.
     """
     if isinstance(v, np.generic):
         v = v.item()
-    if isinstance(v, (list, tuple, np.ndarray)):
-        return "[" + ",".join(canon(x) for x in v) + "]"
+    if isinstance(v, (list, tuple, dict, set, np.ndarray)):
+        raise DriverContractError(
+            f"collection cell {type(v).__name__} — the driver's pandas "
+            "canonicalizer cannot hash it; serialize to a string "
+            "(array_join / to_json) at the grade boundary"
+        )
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
@@ -113,7 +129,12 @@ def main() -> int:
                 f"cols spark={sorted(spdf.columns)} duckdb={sorted(ddf.columns)}"
             )
         if not problems:
-            sm, dm = frame_to_multiset(spdf), frame_to_multiset(ddf)
+            try:
+                sm, dm = frame_to_multiset(spdf), frame_to_multiset(ddf)
+            except DriverContractError as e:
+                failures.append(name)
+                print(f"FAIL {name}: driver contract — {e}{took()}", flush=True)
+                continue
             if sm != dm:
                 diff = next(
                     (i for i, (a, b) in enumerate(zip(sm, dm)) if a != b), None
