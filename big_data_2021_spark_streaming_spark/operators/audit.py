@@ -1613,8 +1613,163 @@ def _pruning_sql() -> str:
 ORACLES["partition_pruning_audit"] = _pruning_sql()
 
 
+def lake_clustering_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap (stabbing) depth of the write layout, per
+    source and dimension — the number an OPTIMIZE/Z-ORDER planner
+    reads to decide whether file-level min/max pruning works at all:
+    a point probe on dimension d must open every file whose [min, max]
+    spans the probe value, so the average stabbing depth over the
+    covered domain IS the expected files-read amplification (and
+    max_depth its worst case). The write dimension (doc_id — files
+    are id-contiguous by construction) grades depth 1; the unwritten
+    dimension (n_chars) grades depth ≈ n_files: the pair shows the
+    metric separating a clustered from an unclustered layout of the
+    same table (``layout_zorder_stats`` reports range widths; this
+    reports the read amplification those widths cause).
+
+    Shape: ONE corpus scan reduces map-side to per-file min/max cells
+    at the vacuum planner's |corpus|/VACUUM_BATCH manifest
+    granularity; the classic sweep-line then runs entirely on the
+    2-events-per-file boundary frame — +1 at lo, −1 at hi+1, depth =
+    running sum, spans from lead() — so overlap costs
+    O(files·log files), never the quadratic file×file range self-join
+    it replaces. covered_points needs no zero guard: every file has
+    hi ≥ lo, so each (source, dim) group covers ≥ 1 point. The area
+    numerator rides DECIMAL — area × 2e6 exceeds int64 once
+    files × span passes ~4.6e12."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source",
+        F.expr(f"doc_id div {VACUUM_BATCH}").alias("batch_id"),
+        F.col("doc_id").cast("bigint").alias("id"),
+        F.col("n_chars").cast("bigint").alias("ch"),
+    )
+    files = docs.groupBy("source", "batch_id").agg(
+        F.min("id").alias("lo_id"),
+        F.max("id").alias("hi_id"),
+        F.min("ch").alias("lo_ch"),
+        F.max("ch").alias("hi_ch"),
+    )
+    ivals = files.select(
+        "source",
+        F.expr(
+            "stack(2, 'doc_id', lo_id, hi_id, 'n_chars', lo_ch, hi_ch)"
+            " as (dim, lo, hi)"
+        ),
+    ).persist()  # 2 rows per file; feeds both event sides + n_files
+    nf = ivals.groupBy("source", "dim").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_files")
+    )
+    events = ivals.select(
+        "source", "dim", F.col("lo").alias("pos"), F.lit(1).alias("d")
+    ).unionByName(
+        ivals.select(
+            "source",
+            "dim",
+            (F.col("hi") + 1).alias("pos"),
+            F.lit(-1).alias("d"),
+        )
+    )
+    boundaries = events.groupBy("source", "dim", "pos").agg(
+        F.sum("d").alias("dd")
+    )
+    w = Window.partitionBy("source", "dim").orderBy("pos")
+    runs = boundaries.select(
+        "source",
+        "dim",
+        F.sum("dd")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("depth"),
+        (F.lead("pos").over(w) - F.col("pos")).alias("span"),
+    )
+    agg = runs.groupBy("source", "dim").agg(
+        F.max("depth").cast("bigint").alias("max_depth"),
+        F.sum(F.when(F.col("depth") >= 1, F.col("span")).otherwise(0))
+        .cast("bigint")
+        .alias("covered_points"),
+        F.sum(
+            F.when(
+                F.col("depth") >= 1, F.col("depth") * F.col("span")
+            ).otherwise(0)
+        )
+        .cast("decimal(38,0)")
+        .alias("_area"),
+    )
+    return (
+        agg.join(nf, ["source", "dim"])
+        .select(
+            "source",
+            "dim",
+            "n_files",
+            "max_depth",
+            "covered_points",
+            F.expr(
+                "cast((2 * _area * 1000000 + covered_points)"
+                " div (2 * covered_points) as bigint)"
+            ).alias("avg_depth_micro"),
+        )
+        .orderBy("source", "dim")
+    )
+
+
+# sweep-line twin: same boundary events, same lead() spans; the final
+# position of every (source, dim) group always closes to depth 0, so
+# its NULL span never meets the depth >= 1 branch in either engine
+ORACLES["lake_clustering_depth"] = f"""
+    WITH files AS (
+        SELECT source, doc_id // {VACUUM_BATCH} AS batch_id,
+               CAST(MIN(doc_id) AS BIGINT) AS lo_id,
+               CAST(MAX(doc_id) AS BIGINT) AS hi_id,
+               CAST(MIN(n_chars) AS BIGINT) AS lo_ch,
+               CAST(MAX(n_chars) AS BIGINT) AS hi_ch
+        FROM documents GROUP BY 1, 2
+    ),
+    ivals AS (
+        SELECT source, 'doc_id' AS dim, lo_id AS lo, hi_id AS hi
+        FROM files
+        UNION ALL
+        SELECT source, 'n_chars' AS dim, lo_ch AS lo, hi_ch AS hi
+        FROM files
+    ),
+    nf AS (
+        SELECT source, dim, CAST(COUNT(*) AS BIGINT) AS n_files
+        FROM ivals GROUP BY 1, 2
+    ),
+    boundaries AS (
+        SELECT source, dim, pos, SUM(d) AS dd FROM (
+            SELECT source, dim, lo AS pos, 1 AS d FROM ivals
+            UNION ALL
+            SELECT source, dim, hi + 1 AS pos, -1 AS d FROM ivals
+        ) ev GROUP BY 1, 2, 3
+    ),
+    runs AS (
+        SELECT source, dim,
+               SUM(dd) OVER (PARTITION BY source, dim ORDER BY pos
+                             ROWS UNBOUNDED PRECEDING) AS depth,
+               lead(pos) OVER (PARTITION BY source, dim ORDER BY pos)
+                   - pos AS span
+        FROM boundaries
+    ),
+    agg AS (
+        SELECT source, dim,
+               CAST(MAX(depth) AS BIGINT) AS max_depth,
+               CAST(SUM(CASE WHEN depth >= 1 THEN span ELSE 0 END)
+                    AS BIGINT) AS covered_points,
+               CAST(SUM(CASE WHEN depth >= 1 THEN depth * span
+                             ELSE 0 END) AS HUGEINT) AS area
+        FROM runs GROUP BY 1, 2
+    )
+    SELECT a.source, a.dim, n.n_files, a.max_depth, a.covered_points,
+           CAST((2 * a.area * 1000000 + a.covered_points)
+                // (2 * a.covered_points) AS BIGINT) AS avg_depth_micro
+    FROM agg a JOIN nf n ON a.source = n.source AND a.dim = n.dim
+    ORDER BY a.source, a.dim
+"""
+
+
 QUERIES = {
-    # round-7 entries first: registry order = driver grading order
+    # round-8 addition first: registry order = driver grading order
+    "lake_clustering_depth": lake_clustering_depth,
+    # round-7 entries next
     "vacuum_compaction_plan": vacuum_compaction_plan,
     "lake_file_skew_audit": lake_file_skew_audit,
     "partition_pruning_audit": partition_pruning_audit,

@@ -1748,6 +1748,59 @@ ORACLES["event_value_log2_histogram"] = """
 
 # value-domain-histogram twin of the Spark builder: same (mode, lag)
 # cells, same ceil-rank ⌈q·n/100⌉ target, smallest lag with cum ≥ r
+# Theil–Sen twin: same dense day grid as the dispersion oracle, same
+# signed half-away micro split, ties ranked by (slope, da, db)
+ORACLES["event_trend_theilsen"] = """
+    WITH daily AS (
+        SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+    ),
+    bounds AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM daily),
+    grid AS (
+        SELECT t.event_type, gs.day
+        FROM (SELECT DISTINCT event_type FROM daily) t
+        CROSS JOIN (
+            SELECT unnest(generate_series(d0, d1)) AS day FROM bounds
+        ) gs
+    ),
+    dense AS (
+        SELECT g.event_type, g.day, COALESCE(d.c, 0) AS c
+        FROM grid g
+        LEFT JOIN daily d
+            ON d.event_type = g.event_type AND d.day = g.day
+    ),
+    pairs AS (
+        SELECT a.event_type, a.day AS da, b.day AS db,
+               CASE WHEN b.c >= a.c
+                    THEN CAST((2 * CAST(b.c - a.c AS HUGEINT) * 1000000
+                               + (b.day - a.day))
+                              // (2 * (b.day - a.day)) AS BIGINT)
+                    ELSE -CAST((2 * CAST(a.c - b.c AS HUGEINT) * 1000000
+                                + (b.day - a.day))
+                               // (2 * (b.day - a.day)) AS BIGINT)
+               END AS slope_micro
+        FROM dense a JOIN dense b
+            ON a.event_type = b.event_type AND a.day < b.day
+    ),
+    ranked AS (
+        SELECT event_type, slope_micro,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY slope_micro, da, db) AS rn,
+               CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT)
+                   AS n_pairs,
+               MIN(slope_micro) OVER (PARTITION BY event_type)
+                   AS min_slope_micro,
+               MAX(slope_micro) OVER (PARTITION BY event_type)
+                   AS max_slope_micro
+        FROM pairs
+    )
+    SELECT event_type, n_pairs, slope_micro AS median_slope_micro,
+           min_slope_micro, max_slope_micro
+    FROM ranked WHERE rn = (n_pairs + 1) // 2
+    ORDER BY event_type
+"""
+
 ORACLES["order_ship_latency_quantiles"] = """
     WITH cells AS (
         SELECT l_returnflag,

@@ -189,6 +189,8 @@ _ALLOWED_PINS = frozenset(
         ("plans/analytics.py", "event_cooccurrence_lift", "per_type"),
         ("plans/analytics.py", "event_cusum_changepoint", "bounds"),
         ("plans/analytics.py", "event_dispersion_index", "bounds"),
+        # r08: same 1-row day-span bounds frame as the dispersion grid
+        ("plans/analytics.py", "event_trend_theilsen", "bounds"),
         ("plans/analytics.py", "event_dow_profile", "totals"),
         ("plans/analytics.py", "event_hourly_resample", "types"),
         ("plans/analytics.py", "event_seasonal_naive_mape", "bounds"),

@@ -207,6 +207,7 @@ _BNLJ_INTENDED = frozenset(
         "t_closeness_audit",          # ≤|bands|-row global distribution onto QI groups
         "event_cusum_changepoint",    # 1-row day-span bounds onto the |types| frame
         "event_dispersion_index",     # same 1-row day-span bounds grid
+        "event_trend_theilsen",       # same 1-row day-span bounds grid
         "event_seasonal_naive_mape",  # same 1-row day-span bounds grid
         "user_dau_wau_stickiness",    # 1-row day-span bounds filter
         "experiment_srm_check",       # 1-row chi2 frame onto 2 arm rows
@@ -1017,3 +1018,28 @@ def test_log2_histogram_single_scan_partial_agg(spark):
     p = plan(spark, "event_value_log2_histogram")
     assert nscans(p) == 1
     assert "partial" in p.lower()  # partial aggregation before the wire
+
+
+def test_theilsen_pair_join_rides_cached_calendar_cells(spark):
+    # round-8 addition: the pairwise-slope expansion must read the
+    # PERSISTED dense (type, day) cell frame on both sides (calendar-
+    # bounded), never re-scan events, and pair up via an equi-join on
+    # event_type — no cartesian, no unpartitioned window
+    p = plan(spark, "event_trend_theilsen")
+    assert nscans(p) <= 1  # one events scan builds the cells
+    assert "CartesianProduct" not in p
+    assert "InMemoryTableScan" in p  # both pair sides read the cache
+    assert not _has_unpartitioned_window(p)
+
+
+def test_clustering_depth_sweepline_not_range_join(spark):
+    # round-8 addition: overlap depth must come from the boundary
+    # sweep-line (per-(source, dim) windows over the 2-events-per-file
+    # frame), never a file×file interval range join — one documents
+    # scan builds the min/max cells, everything after runs on the
+    # persisted interval frame
+    p = plan(spark, "lake_clustering_depth")
+    assert nscans(p) <= 1
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert not _has_unpartitioned_window(p)
