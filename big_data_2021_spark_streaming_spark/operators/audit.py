@@ -1505,9 +1505,15 @@ def partition_pruning_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     and Σ_v collapses to a sum over DISTINCT (partition, value) pairs.
     Plan shape: ONE corpus scan builds the full 3-dimension cell frame
     (≤ |months|·|priorities|·32 rows, persisted — a bounded aggregate,
-    not data), and every layout×probe metric is derived from it by
-    small-frame arithmetic; the first cut re-aggregated the corpus per
-    cell (21 scans of orders for a 9-row report).
+    not data); a single 9×-replicated LONG frame (one row per
+    layout×probe×cell) then feeds ONE aggregation chain — (combo,
+    part, val) → (combo, part) → combo — so all nine metrics cost
+    three shuffles of a bounded frame. The first cut re-aggregated
+    the corpus per cell (21 scans of orders for a 9-row report); the
+    second derived each combo from the cache but as a 9-branch union
+    whose ~30 tiny sequential AQE stages dominated wall-clock (7.5 s
+    for 9 rows at sf0.1, the most expensive query in the r08a bench —
+    the long-frame chain runs in ~1 s).
     """
     dims = ("month", "priority", "cust_bucket")
     orders = load_table(spark, sf_dir, "orders").select(
@@ -1523,50 +1529,75 @@ def partition_pruning_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("nb").alias("nb"))
         .persist()
     )
-    frames = []
-    for layout in dims:
-        part_bytes = cells.groupBy(F.col(layout).alias("part")).agg(
-            F.sum("nb").alias("part_bytes")
+    # the long frame: every (layout, probe) combo sees every cell once;
+    # casts to string are injective per dimension, so distinct counts
+    # and groupings are unchanged
+    combos = ",".join(
+        f"struct('{layout}' as layout, '{probe}' as probe_dim,"
+        f" cast({layout} as string) as part,"
+        f" cast({probe} as string) as val, nb)"
+        for layout in dims
+        for probe in dims
+    )
+    long_frame = cells.select(
+        F.expr(f"explode(array({combos}))").alias("x")
+    ).select("x.*")
+    pv = (
+        long_frame.groupBy("layout", "probe_dim", "part", "val")
+        .agg(F.sum("nb").alias("nb_pv"))
+        .persist()  # bounded (9 × cells); feeds the chain AND totals
+    )
+    per_part = pv.groupBy("layout", "probe_dim", "part").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vals"),
+        F.sum("nb_pv").alias("part_bytes"),
+    )
+    per_combo = per_part.groupBy("layout", "probe_dim").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+        # hit_bytes×1e6 exceeds int64 (cents × thousands of
+        # values × 1e6) → DECIMAL(38,0), ≡ DuckDB HUGEINT
+        F.sum(
+            F.col("part_bytes").cast("decimal(38,0)") * F.col("n_vals")
+        ).alias("hit_bytes"),
+        F.sum("part_bytes").alias("total_bytes"),
+    )
+    # a probe dimension's distinct-value universe is layout-independent:
+    # read it off one layout's slice of the pair frame
+    totals = (
+        pv.where(F.col("layout") == dims[0])
+        .groupBy("probe_dim")
+        .agg(F.countDistinct("val").cast("bigint").alias("n_vals_total"))
+    )
+    # the report dimension is the LITERAL 9-combo grid (like the states
+    # dimension): on an empty corpus the old per-branch global
+    # aggregates each still emitted their one row, and the DuckDB twin
+    # always does — a bare groupBy would emit 0 rows and diverge, so
+    # the grid left-joins the chain and the empty side displays the
+    # aggregate-on-empty values (counts 0, byte sums NULL)
+    base = spark.createDataFrame(
+        [(layout, probe) for layout in dims for probe in dims],
+        "layout string, probe_dim string",
+    )
+    return (
+        base.join(per_combo, ["layout", "probe_dim"], "left")
+        .join(F.broadcast(totals), "probe_dim", "left")
+        .select(
+            "layout",
+            "probe_dim",
+            F.coalesce("n_parts", F.lit(0).cast("bigint")).alias(
+                "n_parts"
+            ),
+            F.coalesce("n_vals_total", F.lit(0).cast("bigint")).alias(
+                "n_vals_total"
+            ),
+            F.expr(
+                "cast((2 * cast(hit_bytes as decimal(38,0))"
+                " * 1000000 + cast(coalesce(n_vals_total, 0)"
+                " as decimal(38,0)) * total_bytes)"
+                " div (2 * cast(coalesce(n_vals_total, 0)"
+                " as decimal(38,0)) * total_bytes) as bigint)"
+            ).alias("scan_frac_micro"),
         )
-        for probe in dims:
-            pairs = (
-                cells.select(F.col(layout).alias("part"), F.col(probe))
-                .distinct()
-                .groupBy("part")
-                .agg(F.count(F.lit(1)).alias("n_vals"))
-            )
-            hit = part_bytes.join(pairs, "part").agg(
-                F.sum(
-                    F.col("part_bytes").cast("decimal(38,0)")
-                    * F.col("n_vals")
-                ).alias("hit_bytes"),
-                F.sum("part_bytes").alias("total_bytes"),
-                F.count(F.lit(1)).cast("bigint").alias("n_parts"),
-            )
-            vals = (
-                cells.select(probe)
-                .distinct()
-                .agg(F.count(F.lit(1)).cast("bigint").alias("n_vals_total"))
-            )
-            frames.append(
-                hit.crossJoin(F.broadcast(vals)).select(
-                    F.lit(layout).alias("layout"),
-                    F.lit(probe).alias("probe_dim"),
-                    "n_parts",
-                    "n_vals_total",
-                    # hit_bytes×1e6 exceeds int64 (cents × thousands of
-                    # values × 1e6) → DECIMAL(38,0), ≡ DuckDB HUGEINT
-                    F.expr(
-                        "cast((2 * cast(hit_bytes as decimal(38,0))"
-                        " * 1000000 + cast(n_vals_total as decimal(38,0))"
-                        " * total_bytes)"
-                        " div (2 * cast(n_vals_total as decimal(38,0))"
-                        " * total_bytes) as bigint)"
-                    ).alias("scan_frac_micro"),
-                )
-            )
-    return reduce(DataFrame.unionByName, frames).orderBy(
-        "layout", "probe_dim"
+        .orderBy("layout", "probe_dim")
     )
 
 

@@ -150,6 +150,12 @@ _REPLANNED_AFTER_GREEN: frozenset[str] = frozenset(
         "event_dispersion_index", "t_closeness_audit",
         "user_dau_wau_stickiness", "value_drift_tvd",
         "value_zscore_anomalies",
+        # r08 performance re-plan: the pruning audit's 9-branch union
+        # (~30 sequential AQE stages, 7.5 s for 9 rows — the most
+        # expensive query in the r08a bench) collapsed to one
+        # long-frame aggregation chain (~1 s); values unchanged, plan
+        # change => regrade
+        "partition_pruning_audit",
     }
 )
 
@@ -217,7 +223,7 @@ _DRIVER_VERIFIED = frozenset(
         "order_priority_semijoin", "order_status_upsert",
         "orders_aging_buckets", "orders_monthly_growth",
         "orders_priority_mix_shift", "part_profit_by_nation_year",
-        "partition_pruning_audit", "parts_never_in_bulk_orders",
+        "parts_never_in_bulk_orders",
         "peak_concurrent_sessions", "pivot_user_event_values",
         "pricing_summary", "promo_revenue_ratio", "props_map_stats",
         "q1_filter", "q2_join_enrich", "q3_window_collect_set",

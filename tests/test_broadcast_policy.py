@@ -89,7 +89,10 @@ _ALLOWED_PINS = frozenset(
         # cross-shard dup query shares it; same ≤512-row band-offset frame
         ("operators/curation.py", "_shard_placement", "offs"),
         # r07 additions — each a 1-row aggregate (provably bounded):
-        ("operators/audit.py", "partition_pruning_audit", "vals"),
+        # r08 re-plan: the 9-branch union collapsed to one long-frame
+        # chain; the pin is now the 3-row per-probe distinct-value
+        # totals joined onto the 9 combo rows
+        ("operators/audit.py", "partition_pruning_audit", "totals"),
         # r08 additions — bounded by algorithm constants:
         # offs: one row per (source, band) with band = h div 2^50 on a
         # 60-bit domain → ≤ 1024 bands × |sources| rows

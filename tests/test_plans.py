@@ -222,7 +222,6 @@ _BNLJ_INTENDED = frozenset(
         "text_bpe_encode",            # 1-row winning-pair scalar per merge round
         "text_bpe_fertility",         # same merge chain, same 1-row scalars
         "corpus_source_minhash",      # |sources|²-row pair grid (≤ dozens)
-        "partition_pruning_audit",    # 1-row distinct-value total per layout×probe cell
         "merge_touched_partitions",   # 1-row touched-count scalar onto ≤|parts| rows
         "text_zipf_topshare",         # 1-row rank-extremes scalar onto the |vocab| frame
         "orders_priority_mix_shift",  # 1-row grand-total scalar onto |priorities| rows
@@ -751,9 +750,11 @@ def test_registry_orders_unverified_queries_first():
     debt = {"dedup_keep_manifest"}
     assert debt <= set(names[:first_back])
     # re-planned-after-green names (stale-evidence risk) sort to the
-    # very front. Round-8's set holds the deferred NULL-semantics fixes
-    # (BASELINE.md r07) plus the ADVICE r07 closures — each a verified
-    # green whose plan changed this round, so it regrades early.
+    # very front. Round-8's set holds the deferred NULL-semantics
+    # fixes (BASELINE.md r07), the ADVICE r07 closures, the
+    # single-row-sweep guards, and the pruning-audit performance
+    # re-plan — each a verified green whose plan changed this round,
+    # so it regrades early.
     assert set(names[: len(_REPLANNED_AFTER_GREEN)]) == set(
         _REPLANNED_AFTER_GREEN
     )
@@ -1030,6 +1031,19 @@ def test_theilsen_pair_join_rides_cached_calendar_cells(spark):
     assert "CartesianProduct" not in p
     assert "InMemoryTableScan" in p  # both pair sides read the cache
     assert not _has_unpartitioned_window(p)
+
+
+def test_pruning_audit_single_long_frame_chain(spark):
+    # round-8 re-plan: all nine layout×probe metrics must come from ONE
+    # aggregation chain over the 9×-replicated long frame (reading the
+    # persisted cell frame), not a 9-branch union — the union shape
+    # cost ~30 sequential AQE stages (7.5 s for a 9-row report)
+    p = plan(spark, "partition_pruning_audit")
+    assert nscans(p) <= 1  # one orders scan builds the cells
+    assert "Union" not in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "BroadcastHashJoin" in p  # totals equi-join, not a crossJoin
 
 
 def test_clustering_depth_sweepline_not_range_join(spark):
