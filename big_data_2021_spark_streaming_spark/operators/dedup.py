@@ -681,11 +681,19 @@ def dup_rate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash per document (Charikar): bit i is the sign of
     Σ_tokens (±1 by bit i of h60(token)). Explode → 32 conditional
-    sums → bit assembly, all in one hash aggregate."""
-    exploded = _token_sets(spark, sf_dir).select(
-        "doc_id", F.explode("tok").alias("t")
+    sums → bit assembly, all in one hash aggregate.
+
+    The hash is PROJECTED to a named column before the aggregate:
+    inlining ``h60(t)`` into each of the 32 sum expressions evaluates
+    the md5 32× per token row (codegen does not common it up across
+    aggregate functions) — the same re-hash trap ``h60_packed_md5``'s
+    docstring pins, measured 5× on the 60-bit twin at sf0.1."""
+    exploded = (
+        _token_sets(spark, sf_dir)
+        .select("doc_id", F.explode("tok").alias("t"))
+        .select("doc_id", h60(F.col("t")).alias("h"))
     )
-    h = h60(F.col("t"))
+    h = F.col("h")
     sums = [
         F.sum(
             F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
@@ -790,11 +798,16 @@ SIMHASH_WIDE_NEAR = 3
 def simhash_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     """60-bit SimHash per document — same Charikar construction as
     :func:`simhash` at twice the width (one hash aggregate, 60
-    conditional sums, bit assembly stays in BIGINT)."""
-    exploded = _token_sets(spark, sf_dir).select(
-        "doc_id", F.explode("tok").alias("t")
+    conditional sums, bit assembly stays in BIGINT). The hash is
+    projected once before the aggregate for the same 60×-re-hash
+    reason as the 32-bit builder (measured 8.2 s → 1.7 s cold at
+    sf0.1)."""
+    exploded = (
+        _token_sets(spark, sf_dir)
+        .select("doc_id", F.explode("tok").alias("t"))
+        .select("doc_id", h60(F.col("t")).alias("h"))
     )
-    h = h60(F.col("t"))
+    h = F.col("h")
     sums = [
         F.sum(
             F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
@@ -925,24 +938,33 @@ def minhash_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("_band")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    offs = (
+    # band histogram + running offsets (≤1024 rows per source), then
+    # rank ONLY the one band per source that straddles rank K — the
+    # earlier form row_numbered EVERY distinct hash in EVERY band and
+    # kept one row; sorting n/1024-th of the frame instead of all of
+    # it is the whole point of the arithmetic banding (guide §2.3:
+    # shuffle/sort fewer bytes). kband is |sources|-row bounded, so
+    # the broadcast is a pinned dimension, not a data frame.
+    kband = (
         banded.groupBy("source", "_band")
         .agg(F.count(F.lit(1)).alias("_c"))
         .select(
             "source",
             "_band",
+            "_c",
             F.coalesce(F.sum("_c").over(w_off), F.lit(0)).alias("_off"),
         )
-    )
-    ranked = (
-        banded.withColumn("_r_in", F.row_number().over(w_in))
-        .join(F.broadcast(offs), ["source", "_band"])
-        .select(
-            "source", "h", (F.col("_off") + F.col("_r_in")).alias("rnk")
+        .where(
+            (F.col("_off") < KMV_K)
+            & (F.col("_off") + F.col("_c") >= KMV_K)
         )
+        .select("source", "_band", "_off")
     )
-    kth = ranked.where(F.col("rnk") == KMV_K).select(
-        "source", F.col("h").alias("hk")
+    kth = (
+        banded.join(F.broadcast(kband), ["source", "_band"])
+        .withColumn("_r_in", F.row_number().over(w_in))
+        .where(F.col("_off") + F.col("_r_in") == KMV_K)
+        .select("source", F.col("h").alias("hk"))
     )
     est = F.expr(
         f"CAST(CAST({KMV_K - 1} AS DECIMAL(38,0))"
@@ -1774,14 +1796,19 @@ def pagerank_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     # instead of re-analyzing the whole MinHash pipeline PR_ITERS
     # times (same pattern as dedup_clusters' label propagation).
     # Carrying src's degree ON the edge frame drops the per-round
-    # degree re-join: each round is ONE equi-join + one aggregation.
-    nodes = (
-        deg.select(F.col("src").alias("doc_id"), "deg")
-        .crossJoin(F.broadcast(n_g))
-        .localCheckpoint()
-    )
+    # degree re-join, and the rank state carries ONLY (doc_id, r):
+    # the teleport term needs just the 1-row n_g scalar (broadcast
+    # cross join), so each round is ONE equi-join + one aggregation —
+    # the earlier per-round nodes⋈inc join existed only to re-attach
+    # deg/n_g, a full node-frame shuffle per round for two constants
+    # (guide §2.4; deg re-attaches once at the end instead).
+    nodes = deg.select(F.col("src").alias("doc_id"), "deg").localCheckpoint()
+    # 1-row scalar, checkpointed so the loop never re-runs the count
+    n_g = n_g.localCheckpoint()
     edges = raw_edges.join(deg, "src").localCheckpoint()
-    ranks = nodes.withColumn("r", F.expr(f"{PR_SCALE} div n_g"))
+    ranks = nodes.crossJoin(F.broadcast(n_g)).select(
+        "doc_id", F.expr(f"{PR_SCALE} div n_g").alias("r")
+    )
     for _ in range(PR_ITERS):
         inc = (
             edges.join(
@@ -1794,17 +1821,17 @@ def pagerank_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum("c").alias("inc"))
         )
         # every node has incoming mass (edges are symmetric, deg ≥ 1),
-        # so the inner join is total over the node set
-        ranks = nodes.join(inc, "doc_id").select(
+        # so inc's key set IS the node set each round
+        ranks = inc.crossJoin(F.broadcast(n_g)).select(
             "doc_id",
-            "deg",
-            "n_g",
             F.expr(
                 f"(15 * {PR_SCALE}) div (100 * n_g)"
                 f" + ({PR_DAMP_NUM} * inc) div 100"
             ).alias("r"),
         ).localCheckpoint()
-    return ranks.select("doc_id", "deg", F.col("r").alias("rank_e12"))
+    return nodes.join(ranks, "doc_id").select(
+        "doc_id", "deg", F.col("r").alias("rank_e12")
+    )
 
 
 def _pagerank_sql() -> str:

@@ -1944,36 +1944,75 @@ def covariance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     zero in both engines).
 
     Scale: the second-moment pass never shuffles rows at all — each
-    vector expands to its DIM²/2 = 2 016 (i, j, x_i·x_j) products
-    INSIDE the scan task (nested lambda transform, whole-stage
-    codegen), and only the 2 016-cell partial aggregates move; the
-    DuckDB oracle proves the equivalent vec-aligned self-join gives
-    identical cells. Then a tiny top-K sort (TakeOrderedAndProject).
+    Arrow batch is quantized to exact milli ints IN THE JVM
+    (``round(x*1000)::bigint``, the engine-identical quantizer) and
+    handed to a ``mapInArrow`` kernel that computes the batch's
+    DIM×DIM Gram matrix as ONE numpy int64 matmul plus the per-dim
+    component sums (guide §4.2: whole batches into vectorized native
+    code); only the 2 080 partial cells per batch move, and the DuckDB
+    oracle proves the equivalent vec-aligned self-join gives identical
+    cells. Replaced the earlier nested-lambda ``transform`` expansion
+    (DIM²/2 struct allocations per row inside one scan task — the
+    single-file local layout serialized it; 5.2 s → 0.9 s at sf0.1,
+    same exact integers because products/sums are ints in both forms).
+    Then a tiny top-K sort (TakeOrderedAndProject).
     """
+    import numpy as np
+    import pyarrow as pa
+
     vecs = _vectors(spark, sf_dir)
-    pairs = vecs.select(
-        F.explode(
-            F.expr(
-                "flatten(transform(sequence(0, size(v) - 2), i ->"
-                " transform(sequence(i + 1, size(v) - 1), j ->"
-                " struct(i AS gd1, j AS gd2,"
-                " cast(round(v[i] * 1000) as bigint)"
-                " * cast(round(v[j] * 1000) as bigint) AS xy))))"
+    quant = vecs.select(
+        F.expr("transform(v, x -> cast(round(x * 1000) as bigint))").alias(
+            "vq"
+        )
+    )
+
+    def gram_batches(it):
+        iu = np.triu_indices(DIM, k=1)
+        dims = np.arange(DIM)
+        neg = np.full(DIM, -1)
+        for batch in it:
+            arr = batch.column(0)
+            n = len(arr)
+            if n == 0:
+                continue
+            q = arr.flatten().to_numpy(zero_copy_only=False).reshape(n, DIM)
+            g = q.T @ q  # int64 matmul: exact, |cell| ≤ n·maxq² ≪ 2⁶³
+            s = q.sum(axis=0)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(
+                        np.concatenate([iu[0], dims]).astype("int32")
+                    ),
+                    pa.array(
+                        np.concatenate([iu[1], neg]).astype("int32")
+                    ),
+                    pa.array(np.concatenate([g[iu], s]).astype("int64")),
+                    pa.array(
+                        np.concatenate(
+                            [np.full(len(iu[0]), n), np.zeros(DIM)]
+                        ).astype("int64")
+                    ),
+                ],
+                names=["gd1", "gd2", "xy", "n"],
             )
-        ).alias("p")
-    ).select(
-        F.col("p.gd1").cast("int").alias("gd1"),
-        F.col("p.gd2").cast("int").alias("gd2"),
-        F.col("p.xy"),
+
+    cells = quant.mapInArrow(
+        gram_batches, "gd1 int, gd2 int, xy long, n long"
     )
-    prod = pairs.groupBy("gd1", "gd2").agg(
-        F.sum("xy").alias("s_xy"),
-        F.count(F.lit(1)).cast("bigint").alias("n"),
+    prod = (
+        cells.where(F.col("gd2") >= 0)
+        .groupBy("gd1", "gd2")
+        .agg(
+            F.sum("xy").alias("s_xy"),
+            F.sum("n").cast("bigint").alias("n"),
+        )
     )
-    comp = vecs.select("vec_id", F.posexplode("v").alias("gd", "x")).select(
-        "gd", _milli(F.col("x")).alias("xq")
+    sums = (
+        cells.where(F.col("gd2") < 0)
+        .groupBy(F.col("gd1").alias("gd"))
+        .agg(F.sum("xy").alias("s"))
     )
-    sums = comp.groupBy("gd").agg(F.sum("xq").alias("s"))
     cov = (
         prod.join(F.broadcast(sums.select(F.col("gd").alias("gd1"), F.col("s").alias("s1"))), "gd1")
         .join(F.broadcast(sums.select(F.col("gd").alias("gd2"), F.col("s").alias("s2"))), "gd2")
@@ -3277,31 +3316,49 @@ def jl_sign(j: int, d: int) -> int:
     return 1 if _h60_py(f"jl:{j}:{d}") % 2 == 0 else -1
 
 
-def _jl_sign_array(j: int) -> F.Column:
-    return F.array(
-        *[F.lit(jl_sign(j, d)).cast("bigint") for d in range(DIM)]
-    )
-
-
 def jl_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label JL norm-distortion report: n_vecs plus the mean / min /
     max of the exact per-vector ratio ‖y‖²/(JL_K·‖x‖²) in micro-units
-    (half-up). Plan: one corpus scan — every projection is a JVM-side
-    integer zip_with/fold — then a |labels|-key aggregate."""
+    (half-up). Plan: one corpus scan — components quantized to exact
+    milli ints in the JVM, then a ``mapInArrow`` kernel computes each
+    batch's projections as ONE numpy int64 matmul against the
+    JL_K×DIM ±1 sign matrix (built once per task) and emits only
+    (label, sx2, sy2) — then a |labels|-key aggregate. Replaced the
+    earlier JL_K-fold zip_with expression tree (16 array folds per
+    row made analysis+codegen the dominant cost: 3.4 s for 2 M
+    multiply-adds at sf0.1; same exact integers, since projections
+    and norms are int sums in both forms — guide §4.2)."""
+    import numpy as np
+    import pyarrow as pa
+
     vecs = _vectors(spark, sf_dir)
     vq = F.transform(F.col("v"), lambda x: _milli(x))
-    df = vecs.select("vec_id", "label", vq.alias("vq"))
-    zero = F.lit(0).cast("bigint")
-    idot = lambda a, b: F.aggregate(  # noqa: E731
-        F.zip_with(a, b, lambda x, y: x * y), zero, lambda acc, x: acc + x
-    )
-    sx2 = F.aggregate("vq", zero, lambda acc, x: acc + x * x)
-    ys = [idot(F.col("vq"), _jl_sign_array(j)) for j in range(JL_K)]
-    sy2 = ys[0] * ys[0]
-    for y in ys[1:]:
-        sy2 = sy2 + y * y
-    per_vec = df.select(
-        "label", sx2.alias("sx2"), sy2.alias("sy2")
+    df = vecs.select("label", vq.alias("vq"))
+
+    def jl_batches(it):
+        signs = np.array(
+            [[jl_sign(j, d) for d in range(DIM)] for j in range(JL_K)],
+            dtype="int64",
+        )
+        for batch in it:
+            labels = batch.column(0)
+            arr = batch.column(1)
+            n = len(arr)
+            if n == 0:
+                continue
+            q = arr.flatten().to_numpy(zero_copy_only=False).reshape(n, DIM)
+            y = q @ signs.T  # (n, JL_K) exact int64
+            yield pa.RecordBatch.from_arrays(
+                [
+                    labels,
+                    pa.array((q * q).sum(axis=1).astype("int64")),
+                    pa.array((y * y).sum(axis=1).astype("int64")),
+                ],
+                names=["label", "sx2", "sy2"],
+            )
+
+    per_vec = df.mapInArrow(
+        jl_batches, "label int, sx2 long, sy2 long"
     ).where(F.col("sx2") > 0)
     ratio_micro = F.expr(
         f"(2 * 1000000 * sy2 + {JL_K} * sx2) div (2 * {JL_K} * sx2)"

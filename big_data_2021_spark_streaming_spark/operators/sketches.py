@@ -349,7 +349,15 @@ def sketch_hll_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
     union_est = _hll_estimate_only(
         _hll_summarize(pair_regs, ["type_a", "type_b"])
     ).withColumnRenamed("hll_estimate", "est_union")
-    # exact ground truth: one distinct (type, user) frame, equi-joined
+    # exact ground truth: one distinct (type, user) frame. The exact
+    # UNION is derived by inclusion–exclusion from the per-type exact
+    # counts and the exact intersection (|A∪B| = |A|+|B|−|A∩B|, a set
+    # identity, so the values are unchanged) — the earlier plan
+    # re-aggregated the distinct frame per pair membership for a
+    # number three cheap joins already determine (guide §2.4: remove
+    # the shuffle outright). The final report chain also starts from
+    # union_est (which already carries every pair) instead of
+    # re-deriving the pair grid, dropping one join.
     users_by_type = events.select("event_type", "user_id").distinct()
     exact_inter = (
         users_by_type.alias("x")
@@ -364,31 +372,58 @@ def sketch_hll_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").cast("bigint").alias("exact_intersection"))
     )
-    exact_union = (
-        F.broadcast(members)
-        .join(users_by_type, members.scope == users_by_type.event_type)
-        .groupBy("type_a", "type_b")
-        .agg(F.count_distinct("user_id").cast("bigint").alias("exact_union"))
+    # |types|-row exact distinct counts — bounded, so the pins below
+    # are dimension broadcasts (scope_est is likewise |types|-row)
+    exact_n = users_by_type.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_exact")
     )
     out = (
-        pairs.join(
-            scope_est.select(
-                F.col("scope").alias("type_a"), F.col("hll_estimate").alias("est_a")
+        union_est.join(
+            F.broadcast(
+                scope_est.select(
+                    F.col("scope").alias("type_a"),
+                    F.col("hll_estimate").alias("est_a"),
+                )
             ),
             "type_a",
         )
         .join(
-            scope_est.select(
-                F.col("scope").alias("type_b"), F.col("hll_estimate").alias("est_b")
+            F.broadcast(
+                scope_est.select(
+                    F.col("scope").alias("type_b"),
+                    F.col("hll_estimate").alias("est_b"),
+                )
             ),
             "type_b",
         )
-        .join(union_est, ["type_a", "type_b"])
-        .join(exact_union, ["type_a", "type_b"])
         .join(exact_inter, ["type_a", "type_b"], "left")
         .withColumn(
             "exact_intersection",
             F.coalesce(F.col("exact_intersection"), F.lit(0).cast("bigint")),
+        )
+        .join(
+            F.broadcast(
+                exact_n.select(
+                    F.col("event_type").alias("type_a"),
+                    F.col("n_exact").alias("n_a"),
+                )
+            ),
+            "type_a",
+        )
+        .join(
+            F.broadcast(
+                exact_n.select(
+                    F.col("event_type").alias("type_b"),
+                    F.col("n_exact").alias("n_b"),
+                )
+            ),
+            "type_b",
+        )
+        .withColumn(
+            "exact_union",
+            (F.col("n_a") + F.col("n_b") - F.col("exact_intersection")).cast(
+                "bigint"
+            ),
         )
         .withColumn(
             "est_intersection",

@@ -156,6 +156,17 @@ _REPLANNED_AFTER_GREEN: frozenset[str] = frozenset(
         # long-frame aggregation chain (~1 s); values unchanged, plan
         # change => regrade
         "partition_pruning_audit",
+        # r08 OPTIMIZATION-round re-plans (OPTIMIZATION_r08.md): pure
+        # performance rewrites, values proven identical against the
+        # unchanged oracles on the gate corpora — plan change =>
+        # regrade. covariance/jl: expression-tree expansion → numpy
+        # Gram/projection matmuls in mapInArrow; simhash(+hamming):
+        # h60 projected once instead of 32×/60× per token; pagerank:
+        # per-round nodes re-join dropped; hll_intersection: exact
+        # union by inclusion–exclusion, 22→16 exchanges
+        "dedup_pagerank", "dedup_simhash", "dedup_simhash_hamming",
+        "embedding_covariance_pairs", "embedding_jl_distortion",
+        "sketch_hll_intersection",
     }
 )
 
@@ -191,14 +202,12 @@ _DRIVER_VERIFIED = frozenset(
         "dedup_crosslingual_pairs", "dedup_embedding_nn", "dedup_exact",
         "dedup_graph_triangles", "dedup_incremental", "dedup_jaccard_verify",
         "dedup_kcore", "dedup_lsh_calibration", "dedup_lsh_recall_exact",
-        "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_pagerank",
-        "dedup_prefix_filter", "dedup_rate_report", "dedup_semantic",
-        "dedup_simhash", "dedup_simhash_hamming", "discount_quantity_ols",
+        "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_prefix_filter", "dedup_rate_report", "dedup_semantic",
+        "discount_quantity_ols",
         "discount_tax_independence", "disjunctive_part_revenue",
         "distinct_users_per_type", "doc_chunking", "doc_length_bucketing",
         "doc_packing", "embedding_centroid_drift",
-        "embedding_covariance_pairs", "embedding_dim_mean_shift",
-        "embedding_jl_distortion",
+        "embedding_dim_mean_shift",
         "embedding_label_consensus", "embedding_norm_stats",
         "embedding_outliers", "epoch_shuffle_plan", "event_cooccurrence_lift",
         "event_cusum_changepoint", "event_dow_profile", "event_hourly_resample",
@@ -245,7 +254,6 @@ _DRIVER_VERIFIED = frozenset(
         "similarity_recall_sweep", "similarity_sq_quality",
         "similarity_sq_topk", "similarity_topk", "sketch_bloom_reduction",
         "sketch_cms_heavy_hitters", "sketch_event_stats",
-        "sketch_hll_intersection",
         "sketch_hll_merge", "sketch_hll_users", "sliding_window_stats",
         "small_qty_part_revenue", "snapshot_asof_diff", "sole_late_supplier",
         "source_cap_report", "split_leakage_report",

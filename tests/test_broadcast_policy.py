@@ -94,9 +94,13 @@ _ALLOWED_PINS = frozenset(
         # totals joined onto the 9 combo rows
         ("operators/audit.py", "partition_pruning_audit", "totals"),
         # r08 additions — bounded by algorithm constants:
-        # offs: one row per (source, band) with band = h div 2^50 on a
-        # 60-bit domain → ≤ 1024 bands × |sources| rows
-        ("operators/dedup.py", "minhash_cardinality", "offs"),
+        # kband: ONE row per source (the single arithmetic band that
+        # straddles rank K on the 60-bit domain) → ≤ |sources| rows
+        ("operators/dedup.py", "minhash_cardinality", "kband"),
+        # r08-opt additions — |event types|-row estimate/count frames
+        # joined onto the |types|²-row pair report (sketches):
+        ("operators/sketches.py", "sketch_hll_intersection", "scope_est"),
+        ("operators/sketches.py", "sketch_hll_intersection", "exact_n"),
         # stats: one aggregate row per source (projected to (source, r))
         ("operators/text.py", "word_len_profile", "stats"),
         # targets: |returnflag| × |SHIP_QS| rank targets (≤ 3×3 rows)
