@@ -1961,7 +1961,12 @@ def covariance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pyarrow as pa
 
     vecs = _vectors(spark, sf_dir)
-    quant = vecs.select(
+    # NULL vectors contribute nothing in the explode formulation (and
+    # unnest(NULL) yields no oracle rows) — drop them before the
+    # kernel so reshape(n, DIM) stays rectangular. Element-level NULLs
+    # never occur (the corpus generators, incl. the NULL-ramp gate
+    # corpora, only null events.value/props and documents.lang).
+    quant = vecs.where(F.col("v").isNotNull()).select(
         F.expr("transform(v, x -> cast(round(x * 1000) as bigint))").alias(
             "vq"
         )
@@ -3333,7 +3338,8 @@ def jl_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     vecs = _vectors(spark, sf_dir)
     vq = F.transform(F.col("v"), lambda x: _milli(x))
-    df = vecs.select("label", vq.alias("vq"))
+    # NULL-vector guard: same rationale as covariance_pairs above
+    df = vecs.where(F.col("v").isNotNull()).select("label", vq.alias("vq"))
 
     def jl_batches(it):
         signs = np.array(
