@@ -105,12 +105,37 @@ def test_cli_exit_codes(tmp_path):
     assert "REGRESSED b" in r.stdout
 
 
+def _manifest():
+    return json.loads((REPO / "bench_runs" / "MANIFEST.json").read_text())
+
+
+def test_manifest_covers_all_recorded_sweeps():
+    # every committed sf0.1 sweep must appear in the run manifest (and
+    # vice versa) so the latest-pair gate below can't be dodged by file
+    # naming — VERDICT r08 item 1: a lexicographic sorted() made a
+    # '*_before' leg masquerade as the latest run
+    man = _manifest()
+    on_disk = {p.name for p in (REPO / "bench_runs").glob("sf0.1_r*.json")}
+    assert set(man["order"]) == on_disk, sorted(set(man["order"]) ^ on_disk)
+    assert len(man["order"]) == len(set(man["order"]))
+    for pair in man.get("allow", {}):
+        prev_name, curr_name = pair.split("->")
+        assert prev_name in man["order"] and curr_name in man["order"], pair
+
+
 def test_recorded_runs_are_regression_free():
     # the committed per-round sweeps under bench_runs/ must satisfy the
-    # gate pairwise-latest; skips until two runs exist
-    runs = sorted((REPO / "bench_runs").glob("sf0.1_r*.json"))
-    if len(runs) < 2:
+    # gate on the manifest's latest pair; adjudicated one-off blips are
+    # carried as allow entries with written justification
+    man = _manifest()
+    order = man["order"]
+    if len(order) < 2:
         pytest.skip("fewer than two recorded sf0.1 sweeps")
-    prev, curr = load_timings(str(runs[-2])), load_timings(str(runs[-1]))
-    regs, _, _ = diff(prev, curr, 2.0, 1.0, set())
-    assert not regs, f"recorded sweep regression: {regs}"
+    prev_name, curr_name = order[-2], order[-1]
+    allow_map = man.get("allow", {}).get(f"{prev_name}->{curr_name}", {})
+    prev = load_timings(str(REPO / "bench_runs" / prev_name))
+    curr = load_timings(str(REPO / "bench_runs" / curr_name))
+    regs, _, _ = diff(prev, curr, 2.0, 1.0, set(allow_map))
+    assert not regs, (
+        f"recorded sweep regression {prev_name}->{curr_name}: {regs}"
+    )
