@@ -120,62 +120,23 @@ _FAMILY_COST = {
 # Unverified names whose builder or oracle was re-planned AFTER their
 # last driver green. Names move OUT of this set (into _DRIVER_VERIFIED)
 # when a CORRECTNESS_r{N}.json green lands on the current plan; names
-# move IN whenever a verified query's plan or oracle changes. Round-8
-# start: the round-7 graded front (46 fold names, including all 11
-# round-7 re-plans) folded green, so the set resets — it refills with
-# the round-8 re-plans (the 7 deferred NULL-semantics fixes from
-# BASELINE.md r07 and the ADVICE r07 closures) as each fix lands.
+# move IN whenever a verified query's plan or oracle changes.
 _REPLANNED_AFTER_GREEN: frozenset[str] = frozenset(
     {
-        # round-8 re-plans: the 7 deferred NULL-semantics fixes
-        # (BASELINE.md r07 / SURVEY §7.4d item 1) — NULL measurements
-        # now excluded at the scan on BOTH engines, null-safe displays;
-        # graded-corpus values unchanged (those corpora carry no NULLs)
-        # but plan change => regrade
-        "anomaly_detector_overlap", "event_ewma_spikes",
-        "event_rank_stats", "running_user_value",
-        "sketch_histogram_quantiles", "value_equidepth_deciles",
-        "value_mad_anomalies",
-        # ADVICE r07 closures, each a plan change on an r07 green:
-        # engine-identical whitespace class (text), zero-denominator
-        # CASE guards on the three new micro-share rates
-        "corpus_cross_shard_dups", "lake_file_skew_audit",
-        "text_char_class_profile", "vacuum_compaction_plan",
-        # r08 single-row sweep fixes (the new n=1 axis found 7 Spark
-        # ANSI divide-by-zero crashes + one sequence(start>stop)
-        # descending-grid divergence): explicit n<2 / zero-denominator
-        # semantics on both engines — graded-scale values unchanged,
-        # plan change => regrade
-        "embedding_dim_variance", "embedding_power_iteration",
-        "event_dispersion_index", "t_closeness_audit",
-        "user_dau_wau_stickiness", "value_drift_tvd",
-        "value_zscore_anomalies",
-        # r08 performance re-plan: the pruning audit's 9-branch union
-        # (~30 sequential AQE stages, 7.5 s for 9 rows — the most
-        # expensive query in the r08a bench) collapsed to one
-        # long-frame aggregation chain (~1 s); values unchanged, plan
-        # change => regrade
-        "partition_pruning_audit",
-        # r08 OPTIMIZATION-round re-plans (OPTIMIZATION_r08.md): pure
-        # performance rewrites, values proven identical against the
-        # unchanged oracles on the gate corpora — plan change =>
-        # regrade. covariance/jl: expression-tree expansion → numpy
-        # Gram/projection matmuls in mapInArrow; simhash(+hamming):
-        # h60 projected once instead of 32×/60× per token; pagerank:
-        # per-round nodes re-join dropped; hll_intersection: exact
-        # union by inclusion–exclusion, 22→16 exchanges
-        "dedup_pagerank", "dedup_simhash", "dedup_simhash_hamming",
-        "embedding_covariance_pairs", "embedding_jl_distortion",
-        "sketch_hll_intersection",
+        # round-9 start: the round-8 graded front (all 33 names,
+        # including the 6 r08-optimizer re-plans) folded green after
+        # the pending-fingerprint continuity check, so the set reset —
+        # it refills with the round-9 optimization re-plans as each
+        # lands (OPTIMIZATION_r09.md carries the per-name evidence).
     }
 )
 
 
 # Names hash-verified green by the driver on their CURRENT plan:
-# CORRECTNESS_r02 ∪ ... ∪ r07 greens (r07's 49 hash-greens folded at
-# round-8 start after the pending-fingerprint continuity check passed
-# for all 46 new names → 244; the one r07 error, dedup_keep_manifest,
-# stays unverified). Any name
+# CORRECTNESS_r02 ∪ ... ∪ r08 greens (r08's 33-name graded front folded
+# at round-9 start after the pending-fingerprint continuity check
+# passed for all 33 — every registry query is now driver-verified on
+# the plan it was graded with). Any name
 # whose builder or oracle is re-planned after its last green MUST be
 # removed from this set (into _REPLANNED_AFTER_GREEN) so it regrades
 # early — with ONE scoped exception, enforced mechanically by
@@ -187,39 +148,50 @@ _REPLANNED_AFTER_GREEN: frozenset[str] = frozenset(
 # audit relied on this; the lint makes it checkable instead of argued).
 _DRIVER_VERIFIED = frozenset(
     {
-        "asof_attribution", "asof_last_signup",
+        "anomaly_detector_overlap", "asof_attribution", "asof_last_signup",
         "basket_lift_pairs", "big_order_customers", "brand_supplier_variety",
-        "click_and_error_users", "clickers_not_purchasers", "cohort_ltv_curve",
-        "contrastive_negatives", "corpus_cross_source_overlap", "corpus_mixture_report",
-        "corpus_shard_plan", "corpus_source_minhash",
-        "corpus_stratified_sample", "corpus_token_budget_plan",
-        "cube_event_stats", "curation_keep_list", "curation_multisignal_gate",
-        "curation_quality_budget_curve", "customer_order_distribution",
-        "customer_order_streaks", "customer_rfm_scores",
-        "customer_value_frontier", "daily_click_purchase_recon",
-        "data_quality_report", "date_parts", "decontaminate_overlap",
-        "dedup_cluster_histogram", "dedup_clusters", "dedup_containment",
-        "dedup_crosslingual_pairs", "dedup_embedding_nn", "dedup_exact",
-        "dedup_graph_triangles", "dedup_incremental", "dedup_jaccard_verify",
-        "dedup_kcore", "dedup_lsh_calibration", "dedup_lsh_recall_exact",
-        "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_prefix_filter", "dedup_rate_report", "dedup_semantic",
-        "discount_quantity_ols",
-        "discount_tax_independence", "disjunctive_part_revenue",
-        "distinct_users_per_type", "doc_chunking", "doc_length_bucketing",
-        "doc_packing", "embedding_centroid_drift",
-        "embedding_dim_mean_shift",
-        "embedding_label_consensus", "embedding_norm_stats",
-        "embedding_outliers", "epoch_shuffle_plan", "event_cooccurrence_lift",
-        "event_cusum_changepoint", "event_dow_profile", "event_hourly_resample",
-        "event_markov_accuracy", "event_path_topk", "event_seasonal_naive_mape", "event_transition_matrix",
+        "click_and_error_users", "clickers_not_purchasers",
+        "cohort_ltv_curve", "contrastive_negatives",
+        "corpus_cross_shard_dups", "corpus_cross_source_overlap",
+        "corpus_mixture_report", "corpus_shard_plan",
+        "corpus_source_minhash", "corpus_stratified_sample",
+        "corpus_token_budget_plan", "cube_event_stats", "curation_keep_list",
+        "curation_multisignal_gate", "curation_quality_budget_curve",
+        "customer_order_distribution", "customer_order_streaks",
+        "customer_rfm_scores", "customer_value_frontier",
+        "daily_click_purchase_recon", "data_quality_report", "date_parts",
+        "decontaminate_overlap", "dedup_cluster_histogram", "dedup_clusters",
+        "dedup_containment", "dedup_crosslingual_pairs",
+        "dedup_embedding_nn", "dedup_exact", "dedup_graph_triangles",
+        "dedup_incremental", "dedup_jaccard_verify", "dedup_kcore",
+        "dedup_keep_manifest", "dedup_lsh_calibration",
+        "dedup_lsh_recall_exact", "dedup_minhash_cardinality",
+        "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_pagerank",
+        "dedup_prefix_filter", "dedup_rate_report", "dedup_semantic",
+        "dedup_simhash", "dedup_simhash_hamming", "dedup_simhash_wide",
+        "discount_quantity_ols", "discount_tax_independence",
+        "disjunctive_part_revenue", "distinct_users_per_type",
+        "doc_chunking", "doc_length_bucketing", "doc_packing",
+        "embedding_centroid_drift", "embedding_covariance_pairs",
+        "embedding_dim_mean_shift", "embedding_dim_variance",
+        "embedding_jl_distortion", "embedding_label_consensus",
+        "embedding_norm_stats", "embedding_outliers",
+        "embedding_power_iteration", "epoch_shuffle_plan",
+        "event_cooccurrence_lift", "event_cusum_changepoint",
+        "event_dispersion_index", "event_dow_profile", "event_ewma_spikes",
+        "event_hourly_resample", "event_markov_accuracy", "event_path_topk",
+        "event_rank_stats", "event_seasonal_naive_mape",
+        "event_transition_matrix", "event_trend_theilsen",
         "event_type_union", "event_user_bitmap", "event_value_benford",
-        "excess_quantity_suppliers", "experiment_cuped_lift",
-        "experiment_srm_check", "fk_integrity_audit",
-        "forecast_revenue_change", "funnel_conversion", "fuzzy_name_matches",
-        "grouping_sets_revenue", "inactive_rich_customers",
-        "join_cardinality_estimate", "join_key_skew", "join_strategy_advisor",
-        "json_encode", "k_anonymity_audit", "kmeans_clusters",
-        "l_diversity_audit", "lake_column_stats", "latest_event_per_user", "layout_zorder_stats",
+        "event_value_log2_histogram", "excess_quantity_suppliers",
+        "experiment_cuped_lift", "experiment_srm_check",
+        "fk_integrity_audit", "forecast_revenue_change", "funnel_conversion",
+        "fuzzy_name_matches", "grouping_sets_revenue",
+        "inactive_rich_customers", "join_cardinality_estimate",
+        "join_key_skew", "join_strategy_advisor", "json_encode",
+        "k_anonymity_audit", "kmeans_clusters", "l_diversity_audit",
+        "lake_clustering_depth", "lake_column_stats", "lake_file_skew_audit",
+        "latest_event_per_user", "layout_zorder_stats",
         "lineitem_measures_unpivot", "linkage_fs_weights",
         "local_supplier_volume", "market_share_by_year",
         "merge_touched_partitions", "mixture_reweight_plan",
@@ -229,20 +201,21 @@ _DRIVER_VERIFIED = frozenset(
         "multimodal_type_stats", "mv_incremental_refresh",
         "nation_pair_volume", "nation_supplier_hhi",
         "order_backlog_timeseries", "order_fulfillment_latency",
-        "order_priority_semijoin", "order_status_upsert",
-        "orders_aging_buckets", "orders_monthly_growth",
-        "orders_priority_mix_shift", "part_profit_by_nation_year",
-        "parts_never_in_bulk_orders",
-        "peak_concurrent_sessions", "pivot_user_event_values",
-        "pricing_summary", "promo_revenue_ratio", "props_map_stats",
-        "q1_filter", "q2_join_enrich", "q3_window_collect_set",
-        "quality_auc_eval", "quality_dup_profile", "range_join_click_purchase",
-        "recent_orders_lateral", "regional_min_cost_supplier",
-        "retrieval_mrr_eval", "retrieval_ndcg_eval", "retrieval_rrf_fusion",
+        "order_priority_semijoin", "order_ship_latency_quantiles",
+        "order_status_upsert", "orders_aging_buckets",
+        "orders_monthly_growth", "orders_priority_mix_shift",
+        "part_profit_by_nation_year", "partition_pruning_audit",
+        "parts_never_in_bulk_orders", "peak_concurrent_sessions",
+        "pivot_user_event_values", "pricing_summary", "promo_revenue_ratio",
+        "props_map_stats", "q1_filter", "q2_join_enrich",
+        "q3_window_collect_set", "quality_auc_eval", "quality_dup_profile",
+        "range_join_click_purchase", "recent_orders_lateral",
+        "regional_min_cost_supplier", "retrieval_mrr_eval",
+        "retrieval_ndcg_eval", "retrieval_rrf_fusion",
         "returned_item_report", "returnflag_priority_counts",
         "revenue_autocorr", "revenue_by_nation", "rollup_order_status",
         "rsvp_decode_failures", "rsvp_faithful_filter", "rsvp_q2_payload",
-        "salted_type_totals", "session_window_stats",
+        "running_user_value", "salted_type_totals", "session_window_stats",
         "shipping_priority_topk", "similarity_ann_recall",
         "similarity_bq_topk", "similarity_cluster_purity",
         "similarity_diverse_topk", "similarity_ivf_occupancy",
@@ -254,27 +227,32 @@ _DRIVER_VERIFIED = frozenset(
         "similarity_recall_sweep", "similarity_sq_quality",
         "similarity_sq_topk", "similarity_topk", "sketch_bloom_reduction",
         "sketch_cms_heavy_hitters", "sketch_event_stats",
+        "sketch_histogram_quantiles", "sketch_hll_intersection",
         "sketch_hll_merge", "sketch_hll_users", "sliding_window_stats",
         "small_qty_part_revenue", "snapshot_asof_diff", "sole_late_supplier",
         "source_cap_report", "split_leakage_report",
         "supplier_balance_by_nation", "supplier_return_rates",
-        "text_bigram_lm_score", "text_bm25_search",
+        "t_closeness_audit", "text_bigram_lm_score", "text_bm25_search",
         "text_boilerplate_ngrams", "text_bpe_encode", "text_bpe_fertility",
-        "text_bpe_pair_stats", "text_bpe_train", "text_encoding_audit", "text_feature_hashing", "text_fingerprint",
+        "text_bpe_pair_stats", "text_bpe_train", "text_char_class_profile",
+        "text_encoding_audit", "text_feature_hashing", "text_fingerprint",
         "text_hapax_stats", "text_heaps_law", "text_lang_confusion",
         "text_lang_id", "text_lang_kappa", "text_length_histogram",
         "text_ngram_novelty", "text_pii_redact", "text_pii_scan",
         "text_prefix_clusters", "text_quality_score", "text_rake_keywords",
         "text_repetition_signals", "text_source_chi2_drift",
         "text_substring_dedup", "text_tfidf_topterms", "text_token_rarity",
-        "text_token_stats", "text_winnow_fingerprints", "text_zipf_topshare",
-        "top3_per_segment", "top_customers", "top_supplier_by_revenue",
-        "train_split_assign", "user_bot_periodicity",
-        "user_erasure_audit", "user_event_gaps",
-        "user_hazard_curve", "user_retention_cohorts",
-        "user_simpson_diversity", "user_trailing_hour_stats", "user_type_scd2",
+        "text_token_stats", "text_winnow_fingerprints",
+        "text_word_len_profile", "text_zipf_topshare", "top3_per_segment",
+        "top_customers", "top_supplier_by_revenue", "train_split_assign",
+        "user_bot_periodicity", "user_dau_wau_stickiness",
+        "user_erasure_audit", "user_event_gaps", "user_hazard_curve",
+        "user_retention_cohorts", "user_simpson_diversity",
+        "user_trailing_hour_stats", "user_type_scd2",
         "user_value_concentration", "user_value_gini",
-        "valuable_part_stock", "value_percentiles",
-        "value_winsorize", "weighted_doc_sample"
+        "vacuum_compaction_plan", "valuable_part_stock", "value_drift_tvd",
+        "value_equidepth_deciles", "value_mad_anomalies",
+        "value_percentiles", "value_winsorize", "value_zscore_anomalies",
+        "weighted_doc_sample",
     }
 )

@@ -726,15 +726,15 @@ def test_registry_names_unique_across_modules():
 
 def test_registry_orders_unverified_queries_first():
     # grading order = registry order, and the driver's gate has a
-    # budget (50/round observed in r02-r07): every query the driver has
+    # budget (50/round observed in r02-r08): every query the driver has
     # never hash-verified on its current plan must precede the verified
     # block, so any budget prefix grades the maximum number of
-    # unverified entries. Round-8 start state: CORRECTNESS_r07's 49
-    # hash-greens folded into _DRIVER_VERIFIED (244 names) after the
-    # pending-fingerprint continuity check passed for all 46 new names,
-    # leaving only the one r07 driver error below plus the round-8
-    # re-plans (NULL-semantics + ADVICE-closure fixes) and any round-8
-    # additions unverified-on-current-plan.
+    # unverified entries. Round-9 start state: CORRECTNESS_r08's whole
+    # 33-name graded front (including the r07 harness-error debt,
+    # dedup_keep_manifest) folded green after the pending-fingerprint
+    # continuity check, so every registry query is verified on its
+    # current plan; the unverified block refills with round-9
+    # optimization re-plans as each lands.
     from big_data_2021_spark_streaming_spark.plans.registry import (
         _DRIVER_VERIFIED,
         _REPLANNED_AFTER_GREEN,
@@ -742,29 +742,19 @@ def test_registry_orders_unverified_queries_first():
     )
 
     names = list(all_queries())
-    first_back = next(i for i, n in enumerate(names) if n in _DRIVER_VERIFIED)
+    unverified = [n for n in names if n not in _DRIVER_VERIFIED]
+    first_back = len(unverified)
+    assert names[:first_back] == unverified  # unverified block leads
     assert all(n in _DRIVER_VERIFIED for n in names[first_back:])
-    assert all(n not in _DRIVER_VERIFIED for n in names[:first_back])
-    # round-8 debt: the single r07 harness error (array output crashed
-    # the driver canonicalizer; fixed this round) must lead the order
-    debt = {"dedup_keep_manifest"}
-    assert debt <= set(names[:first_back])
     # re-planned-after-green names (stale-evidence risk) sort to the
-    # very front. Round-8's set holds the deferred NULL-semantics
-    # fixes (BASELINE.md r07), the ADVICE r07 closures, the
-    # single-row-sweep guards, and the pruning-audit performance
-    # re-plan — each a verified green whose plan changed this round,
-    # so it regrades early.
+    # very front of the unverified block so the driver's budget prefix
+    # regrades them first.
     assert set(names[: len(_REPLANNED_AFTER_GREEN)]) == set(
         _REPLANNED_AFTER_GREEN
     )
-    # the round-8 graded prefix must cover the whole debt + re-plan set
-    # (≤ 50). No already-green name can burn budget ahead of it — the
-    # block-structure asserts above guarantee every verified name sorts
-    # after every unverified one (with <50 unverified, the 50-prefix
-    # legitimately re-grades some greens after the debt is exhausted;
-    # that is free re-confirmation, not wasted budget).
-    assert debt | set(_REPLANNED_AFTER_GREEN) <= set(names[:50])
+    # the graded prefix must cover the whole re-plan set (≤ 50): no
+    # already-green name may burn budget ahead of a stale-evidence one
+    assert set(_REPLANNED_AFTER_GREEN) <= set(names[:50])
     assert first_back <= 50
 
 
