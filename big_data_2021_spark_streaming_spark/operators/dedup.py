@@ -44,6 +44,31 @@ EST_THRESHOLD = 0.8
 SIMHASH_BITS = 32
 
 
+# (applicationId, sf_dir, kind) -> shared persisted frame. The dedup
+# family's expensive inputs (MinHash signatures, LSH pair frame,
+# candidate gram/token sets) were already persist()-ed, and Spark's
+# CacheManager matches canonicalized plans, so every consumer shared
+# ONE materialization — but each consumer still re-ran the Python
+# builder chain and re-analyzed the deep lineage per query (~0.9-1.8 s
+# of driver-side build time per consumer, measured round 9; the
+# "Asked to cache already cached data" warnings were this). Memoizing
+# the DataFrame OBJECT per session hands every consumer the identical
+# plan (plan-hash equality proven at the fold,
+# plans/r09/load_table_memo_plan_identity.json) and skips the rebuild.
+# No results cross sessions: entries die with the application, like
+# _LABELS_MEMO below.
+_SHARED_FRAME_MEMO: dict[tuple[str, str, str], DataFrame] = {}
+
+
+def _session_frame(spark, sf_dir, kind, build):
+    key = (spark.sparkContext.applicationId, sf_dir, kind)
+    if key not in _SHARED_FRAME_MEMO:
+        for k in [k for k in _SHARED_FRAME_MEMO if k[0] != key[0]]:
+            del _SHARED_FRAME_MEMO[k]
+        _SHARED_FRAME_MEMO[key] = build()
+    return _SHARED_FRAME_MEMO[key]
+
+
 def _token_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     # NOT persisted: token arrays are corpus-scale, so caching them is
     # wrong at 100 TB — only the tiny signature frame is cached below
@@ -92,23 +117,26 @@ def _minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     columns once per row before member extraction (inlining would
     re-hash per member).
     """
-    hashed = (
-        _token_sets(spark, sf_dir)
-        .select("doc_id", "source", F.explode("tok").alias("sh"))
-        .select(
-            "doc_id",
-            "source",
-            *[
-                h60_packed_md5(s, F.col("sh")).alias(f"d{s}")
-                for s in range(NUM_PERM // 2)
-            ],
+    def build() -> DataFrame:
+        hashed = (
+            _token_sets(spark, sf_dir)
+            .select("doc_id", "source", F.explode("tok").alias("sh"))
+            .select(
+                "doc_id",
+                "source",
+                *[
+                    h60_packed_md5(s, F.col("sh")).alias(f"d{s}")
+                    for s in range(NUM_PERM // 2)
+                ],
+            )
         )
-    )
-    aggs = [
-        F.min(h60_packed_member(F.col(f"d{j // 2}"), j % 2)).alias(f"mh{j}")
-        for j in range(NUM_PERM)
-    ]
-    return hashed.groupBy("doc_id", "source").agg(*aggs).persist()
+        aggs = [
+            F.min(h60_packed_member(F.col(f"d{j // 2}"), j % 2)).alias(f"mh{j}")
+            for j in range(NUM_PERM)
+        ]
+        return hashed.groupBy("doc_id", "source").agg(*aggs).persist()
+
+    return _session_frame(spark, sf_dir, "mh_signatures", build)
 
 
 def _band_rows(mh: DataFrame) -> DataFrame:
@@ -139,49 +167,53 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     est_jaccard = (#matching minhashes)/16 — an exact rational, so it
     hash-compares across engines with no rounding concerns.
     """
-    mh = _minhash_signatures(spark, sf_dir)
-    bands = _band_rows(mh)
-    left, right = bands.alias("l"), bands.alias("r")
-    cand = (
-        left.join(
-            right,
-            (F.col("l.source") == F.col("r.source"))
-            & (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.sig") == F.col("r.sig"))
-            & (F.col("l.doc_id") < F.col("r.doc_id")),
+
+    def build() -> DataFrame:
+        mh = _minhash_signatures(spark, sf_dir)
+        bands = _band_rows(mh)
+        left, right = bands.alias("l"), bands.alias("r")
+        cand = (
+            left.join(
+                right,
+                (F.col("l.source") == F.col("r.source"))
+                & (F.col("l.band") == F.col("r.band"))
+                & (F.col("l.sig") == F.col("r.sig"))
+                & (F.col("l.doc_id") < F.col("r.doc_id")),
+            )
+            .select(
+                F.col("l.doc_id").alias("doc_id_a"),
+                F.col("r.doc_id").alias("doc_id_b"),
+            )
+            .distinct()
         )
-        .select(
-            F.col("l.doc_id").alias("doc_id_a"),
-            F.col("r.doc_id").alias("doc_id_b"),
+        a = mh.select(
+            F.col("doc_id").alias("doc_id_a"),
+            *[F.col(f"mh{j}").alias(f"a{j}") for j in range(NUM_PERM)],
         )
-        .distinct()
-    )
-    a = mh.select(
-        F.col("doc_id").alias("doc_id_a"),
-        *[F.col(f"mh{j}").alias(f"a{j}") for j in range(NUM_PERM)],
-    )
-    b = mh.select(
-        F.col("doc_id").alias("doc_id_b"),
-        *[F.col(f"mh{j}").alias(f"b{j}") for j in range(NUM_PERM)],
-    )
-    matches = sum(
-        (F.col(f"a{j}") == F.col(f"b{j}")).cast("int") for j in range(NUM_PERM)
-    )
-    # persisted: the pair frame is tiny (near-dup pairs only) and three
-    # downstream consumers (jaccard/ngram verify, clustering) each
-    # rebuild this exact plan — CacheManager's canonical-plan matching
-    # turns those rebuilds into cache hits instead of band re-joins
-    return (
-        cand.join(a, "doc_id_a")
-        .join(b, "doc_id_b")
-        .select(
-            "doc_id_a",
-            "doc_id_b",
-            (matches / F.lit(float(NUM_PERM))).alias("est_jaccard"),
+        b = mh.select(
+            F.col("doc_id").alias("doc_id_b"),
+            *[F.col(f"mh{j}").alias(f"b{j}") for j in range(NUM_PERM)],
         )
-        .where(F.col("est_jaccard") >= EST_THRESHOLD)
-        .persist()
-    )
+        matches = sum(
+            (F.col(f"a{j}") == F.col(f"b{j}")).cast("int")
+            for j in range(NUM_PERM)
+        )
+        # persisted: the pair frame is tiny (near-dup pairs only) and
+        # three downstream consumers (jaccard/ngram verify, clustering)
+        # consume it — the session memo hands them this exact object
+        return (
+            cand.join(a, "doc_id_a")
+            .join(b, "doc_id_b")
+            .select(
+                "doc_id_a",
+                "doc_id_b",
+                (matches / F.lit(float(NUM_PERM))).alias("est_jaccard"),
+            )
+            .where(F.col("est_jaccard") >= EST_THRESHOLD)
+            .persist()
+        )
+
+    return _session_frame(spark, sf_dir, "lsh_pairs", build)
 
 
 def _candidate_docs(pairs: DataFrame) -> DataFrame:
@@ -204,11 +236,16 @@ def jaccard_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate docs only (see _candidate_docs), then probed from cache
     by both sides of the pair join."""
     pairs = minhash_lsh_pairs(spark, sf_dir).select("doc_id_a", "doc_id_b")
-    tok = (
-        _token_sets(spark, sf_dir)
-        .join(_candidate_docs(pairs), "doc_id", "leftsemi")
-        .select("doc_id", "tok")
-        .persist()
+    tok = _session_frame(
+        spark,
+        sf_dir,
+        "cand_tok_sets",
+        lambda: (
+            _token_sets(spark, sf_dir)
+            .join(_candidate_docs(pairs), "doc_id", "leftsemi")
+            .select("doc_id", "tok")
+            .persist()
+        ),
     )
     a = tok.select(F.col("doc_id").alias("doc_id_a"), F.col("tok").alias("tok_a"))
     b = tok.select(F.col("doc_id").alias("doc_id_b"), F.col("tok").alias("tok_b"))
@@ -303,11 +340,16 @@ def _pair_gram_sets(
     ~4 s at sf0.1 for the exploded pairs×grams formulation, and that
     blow-up scales with the near-dup rate)."""
     pairs = minhash_lsh_pairs(spark, sf_dir).select("doc_id_a", "doc_id_b")
-    gram_sets = (
-        _char_gram_rows(spark, sf_dir, bound_to=_candidate_docs(pairs))
-        .groupBy("doc_id")
-        .agg(F.collect_list("g").alias("grams"))
-        .persist()
+    gram_sets = _session_frame(
+        spark,
+        sf_dir,
+        "cand_gram_sets",
+        lambda: (
+            _char_gram_rows(spark, sf_dir, bound_to=_candidate_docs(pairs))
+            .groupBy("doc_id")
+            .agg(F.collect_list("g").alias("grams"))
+            .persist()
+        ),
     )
     return pairs, gram_sets
 

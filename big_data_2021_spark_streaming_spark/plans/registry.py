@@ -125,9 +125,32 @@ _REPLANNED_AFTER_GREEN: frozenset[str] = frozenset(
     {
         # round-9 start: the round-8 graded front (all 33 names,
         # including the 6 r08-optimizer re-plans) folded green after
-        # the pending-fingerprint continuity check, so the set reset —
-        # it refills with the round-9 optimization re-plans as each
-        # lands (OPTIMIZATION_r09.md carries the per-name evidence).
+        # the pending-fingerprint continuity check, so the set reset.
+        #
+        # round-9 fold-boundary session memos (OPTIMIZATION_r09.md):
+        # load_table and the dedup shared frames (MinHash signatures /
+        # LSH pairs / candidate gram+token sets) now return ONE
+        # DataFrame object per session instead of rebuilding the same
+        # plan per consumer. The edit re-fingerprints every builder
+        # (load_table is in every closure), but it is proven
+        # PLAN-NEUTRAL by normalized-plan-hash equality over all 252
+        # queries (plans/r09/load_table_memo_plan_identity.json), so —
+        # like the broadcast-hint exemption — it does not invalidate
+        # value greens wholesale. The names below regrade anyway:
+        # every transitive consumer of the EDITED dedup builders, plus
+        # the two queries whose physical plan text did move (an Expand
+        # group-order permutation in the count-distinct rewrite,
+        # value-identical, oracle-verified this round).
+        "contrastive_negatives", "corpus_cross_shard_dups",
+        "corpus_source_minhash", "curation_keep_list",
+        "dedup_cluster_histogram", "dedup_clusters", "dedup_containment",
+        "dedup_crosslingual_pairs", "dedup_graph_triangles",
+        "dedup_incremental", "dedup_jaccard_verify", "dedup_kcore",
+        "dedup_keep_manifest", "dedup_lsh_calibration",
+        "dedup_lsh_recall_exact", "dedup_minhash_lsh",
+        "dedup_ngram_jaccard", "dedup_pagerank", "dedup_rate_report",
+        "lake_column_stats", "quality_auc_eval", "quality_dup_profile",
+        "sole_late_supplier", "split_leakage_report", "train_split_assign",
     }
 )
 
@@ -151,23 +174,15 @@ _DRIVER_VERIFIED = frozenset(
         "anomaly_detector_overlap", "asof_attribution", "asof_last_signup",
         "basket_lift_pairs", "big_order_customers", "brand_supplier_variety",
         "click_and_error_users", "clickers_not_purchasers",
-        "cohort_ltv_curve", "contrastive_negatives",
-        "corpus_cross_shard_dups", "corpus_cross_source_overlap",
+        "cohort_ltv_curve", "corpus_cross_source_overlap",
         "corpus_mixture_report", "corpus_shard_plan",
-        "corpus_source_minhash", "corpus_stratified_sample",
-        "corpus_token_budget_plan", "cube_event_stats", "curation_keep_list",
-        "curation_multisignal_gate", "curation_quality_budget_curve",
+        "corpus_stratified_sample",
+        "corpus_token_budget_plan", "cube_event_stats", "curation_multisignal_gate", "curation_quality_budget_curve",
         "customer_order_distribution", "customer_order_streaks",
         "customer_rfm_scores", "customer_value_frontier",
         "daily_click_purchase_recon", "data_quality_report", "date_parts",
-        "decontaminate_overlap", "dedup_cluster_histogram", "dedup_clusters",
-        "dedup_containment", "dedup_crosslingual_pairs",
-        "dedup_embedding_nn", "dedup_exact", "dedup_graph_triangles",
-        "dedup_incremental", "dedup_jaccard_verify", "dedup_kcore",
-        "dedup_keep_manifest", "dedup_lsh_calibration",
-        "dedup_lsh_recall_exact", "dedup_minhash_cardinality",
-        "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_pagerank",
-        "dedup_prefix_filter", "dedup_rate_report", "dedup_semantic",
+        "decontaminate_overlap", "dedup_embedding_nn", "dedup_exact", "dedup_minhash_cardinality",
+        "dedup_prefix_filter", "dedup_semantic",
         "dedup_simhash", "dedup_simhash_hamming", "dedup_simhash_wide",
         "discount_quantity_ols", "discount_tax_independence",
         "disjunctive_part_revenue", "distinct_users_per_type",
@@ -190,7 +205,7 @@ _DRIVER_VERIFIED = frozenset(
         "inactive_rich_customers", "join_cardinality_estimate",
         "join_key_skew", "join_strategy_advisor", "json_encode",
         "k_anonymity_audit", "kmeans_clusters", "l_diversity_audit",
-        "lake_clustering_depth", "lake_column_stats", "lake_file_skew_audit",
+        "lake_clustering_depth", "lake_file_skew_audit",
         "latest_event_per_user", "layout_zorder_stats",
         "lineitem_measures_unpivot", "linkage_fs_weights",
         "local_supplier_volume", "market_share_by_year",
@@ -208,8 +223,7 @@ _DRIVER_VERIFIED = frozenset(
         "parts_never_in_bulk_orders", "peak_concurrent_sessions",
         "pivot_user_event_values", "pricing_summary", "promo_revenue_ratio",
         "props_map_stats", "q1_filter", "q2_join_enrich",
-        "q3_window_collect_set", "quality_auc_eval", "quality_dup_profile",
-        "range_join_click_purchase", "recent_orders_lateral",
+        "q3_window_collect_set", "range_join_click_purchase", "recent_orders_lateral",
         "regional_min_cost_supplier", "retrieval_mrr_eval",
         "retrieval_ndcg_eval", "retrieval_rrf_fusion",
         "returned_item_report", "returnflag_priority_counts",
@@ -229,9 +243,7 @@ _DRIVER_VERIFIED = frozenset(
         "sketch_cms_heavy_hitters", "sketch_event_stats",
         "sketch_histogram_quantiles", "sketch_hll_intersection",
         "sketch_hll_merge", "sketch_hll_users", "sliding_window_stats",
-        "small_qty_part_revenue", "snapshot_asof_diff", "sole_late_supplier",
-        "source_cap_report", "split_leakage_report",
-        "supplier_balance_by_nation", "supplier_return_rates",
+        "small_qty_part_revenue", "snapshot_asof_diff", "source_cap_report", "supplier_balance_by_nation", "supplier_return_rates",
         "t_closeness_audit", "text_bigram_lm_score", "text_bm25_search",
         "text_boilerplate_ngrams", "text_bpe_encode", "text_bpe_fertility",
         "text_bpe_pair_stats", "text_bpe_train", "text_char_class_profile",
@@ -244,8 +256,7 @@ _DRIVER_VERIFIED = frozenset(
         "text_substring_dedup", "text_tfidf_topterms", "text_token_rarity",
         "text_token_stats", "text_winnow_fingerprints",
         "text_word_len_profile", "text_zipf_topshare", "top3_per_segment",
-        "top_customers", "top_supplier_by_revenue", "train_split_assign",
-        "user_bot_periodicity", "user_dau_wau_stickiness",
+        "top_customers", "top_supplier_by_revenue", "user_bot_periodicity", "user_dau_wau_stickiness",
         "user_erasure_audit", "user_event_gaps", "user_hazard_curve",
         "user_retention_cohorts", "user_simpson_diversity",
         "user_trailing_hour_stats", "user_type_scd2",
