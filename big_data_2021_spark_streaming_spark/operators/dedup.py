@@ -2240,7 +2240,8 @@ def prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
        rarest shingles as its prefix;
     3. candidate pairs = prefix⋈prefix equi-join on shingle + the
        Jaccard length filter ``τ·max(n_a,n_b) ≤ min(n_a,n_b)`` in
-       exact integer form;
+       exact integer form, then the per-pair PPJoin suffix bound
+       (computed by the same groupBy that dedupes the pair frame);
     4. verify = array_intersect over per-doc shingle sets materialized
        for candidate docs ONLY, exact integer threshold test
        ``n_inter·1e6 ≥ τ_micro·n_union`` (never a rounded double).
@@ -2252,8 +2253,9 @@ def prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus. At 100 TB the prefix join shuffles only the rare-shingle
     tail (Zipfian text makes most prefixes near-unique; this synthetic
     31-word vocab is the adversarial dense case and still prunes the
-    candidate space ~8×), and the verify stage is bounded by
-    candidates, not the corpus.
+    exhaustive 10.30M shared-shingle pairs to 0.42M verify candidates,
+    ~24×), and the verify stage is bounded by candidates, not the
+    corpus.
     """
     sh = _shingle_rows(spark, sf_dir)
     # document frequency per shingle, joined back onto the shingle
@@ -2275,6 +2277,21 @@ def prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"pos <= n - (({PF_TAU_MICRO} * n + 999999) div 1000000) + 1"
         )
     ).select("s", "doc_id", "n", "pos")
+    # PPJoin suffix bound, per PAIR (Xiao et al. WWW'08 §3.2): both
+    # docs rank shingles in the SAME global (df, s) order, so for the
+    # LAST shared prefix shingle (the argmax match is identical on
+    # both sides — positions are ranks in one strict total order over
+    # distinct-per-doc shingles), every other prefix match precedes it
+    # and overlap ≤ c + min(n_a − max(pos_a), n_b − max(pos_b)) where
+    # c = #shared prefix shingles. J ≥ τ needs overlap ≥
+    # τ/(1+τ)·(n_a+n_b); the bound strictly DOMINATES the earlier
+    # any-single-match positional test (stepping back one match trades
+    # −1 in c for ≥+1 in tail), and the groupBy that computes it
+    # replaces the .distinct() the pair frame needed anyway — same
+    # single exchange on the pair key, no extra shuffle. Candidates at
+    # sf0.1: exhaustive 10.30M → prefix+length 1.50M pairs → 0.42M
+    # (the any-match form kept 0.67M), all 256 true τ-pairs retained —
+    # and the oracle parity re-proves losslessness every round.
     cand = (
         prefix.alias("a")
         .join(prefix.alias("b"), "s")
@@ -2284,22 +2301,24 @@ def prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"b.n * 1000000 >= {PF_TAU_MICRO} * a.n")
             & F.expr(f"a.n * 1000000 >= {PF_TAU_MICRO} * b.n")
         )
-        # PPJoin positional filter: shingles before pos are all rarer
-        # than the matched one, so overlap ≤ min(n−pos)+1; J ≥ τ needs
-        # overlap ≥ τ/(1+τ)·(n_a+n_b). Halves the candidate set here
-        # (1.50M → 0.67M at sf0.1) at zero recall cost — the oracle
-        # parity proves that claim every round.
-        .where(
-            F.expr(
-                f"(least(a.n - a.pos, b.n - b.pos) + 1)"
-                f" * (1000000 + {PF_TAU_MICRO}) >= {PF_TAU_MICRO} * (a.n + b.n)"
-            )
-        )
-        .select(
+        .groupBy(
             F.col("a.doc_id").alias("doc_id_a"),
             F.col("b.doc_id").alias("doc_id_b"),
+            F.col("a.n").alias("n_a"),
+            F.col("b.n").alias("n_b"),
         )
-        .distinct()
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.max("a.pos").alias("mpa"),
+            F.max("b.pos").alias("mpb"),
+        )
+        .where(
+            F.expr(
+                f"(c + least(n_a - mpa, n_b - mpb))"
+                f" * (1000000 + {PF_TAU_MICRO}) >= {PF_TAU_MICRO} * (n_a + n_b)"
+            )
+        )
+        .select("doc_id_a", "doc_id_b")
         # persisted: the frame is bounded by candidate PAIRS (like the
         # LSH pair frame above) and is consumed twice — once to bound
         # the shingle-set build, once as the verify join's left side;
